@@ -1,0 +1,46 @@
+"""Engine configuration.
+
+The knobs mirror the reference's crawler.cfg surface (SURVEY.md §6):
+``max_depth`` ↔ max_recursion (crawler.cfg:197-198), ``host_budget`` ↔
+per-site listing caps (crawler.cfg:26-185), ``wave_size`` ↔ the global
+queue-drain budget, priorities per taskmanager.py:156-163.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+from .data.synth import SynthWebConfig
+
+
+@dataclass
+class CrawlConfig:
+    web: SynthWebConfig = field(default_factory=SynthWebConfig)
+    workdir: str = "/tmp/crawlerframework_ray"
+    max_depth: int = 2              # level cap (reference max_recursion=1..2)
+    wave_size: int = 1024           # global fetch budget per epoch (top-k)
+    host_budget: int = 32           # politeness: max urls per host per wave
+    n_shards: int = 8               # URL-seen cuckoo shards (≥ parallelism at scale)
+    shard_capacity: int = 1 << 17   # per-shard filter capacity
+    max_epochs: int = 8
+    url_filter: str | None = None   # optional regex gate on expansions (M6)
+    fetch_concurrency: int = 4      # fetcher actor-pool size
+    fetch_batch_size: int = 256
+    record_trace: bool = False      # keep per-epoch wave ordering (tests)
+
+    def fingerprint(self) -> str:
+        """Stable hash of the semantics-bearing knobs — stamped into
+        checkpoint manifests so a resume with different semantics is
+        rejected instead of silently diverging."""
+        payload = {
+            "web": self.web.as_dict(),
+            "max_depth": self.max_depth,
+            "wave_size": self.wave_size,
+            "host_budget": self.host_budget,
+            "n_shards": self.n_shards,
+            "shard_capacity": self.shard_capacity,
+            "url_filter": self.url_filter,
+        }
+        return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]

@@ -1,0 +1,63 @@
+"""Table layer: dataset read/write behind one seam (SURVEY.md §7.0).
+
+``input_hint`` names Lance tables; ``lance`` is not installed in this
+environment, so the default codec is Parquet via
+``ray.data.read_parquet`` / ``write_parquet``, with a Lance codepath
+auto-enabled when ``lance``/``pylance`` is importable. Writes are
+atomic (temp dir + rename) and partition-per-key so a failed run can
+skip finished partitions — the "resumable output" contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+try:  # pragma: no cover - not installed in this sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """Read a dataset directory/file. Always pass ``columns`` when the
+    consumer needs a subset — pruning happens at the read."""
+    if HAVE_LANCE and path.endswith(".lance"):
+        return ray.data.read_lance(path, columns=columns, **kwargs)
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
+    """Atomic dataset write: write to a sibling temp dir, then rename
+    into place. A partial write never appears at ``path``."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+            ds.write_lance(tmp, **kwargs)
+        else:
+            ds.write_parquet(tmp, **kwargs)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_arrow(table: pa.Table, path: str) -> None:
+    """Atomic single-file parquet write for small driver-side tables
+    (frontier snapshots, manifests' sidecar tables)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def read_arrow(path: str, columns: list[str] | None = None) -> pa.Table:
+    return pq.read_table(path, columns=columns)

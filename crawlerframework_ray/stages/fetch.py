@@ -1,0 +1,100 @@
+"""Fetch stage: the stateful actor-pool `map_batches` callable.
+
+Re-expresses the reference's fetch path — urllib2 GET with retries,
+MIME checks, memcache read-through and per-task fetch counters
+(crawler/connectors/baseconnector.py:1140-1251, crawler/utils/cache.py:
+10-31) — as a Ray Data actor pool: per-actor state (page-store config,
+LRU cache, politeness counters) is built ONCE in ``__init__``; each
+``__call__`` turns a zero-copy Arrow frontier batch into a fetched-rows
+Arrow batch.
+
+The "network" is the deterministic synthetic page store
+(data/synth.py): fetch = pure compute, so fetched bytes/captions are
+identical on every node and vs the oracle — the basis of the per-row
+PSNR/caption invariant.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import pyarrow as pa
+
+from ..data.schemas import PAYLOAD_FIELDS
+from ..data.synth import SynthWebConfig, page_record
+from ..functions.hashing import content_hash
+
+FETCHED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+        ("score", pa.float32()),
+        ("epoch", pa.int32()),
+    ]
+    + PAYLOAD_FIELDS
+    + [
+        ("fetch_status", pa.string()),
+        ("content_hash", pa.binary(16)),
+        ("posted_ts", pa.timestamp("us")),
+        ("n_outlinks", pa.int32()),
+        ("outlinks", pa.list_(pa.string())),
+    ]
+)
+
+
+class Fetcher:
+    """Actor-pool fetcher. Use as
+    ``wave.map_batches(Fetcher, fn_constructor_kwargs={...},
+    concurrency=N, batch_format="pyarrow")``."""
+
+    def __init__(self, web_cfg: dict, cache_size: int = 8192, max_fetches_per_batch: int = 100_000):
+        self.cfg = SynthWebConfig(**web_cfg)
+        self.cache: OrderedDict[str, dict] = OrderedDict()  # S2 memcache analogue
+        self.cache_size = cache_size
+        # loop guard analogue of the reference's 1000-fetch cap
+        # (baseconnector.py:1213-1220)
+        self.max_fetches_per_batch = max_fetches_per_batch
+        self.n_fetched = 0
+        self.n_cache_hits = 0
+        self.per_host_counts: dict[str, int] = {}
+
+    def _fetch_one(self, url: str) -> dict:
+        rec = self.cache.get(url)
+        if rec is not None:
+            self.cache.move_to_end(url)
+            self.n_cache_hits += 1
+            return rec
+        rec = page_record(url, self.cfg)
+        self.n_fetched += 1
+        self.per_host_counts[rec["host"]] = self.per_host_counts.get(rec["host"], 0) + 1
+        self.cache[url] = rec
+        if len(self.cache) > self.cache_size:
+            self.cache.popitem(last=False)
+        return rec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        if len(urls) > self.max_fetches_per_batch:
+            raise RuntimeError(f"fetch loop guard: {len(urls)} urls in one batch")
+        recs = [self._fetch_one(u) for u in urls]
+
+        cols: dict[str, object] = {
+            "url": batch.column("url"),
+            "host": batch.column("host"),
+            "depth": batch.column("depth"),
+            "priority": batch.column("priority"),
+            "score": batch.column("score"),
+            "epoch": batch.column("epoch"),
+        }
+        for name, typ in PAYLOAD_FIELDS:
+            cols[name] = pa.array([r[name] for r in recs], type=typ)
+        cols["fetch_status"] = pa.array(["ok"] * len(recs), pa.string())
+        cols["content_hash"] = pa.array(
+            [content_hash(r["image_id"], r["caption"]) for r in recs], pa.binary(16)
+        )
+        cols["posted_ts"] = pa.array([r["posted_ts"] for r in recs], pa.timestamp("us"))
+        cols["n_outlinks"] = pa.array([len(r["outlinks"]) for r in recs], pa.int32())
+        cols["outlinks"] = pa.array([r["outlinks"] for r in recs], pa.list_(pa.string()))
+        return pa.table(cols, schema=FETCHED_SCHEMA)

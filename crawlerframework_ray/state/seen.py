@@ -1,0 +1,195 @@
+"""Sharded URL-seen set: an actor pool of cuckoo-filter shards.
+
+The distributed replacement for the reference's central TaskMaster
+dedup gate (crawler/utils/priorityqueue.py:39-43 test-and-set before
+enqueue, over a single BerkeleyDB). Here the seen set is hash-
+partitioned across K shard actors (shard = md5(url)[:8] % K, so K can
+exceed node count and shards rebalance trivially); membership tests are
+batched RPCs grouped by shard — one message per shard per batch, not
+per url.
+
+Epoch discipline (what makes parallel runs deterministic — SURVEY.md
+§7.4): within an epoch, candidate ids are globally deduped by a
+``groupby(task_id)`` shuffle, then **tested read-only** against shards
+(order-independent), and the fresh ids are **inserted only at epoch
+commit, sorted**, so filter state is a pure function of the committed
+id set. The oracle follows the identical discipline.
+
+At 10^10 urls / 256 shards each shard holds ~40M fingerprints ≈ 95 MB —
+RAM-resident per node. The exact ``added`` id set kept alongside is a
+small-scale testing aid (final-membership dumps); at full scale it
+would be dropped or spilled to the checkpoint only.
+"""
+
+from __future__ import annotations
+
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One shard of the URL-seen set. num_cpus=0: shards are
+    memory-bound lookaside state, not compute — they must not starve
+    the fetch/parse stages of CPU slots."""
+
+    def __init__(self, shard_id: int, capacity: int):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+        self.added: set[bytes] = set()
+        self.staged: set[bytes] = set()
+        self.epoch = -1
+
+    def contains_batch(self, ids: list[bytes]) -> list[bool]:
+        f = self.filter
+        return [f.contains(i) for i in ids]
+
+    def stage(self, ids: list[bytes]) -> int:
+        """Accumulate fresh ids from (possibly concurrent) expansion
+        tasks. A *set*, so arrival order is irrelevant."""
+        self.staged.update(ids)
+        return len(self.staged)
+
+    def seal(self, epoch: int) -> int:
+        """Epoch commit: insert the staged set in sorted order (canonical
+        filter state), fold into `added`, clear staging. Idempotent:
+        re-sealing an already-sealed epoch (resume replay) is a no-op."""
+        if epoch <= self.epoch:
+            self.staged.clear()
+            return 0
+        n = self.filter.add_sorted(sorted(self.staged))
+        self.added.update(self.staged)
+        self.staged.clear()
+        self.epoch = epoch
+        return n
+
+    def digest(self) -> str:
+        return self.filter.digest()
+
+    def size(self) -> int:
+        return self.filter.count
+
+    def dump_added(self) -> list[bytes]:
+        return sorted(self.added)
+
+    def serialize(self) -> tuple[bytes, list[bytes], int]:
+        return self.filter.serialize(), sorted(self.added), self.epoch
+
+    def restore(self, blob: bytes, added: list[bytes], epoch: int) -> None:
+        self.filter = CuckooFilter.deserialize(blob)
+        self.added = set(added)
+        self.epoch = epoch
+
+
+class ShardedSeen:
+    """Driver-side handle to the shard pool."""
+
+    def __init__(self, n_shards: int, capacity_per_shard: int):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.remote(i, capacity_per_shard) for i in range(n_shards)
+        ]
+
+    @staticmethod
+    def shard_of_id(task_id: bytes, n_shards: int) -> int:
+        return int.from_bytes(task_id[:8], "little") % n_shards
+
+    def _group(self, ids: list[bytes]) -> dict[int, list[int]]:
+        groups: dict[int, list[int]] = {}
+        for pos, tid in enumerate(ids):
+            groups.setdefault(self.shard_of_id(tid, self.n_shards), []).append(pos)
+        return groups
+
+    def contains_batch(self, ids: list[bytes]) -> list[bool]:
+        """Batched membership test: one RPC per shard, issued in
+        parallel, results re-scattered to input order."""
+        groups = self._group(ids)
+        futs = {
+            s: self.shards[s].contains_batch.remote([ids[p] for p in pos])
+            for s, pos in groups.items()
+        }
+        out = [False] * len(ids)
+        for s, pos in groups.items():
+            for p, hit in zip(pos, ray.get(futs[s])):
+                out[p] = hit
+        return out
+
+    def stage(self, ids: list[bytes]) -> None:
+        groups = self._group(ids)
+        ray.get(
+            [self.shards[s].stage.remote([ids[p] for p in pos]) for s, pos in groups.items()]
+        )
+
+    def seal(self, epoch: int) -> int:
+        return sum(ray.get([s.seal.remote(epoch) for s in self.shards]))
+
+    def digests(self) -> list[str]:
+        return ray.get([s.digest.remote() for s in self.shards])
+
+    def total_size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def dump_added(self) -> set[bytes]:
+        out: set[bytes] = set()
+        for part in ray.get([s.dump_added.remote() for s in self.shards]):
+            out.update(part)
+        return out
+
+    def handles(self) -> list:
+        return list(self.shards)
+
+    def serialize_all(self) -> list[tuple[bytes, list[bytes], int]]:
+        return ray.get([s.serialize.remote() for s in self.shards])
+
+    def restore_all(self, blobs: list[tuple[bytes, list[bytes], int]]) -> None:
+        ray.get(
+            [
+                s.restore.remote(blob, added, epoch)
+                for s, (blob, added, epoch) in zip(self.shards, blobs)
+            ]
+        )
+
+
+class SeenGate:
+    """``map_batches`` callable running INSIDE Ray Data tasks: the
+    dedup semi-join (J7/D1). Tests each candidate batch against the
+    shard pool (read-only), drops already-seen rows, and stages the
+    fresh ids on their shards so the driver's epoch-commit ``seal``
+    inserts them canonically. One RPC per shard per batch.
+
+    The candidate stream MUST already be globally unique per task_id
+    (the groupby(task_id) dedup shuffle runs upstream), which makes the
+    read-only test race-free and the staged sets disjoint across
+    batches."""
+
+    def __init__(self, shard_handles: list, n_shards: int):
+        self.shards = shard_handles
+        self.n_shards = n_shards
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        ids = batch.column("task_id").to_pylist()
+        if not ids:
+            return batch
+        groups: dict[int, list[int]] = {}
+        for pos, tid in enumerate(ids):
+            groups.setdefault(ShardedSeen.shard_of_id(tid, self.n_shards), []).append(pos)
+        futs = {
+            s: self.shards[s].contains_batch.remote([ids[p] for p in pos])
+            for s, pos in groups.items()
+        }
+        seen_mask = [False] * len(ids)
+        for s, pos in groups.items():
+            for p, hit in zip(pos, ray.get(futs[s])):
+                seen_mask[p] = hit
+        fresh_idx = [i for i, hit in enumerate(seen_mask) if not hit]
+        fresh = batch.take(pa.array(fresh_idx, type=pa.int64()))
+        if fresh_idx:
+            fresh_ids = [ids[i] for i in fresh_idx]
+            fgroups: dict[int, list[bytes]] = {}
+            for tid in fresh_ids:
+                fgroups.setdefault(ShardedSeen.shard_of_id(tid, self.n_shards), []).append(tid)
+            ray.get([self.shards[s].stage.remote(v) for s, v in fgroups.items()])
+        return fresh

@@ -1,0 +1,89 @@
+"""Kill-and-resume must be bit-identical (SURVEY.md §7.1 M4).
+
+A run stopped after 2 epochs and resumed to 4 must produce exactly the
+state of an uninterrupted 4-epoch run: same shard digests, same seen
+membership, same results rows, same final frontier.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from crawlerframework_ray.config import CrawlConfig
+from crawlerframework_ray.data.synth import SynthWebConfig, seeds_table
+from crawlerframework_ray.pipelines.crawl import CrawlEngine
+from crawlerframework_ray.state import checkpoint as ckpt
+
+
+def _cfg(workdir: str, max_epochs: int) -> CrawlConfig:
+    return CrawlConfig(
+        web=SynthWebConfig(seed=23, n_hosts=6, path_space=64, max_outlinks=4),
+        workdir=workdir,
+        max_depth=2,
+        wave_size=24,
+        host_budget=8,
+        n_shards=4,
+        shard_capacity=1 << 13,
+        max_epochs=max_epochs,
+        fetch_concurrency=2,
+        fetch_batch_size=32,
+        record_trace=True,
+    )
+
+
+def _results_df(workdir: str) -> pd.DataFrame:
+    import ray.data
+
+    df = ray.data.read_parquet(f"{workdir}/results").to_pandas()
+    df["bytes"] = df["bytes"].map(bytes)
+    df["content_hash"] = df["content_hash"].map(bytes)
+    return df.sort_values(["epoch", "url", "priority"]).reset_index(drop=True)[
+        ["epoch", "url", "priority", "depth", "caption", "phash", "content_hash", "bytes"]
+    ]
+
+
+def test_resume_bit_identical(ray_session, tmp_path):
+    seeds_cfg = _cfg(str(tmp_path / "x"), 4)
+    seeds = seeds_table(seeds_cfg.web, 20)
+
+    full = CrawlEngine(_cfg(str(tmp_path / "full"), 4)).run(seeds=seeds)
+
+    half_dir = str(tmp_path / "half")
+    half = CrawlEngine(_cfg(half_dir, 2)).run(seeds=seeds)
+    assert half.epochs == 2
+    assert ckpt.latest_epoch(half_dir) == 1
+
+    resumed = CrawlEngine(_cfg(half_dir, 4)).run(resume=True)
+
+    assert resumed.shard_digests == full.shard_digests
+    assert resumed.fetched_urls == full.fetched_urls
+    assert resumed.fresh_urls == full.fresh_urls
+    assert resumed.raw_outlinks == full.raw_outlinks
+    assert resumed.final_frontier == full.final_frontier
+    # resumed trace covers epochs 2..3 — must equal the full run's tail
+    tail = [t for t in full.trace if t[0] >= 2]
+    assert resumed.trace == tail
+
+    pd.testing.assert_frame_equal(_results_df(half_dir), _results_df(str(tmp_path / "full")))
+
+    # seen membership identical
+    fa = ckpt.load_shards(str(tmp_path / "full"), 3, 4)
+    ha = ckpt.load_shards(half_dir, 3, 4)
+    assert [sorted(a) for _, a, _ in fa] == [sorted(a) for _, a, _ in ha]
+
+
+def test_resume_rejects_changed_semantics(ray_session, tmp_path):
+    d = str(tmp_path / "c")
+    cfg = _cfg(d, 2)
+    CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 10))
+    bad = _cfg(d, 4)
+    bad.host_budget = 99
+    with pytest.raises(ValueError, match="different semantics"):
+        CrawlEngine(bad).run(resume=True)
+
+
+def test_resume_without_checkpoint_needs_seeds(ray_session, tmp_path):
+    cfg = _cfg(str(tmp_path / "none"), 2)
+    with pytest.raises(ValueError, match="seeds required"):
+        CrawlEngine(cfg).run(resume=True)
