@@ -1,0 +1,151 @@
+"""Benchmark driver — one JSON line on stdout.
+
+Headline: the crawl frontier engine at bench scale (fetched-URLs/s +
+frontier-expansions/s, the BASELINE.json metric) plus the heavy catalog
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: runs the same job twice in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and reports both
+throughputs plus scaling efficiency (the sandbox evidence for the
+north_rule's N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "order_revenue_join",
+    "top_orders_per_customer",
+    "ann_topk_bruteforce",
+    "minhash_near_dup_pairs",
+    "image_decode_stats",
+]
+
+
+def run_crawl(num_cpus: int) -> dict:
+    from crawlerframework_ray.config import CrawlConfig
+    from crawlerframework_ray.data.synth import SynthWebConfig, seeds_table
+    from crawlerframework_ray.pipelines.crawl import CrawlEngine
+
+    workdir = tempfile.mkdtemp(prefix="cfray-bench-")
+    cfg = CrawlConfig(
+        web=SynthWebConfig(seed=42, n_hosts=256, path_space=1 << 16, max_outlinks=6),
+        workdir=workdir,
+        max_depth=2,
+        wave_size=4096,
+        host_budget=64,
+        n_shards=16,
+        shard_capacity=1 << 19,
+        max_epochs=3,
+        fetch_concurrency=max(2, min(8, num_cpus // 2)),
+        fetch_batch_size=512,
+    )
+    t0 = time.monotonic()
+    summary = CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 4096))
+    wall = time.monotonic() - t0
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "wall_sec": round(wall, 3),
+        "fetched_urls": summary.fetched_urls,
+        "raw_outlinks": summary.raw_outlinks,
+        "fetched_per_sec": round(summary.fetched_urls / wall, 1),
+        "expansions_per_sec": round(summary.raw_outlinks / wall, 1),
+        "epochs": summary.epochs,
+    }
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from crawlerframework_ray.pipelines import queries as q
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for name in ["lineitem", "orders", "documents", "embeddings"]:
+        with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
+            f.read()
+
+    t_all = time.monotonic()
+    crawl = run_crawl(NUM_CPUS)
+
+    timings: dict[str, float] = {"crawl": crawl["wall_sec"]}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        res = q.QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        timings[name] = round(time.monotonic() - t0, 3)
+    total = round(time.monotonic() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "crawl+catalog wall time (headline: fetched-URLs/s, expansions/s)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "crawl": crawl,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    fetch_eff = (hi["crawl"]["fetched_per_sec"] / lo["crawl"]["fetched_per_sec"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "scaling_efficiency": round(eff, 3),
+                "crawl_8": lo["crawl"],
+                "crawl_32": hi["crawl"],
+                "crawl_fetch_scaling_efficiency": round(fetch_eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,13 +1,29 @@
 """Query catalog: the operator-coverage surface for the duckdb gate.
 
-Each entry is one operator/pipeline from SURVEY.md §2 re-expressed as a
-Ray Data pipeline over the driver's TPC-H-ish tables; ORACLE_SQL holds
-the DuckDB-equivalent statement where SQL can express the semantics.
+Each entry re-expresses one operator family from SURVEY.md §2 as a Ray
+Data pipeline over the driver's parquet tables; ORACLE_SQL holds the
+DuckDB-equivalent statement where SQL can express the semantics
+(non-SQL-expressible ops — LSH dedup, ANN, crawl, multimodal — are
+rows-only checks).
+
+Exactness discipline: every aggregate the oracle must reproduce is
+integerized *per row* with ``floor(x*scale + 0.5)`` before summing —
+float sums are order-dependent across engines, integer sums are not.
+The identical IEEE expression is used on both sides.
+
 Column names match between both sides (the driver hashes values under
 sorted column names).
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
@@ -21,3 +37,847 @@ def register(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# =====================================================================
+# Aggregations (A1/A3/A6/A7 family)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary (A1 metrics rollup). Pattern:
+    vectorized per-batch partial aggregation (combiner) → small
+    groupby — the shuffle moves one row per (batch, group), not the
+    table. Reference analogue: crawler_metrics counts
+    (baseconnector.py:767-774)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
+            ).astype({"sum_qty": "int64", "sum_base_cents": "int64", "sum_disc_cents": "int64", "count_order": "int64"})
+        ep = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        df = df.assign(
+            sum_qty=df["l_quantity"].astype(np.int64),
+            sum_base_cents=_cents(ep),
+            sum_disc_cents=np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64),
+            count_order=np.int64(1),
+        )
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
+            ].sum()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas()
+    for c in ["sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+@register(
+    "watermark_per_event_type",
+    "SELECT event_type, MAX(ts) AS watermark_ts FROM events GROUP BY event_type",
+)
+def watermark_per_event_type(sf_dir: str):
+    """A3: per-key high-watermark (the session_info 'search genre'
+    timestamp watermark, sessioninfomanager.py:117-153). Partial max
+    per batch → tiny global groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return df.groupby("event_type", as_index=False)["ts"].max().rename(columns={"ts": "watermark_ts"})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .map_groups(
+            lambda g: g.loc[[g["watermark_ts"].idxmax()]][["event_type", "watermark_ts"]],
+            batch_format="pandas",
+        )
+    )
+
+
+@register(
+    "lang_distribution",
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+)
+def lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        out = df.groupby("lang", as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+@register(
+    "distinct_lang_per_source",
+    "SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs FROM documents GROUP BY source",
+)
+def distinct_lang_per_source(sf_dir: str):
+    """A5-style distinct-per-group: per-batch distinct pairs (local
+    dedup pre-shrinks the shuffle) → per-group exact distinct."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().drop_duplicates()
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "n_langs": np.int64(g["lang"].nunique())}
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+        .groupby("source")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+@register(
+    "tumbling_window_user_hour",
+    """
+    SELECT user_id, CAST(epoch(date_trunc('hour', ts))/3600 AS BIGINT) AS window_h,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value*1000+0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+    FROM events GROUP BY user_id, window_h
+    """,
+)
+def tumbling_window_user_hour(sf_dir: str):
+    """Streaming analogue (§2.9): tumbling event-time windows as a
+    derived window key + grouped aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        us = df["ts"].astype("int64")  # microseconds since epoch
+        df = df.assign(
+            window_h=(us // 3_600_000_000).astype("int64"),
+            n_events=np.int64(1),
+            sum_value_milli=np.floor(df["value"].to_numpy() * 1000 + 0.5).astype(np.int64),
+        )
+        return df.groupby(["user_id", "window_h"], as_index=False)[["n_events", "sum_value_milli"]].sum()
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["user_id", "window_h"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value_milli", alias_name="sum_value_milli"))
+        .to_pandas()
+    )
+    for c in ["n_events", "sum_value_milli"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+# =====================================================================
+# Joins (J1-J7 family)
+# =====================================================================
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(sf_dir: str):
+    """J1/J3: broadcast hash join — dimension tables (customer,
+    nation) are read driver-side once, shipped via ray.put, looked up
+    vectorized per batch. No shuffle until the final small groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["n_name"])))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        df = t.to_pandas()
+        df["n_name"] = df["o_custkey"].map(lk)
+        df = df.assign(revenue_cents=_cents(df["o_totalprice"].to_numpy()), n_orders=np.int64(1))
+        return df.groupby("n_name", as_index=False)[["revenue_cents", "n_orders"]].sum()
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    for c in ["revenue_cents", "n_orders"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+@register(
+    "order_revenue_join",
+    """
+    WITH r AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS rev
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents
+    FROM orders JOIN r ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def order_revenue_join(sf_dir: str):
+    """J2-style large-large join: lineitem pre-aggregated per order
+    (combiner shrinks the probe side), then a partitioned hash join
+    against orders (stages/joins.hash_join — one groupby shuffle
+    co-locating keys), then a small rollup."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        ep, disc = df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy()
+        df = df.assign(rev=np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64))
+        return df.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .map_batches(lambda t: t.rename_columns(["o_orderkey", "rev"]), batch_format="pyarrow")
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(orders, rev, "o_orderkey", ["o_orderpriority"], ["rev"])
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "n_orders": np.int64(len(g)),
+                "revenue_cents": np.int64(g["rev"].sum()),
+            }
+        )
+
+    return joined.groupby("o_orderpriority").map_groups(rollup, batch_format="pandas")
+
+
+@register(
+    "asof_last_order_before_event",
+    """
+    SELECT e.event_id, e.user_id, o.o_orderdate AS asof_date
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def asof_last_order_before_event(sf_dir: str):
+    """J5-style as-of join (latest prior state per key): sort-merge
+    within key groups via pd.merge_asof (stages/joins.asof_join)."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate"]), batch_format="pyarrow"
+    )
+    joined = asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], right_value="o_orderdate", out_name="asof_date",
+    )
+    return joined.map_batches(
+        lambda df: df.dropna(subset=["asof_date"])[["event_id", "user_id", "asof_date"]],
+        batch_format="pandas",
+    )
+
+
+@register(
+    "union_event_order_ids",
+    """
+    SELECT event_id AS id, 'event' AS src FROM events WHERE event_id < 50
+    UNION ALL
+    SELECT o_orderkey AS id, 'order' AS src FROM orders WHERE o_orderkey < 50
+    """,
+)
+def union_event_order_ids(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ev = (
+        _read(sf_dir, "events", ["event_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t.filter(pc.less(t["event_id"], 50))["event_id"],
+                    "src": pa.array(["event"] * len(t.filter(pc.less(t["event_id"], 50))), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    od = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t.filter(pc.less(t["o_orderkey"], 50))["o_orderkey"],
+                    "src": pa.array(["order"] * len(t.filter(pc.less(t["o_orderkey"], 50))), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return ev.union(od)
+
+
+# =====================================================================
+# Sorts / top-k (O1/O2 family)
+# =====================================================================
+
+
+@register(
+    "global_top_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS price_cents
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def global_top_lineitems(sf_dir: str):
+    """O1: global top-k with a full tiebreak (the wave-selection sort
+    pattern)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    top = ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(10)
+    df = top.to_pandas()
+    df["price_cents"] = _cents(df.pop("l_extendedprice").to_numpy())
+    return df
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) AS totalprice_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) WHERE rk <= 3
+    """,
+)
+def top_orders_per_customer(sf_dir: str):
+    """O2: grouped top-k (per-site listing caps, crawler.cfg:26-185)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort").head(3)
+        g = g.reset_index(drop=True)
+        g["totalprice_cents"] = _cents(g.pop("o_totalprice").to_numpy())
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+@register(
+    "latest_event_per_user_type",
+    """
+    SELECT user_id, event_type, ts, event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_event_per_user_type(sf_dir: str):
+    """J4: versioned-upsert resolution — newest row per key wins
+    (posts is_latest, model.py:411-442 / baseconnector.py:777-809)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort").head(1)
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pandas")
+
+
+# =====================================================================
+# Scalar / semi-structured (M8-M14, EAV)
+# =====================================================================
+
+
+@register(
+    "eav_props_projection",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k FROM events",
+)
+def eav_props_projection(sf_dir: str):
+    """EAV/semi-structured projection: JSON-string column → typed
+    column (the et_/ei_/ef_ dynamic-entity mechanism,
+    baseconnector.py:896-928, as a map projection)."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") for p in t.column("props").to_pylist()]
+        return pa.table(
+            {"event_id": t.column("event_id"), "prop_k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+@register(
+    "keyword_filter_documents",
+    r"""
+    SELECT doc_id FROM documents
+    WHERE (regexp_matches(lower(text), '\bdata\b')
+           OR regexp_matches(lower(text), '\bmodel\b'))
+      AND NOT regexp_matches(lower(text), '\bslow\W+scan\b')
+    """,
+)
+def keyword_filter_documents(sf_dir: str):
+    """M8: boolean keyword DSL compiled once per actor —
+    ``(data or model) and not "slow scan"`` (phrase = consecutive
+    tokens), reference keywordfilter.py:22-136 semantics."""
+    from ..functions.keywordfilter import KeywordFilterStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = ds.map_batches(
+        KeywordFilterStage,
+        fn_constructor_kwargs={
+            "text_column": "text",
+            "filter_expression": '(data or model) and not "slow scan"',
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2, num_cpus=0.5,
+    )
+    return kept.select_columns(["doc_id"])
+
+
+@register(
+    "text_stats_documents",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def text_stats_documents(sf_dir: str):
+    """Token counting + quality-signal integers (M4/M5 analogues)."""
+    from ..functions.textstats import TextStatsStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(TextStatsStage, fn_constructor_kwargs={"text_column": "text"},
+                          batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5).select_columns(
+        ["doc_id", "n_chars_calc", "n_tokens", "n_punct"]
+    )
+
+
+@register(
+    "exact_dedup_documents",
+    "SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id "
+    "FROM documents GROUP BY md5(text)",
+)
+def exact_dedup_documents(sf_dir: str):
+    """D1/D4: exact dedup — content hash in map_batches, then
+    hash-partitioned keep-first (min doc_id)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"text_hash": pa.array(hs, pa.string()), "doc_id": t.column("doc_id")})
+
+    df = (
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+_ANN_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+                                               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                        e.vec_id) AS BIGINT) AS rank
+      FROM q, embeddings e WHERE e.vec_id != q.qid)
+    WHERE rank <= 5
+"""
+
+
+def _query_vectors(sf_dir: str, n: int = 8):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"] < n].sort_values("vec_id")
+    return df["vec_id"].astype(int).tolist(), np.stack(df["embedding"].to_numpy())
+
+
+@register("ann_topk_bruteforce", _ANN_SQL)
+def ann_topk_bruteforce(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch
+    matmul + partial top-k, final per-query top-k (stages/similarity)."""
+    from ..stages.similarity import ann_bruteforce
+
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_bruteforce(ds, qids, qvecs, k=5).to_pandas()
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+@register("ann_topk_ivf")  # rows-only: approximate by construction
+def ann_topk_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the scale path: probe nprobe/n_cells of the
+    corpus). Recall vs brute force is gated in tests."""
+    from ..stages.similarity import ann_ivf
+
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_ivf(ds, qids, qvecs, n_cells=16, nprobe=4, k=5).to_pandas()
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+# =====================================================================
+# Near-duplicate detection (rows-only: LSH not SQL-expressible)
+# =====================================================================
+
+
+def _doc_texts_ref(sf_dir: str):
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ray.put(dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())))
+
+
+@register("minhash_near_dup_pairs")
+def minhash_near_dup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup: shingle→minhash→band→bucket groupby →
+    candidate pairs → exact Jaccard verify (≥0.5). At 100 TB the
+    verify joins text by repartitioning pair ends; here the doc map is
+    one ray.put broadcast."""
+    import ray
+
+    from ..stages.dedup import MinHashStage, bucket_pairs, verify_pairs_jaccard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+    cand = bands.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = cand.to_pandas()
+    texts = ray.get(_doc_texts_ref(sf_dir))
+    return verify_pairs_jaccard(pairs, texts, threshold=0.5)
+
+
+@register("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(sf_dir: str):
+    """SimHash near-dup: 64-bit signatures, 4×16-bit band buckets,
+    verify Hamming ≤ 6."""
+    import ray
+
+    from ..stages.dedup import SimHashStage, bucket_pairs, simhash64
+    from ..data.imageops import hamming64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+    cand = bands.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = cand.to_pandas()
+    texts = ray.get(_doc_texts_ref(sf_dir))
+    rows = []
+    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        d = hamming64(simhash64(texts[a]), simhash64(texts[b]))
+        if d <= 6:
+            rows.append((int(a), int(b), int(d)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype("int64")
+
+
+@register("embedding_near_dup_pairs")
+def embedding_near_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets
+    (12-bit sketch), verified cosine ≥ 0.8."""
+    import ray
+
+    from ..stages.dedup import hyperplane_sketch
+    from ..stages.similarity import _normalize, batch_vectors
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vecs = _normalize(batch_vectors(t, "embedding"))
+        codes = hyperplane_sketch(vecs, n_planes=12, seed=3)
+        return pa.table(
+            {"doc_id": t.column("vec_id").cast(pa.int64()),
+             "band": pa.array(np.zeros(len(t), np.int32)),
+             "band_hash": pa.array([f"{c:03x}" for c in codes], pa.string())}
+        )
+
+    from ..stages.dedup import bucket_pairs
+
+    cand = (
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
+        .groupby(["band", "band_hash"])
+        .map_groups(lambda g: bucket_pairs(g, max_bucket=128), batch_format="pandas")
+        .to_pandas()
+    )
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    mat = _normalize(np.stack(emb["embedding"].to_numpy()))
+    idx = {v: i for i, v in enumerate(emb["vec_id"])}
+    rows = []
+    for a, b in zip(cand.get("id_a", []), cand.get("id_b", [])):
+        cos = float(mat[idx[a]] @ mat[idx[b]])
+        if cos >= 0.8:
+            rows.append((int(a), int(b), int(round(cos * 1000))))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_permille"]).astype("int64")
+
+
+# =====================================================================
+# Text analysis (rows-only where the heuristic isn't SQL)
+# =====================================================================
+
+
+@register("lang_id_ngram")
+def lang_id_ngram(sf_dir: str):
+    """Language-ID n-gram heuristic over documents (rows-only)."""
+    from ..functions.textstats import detect_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        preds = [detect_lang(x) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "lang_pred": pa.array(preds, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+@register("doc_quality_fingerprint")
+def doc_quality_fingerprint(sf_dir: str):
+    """Quality scoring + rolling-hash fingerprint + BPE-ish token count
+    per document (rows-only; integers for determinism)."""
+    from ..functions.hashing import fingerprint64
+    from ..functions.textstats import bpe_token_count, quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "quality_micro": pa.array(
+                    [int(round(quality_score(x) * 1_000_000)) for x in texts], pa.int64()
+                ),
+                "fingerprint": pa.array([fingerprint64(x) for x in texts], pa.int64()),
+                "n_bpe_tokens": pa.array([bpe_token_count(x) for x in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+# =====================================================================
+# Multimodal (rows-only; deterministic synthetic payloads)
+# =====================================================================
+
+
+@register("image_decode_stats")
+def image_decode_stats(sf_dir: str):
+    """Image decode + feature extraction as an actor-pool stage over a
+    binary column (T6 scorer slot). Images are generated
+    deterministically from doc ids via the synthetic page store, so the
+    result is a pure function of sf_dir."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import ImageDecodeStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+        .map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5)
+    )
+
+    def pixels(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "n_pixels", pc.multiply(t["w"].cast(pa.int64()), t["h"].cast(pa.int64()))
+        )
+
+    df = (
+        stats.map_batches(pixels, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Count(alias_name="n_images"), Sum("n_pixels", alias_name="sum_pixels"))
+        .to_pandas()
+    )
+    for c in ["n_images", "sum_pixels"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+@register("image_resize_pipeline")
+def image_resize_pipeline(sf_dir: str):
+    """Resize (block-mean, real) → decode-stats over the resized
+    payload — the image-transform plumbing end-to-end (rows-only)."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import ImageDecodeStage, ImageResizeStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(256)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "w": pa.array([r["w"] for r in recs], pa.int32()),
+                "h": pa.array([r["h"] for r in recs], pa.int32()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+            }
+        )
+
+    resized = (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=128)
+        .map_batches(ImageResizeStage, fn_constructor_kwargs={"target": 8},
+                     batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5)
+        .map_batches(lambda t: t.set_column(t.schema.get_field_index("fmt"), "fmt",
+                                            pa.array(["raw"] * len(t), pa.string())),
+                     batch_format="pyarrow")
+        .map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5)
+    )
+    return resized
+
+
+# =====================================================================
+# The crawl itself (rows-only)
+# =====================================================================
+
+
+@register("crawl_frontier_pipeline")
+def crawl_frontier_pipeline(sf_dir: str):
+    """The flagship frontier engine at query scale: per-host fetch
+    counts by epoch (rows-only; trace/seen-set equality vs the serial
+    oracle is gated in tests/test_crawl.py)."""
+    import tempfile
+
+    import ray.data
+
+    from ..config import CrawlConfig
+    from ..data.synth import SynthWebConfig, seeds_table
+    from .crawl import CrawlEngine
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cfg = CrawlConfig(
+        web=SynthWebConfig(seed=42, n_hosts=16, path_space=512, max_outlinks=5),
+        workdir=tempfile.mkdtemp(prefix="cfray-q-"),
+        max_depth=2,
+        wave_size=256,
+        host_budget=32,
+        n_shards=8,
+        shard_capacity=1 << 16,
+        max_epochs=3,
+        fetch_concurrency=2,
+        fetch_batch_size=128,
+    )
+    CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, min(96, max(24, n_docs // 16))))
+    res = ray.data.read_parquet(f"{cfg.workdir}/results")
+    from ray.data.aggregate import Count
+
+    df = res.groupby(["epoch", "host"]).aggregate(Count(alias_name="n_fetched")).to_pandas()
+    df["n_fetched"] = df["n_fetched"].astype("int64")
+    return df

@@ -43,6 +43,15 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
             ds.write_lance(tmp, **kwargs)
         else:
             ds.write_parquet(tmp, **kwargs)
+        if not os.path.exists(tmp):
+            # write_parquet emits nothing for an empty dataset; persist an
+            # explicit zero-row file so the directory stays readable
+            os.makedirs(tmp)
+            schema = ds.schema(fetch_if_missing=False)
+            arrow_schema = getattr(schema, "base_schema", None) if schema else None
+            if arrow_schema is None:
+                arrow_schema = pa.schema([])
+            pq.write_table(arrow_schema.empty_table(), os.path.join(tmp, "empty.parquet"))
         if os.path.exists(path):
             shutil.rmtree(path)
         os.replace(tmp, path)

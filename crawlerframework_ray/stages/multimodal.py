@@ -1,0 +1,150 @@
+"""Multimodal stages: opaque binary columns + typed metadata.
+
+Image / audio / video payloads are ``binary`` columns with typed
+metadata columns alongside (w, h, fmt, …) — exactly the graft's
+input_hint payload. Decode / resize / feature-extract run as actor-pool
+``map_batches`` stages (decoder built once per actor). The in-repo
+codecs (raw/png/qds) are REAL decoders; external formats (jpeg, webp,
+mp3, mp4) are STUBBED behind ``NotImplementedError`` because no media
+libraries exist in this environment — the Ray-side plumbing (schemas,
+batch sizes, actor signatures, output layout) is real and tested.
+
+Batch-size note: binary payload rows are wide; callers should pass a
+small ``batch_size`` (≤256 for megapixel images) so batch × concurrency
+fits worker heaps, and keep ``batch_format="pyarrow"`` end-to-end —
+never let a binary column round-trip through pandas object dtype.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..data import codecs
+from ..data.imageops import average_hash
+
+EXTERNAL_IMAGE_FMTS = {"jpeg", "jpg", "webp", "gif", "bmp", "tiff"}
+
+
+class ImageDecodeStage:
+    """bytes+fmt → decoded statistics (phash recompute, mean luma).
+
+    Output schema: image_id:string, fmt:string, w:int32, h:int32,
+    phash_calc:int64, mean_luma_milli:int64 (integerized for oracle
+    comparability).
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)  # built once per actor
+
+    def _decode(self, data: bytes, fmt: str) -> np.ndarray | None:
+        if fmt in self.decoders:
+            return self.decoders[fmt](data)
+        if fmt in EXTERNAL_IMAGE_FMTS:
+            # STUB: real implementation needs an image library (Pillow /
+            # turbojpeg) not present in this environment.
+            if self.strict:
+                raise NotImplementedError(
+                    f"decode for external format {fmt!r} requires an image codec "
+                    "library; plug one into ImageDecodeStage.decoders"
+                )
+            return None
+        raise ValueError(f"unknown image format {fmt!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out = {"image_id": [], "fmt": [], "w": [], "h": [], "phash_calc": [], "mean_luma_milli": []}
+        for i, fmt, data in zip(ids, fmts, datas):
+            img = self._decode(data, fmt)
+            if img is None:
+                continue
+            out["image_id"].append(i)
+            out["fmt"].append(fmt)
+            out["h"].append(img.shape[0])
+            out["w"].append(img.shape[1])
+            out["phash_calc"].append(average_hash(img))
+            out["mean_luma_milli"].append(int(round(float(img.mean()) * 1000)))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "phash_calc": pa.array(out["phash_calc"], pa.int64()),
+                "mean_luma_milli": pa.array(out["mean_luma_milli"], pa.int64()),
+            }
+        )
+
+
+class ImageResizeStage:
+    """Block-mean resize to target×target, re-encoded as ``raw``.
+    Real for in-repo formats; target must divide the source dims
+    (synthetic sizes are powers of two)."""
+
+    def __init__(self, target: int = 8):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        t = self.target
+        resized = []
+        for fmt, data in zip(fmts, datas):
+            img = codecs.decode(data, fmt)
+            h, w, _ = img.shape
+            bh, bw = max(h // t, 1), max(w // t, 1)
+            small = (
+                img[: bh * t, : bw * t]
+                .reshape(t, bh, t, bw, 3)
+                .mean(axis=(1, 3))
+                .round()
+                .astype(np.uint8)
+            )
+            resized.append(codecs.encode_raw(small))
+        batch = batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes", pa.array(resized, pa.binary())
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("w"), "w", pa.array([t] * len(resized), pa.int32())
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("h"), "h", pa.array([t] * len(resized), pa.int32())
+        )
+        return batch
+
+
+class VideoFrameSampleStage:
+    """STUB — video frame sampling (every Nth frame → image rows).
+
+    Contract: input rows (video_id:string, bytes:binary, fmt:string,
+    fps:float, n_frames:int32); output rows (video_id, frame_idx:int32,
+    bytes:binary [raw-encoded frame], w, h). Requires a video decoder
+    (pyav/ffmpeg) not present in this environment.
+    """
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video decode requires ffmpeg/pyav; the stage contract is the "
+            "docstring schema — plug a decoder into __call__"
+        )
+
+
+class AudioFeatureStage:
+    """STUB — audio feature extraction (windowed RMS / spectral stats).
+
+    Contract: input rows (audio_id:string, bytes:binary, fmt:string,
+    sample_rate:int32); output rows (audio_id, window_idx:int32,
+    rms_milli:int64). Requires an audio decoder not present here.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa; the stage contract is "
+            "the docstring schema — plug a decoder into __call__"
+        )

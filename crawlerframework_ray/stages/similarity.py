@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the baseline. The query matrix is
+  broadcast ONCE (``ray.put``); each ``map_batches`` task does one
+  numpy matmul against its batch and emits only its *per-batch top-k*
+  rows (partial top-k = pre-aggregation), so the final
+  ``groupby(query_id)`` top-k shuffle moves k×n_batches rows, not the
+  corpus.
+- IVF: the scale path. A deterministic numpy k-means (fixed seed,
+  fixed iterations, sample-trained) builds the centroid table; batches
+  are assigned to cells; a query probes only ``nprobe`` cells.
+  Recall-vs-bruteforce is gated in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def batch_vectors(batch: pa.Table, column: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> / fixed_size_list /
+    tensor-extension column — the three layouts an embedding column can
+    arrive in (parquet list, Ray tensor type, pandas object)."""
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_fixed_size_list(col.type) or pa.types.is_large_list(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(batch), -1)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        return np.stack(list(arr)).astype(np.float64)
+    return np.asarray(arr, dtype=np.float64).reshape(len(batch), -1)
+
+
+class BruteForceTopK:
+    """map_batches callable emitting per-batch partial top-k rows
+    (query_id, neighbor_id, cos). Finalize with
+    groupby(query_id).map_groups(global top-k)."""
+
+    def __init__(self, queries_ref, id_column: str, vec_column: str, k: int,
+                 exclude_self: bool = True):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qmat = q
+        self.qmat = _normalize(np.asarray(qmat, dtype=np.float64)).T  # (dim, nq)
+        self.id_column, self.vec_column = id_column, vec_column
+        self.k, self.exclude_self = k, exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_column).to_pylist(), dtype=np.int64)
+        vecs = _normalize(batch_vectors(batch, self.vec_column))
+        cos = vecs @ self.qmat  # (batch, nq)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            col = cos[:, qi]
+            order = np.lexsort((ids, -col))  # cos desc, id asc — deterministic
+            taken = 0
+            for r in order:
+                if taken >= self.k:
+                    break
+                if self.exclude_self and ids[r] == qid:
+                    continue
+                out_q.append(int(qid))
+                out_n.append(int(ids[r]))
+                out_c.append(float(col[r]))
+                taken += 1
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def finalize_topk(k: int):
+    """Per-query global top-k over the partial rows (deterministic
+    ordering: cos desc, neighbor_id asc)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return fn
+
+
+def ann_bruteforce(ds, query_ids: list[int], query_vecs: np.ndarray, *,
+                   id_column: str = "vec_id", vec_column: str = "embedding",
+                   k: int = 5, batch_size: int = 4096):
+    ref = ray.put((query_ids, query_vecs))
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "id_column": id_column,
+            "vec_column": vec_column,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=2, num_cpus=0.5,
+    )
+    return partial.groupby("query_id").map_groups(finalize_topk(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------- IVF
+
+def kmeans_fit(sample: np.ndarray, n_cells: int, seed: int = 5, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (the
+    index-build step; at 100 TB this trains on ds.random_sample)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IVFAssign:
+    """map_batches: add the IVF cell id per row (centroids broadcast)."""
+
+    def __init__(self, centroids_ref):
+        self.cents = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(batch_vectors(batch, "embedding"))
+        cell = np.argmax(vecs @ self.cents.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int32()))
+
+
+def ann_ivf(ds, query_ids: list[int], query_vecs: np.ndarray, *, n_cells: int = 16,
+            nprobe: int = 4, k: int = 5, seed: int = 5, train_sample: int = 4096):
+    """IVF top-k: restrict each query's scan to its nprobe nearest
+    cells, then brute-force inside. One assignment pass + a filtered
+    brute-force — the corpus-side win is scanning nprobe/n_cells of it."""
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = np.stack(sample_rows["embedding"].to_numpy())
+    cents = kmeans_fit(sample, n_cells, seed)
+    cents_ref = ray.put(cents)
+
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs={"centroids_ref": cents_ref},
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+    filtered = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("ivf_cell"), value_set=pa.array(wanted, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return ann_bruteforce(filtered, query_ids, query_vecs, k=k)

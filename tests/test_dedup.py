@@ -1,0 +1,104 @@
+"""Near-dup operators with planted duplicates (the sf documents table
+has no near-dups, so dedup recall is gated here on a planted corpus)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawlerframework_ray.data.imageops import hamming64
+from crawlerframework_ray.functions.textstats import jaccard, word_shingles
+from crawlerframework_ray.stages.dedup import (
+    MinHashStage,
+    SimHashStage,
+    _perm_params,
+    bucket_pairs,
+    hyperplane_sketch,
+    minhash_signature,
+    simhash64,
+    verify_pairs_jaccard,
+)
+
+BASE = (
+    "the data pipeline reads parquet blocks and shuffles them across workers "
+    "before aggregating results into a compact summary table for analysts"
+)
+NEAR = BASE.replace("compact summary", "small rollup")  # few-token edit
+FAR = "completely different content about gardening tulips and watering cans in spring"
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _perm_params(128, 7)
+    s1 = minhash_signature(BASE, 128, a, b)
+    s2 = minhash_signature(NEAR, 128, a, b)
+    s3 = minhash_signature(FAR, 128, a, b)
+    est_near = (s1 == s2).mean()
+    true_near = jaccard(word_shingles(BASE), word_shingles(NEAR))
+    assert abs(est_near - true_near) < 0.2
+    assert (s1 == s3).mean() < 0.15
+
+
+def test_minhash_stage_pipeline_finds_planted_pair(ray_session):
+    import ray.data
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [BASE, NEAR, FAR, "tiny"]})
+    ds = ray.data.from_pandas(docs)
+    bands = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
+        batch_format="pyarrow",
+        concurrency=1,
+        num_cpus=0.5,
+    )
+    cand = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    verified = verify_pairs_jaccard(cand, dict(zip(docs.doc_id, docs.text)), threshold=0.5)
+    assert set(zip(verified.id_a, verified.id_b)) == {(0, 1)}
+    assert (verified.jaccard_permille >= 500).all()
+
+
+def test_simhash_near_vs_far():
+    assert hamming64(simhash64(BASE), simhash64(NEAR)) <= 10
+    assert hamming64(simhash64(BASE), simhash64(FAR)) > 14
+
+
+def test_simhash_stage_bands_deterministic(ray_session):
+    import ray.data
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [BASE, BASE]})
+    ds = ray.data.from_pandas(docs)
+    out = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
+        batch_format="pyarrow",
+        concurrency=1,
+        num_cpus=0.5,
+    ).to_pandas()
+    # identical docs share all 4 band hashes
+    g = out.groupby("band")["band_hash"].nunique()
+    assert (g == 1).all()
+
+
+def test_hyperplane_sketch_similar_vectors_collide():
+    rng = np.random.Generator(np.random.PCG64(1))
+    v = rng.standard_normal((1, 32))
+    near = v + rng.standard_normal((1, 32)) * 0.01
+    far = rng.standard_normal((1, 32))
+    vs = np.vstack([v, near, far])
+    vs /= np.linalg.norm(vs, axis=1, keepdims=True)
+    codes = hyperplane_sketch(vs, 12, seed=3)
+    assert codes[0] == codes[1]
+    assert codes[0] != codes[2]
+
+
+def test_bucket_pairs_truncates_deterministically():
+    g = pd.DataFrame({"doc_id": list(range(100))})
+    p = bucket_pairs(g, max_bucket=8)
+    assert len(p) == 8 * 7 // 2
+    assert p["id_a"].max() < 8

@@ -1,0 +1,75 @@
+"""Mirror of the driver's correctness gate at sf0.001: run each
+catalog query AND its DuckDB oracle, compare row count + schema +
+order-insensitive values."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _sql_queries():
+    from crawlerframework_ray.pipelines import queries as q
+
+    return sorted(q.ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _sql_queries())
+def test_query_matches_oracle(ray_session, name):
+    from crawlerframework_ray.pipelines import queries as q
+
+    ray_df = _canon(_to_df(q.QUERIES[name](SF)))
+    with _duck() as con:
+        oracle_df = _canon(con.execute(q.ORACLE_SQL[name]).df())
+    assert list(ray_df.columns) == list(oracle_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(oracle_df.columns)}"
+    )
+    assert len(ray_df) == len(oracle_df), f"{name}: {len(ray_df)} vs {len(oracle_df)} rows"
+    for c in ray_df.columns:
+        a, b = ray_df[c], oracle_df[c]
+        if a.dtype.kind in "iu" or b.dtype.kind in "iu":
+            assert a.astype("int64").equals(b.astype("int64")), f"{name}.{c}"
+        elif a.dtype.kind == "M" or b.dtype.kind == "M":
+            assert pd.to_datetime(a).equals(pd.to_datetime(b)), f"{name}.{c}"
+        else:
+            assert a.astype(str).equals(b.astype(str)), f"{name}.{c}"
+
+
+def _rows_only_queries():
+    from crawlerframework_ray.pipelines import queries as q
+
+    return sorted(set(q.QUERIES) - set(q.ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", _rows_only_queries())
+def test_rows_only_query_runs(ray_session, name):
+    from crawlerframework_ray.pipelines import queries as q
+
+    df = _to_df(q.QUERIES[name](SF))
+    assert df is not None
+    assert len(df.columns) > 0
