@@ -74,10 +74,26 @@ class CrawlSummary:
     shard_digests: list = field(default_factory=list)
 
 
-def _canonical_first(g: pd.DataFrame) -> pd.DataFrame:
-    """Duplicate-candidate reduction: min (depth, parent_url) wins —
-    matches the serial oracle's first-discoverer-in-heap-order rule."""
-    return g.sort_values(["depth", "parent_url"], kind="mergesort").head(1)
+N_DEDUP_BUCKETS = 64
+
+
+def _add_dedup_bucket(t: pa.Table) -> pa.Table:
+    """Shuffle key for candidate dedup: a byte of the task_id. Grouping
+    by ~64 buckets instead of per-task_id groups keeps the reduction
+    vectorized (one pandas call per bucket, not one Python call per
+    duplicate set)."""
+    ids = t.column("task_id").to_pylist()
+    buckets = pa.array([tid[2] % N_DEDUP_BUCKETS for tid in ids], pa.int32())
+    return t.append_column("bucket", buckets)
+
+
+def _canonical_dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket canonical reduction: min (depth, parent_url) per
+    (url, priority) — matches the serial oracle's
+    first-discoverer-in-heap-order rule. Vectorized: stable sort +
+    drop_duplicates over the whole bucket."""
+    g = g.sort_values(["depth", "parent_url"], kind="mergesort")
+    return g.drop_duplicates(subset=["url", "priority"], keep="first").drop(columns=["bucket"])
 
 
 def _cast_candidates(t: pa.Table) -> pa.Table:
@@ -116,8 +132,10 @@ class CrawlEngine:
     def _admit(self, candidates: ray.data.Dataset, commit_epoch: int) -> ray.data.Dataset:
         """Global canonical dedup (shuffle) → seen-gate semi-join →
         materialized fresh rows; seals the epoch on the shards."""
-        unique = candidates.groupby(["url", "priority"]).map_groups(
-            _canonical_first, batch_format="pandas"
+        unique = (
+            candidates.map_batches(_add_dedup_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_canonical_dedup_bucket, batch_format="pandas")
         )
         fresh = unique.map_batches(_cast_candidates, batch_format="pyarrow").map_batches(
             SeenGate,
@@ -140,10 +158,26 @@ class CrawlEngine:
 
         budget = cfg.host_budget
 
-        def cap_host(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort").head(budget)
+        def add_host_bucket(t: pa.Table) -> pa.Table:
+            hs = t.column("host").to_pylist()
+            import zlib
 
-        capped = frontier.groupby("host").map_groups(cap_host, batch_format="pandas")
+            b = pa.array([zlib.crc32(h.encode()) % N_DEDUP_BUCKETS for h in hs], pa.int32())
+            return t.append_column("bucket", b)
+
+        def cap_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # politeness cap, vectorized per host-bucket: stable sort by
+            # the wave key, then per-host head(budget)
+            g = g.sort_values(
+                SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
+            )
+            return g.groupby("host", group_keys=False).head(budget).drop(columns=["bucket"])
+
+        capped = (
+            frontier.map_batches(add_host_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(cap_bucket, batch_format="pandas")
+        )
         capped = capped.map_batches(_cast_candidates, batch_format="pyarrow")
         wave = capped.sort(SORT_COLS, descending=SORT_DESC).limit(cfg.wave_size).materialize()
 

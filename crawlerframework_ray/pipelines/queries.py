@@ -217,12 +217,15 @@ def tumbling_window_user_hour(sf_dir: str):
         )
         return df.groupby(["user_id", "window_h"], as_index=False)[["n_events", "sum_value_milli"]].sum()
 
-    df = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["user_id", "window_h"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value_milli", alias_name="sum_value_milli"))
-        .to_pandas()
-    )
+    from ..stages.agg import bucketed_group_agg
+
+    df = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "window_h"],
+        lambda g: g.groupby(["user_id", "window_h"], as_index=False)[
+            ["n_events", "sum_value_milli"]
+        ].sum(),
+    ).to_pandas()
     for c in ["n_events", "sum_value_milli"]:
         df[c] = df[c].astype("int64")
     return df
@@ -306,12 +309,13 @@ def order_revenue_join(sf_dir: str):
         df = df.assign(rev=np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64))
         return df.groupby("l_orderkey", as_index=False)["rev"].sum()
 
-    rev = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="rev"))
-        .map_batches(lambda t: t.rename_columns(["o_orderkey", "rev"]), batch_format="pyarrow")
-    )
+    from ..stages.agg import bucketed_group_agg
+
+    rev = bucketed_group_agg(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["l_orderkey"],
+        lambda g: g.groupby("l_orderkey", as_index=False)["rev"].sum(),
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "rev"]), batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(orders, rev, "o_orderkey", ["o_orderpriority"], ["rev"])
 
@@ -432,16 +436,20 @@ def global_top_lineitems(sf_dir: str):
 )
 def top_orders_per_customer(sf_dir: str):
     """O2: grouped top-k (per-site listing caps, crawler.cfg:26-185)."""
+    from ..stages.agg import bucketed_group_agg
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort").head(3)
-        g = g.reset_index(drop=True)
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized grouped top-k: one stable sort + per-key head(3)
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        g = g.groupby("o_custkey", group_keys=False, sort=False).head(3).copy()
+        g["rk"] = g.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
         g["totalprice_cents"] = _cents(g.pop("o_totalprice").to_numpy())
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["rk"] = g["rk"].astype("int64")
         return g
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return bucketed_group_agg(ds, ["o_custkey"], topk_bucket)
 
 
 @register(
@@ -455,12 +463,15 @@ def top_orders_per_customer(sf_dir: str):
 def latest_event_per_user_type(sf_dir: str):
     """J4: versioned-upsert resolution — newest row per key wins
     (posts is_latest, model.py:411-442 / baseconnector.py:777-809)."""
+    from ..stages.agg import bucketed_group_agg
+
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort").head(1)
+    def latest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort")
+        return g.drop_duplicates(subset=["user_id", "event_type"], keep="first")
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pandas")
+    return bucketed_group_agg(ds, ["user_id", "event_type"], latest_bucket)
 
 
 # =====================================================================
@@ -553,12 +564,13 @@ def exact_dedup_documents(sf_dir: str):
         hs = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
         return pa.table({"text_hash": pa.array(hs, pa.string()), "doc_id": t.column("doc_id")})
 
-    df = (
-        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()
-    )
+    from ..stages.agg import bucketed_group_agg
+
+    df = bucketed_group_agg(
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192),
+        ["text_hash"],
+        lambda g: g.groupby("text_hash", as_index=False)["doc_id"].min(),
+    ).to_pandas()
     df["doc_id"] = df["doc_id"].astype("int64")
     return df
 
@@ -632,7 +644,7 @@ def minhash_near_dup_pairs(sf_dir: str):
     one ray.put broadcast."""
     import ray
 
-    from ..stages.dedup import MinHashStage, bucket_pairs, verify_pairs_jaccard
+    from ..stages.dedup import MinHashStage, band_pairs, verify_pairs_jaccard
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(
@@ -640,9 +652,8 @@ def minhash_near_dup_pairs(sf_dir: str):
         fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
         batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
-    cand = bands.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
-    pairs = cand.to_pandas()
+    cand = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pairs = cand.to_pandas().drop_duplicates()
     texts = ray.get(_doc_texts_ref(sf_dir))
     return verify_pairs_jaccard(pairs, texts, threshold=0.5)
 
@@ -653,7 +664,7 @@ def simhash_near_dup_pairs(sf_dir: str):
     verify Hamming ≤ 6."""
     import ray
 
-    from ..stages.dedup import SimHashStage, bucket_pairs, simhash64
+    from ..stages.dedup import SimHashStage, band_pairs, simhash64
     from ..data.imageops import hamming64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -662,9 +673,8 @@ def simhash_near_dup_pairs(sf_dir: str):
         fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
         batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
-    cand = bands.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
-    pairs = cand.to_pandas()
+    cand = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pairs = cand.to_pandas().drop_duplicates()
     texts = ray.get(_doc_texts_ref(sf_dir))
     rows = []
     for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
@@ -694,13 +704,14 @@ def embedding_near_dup_pairs(sf_dir: str):
              "band_hash": pa.array([f"{c:03x}" for c in codes], pa.string())}
         )
 
-    from ..stages.dedup import bucket_pairs
+    from ..stages.dedup import band_pairs
 
     cand = (
         ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
-        .groupby(["band", "band_hash"])
-        .map_groups(lambda g: bucket_pairs(g, max_bucket=128), batch_format="pandas")
+        .groupby("band")
+        .map_groups(lambda g: band_pairs(g, max_bucket=128), batch_format="pandas")
         .to_pandas()
+        .drop_duplicates()
     )
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
     mat = _normalize(np.stack(emb["embedding"].to_numpy()))

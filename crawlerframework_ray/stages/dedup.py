@@ -89,6 +89,29 @@ class MinHashStage:
         )
 
 
+def band_pairs(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
+    """Candidate pairs for one whole BAND (vectorized): prefilter rows
+    whose band_hash collides at all (the overwhelming majority are
+    singletons), then expand pairs per colliding bucket with
+    ``np.triu_indices``. One Python call per band, not per bucket."""
+    dup = g.loc[g.duplicated("band_hash", keep=False), ["band_hash", "doc_id"]].drop_duplicates()
+    out_a, out_b = [], []
+    for _, sub in dup.groupby("band_hash", sort=False):
+        ids = np.sort(sub["doc_id"].unique())[:max_bucket]
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), 1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        )
+    return pd.DataFrame(
+        {"id_a": np.concatenate(out_a).astype(np.int64), "id_b": np.concatenate(out_b).astype(np.int64)}
+    )
+
+
 def bucket_pairs(group: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
     """LSH bucket → unique candidate pairs (a<b). Oversized buckets are
     truncated to the smallest ids (deterministic) — log-worthy skew at

@@ -4,20 +4,28 @@ point lookups against Postgres; these are their distributed forms).
 - ``broadcast_join``: small side shipped ONCE via ``ray.put`` (a dict),
   looked up vectorized inside ``map_batches`` — no shuffle (J1/J3).
 - ``hash_join``: both sides large. The portable partitioned hash join:
-  pad both sides to one schema with a side tag, union, ``groupby(key)``
-  (ONE shuffle co-locates matching keys), and merge within each group.
-- ``asof_join``: sort-merge within key groups via ``pd.merge_asof``
-  (J5's "compare against the latest prior state" pattern).
+  pad both sides to one schema with a side tag and a ``bucket =
+  hash(key) % B`` column, union, ``groupby(bucket)`` (ONE shuffle
+  co-locating matching keys), and ONE vectorized ``pandas.merge`` per
+  bucket — never a Python call per key.
+- ``asof_join``: per-bucket ``pd.merge_asof`` with ``by=key`` (J5's
+  "compare against the latest prior state" pattern), vectorized across
+  all keys in the bucket.
 
-Skew note: a hot key lands in one group; salt it (key → key#s on the
-build side replicated s ways) when a key's row count exceeds a block.
+Bucket count B bounds per-task memory: size B so the largest bucket
+(~rows/B, plus skew) fits a worker heap. A hot key still lands in one
+bucket; salt it (key → key#s replicated s ways on the build side) when
+a single key's row count exceeds a block.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+
+N_JOIN_BUCKETS = 32
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, key: str, add_columns: list[str],
@@ -38,71 +46,84 @@ def broadcast_join(ds, small_df: pd.DataFrame, key: str, add_columns: list[str],
     return ds.map_batches(fn, batch_format=batch_format)
 
 
-def _pad(df: pd.DataFrame, all_cols: list[str], side: str) -> pd.DataFrame:
+def _bucket_of(keys: pd.Series, n_buckets: int) -> np.ndarray:
+    return (pd.util.hash_array(keys.to_numpy()) % n_buckets).astype(np.int64)
+
+
+def _pad(df: pd.DataFrame, all_cols: list[str], side: str, key: str, n_buckets: int) -> pd.DataFrame:
     out = df.copy()
     for c in all_cols:
         if c not in out.columns:
             out[c] = None
     out["__side"] = side
-    return out[all_cols + ["__side"]]
+    out["__bucket"] = _bucket_of(out[key], n_buckets)
+    return out[all_cols + ["__side", "__bucket"]]
 
 
 def hash_join(left, right, key: str, left_cols: list[str], right_cols: list[str],
-              how: str = "inner"):
+              how: str = "inner", n_buckets: int = N_JOIN_BUCKETS):
     """Partitioned hash join of two Datasets on ``key``. ``left_cols``/
     ``right_cols`` are the output columns taken from each side (key
-    included implicitly). Returns a Dataset with key + both column sets.
-    One groupby shuffle; each group merges in pandas."""
+    included implicitly)."""
     lcols = [key] + [c for c in left_cols if c != key]
     rcols = [key] + [c for c in right_cols if c != key]
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
     lt = left.map_batches(
-        lambda t: _pad(t.select(lcols).to_pandas(), all_cols, "l"), batch_format="pyarrow"
+        lambda t: _pad(t.select(lcols).to_pandas(), all_cols, "l", key, n_buckets),
+        batch_format="pyarrow",
     )
     rt = right.map_batches(
-        lambda t: _pad(t.select(rcols).to_pandas(), all_cols, "r"), batch_format="pyarrow"
+        lambda t: _pad(t.select(rcols).to_pandas(), all_cols, "r", key, n_buckets),
+        batch_format="pyarrow",
     )
     unioned = lt.union(rt)
 
     lval = [c for c in lcols if c != key]
     rval = [c for c in rcols if c != key]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][[key] + lval]
         rg = g[g["__side"] == "r"][[key] + rval]
         return lg.merge(rg, on=key, how=how)
 
-    return unioned.groupby(key).map_groups(merge, batch_format="pandas")
+    return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
-              left_cols: list[str], right_value: str, out_name: str):
+              left_cols: list[str], right_value: str, out_name: str,
+              n_buckets: int = N_JOIN_BUCKETS):
     """For each left row, attach max(right_ts) ≤ left_ts within the same
-    key (the classic as-of). Implemented as one groupby(key) shuffle +
-    ``pd.merge_asof`` per group. ``right_value`` must equal ``right_ts``
-    or be deterministic per (key, right_ts)."""
+    key (the classic as-of). One groupby(bucket) shuffle + one
+    ``pd.merge_asof(by=key)`` per bucket — vectorized across every key
+    in the bucket. ``right_value`` must equal ``right_ts`` or be
+    deterministic per (key, right_ts)."""
     lcols = [key, left_ts] + [c for c in left_cols if c not in (key, left_ts)]
     all_cols = lcols + ["__rts"]
 
-    lt = left.map_batches(lambda t: _pad(t.select(lcols).to_pandas(), all_cols, "l"),
-                          batch_format="pyarrow")
+    lt = left.map_batches(
+        lambda t: _pad(t.select(lcols).to_pandas(), all_cols, "l", key, n_buckets),
+        batch_format="pyarrow",
+    )
     rt = right.map_batches(
         lambda t: _pad(
             t.select([key, right_ts]).to_pandas().rename(columns={right_ts: "__rts"}),
-            all_cols, "r",
+            all_cols, "r", key, n_buckets,
         ),
         batch_format="pyarrow",
     )
     unioned = lt.union(rt)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][lcols].sort_values(left_ts, kind="mergesort")
-        rg = g[g["__side"] == "r"][[key, "__rts"]].dropna(subset=["__rts"]).sort_values("__rts", kind="mergesort")
-        lg[left_ts] = pd.to_datetime(lg[left_ts]).astype("datetime64[us]")
-        rg["__rts"] = pd.to_datetime(rg["__rts"]).astype("datetime64[us]")
-        merged = pd.merge_asof(lg, rg.rename(columns={"__rts": out_name}),
-                               left_on=left_ts, right_on=out_name, by=key)
-        return merged
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][lcols]
+        rg = g[g["__side"] == "r"][[key, "__rts"]].dropna(subset=["__rts"])
+        lg = lg.assign(**{left_ts: pd.to_datetime(lg[left_ts]).astype("datetime64[us]")})
+        rg = rg.assign(__rts=pd.to_datetime(rg["__rts"]).astype("datetime64[us]"))
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        rg = rg.sort_values("__rts", kind="mergesort")
+        return pd.merge_asof(
+            lg, rg.rename(columns={"__rts": out_name}),
+            left_on=left_ts, right_on=out_name, by=key,
+        )
 
-    return unioned.groupby(key).map_groups(merge, batch_format="pandas")
+    return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
