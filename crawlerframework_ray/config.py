@@ -29,6 +29,7 @@ class CrawlConfig:
     fetch_concurrency: int = 4      # fetcher actor-pool size
     fetch_batch_size: int = 256
     record_trace: bool = False      # keep per-epoch wave ordering (tests)
+    verify_rows: bool = False       # enforce the per-row payload invariant in-engine
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing knobs — stamped into

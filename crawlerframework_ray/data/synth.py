@@ -51,6 +51,7 @@ class SynthWebConfig:
     n_hosts: int = 32
     path_space: int = 2048          # distinct paths per web
     max_outlinks: int = 6
+    size_shift: int = 0             # image dims 8<<(k+shift): 0 → 8-32 px, 2 → 32-128 px
     formats: tuple = field(default=codecs.FORMATS)
 
     def as_dict(self) -> dict:
@@ -59,6 +60,7 @@ class SynthWebConfig:
             "n_hosts": self.n_hosts,
             "path_space": self.path_space,
             "max_outlinks": self.max_outlinks,
+            "size_shift": self.size_shift,
         }
 
 
@@ -98,8 +100,8 @@ def _digest(url: str, seed: int) -> bytes:
 def page_record(url: str, cfg: SynthWebConfig) -> dict:
     """The pure fetch function: url → full page row (PAGES_SCHEMA fields)."""
     d = _digest(url, cfg.seed)
-    w = 8 << (d[0] % 3)  # 8 / 16 / 32
-    h = 8 << (d[1] % 3)
+    w = 8 << (d[0] % 3 + cfg.size_shift)  # default 8/16/32 px
+    h = 8 << (d[1] % 3 + cfg.size_shift)
     fmt = cfg.formats[d[2] % len(cfg.formats)]
 
     rng = np.random.Generator(np.random.PCG64(int.from_bytes(d[8:16], "little")))

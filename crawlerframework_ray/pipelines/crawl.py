@@ -50,8 +50,8 @@ from ..config import CrawlConfig
 from ..functions.hashing import task_ids_batch
 from ..functions.urlnorm import normalize
 from ..sources.store import read_table, write_table
-from ..stages.expand import CANDIDATE_SCHEMA, Expander
-from ..stages.fetch import Fetcher
+from ..stages.expand import CANDIDATE_SCHEMA, expander_task_fn
+from ..stages.fetch import fetch_write_task_fn
 from ..state import checkpoint as ckpt
 from ..state.seen import SeenGate, ShardedSeen
 
@@ -75,6 +75,17 @@ class CrawlSummary:
 
 
 N_DEDUP_BUCKETS = 64
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Row count of a parquet directory from file metadata only."""
+    import pyarrow.parquet as pq_mod
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq_mod.read_metadata(os.path.join(path, name)).num_rows
+    return total
 
 
 def _add_dedup_bucket(t: pa.Table) -> pa.Table:
@@ -137,16 +148,13 @@ class CrawlEngine:
             .groupby("bucket")
             .map_groups(_canonical_dedup_bucket, batch_format="pandas")
         )
+        # SeenGate is passed as a callable INSTANCE → task pool, not an
+        # actor pool: it holds only shard handles (cheap to ship), and
+        # task stages avoid per-epoch actor spin-up.
         fresh = unique.map_batches(_cast_candidates, batch_format="pyarrow").map_batches(
-            SeenGate,
-            fn_constructor_kwargs={
-                "shard_handles": self.seen.handles(),
-                "n_shards": self.cfg.n_shards,
-            },
+            SeenGate(self.seen.handles(), self.cfg.n_shards),
             batch_format="pyarrow",
             batch_size=8192,
-            concurrency=2,
-            num_cpus=0.5,
         )
         fresh = fresh.materialize()
         self.seen.seal(commit_epoch)
@@ -178,8 +186,15 @@ class CrawlEngine:
             .groupby("bucket")
             .map_groups(cap_bucket, batch_format="pandas")
         )
-        capped = capped.map_batches(_cast_candidates, batch_format="pyarrow")
-        wave = capped.sort(SORT_COLS, descending=SORT_DESC).limit(cfg.wave_size).materialize()
+        capped = capped.map_batches(_cast_candidates, batch_format="pyarrow").materialize()
+        if capped.count() > cfg.wave_size:
+            # budget binds: global top-k needs the all-to-all sort
+            wave = capped.sort(SORT_COLS, descending=SORT_DESC).limit(cfg.wave_size).materialize()
+        else:
+            # budget does not bind ⇒ the wave is exactly the capped set
+            # regardless of order — skip the sort shuffle entirely (the
+            # trace order is recomputed driver-side below either way)
+            wave = capped
 
         wave_pd = wave.to_pandas()  # bounded by wave_size by construction
         wave_pd = wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort")
@@ -213,7 +228,9 @@ class CrawlEngine:
                 if manifest["config_fingerprint"] != cfg.fingerprint():
                     raise ValueError("checkpoint was written under different semantics")
                 self.seen.restore_all(ckpt.load_shards(cfg.workdir, last, cfg.n_shards))
-                frontier = read_table(os.path.join(ckpt.epoch_dir(cfg.workdir, last), "frontier"))
+                frontier_dir = os.path.join(ckpt.epoch_dir(cfg.workdir, last), "frontier")
+                frontier = read_table(frontier_dir)
+                frontier_rows = _parquet_dir_rows(frontier_dir)
                 start_epoch = last + 1
                 c = manifest["counters"]
                 summary.fetched_urls = c["fetched_urls"]
@@ -222,17 +239,26 @@ class CrawlEngine:
         if not resume:
             if seeds is None:
                 raise ValueError("seeds required for a fresh run")
+            t_adm = time.monotonic()
             seed_cands = ray.data.from_arrow(self._seeds_to_candidates(seeds))
             frontier = self._admit(seed_cands, commit_epoch=0)
-            summary.fresh_urls += frontier.count()
+            frontier_rows = frontier.count()
+            summary.fresh_urls += frontier_rows
+            summary.per_epoch.append(
+                {"epoch": -1, "phase": "seed_admission", "fresh": frontier_rows,
+                 "sec": round(time.monotonic() - t_adm, 2)}
+            )
 
         web_cfg = cfg.web.as_dict()
         for epoch in range(start_epoch, cfg.max_epochs):
-            if frontier.count() == 0:
+            t_epoch = time.monotonic()
+            if frontier_rows == 0:
                 break
             wave, wave_pd, residual = self._select_wave(frontier, epoch)
+            t_wave = time.monotonic()
             if len(wave_pd) == 0:
                 break
+            n_fetched = len(wave_pd)
             if cfg.record_trace:
                 summary.trace.extend(
                     (epoch, r.url, int(r.depth), int(r.priority))
@@ -243,34 +269,59 @@ class CrawlEngine:
                 i = t.schema.get_field_index("epoch")
                 return t.set_column(i, "epoch", pa.array([_e] * len(t), pa.int32()))
 
-            fetched = (
-                wave.map_batches(set_epoch, batch_format="pyarrow")
+            # ONE fused pipelined execution for the whole epoch body:
+            # fetch (writing results parts as a side effect; bytes never
+            # enter the object store) → expand → canonical dedup shuffle
+            # → seen-gate semi-join → materialized slim fresh rows.
+            #
+            # Parallelism note: map tasks are 1:1 with BLOCKS, and the
+            # cap/sort stages can emit a handful of large blocks — left
+            # alone, the fetch stage would run nearly serial. Split the
+            # wave to ~2 blocks per core (cheap, no shuffle) so the
+            # fetch pool is actually saturated.
+            n_cpus_avail = int(ray.cluster_resources().get("CPU", 8))
+            n_blocks = max(4, min((n_fetched // cfg.fetch_batch_size) + 1, 2 * n_cpus_avail))
+            results_dir = ckpt.results_dir(cfg.workdir, epoch)
+            staging = f"{results_dir}.staging-{epoch}"
+            candidates = (
+                wave.repartition(n_blocks)
+                .map_batches(set_epoch, batch_format="pyarrow")
                 .map_batches(
-                    Fetcher,
-                    fn_constructor_kwargs={"web_cfg": web_cfg},
+                    fetch_write_task_fn(web_cfg, staging, verify_rows=cfg.verify_rows),
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
-                    concurrency=cfg.fetch_concurrency,
                 )
-                .materialize()
-            )
-            n_fetched = fetched.count()
-            raw_outlinks = int(fetched.sum("n_outlinks") or 0)
-            write_table(fetched.drop_columns(["outlinks"]), ckpt.results_dir(cfg.workdir, epoch))
-
-            candidates = fetched.map_batches(
-                Expander,
-                fn_constructor_kwargs={
-                    "max_depth": cfg.max_depth,
-                    "seed": cfg.web.seed,
-                    "url_filter": cfg.url_filter,
-                },
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-                concurrency=2,
+                .map_batches(
+                    expander_task_fn(cfg.max_depth, cfg.web.seed, cfg.url_filter),
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                )
             )
             fresh = self._admit(candidates, commit_epoch=epoch + 1)
             n_fresh = fresh.count()
+            t_fetch = time.monotonic()
+
+            # commit this epoch's results partition (atomic rename) and
+            # read the outlink counter from the written parts
+            import shutil as _shutil
+
+            import pyarrow.parquet as _pq
+
+            if os.path.exists(results_dir):
+                _shutil.rmtree(results_dir)
+            if not os.path.exists(staging):  # wave produced no batches
+                os.makedirs(staging)
+                _pq.write_table(pa.schema([]).empty_table(), os.path.join(staging, "empty.parquet"))
+            os.replace(staging, results_dir)
+
+            raw_outlinks = 0
+            for part in os.listdir(results_dir):
+                if part.endswith(".parquet"):
+                    t = _pq.read_table(os.path.join(results_dir, part), columns=["n_outlinks"])
+                    if t.num_columns:
+                        raw_outlinks += int(pa.compute.sum(t.column("n_outlinks")).as_py() or 0)
+            t_results = time.monotonic()
+            t_admit = time.monotonic()
 
             frontier_next = residual.map_batches(_cast_candidates, batch_format="pyarrow").union(
                 fresh.map_batches(_cast_candidates, batch_format="pyarrow")
@@ -279,12 +330,24 @@ class CrawlEngine:
             os.makedirs(ckpt.epoch_dir(cfg.workdir, epoch), exist_ok=True)
             write_table(frontier_next, frontier_dir)
             frontier = read_table(frontier_dir)
+            frontier_rows = frontier_rows - n_fetched + n_fresh
+            t_frontier = time.monotonic()
 
             summary.fetched_urls += n_fetched
             summary.raw_outlinks += raw_outlinks
             summary.fresh_urls += n_fresh
             summary.per_epoch.append(
-                {"epoch": epoch, "wave": n_fetched, "raw_outlinks": raw_outlinks, "fresh": n_fresh}
+                {
+                    "epoch": epoch,
+                    "wave": n_fetched,
+                    "raw_outlinks": raw_outlinks,
+                    "fresh": n_fresh,
+                    "sec_wave": round(t_wave - t_epoch, 2),
+                    "sec_fetch": round(t_fetch - t_wave, 2),
+                    "sec_results": round(t_results - t_fetch, 2),
+                    "sec_admit": round(t_admit - t_results, 2),
+                    "sec_frontier": round(t_frontier - t_admit, 2),
+                }
             )
             counters = {
                 "fetched_urls": summary.fetched_urls,
@@ -301,7 +364,7 @@ class CrawlEngine:
             )
             summary.epochs = epoch + 1
 
-        summary.final_frontier = frontier.count()
+        summary.final_frontier = frontier_rows
         summary.seen_total = self.seen.total_size()
         summary.shard_digests = self.seen.digests()
         summary.wall_sec = time.monotonic() - t0

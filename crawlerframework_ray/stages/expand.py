@@ -48,6 +48,24 @@ def child_score(url: str, seed: int) -> float:
     return int.from_bytes(d[1:4], "little") / 0x1000000
 
 
+def expander_task_fn(max_depth: int, seed: int, url_filter: str | None = None):
+    """Task-based expansion stage with a per-worker-process cached
+    ``Expander`` (compiled url_filter regex reused across epochs
+    without actor-pool spin-up)."""
+    key = (max_depth, seed, url_filter)
+
+    def fn(batch):
+        e = _PROCESS_EXPANDERS.get(key)
+        if e is None:
+            e = _PROCESS_EXPANDERS[key] = Expander(max_depth, seed, url_filter)
+        return e(batch)
+
+    return fn
+
+
+_PROCESS_EXPANDERS: dict = {}
+
+
 class Expander:
     """map_batches callable: fetched batch → expansion candidates."""
 

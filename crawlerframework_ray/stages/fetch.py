@@ -44,10 +44,116 @@ FETCHED_SCHEMA = pa.schema(
 )
 
 
+SLIM_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+        ("epoch", pa.int32()),
+        ("outlinks", pa.list_(pa.string())),
+    ]
+)
+
+
+def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = False):
+    """Fused fetch+sink stage: fetch the batch, WRITE the full results
+    rows (bytes payload included) straight to a parquet part file in
+    ``staging_dir`` from inside the task, and return only the slim
+    expansion columns downstream.
+
+    Why: the payload `bytes` column dominates row width; returning it
+    would put the whole wave in the object store and force a second
+    pass to write results. Writing at the fetch task means bytes move
+    exactly once (worker → storage), the expansion stream stays narrow,
+    and the whole epoch (fetch → expand → dedup → seen-gate) runs as
+    ONE pipelined execution. The driver renames ``staging_dir`` into
+    place after the epoch's pipeline completes — a crash mid-epoch
+    leaves only an orphaned staging dir (ignored by resume). Parts are
+    uuid-named: on task retry a duplicate part could appear; at this
+    round retries are off locally; content-hash part naming is the
+    scale hardening noted in BASELINE.md."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_mod
+
+    key = tuple(sorted(web_cfg.items()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        f = _PROCESS_FETCHERS.get(key)
+        if f is None:
+            f = _PROCESS_FETCHERS[key] = Fetcher(dict(web_cfg))
+        out = f(batch)
+        if verify_rows:
+            verify_payload_batch(out)
+        results = out.drop_columns(["outlinks"])
+        os.makedirs(staging_dir, exist_ok=True)
+        # bytes payloads are already codec-compressed: parquet-level
+        # compression, dictionary encoding and min/max statistics on the
+        # binary column only burn CPU (statistics copy/compare whole
+        # payloads) — disable them
+        pq_mod.write_table(
+            results,
+            os.path.join(staging_dir, f"part-{uuid.uuid4().hex}.parquet"),
+            compression="none",
+            use_dictionary=False,
+            write_statistics=False,
+        )
+        return out.select([n for n in SLIM_SCHEMA.names])
+
+    return fn
+
+
+def verify_payload_batch(batch: pa.Table) -> None:
+    """The per-row invariant (BASELINE.json input_hint), enforced
+    in-engine: every fetched row's stored bytes must decode to pixels
+    whose recomputed 64-bit average-hash equals the row's ``phash``
+    (bit-equality ⇒ decoded-pixel equality class; for lossless fmts the
+    bytes ARE the pixels, for qds the codec bounds PSNR ≥ 40 dB by
+    construction — tests/test_codecs.py). Raises on the first
+    violating row."""
+    from ..data import codecs
+    from ..data.imageops import average_hash
+
+    fmts = batch.column("fmt").to_pylist()
+    datas = batch.column("bytes").to_pylist()
+    phashes = batch.column("phash").to_pylist()
+    urls = batch.column("url").to_pylist()
+    for url, fmt, data, ph in zip(urls, fmts, datas, phashes):
+        img = codecs.decode(data, fmt)
+        if average_hash(img) != ph:
+            raise AssertionError(f"payload invariant violated for {url}: phash mismatch")
+
+
+def fetcher_task_fn(web_cfg: dict):
+    """Task-based fetch stage: a plain function whose per-WORKER-PROCESS
+    ``Fetcher`` instance is built once and cached in the module global,
+    so repeated dataset executions (one per crawl epoch) reuse warm
+    state without paying actor-pool spin-up each epoch. Use this when
+    the fetcher state is cheap/reconstructible (synthetic page store);
+    use the ``Fetcher`` actor-pool form when state is expensive or
+    must NOT be replicated per process (rate-limit budgets, live
+    sessions)."""
+    key = tuple(sorted(web_cfg.items()))
+
+    def fn(batch):
+        f = _PROCESS_FETCHERS.get(key)
+        if f is None:
+            f = _PROCESS_FETCHERS[key] = Fetcher(dict(web_cfg))
+        return f(batch)
+
+    return fn
+
+
+_PROCESS_FETCHERS: dict = {}
+
+
 class Fetcher:
     """Actor-pool fetcher. Use as
     ``wave.map_batches(Fetcher, fn_constructor_kwargs={...},
-    concurrency=N, batch_format="pyarrow")``."""
+    concurrency=N, batch_format="pyarrow")`` — or via
+    ``fetcher_task_fn`` for the task-based form."""
 
     def __init__(self, web_cfg: dict, cache_size: int = 8192, max_fetches_per_batch: int = 100_000):
         self.cfg = SynthWebConfig(**web_cfg)
