@@ -164,6 +164,33 @@ def _outlinks(url: str, d: bytes, cfg: SynthWebConfig) -> list[str]:
     return links
 
 
+def n_parts_of(url: str, cfg: SynthWebConfig) -> int:
+    """~25% of pages are multi-part articles of 2-4 pages (the
+    reference's pagination: a thread/article continues over 'next'
+    pages, crawler/connectors/baseconnector.py:1255-1401)."""
+    d = _digest(url, cfg.seed)
+    return 1 + d[6] % 4 if d[6] % 8 < 2 else 1
+
+
+def fetch_stitched(url: str, cfg: SynthWebConfig, max_parts: int = 5) -> tuple[dict, int]:
+    """Pagination stitcher (operator M7): fetch the page; when it is
+    multi-part, walk continuation pages (cap ``max_parts``, reference
+    cap 5 at htmlconnector.py:98) and concatenate their captions.
+    Outlinks/image/phash stay those of the first page. Returns
+    (page_record_like_dict, pages_fetched). Shared verbatim by the
+    engine fetcher and the serial oracle so the stitched caption is the
+    per-row invariant on multi-part pages too."""
+    rec = page_record(url, cfg)
+    parts = min(n_parts_of(url, cfg), max_parts)
+    if parts > 1:
+        caps = [rec["caption"]]
+        for k in range(2, parts + 1):
+            caps.append(page_record(f"{url}?part={k}", cfg)["caption"])
+        rec = dict(rec)
+        rec["caption"] = " ".join(caps)
+    return rec, parts
+
+
 def pages_for_urls(urls, cfg: SynthWebConfig) -> pa.Table:
     """Vectorized-ish batch fetch: list of urls → PAGES_SCHEMA table."""
     recs = [page_record(u, cfg) for u in urls]

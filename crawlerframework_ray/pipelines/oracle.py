@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import CrawlConfig
-from ..data.synth import host_of, page_record
+from ..data.synth import fetch_stitched, host_of
 from ..functions.hashing import content_hash, task_id
 from ..functions.urlnorm import normalize, resolve
 from ..stages.expand import child_score
@@ -103,7 +103,7 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
         best = {}
         for r in wave:
             trace.append((epoch, r["url"], r["depth"], r["priority"]))
-            page = page_record(r["url"], cfg.web)
+            page, _parts = fetch_stitched(r["url"], cfg.web)
             counters["fetched_urls"] += 1
             counters["raw_outlinks"] += len(page["outlinks"])
             results.append(

@@ -892,3 +892,128 @@ def crawl_frontier_pipeline(sf_dir: str):
     df = res.groupby(["epoch", "host"]).aggregate(Count(alias_name="n_fetched")).to_pandas()
     df["n_fetched"] = df["n_fetched"].astype("int64")
     return df
+
+
+# =====================================================================
+# Sources / rules / streaming / parse (S4/S6/S9, J6, M12, M2/M15)
+# =====================================================================
+
+
+@register(
+    "csv_parent_child_join",
+    """
+    SELECT e.event_id AS id,
+           CAST(CASE WHEN e.event_id % 10 = 0 THEN -1 ELSE (e.event_id // 10) * 10 END AS BIGINT) AS parent_id,
+           e.event_type AS label,
+           CASE WHEN e.event_id % 10 = 0 THEN NULL ELSE p.event_type END AS parent_label,
+           CASE WHEN e.event_id % 10 = 0 THEN CAST(e.event_id AS VARCHAR)
+                ELSE CONCAT(CAST((e.event_id // 10) * 10 AS VARCHAR), '.', CAST(e.event_id AS VARCHAR))
+           END AS path
+    FROM events e
+    LEFT JOIN events p ON p.event_id = (e.event_id // 10) * 10 AND e.event_id % 10 <> 0
+    """,
+)
+def csv_parent_child_join(sf_dir: str):
+    """S9+J6: CSV directory source with parent/child path resolution
+    via a distributed hash self-join (sources/csvsource.py). The CSV is
+    derived deterministically from the events table so the oracle can
+    recompute it relationally."""
+    import tempfile
+
+    from ..sources.csvsource import export_events_csv, read_csv_with_paths
+
+    csv_dir = export_events_csv(sf_dir, tempfile.mkdtemp(prefix="cfray-csv-"))
+    df = read_csv_with_paths(csv_dir).to_pandas()
+    return df.astype({"id": "int64", "parent_id": "int64"})
+
+
+@register(
+    "stream_microbatch_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value*1000+0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+           (SELECT CAST(epoch_us(MAX(ts)) AS BIGINT) FROM events) AS watermark_us
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_microbatch_counts(sf_dir: str):
+    """S6/§2.9: the micro-batch chain (50 rows per 'task', self-requeue
+    = cursor advance, carried watermark state) must converge to the
+    batch answer — the oracle IS the batch answer."""
+    from .streaming import micro_batch_chain, stream_result_frame
+
+    return stream_result_frame(micro_batch_chain(sf_dir, batch_rows=50))
+
+
+@register(
+    "rules_tagging_documents",
+    r"""
+    SELECT doc_id,
+           TRIM(CONCAT(
+             CASE WHEN regexp_matches(lower(text), '\bdata\b') THEN 'analytics ' ELSE '' END,
+             CASE WHEN regexp_matches(lower(text), '\berror\b') THEN 'ops ' ELSE '' END,
+             CASE WHEN lang = 'zh' THEN 'zh-doc' ELSE '' END)) AS tags
+    FROM documents
+    """,
+)
+def rules_tagging_documents(sf_dir: str):
+    """M12 rules engine: per-workspace (check → action) rules compiled
+    once per worker, tags emitted as a deterministic sorted string."""
+    from ..functions.rules import Rule, RulesStage
+
+    rules = [
+        Rule("keyword", "data", "add_tag", "analytics"),
+        Rule("keyword", "error", "add_tag", "ops"),
+        Rule("lang_is", "zh", "add_tag", "zh-doc"),
+    ]
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(
+        RulesStage,
+        fn_constructor_kwargs={"rules": rules, "text_column": "text", "lang_column": "lang"},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    return out.select_columns(["doc_id", "tags"])
+
+
+@register("parse_entities_crawl")
+def parse_entities_crawl(sf_dir: str):
+    """M2/M15/§2.10: run the parser-plugin registry (longest-suffix
+    host dispatch, typed EAV entity extraction) over a mini crawl's
+    results; returns per-entity counts (rows-only)."""
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..config import CrawlConfig
+    from ..data.synth import SynthWebConfig, seeds_table
+    from ..stages.parse import parse_results
+    from .crawl import CrawlEngine
+
+    cfg = CrawlConfig(
+        web=SynthWebConfig(seed=42, n_hosts=8, path_space=128, max_outlinks=4),
+        workdir=tempfile.mkdtemp(prefix="cfray-parse-"),
+        max_depth=1, wave_size=64, host_budget=16, n_shards=4,
+        shard_capacity=1 << 14, max_epochs=2, fetch_batch_size=64,
+    )
+    CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 32))
+    res = ray.data.read_parquet(f"{cfg.workdir}/results")
+    parsed = parse_results(res)
+    df = parsed.groupby("entity").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+@register("search_seeded_frontier")
+def search_seeded_frontier(sf_dir: str):
+    """S4 search-engine seeder: query terms → deterministic SERP urls →
+    frontier seed rows (rows-only; feeds CrawlEngine.run directly)."""
+    from ..data.synth import SynthWebConfig
+    from ..sources.seeder import seeds_from_queryterms
+
+    cfg = SynthWebConfig(seed=42, n_hosts=32, path_space=4096)
+    t = seeds_from_queryterms(["amber", "basalt", "cedar"], cfg, n_results=20)
+    return t.to_pandas()

@@ -21,7 +21,7 @@ from collections import OrderedDict
 import pyarrow as pa
 
 from ..data.schemas import PAYLOAD_FIELDS
-from ..data.synth import SynthWebConfig, page_record
+from ..data.synth import SynthWebConfig, fetch_stitched
 from ..functions.hashing import content_hash
 
 FETCHED_SCHEMA = pa.schema(
@@ -172,9 +172,11 @@ class Fetcher:
             self.cache.move_to_end(url)
             self.n_cache_hits += 1
             return rec
-        rec = page_record(url, self.cfg)
-        self.n_fetched += 1
-        self.per_host_counts[rec["host"]] = self.per_host_counts.get(rec["host"], 0) + 1
+        # pagination stitcher (M7): multi-part pages walk continuation
+        # pages (cap 5) and concatenate captions
+        rec, parts = fetch_stitched(url, self.cfg)
+        self.n_fetched += parts
+        self.per_host_counts[rec["host"]] = self.per_host_counts.get(rec["host"], 0) + parts
         self.cache[url] = rec
         if len(self.cache) > self.cache_size:
             self.cache.popitem(last=False)

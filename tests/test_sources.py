@@ -1,0 +1,160 @@
+"""Source/rules/parse/streaming operator tests (S4/S6/S9, J6, M2, M7, M12)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawlerframework_ray.data.synth import SynthWebConfig, fetch_stitched, n_parts_of, make_url
+
+
+# ---------------------------------------------------------------- M7
+
+def test_pagination_stitcher_caps_and_stitches():
+    cfg = SynthWebConfig(seed=3, n_hosts=8, path_space=4096)
+    multi = single = None
+    for pid in range(300):
+        u = make_url(pid % 8, pid)
+        k = n_parts_of(u, cfg)
+        if k > 1 and multi is None:
+            multi = u
+        if k == 1 and single is None:
+            single = u
+        if multi and single:
+            break
+    assert multi and single
+    rec_m, parts_m = fetch_stitched(multi, cfg)
+    rec_s, parts_s = fetch_stitched(single, cfg)
+    assert parts_s == 1
+    assert 2 <= parts_m <= 5
+    # stitched caption = base caption followed by continuation captions
+    from crawlerframework_ray.data.synth import page_record
+
+    base = page_record(multi, cfg)
+    assert rec_m["caption"].startswith(base["caption"] + " ")
+    assert len(rec_m["caption"]) > len(base["caption"])
+    assert rec_m["bytes"] == base["bytes"]  # image stays part 1
+    assert rec_s["caption"] == page_record(single, cfg)["caption"]
+
+
+# ---------------------------------------------------------------- M2 dispatch
+
+def test_parser_registry_longest_suffix_dispatch():
+    from crawlerframework_ray.stages.parse import DEFAULT_PLUGINS, ParserRegistry
+
+    reg = ParserRegistry(DEFAULT_PLUGINS)
+    assert reg.match("h0.example.test").name == "forum"
+    assert reg.match("h1.example.test").name == "forum"
+    assert reg.match("h5.example.test").name == "news"  # broader suffix
+    assert reg.match("other.host").name == "generic"
+
+
+def test_parser_registry_batch_dispatch_and_entities():
+    from crawlerframework_ray.stages.parse import ParserRegistry
+
+    batch = pa.table(
+        {
+            "host": ["h0.example.test", "h5.example.test", "zzz"],
+            "caption": ["alpha beta gamma", "hello world", "x"],
+            "posted_ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    out = ParserRegistry()(batch)
+    df = out.to_pandas().set_index("host")
+    assert df.loc["h0.example.test", "entity"] == "post"
+    assert df.loc["h5.example.test", "entity"] == "article"
+    assert df.loc["zzz", "entity"] == "page"
+    ents = dict(df.loc["h0.example.test", "entities"])
+    assert ents["ei_word_count"] == "3" and ents["et_first_word"] == "alpha"
+
+
+# ---------------------------------------------------------------- M12 rules
+
+def test_rules_stage_semantics():
+    from crawlerframework_ray.functions.rules import Rule, RulesStage
+
+    rules = [
+        Rule("keyword", "data", "add_tag", "analytics"),
+        Rule("keyword", "spam", "drop", ""),
+        Rule("lang_is", "zh", "add_tag", "zh-doc"),
+        Rule("keyword", "hot", "set_relevancy", "0.9"),
+    ]
+    stage = RulesStage(rules, text_column="text", lang_column="lang")
+    batch = pa.table(
+        {
+            "text": ["data rules", "spam data", "hot data topic", "nothing"],
+            "lang": ["en", "en", "zh", "zh"],
+        }
+    )
+    out = stage(batch).to_pandas()
+    assert len(out) == 3  # spam row dropped
+    assert out.iloc[0]["tags"] == "analytics"
+    assert out.iloc[1]["tags"] == "analytics zh-doc"  # sorted
+    assert out.iloc[1]["relevancy"] == 0.9
+    assert out.iloc[2]["tags"] == "zh-doc"
+
+
+# ---------------------------------------------------------------- S9/J6 csv
+
+def test_csv_source_paths(ray_session, tmp_path):
+    from crawlerframework_ray.sources.csvsource import export_events_csv, read_csv_with_paths
+
+    csv_dir = export_events_csv("/root/testdata/sf0.001", str(tmp_path / "csv"))
+    df = read_csv_with_paths(csv_dir).to_pandas().set_index("id").sort_index()
+    assert df.loc[0, "parent_id"] == -1 and df.loc[0, "path"] == "0"
+    assert df.loc[7, "parent_id"] == 0 and df.loc[7, "path"] == "0.7"
+    assert df.loc[7, "parent_label"] == df.loc[0, "label"]
+    assert pd.isna(df.loc[0, "parent_label"])
+
+
+# ---------------------------------------------------------------- S6 stream
+
+def test_microbatch_chain_equals_batch(ray_session):
+    from crawlerframework_ray.pipelines.streaming import micro_batch_chain, stream_result_frame
+
+    chained = stream_result_frame(micro_batch_chain("/root/testdata/sf0.001", batch_rows=50))
+    oneshot = stream_result_frame(micro_batch_chain("/root/testdata/sf0.001", batch_rows=10**9))
+    pd.testing.assert_frame_equal(chained, oneshot)
+    assert chained["watermark_us"].iloc[0] > 0
+
+
+def test_microbatch_chain_watermark_monotone(ray_session):
+    from crawlerframework_ray.pipelines.streaming import micro_batch_chain
+
+    s1 = micro_batch_chain("/root/testdata/sf0.001", batch_rows=100, max_batches=3)
+    s2 = micro_batch_chain("/root/testdata/sf0.001", batch_rows=100, max_batches=6)
+    assert s2.watermark_us >= s1.watermark_us
+    assert s1.n_batches == 3 and s2.n_batches == 6
+
+
+# ---------------------------------------------------------------- S4 seeder
+
+def test_search_seeder_deterministic_and_unique():
+    from crawlerframework_ray.sources.seeder import seeds_from_queryterms, serp_urls
+
+    cfg = SynthWebConfig(seed=42, n_hosts=32, path_space=4096)
+    a = serp_urls("amber", cfg, 10)
+    b = serp_urls("amber", cfg, 10)
+    assert a == b and len(set(a)) == len(a)
+    assert serp_urls("basalt", cfg, 10) != a
+    t = seeds_from_queryterms(["amber", "basalt"], cfg, n_results=10)
+    urls = t.column("url").to_pylist()
+    assert len(set(urls)) == len(urls)
+    assert set(t.column("priority").to_pylist()) == {1}
+
+
+def test_search_seeds_feed_the_engine(ray_session, tmp_path):
+    from crawlerframework_ray.config import CrawlConfig
+    from crawlerframework_ray.pipelines.crawl import CrawlEngine
+    from crawlerframework_ray.sources.seeder import seeds_from_queryterms
+
+    web = SynthWebConfig(seed=5, n_hosts=8, path_space=64, max_outlinks=3)
+    seeds = seeds_from_queryterms(["amber"], web, n_results=8)
+    cfg = CrawlConfig(
+        web=web, workdir=str(tmp_path / "w"), max_depth=1, wave_size=16,
+        host_budget=8, n_shards=2, shard_capacity=1 << 12, max_epochs=2,
+        fetch_batch_size=16,
+    )
+    s = CrawlEngine(cfg).run(seeds=seeds.drop_columns(["queryterm"]))
+    assert s.fetched_urls > 0
