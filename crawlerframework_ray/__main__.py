@@ -1,0 +1,96 @@
+"""CLI entry point — the `ray job submit` surface.
+
+    python -m crawlerframework_ray crawl --workdir /tmp/run1 --seeds 4096 \
+        --epochs 3 --wave 4096 --hosts 256 [--resume] [--num-cpus 32]
+
+Owns its Ray session (guarded init + shutdown); the library itself
+never inits Ray. On a cluster, submit exactly this module via
+``ray job submit -- python -m crawlerframework_ray crawl ...`` and the
+per-epoch checkpoints make a killed job resumable with ``--resume``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="crawlerframework_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run (or resume) a crawl")
+    c.add_argument("--workdir", required=True)
+    c.add_argument("--seeds", type=int, default=1024)
+    c.add_argument("--epochs", type=int, default=3)
+    c.add_argument("--wave", type=int, default=4096)
+    c.add_argument("--hosts", type=int, default=64)
+    c.add_argument("--host-budget", type=int, default=64)
+    c.add_argument("--max-depth", type=int, default=2)
+    c.add_argument("--shards", type=int, default=8)
+    c.add_argument("--path-space", type=int, default=1 << 16)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--size-shift", type=int, default=0)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--verify-rows", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import CrawlConfig
+    from .data.synth import SynthWebConfig, seeds_table
+    from .pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(
+        web=SynthWebConfig(
+            seed=args.seed, n_hosts=args.hosts, path_space=args.path_space,
+            size_shift=args.size_shift,
+        ),
+        workdir=args.workdir,
+        max_depth=args.max_depth,
+        wave_size=args.wave,
+        host_budget=args.host_budget,
+        n_shards=args.shards,
+        max_epochs=args.epochs,
+        verify_rows=args.verify_rows,
+    )
+    engine = CrawlEngine(cfg)
+    if args.resume:
+        summary = engine.run(resume=True)
+    else:
+        summary = engine.run(seeds=seeds_table(cfg.web, args.seeds))
+    print(
+        json.dumps(
+            {
+                "epochs": summary.epochs,
+                "fetched_urls": summary.fetched_urls,
+                "raw_outlinks": summary.raw_outlinks,
+                "fresh_urls": summary.fresh_urls,
+                "final_frontier": summary.final_frontier,
+                "seen_total": summary.seen_total,
+                "wall_sec": round(summary.wall_sec, 2),
+                "workdir": cfg.workdir,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1017,3 +1017,68 @@ def search_seeded_frontier(sf_dir: str):
     cfg = SynthWebConfig(seed=42, n_hosts=32, path_space=4096)
     t = seeds_from_queryterms(["amber", "basalt", "cedar"], cfg, n_results=20)
     return t.to_pandas()
+
+
+# =====================================================================
+# Incremental update / versioning (T5, D4, J4)
+# =====================================================================
+
+
+def _mini_crawl_workdir(sf_dir: str, tag: str, max_epochs: int = 2):
+    import tempfile
+
+    from ..config import CrawlConfig
+    from ..data.synth import SynthWebConfig, seeds_table
+    from .crawl import CrawlEngine
+
+    cfg = CrawlConfig(
+        web=SynthWebConfig(seed=42, n_hosts=8, path_space=128, max_outlinks=4),
+        workdir=tempfile.mkdtemp(prefix=f"cfray-{tag}-"),
+        max_depth=2, wave_size=64, host_budget=16, n_shards=4,
+        shard_capacity=1 << 14, max_epochs=max_epochs, fetch_batch_size=64,
+    )
+    CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 32))
+    return cfg
+
+
+@register("recrawl_change_detection")
+def recrawl_change_detection(sf_dir: str):
+    """D4/T5 incremental re-crawl: re-fetch the crawled url set against
+    an identical web (salt 0 — all unchanged, the session_info skip
+    path) and a drifted web (salt — all changed); returns the counts
+    (rows-only)."""
+    import pandas as pd
+
+    from .update import recrawl_changes
+
+    cfg = _mini_crawl_workdir(sf_dir, "recrawl")
+    same = recrawl_changes(f"{cfg.workdir}/results", cfg.web, salt=0).to_pandas()
+    drift = recrawl_changes(f"{cfg.workdir}/results", cfg.web, salt=0xBEEF).to_pandas()
+    return pd.DataFrame(
+        {
+            "scenario": ["identical_web", "drifted_web"],
+            "n_urls": [len(same), len(drift)],
+            "n_changed": [int(same["changed"].sum()), int(drift["changed"].sum())],
+        }
+    ).astype({"n_urls": "int64", "n_changed": "int64"})
+
+
+@register("versioned_mark_latest")
+def versioned_mark_latest(sf_dir: str):
+    """J4 versioned mode over crawl results: keep all epoch rows, flag
+    is_latest per (url, priority) — per-epoch counts of latest rows
+    (rows-only)."""
+    from ray.data.aggregate import Count
+
+    from .update import mark_latest
+
+    cfg = _mini_crawl_workdir(sf_dir, "version")
+    marked = mark_latest(f"{cfg.workdir}/results")
+    import pyarrow.compute as pc
+
+    latest = marked.map_batches(
+        lambda t: t.filter(pc.equal(t["is_latest"], True)), batch_format="pyarrow"
+    )
+    df = latest.groupby("epoch").aggregate(Count(alias_name="n_latest")).to_pandas()
+    df["n_latest"] = df["n_latest"].astype("int64")
+    return df
