@@ -1082,3 +1082,20 @@ def versioned_mark_latest(sf_dir: str):
     df = latest.groupby("epoch").aggregate(Count(alias_name="n_latest")).to_pandas()
     df["n_latest"] = df["n_latest"].astype("int64")
     return df
+
+
+@register("simhash_dup_clusters")
+def simhash_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTER formation: SimHash candidate pairs → connected
+    components via distributed min-label propagation — the step that
+    turns pairwise near-dup hits into dedup groups (keep-one-per-
+    cluster). Output: cluster sizes (rows-only, deterministic)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import label_propagation_clusters
+
+    pairs = QUERIES["simhash_near_dup_pairs"](sf_dir)
+    clusters = label_propagation_clusters(pairs)
+    df = clusters.groupby("cluster_id").aggregate(Count(alias_name="size")).to_pandas()
+    df["size"] = df["size"].astype("int64")
+    return df.astype({"cluster_id": "int64"}).sort_values(["cluster_id"]).reset_index(drop=True)

@@ -195,3 +195,55 @@ def hyperplane_sketch(vecs: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
     for j in range(n_planes):
         out = (out << np.uint64(1)) | signs[:, j].astype(np.uint64)
     return out
+
+
+def label_propagation_clusters(pairs: pd.DataFrame, max_rounds: int = 16):
+    """Near-dup clusters from candidate pairs: distributed connected
+    components by iterative min-label propagation.
+
+    Each round: every node proposes its current label to its neighbors
+    (an edge hash-join), every node takes the min of its own and
+    proposed labels (bucketed grouped min), stop when no label changed.
+    Rounds needed = graph diameter (near-dup families are shallow).
+    Returns a Dataset (doc_id:int64, cluster_id:int64) covering every
+    node that appears in a pair. The per-round state is one row per
+    node in the candidate set — tiny relative to the corpus, which is
+    what makes clustering after LSH tractable at 100 TB.
+    """
+    import ray.data
+
+    from .agg import bucketed_group_agg
+    from .joins import hash_join
+
+    if len(pairs) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "cluster_id": pd.Series([], dtype="int64")})
+        )
+    edges = pd.concat(
+        [
+            pairs.rename(columns={"id_a": "src", "id_b": "dst"})[["src", "dst"]],
+            pairs.rename(columns={"id_b": "src", "id_a": "dst"})[["src", "dst"]],
+        ]
+    ).drop_duplicates().astype("int64")
+    nodes = pd.unique(edges["src"])
+    labels_pd = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes}).astype("int64")
+
+    edges_ds = ray.data.from_pandas(edges)
+    for _ in range(max_rounds):
+        labels_ds = ray.data.from_pandas(labels_pd.rename(columns={"doc_id": "src", "cluster_id": "label"}))
+        proposals = hash_join(edges_ds, labels_ds, "src", ["dst"], ["label"]).map_batches(
+            lambda df: df[["dst", "label"]].rename(columns={"dst": "doc_id", "label": "cluster_id"}),
+            batch_format="pandas",
+        )
+        combined = proposals.union(
+            ray.data.from_pandas(labels_pd)
+        )
+        new_labels = bucketed_group_agg(
+            combined, ["doc_id"],
+            lambda g: g.groupby("doc_id", as_index=False)["cluster_id"].min(),
+        ).to_pandas().astype("int64").sort_values("doc_id").reset_index(drop=True)
+        if new_labels.equals(labels_pd.sort_values("doc_id").reset_index(drop=True)):
+            break
+        labels_pd = new_labels
+    return ray.data.from_pandas(labels_pd)

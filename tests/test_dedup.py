@@ -102,3 +102,22 @@ def test_bucket_pairs_truncates_deterministically():
     p = bucket_pairs(g, max_bucket=8)
     assert len(p) == 8 * 7 // 2
     assert p["id_a"].max() < 8
+
+
+def test_label_propagation_clusters(ray_session):
+    from crawlerframework_ray.stages.dedup import label_propagation_clusters
+
+    # two components: {1,2,3,4} (a chain) and {10,11}; singleton 99 absent
+    pairs = pd.DataFrame({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]})
+    out = label_propagation_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"]
+    assert set(out.index) == {1, 2, 3, 4, 10, 11}
+    assert len(set(out[[1, 2, 3, 4]])) == 1 and out[1] == 1
+    assert len(set(out[[10, 11]])) == 1 and out[10] == 10
+    assert out[10] != out[1]
+
+
+def test_label_propagation_empty(ray_session):
+    from crawlerframework_ray.stages.dedup import label_propagation_clusters
+
+    out = label_propagation_clusters(pd.DataFrame({"id_a": [], "id_b": []})).to_pandas()
+    assert len(out) == 0
