@@ -283,6 +283,12 @@ class CrawlEngine:
             n_blocks = max(4, min((n_fetched // cfg.fetch_batch_size) + 1, 2 * n_cpus_avail))
             results_dir = ckpt.results_dir(cfg.workdir, epoch)
             staging = f"{results_dir}.staging-{epoch}"
+            # a crashed earlier attempt may have left parts in the
+            # deterministic staging path — they must not be merged into
+            # this run's commit (the bit-identical-resume contract)
+            import shutil as _shutil
+
+            _shutil.rmtree(staging, ignore_errors=True)
             candidates = (
                 wave.repartition(n_blocks)
                 .map_batches(set_epoch, batch_format="pyarrow")
@@ -303,8 +309,6 @@ class CrawlEngine:
 
             # commit this epoch's results partition (atomic rename) and
             # read the outlink counter from the written parts
-            import shutil as _shutil
-
             import pyarrow.parquet as _pq
 
             if os.path.exists(results_dir):

@@ -49,10 +49,35 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """Fold a uint64 array into [0, 2^61-1) using the Mersenne structure
+    (2^61 ≡ 1 mod M)."""
+    M = np.uint64(_MERSENNE)
+    x = (x & M) + (x >> np.uint64(61))
+    return np.where(x >= M, x - M, x)
+
+
+def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact (a*h) mod 2^61-1, vectorized in uint64 — 32-bit split
+    multiply with Mersenne folding, no silent 2^64 wrap (the wrap loses
+    the universal-hash property the MinHash collision estimate relies
+    on). Inputs must already be < 2^61."""
+    MASK32 = np.uint64(0xFFFFFFFF)
+    MASK29 = np.uint64((1 << 29) - 1)
+    a1, a0 = a >> np.uint64(32), a & MASK32
+    h1, h0 = h >> np.uint64(32), h & MASK32
+    # a*h = a1h1·2^64 + (a1h0+a0h1)·2^32 + a0h0 ;  2^64 ≡ 8 (mod M)
+    hi = a1 * h1 * np.uint64(8)                      # < 2^61
+    mid = a1 * h0 + a0 * h1                          # < 2^62
+    mid_red = (mid >> np.uint64(29)) + ((mid & MASK29) << np.uint64(32))  # mid·2^32 mod-ish
+    lo = _mod61(a0 * h0)
+    return _mod61(_mod61(hi + lo) + _mod61(mid_red))
+
+
 def minhash_signature(text: str, n_perm: int, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
-    h = _shingle_hashes(text, k)
+    h = _mod61(_shingle_hashes(text, k))
     # (P, S) universal hashing mod Mersenne prime, min over shingles
-    vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+    vals = _mod61(_mulmod61(a[:, None], h[None, :]) + b[:, None])
     return vals.min(axis=1).astype(np.uint64)
 
 

@@ -67,14 +67,15 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
     pass to write results. Writing at the fetch task means bytes move
     exactly once (worker → storage), the expansion stream stays narrow,
     and the whole epoch (fetch → expand → dedup → seen-gate) runs as
-    ONE pipelined execution. The driver renames ``staging_dir`` into
-    place after the epoch's pipeline completes — a crash mid-epoch
-    leaves only an orphaned staging dir (ignored by resume). Parts are
-    uuid-named: on task retry a duplicate part could appear; at this
-    round retries are off locally; content-hash part naming is the
-    scale hardening noted in BASELINE.md."""
+    ONE pipelined execution. The driver REMOVES any stale
+    ``staging_dir`` before launching the epoch and renames it into
+    place after the pipeline completes — a crash mid-epoch leaves only
+    an orphaned staging dir that the next attempt clears. Parts are
+    named by the content hash of the batch's sorted task ids, so a Ray
+    task retry OVERWRITES its own part instead of duplicating rows —
+    the write is idempotent under the default retry policy."""
+    import hashlib as _hashlib
     import os
-    import uuid
 
     import pyarrow.parquet as pq_mod
 
@@ -89,17 +90,22 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
             verify_payload_batch(out)
         results = out.drop_columns(["outlinks"])
         os.makedirs(staging_dir, exist_ok=True)
+        # content-addressed part name: identical input batch ⇒ identical
+        # file name, so retries overwrite rather than duplicate
+        part_id = _hashlib.md5(b"".join(sorted(batch.column("task_id").to_pylist()))).hexdigest()
+        tmp = os.path.join(staging_dir, f".part-{part_id}.tmp")
         # bytes payloads are already codec-compressed: parquet-level
         # compression, dictionary encoding and min/max statistics on the
         # binary column only burn CPU (statistics copy/compare whole
         # payloads) — disable them
         pq_mod.write_table(
             results,
-            os.path.join(staging_dir, f"part-{uuid.uuid4().hex}.parquet"),
+            tmp,
             compression="none",
             use_dictionary=False,
             write_statistics=False,
         )
+        os.replace(tmp, os.path.join(staging_dir, f"part-{part_id}.parquet"))
         return out.select([n for n in SLIM_SCHEMA.names])
 
     return fn

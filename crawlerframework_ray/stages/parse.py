@@ -93,20 +93,23 @@ class ParserRegistry:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Dispatch a batch: split rows by matched parser, run each
-        parser vectorized on its slice, re-concatenate."""
+        parser vectorized on its slice, re-concatenate. The split is
+        keyed by plugin IDENTITY (its position in the registry), not its
+        name — two same-named plugins with different host suffixes must
+        not collapse into one group."""
+        if len(batch) == 0:
+            empty = batch.append_column("entity", pa.array([], pa.string()))
+            return empty.append_column("entities", _entities_column([]))
         hosts = batch.column("host").to_pylist()
-        groups: dict[str, list[int]] = {}
-        by_name: dict[str, ParserPlugin] = {}
+        groups: dict[int, list[int]] = {}
         for i, h in enumerate(hosts):
             p = self.match(h)
-            groups.setdefault(p.name, []).append(i)
-            by_name[p.name] = p
+            groups.setdefault(self.plugins.index(p), []).append(i)
         parts = []
-        for name, idx in groups.items():
+        for pidx, idx in groups.items():
             sub = batch.take(pa.array(idx, pa.int64()))
-            parts.append(by_name[name].parse(sub))
-        out = pa.concat_tables(parts)
-        return out
+            parts.append(self.plugins[pidx].parse(sub))
+        return pa.concat_tables(parts)
 
 
 def parse_results(ds, plugins=DEFAULT_PLUGINS, batch_size: int = 2048):

@@ -50,7 +50,15 @@ class CuckooFilter:
 
     # -- addressing -------------------------------------------------
     def _fp(self, item: bytes) -> int:
-        fp = item[0] | (item[1] << 8)
+        # Fingerprint from bytes 6-7: ShardedSeen routes on the low bits
+        # of bytes 0-7 (int(item[:8]) % n_shards) and bucket indexing
+        # uses bytes 8-15, so within a shard the fingerprint would lose
+        # log2(n_shards) bits of entropy if it shared the routing bytes
+        # (≈n_shards× the 2^-16 FP rate). Bytes 6-7 are the high-order
+        # bytes of the routing integer: for power-of-two shard counts up
+        # to 2^48 the mod constrains only bytes 0-5, leaving these two
+        # bytes at full entropy within every shard.
+        fp = item[6] | (item[7] << 8)
         return fp or 1  # 0 means empty slot
 
     def _i1(self, item: bytes) -> int:

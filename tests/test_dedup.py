@@ -121,3 +121,20 @@ def test_label_propagation_empty(ray_session):
 
     out = label_propagation_clusters(pd.DataFrame({"id_a": [], "id_b": []})).to_pandas()
     assert len(out) == 0
+
+
+def test_mulmod61_matches_python_int_arithmetic():
+    """The universal hash must be the exact (a*h+b) mod 2^61-1 — not the
+    2^64-wrapped form (ADVICE r1)."""
+    from crawlerframework_ray.stages.dedup import _MERSENNE, _mod61, _mulmod61
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    a = rng.integers(1, _MERSENNE, 200, dtype=np.int64).astype(np.uint64)
+    h64 = rng.integers(0, np.iinfo(np.int64).max, 200, dtype=np.int64).astype(np.uint64)
+    h64[:4] = [0, 1, np.uint64(_MERSENNE), np.uint64(2**63 + 12345)]
+    h = _mod61(h64)
+    got = _mulmod61(a, h)
+    want = np.array(
+        [(int(x) * int(y)) % _MERSENNE for x, y in zip(a, h)], dtype=np.uint64
+    )
+    np.testing.assert_array_equal(got, want)
