@@ -26,10 +26,18 @@ class CrawlConfig:
     shard_capacity: int = 1 << 17   # per-shard filter capacity
     max_epochs: int = 8
     url_filter: str | None = None   # optional regex gate on expansions (M6)
+    robots: bool = False            # robots.txt admission gate + crawl-delay
+                                    # token-bucket budgets (functions/robots.py)
     fetch_concurrency: int = 4      # fetcher actor-pool size
     fetch_batch_size: int = 256
     record_trace: bool = False      # keep per-epoch wave ordering (tests)
     verify_rows: bool = False       # enforce the per-row payload invariant in-engine
+    # wave selection runs the global top-k on the driver while the
+    # host-capped candidate set is at most this many rows (it is bounded
+    # by min(hosts × host_budget, buckets × wave_size)); beyond it the
+    # distributed sort+limit path runs instead. Not semantics-bearing:
+    # both paths produce the identical wave (total order, full tiebreak).
+    driver_topk_max: int = 1 << 20
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing knobs — stamped into
@@ -43,5 +51,6 @@ class CrawlConfig:
             "n_shards": self.n_shards,
             "shard_capacity": self.shard_capacity,
             "url_filter": self.url_filter,
+            "robots": self.robots,
         }
         return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]

@@ -7,18 +7,21 @@ grouped top-k ("politeness budget"); the enqueue dedup gate
 (priorityqueue.py:39-43) becomes the sharded cuckoo SeenGate semi-join;
 bdb persistence becomes per-epoch parquet checkpoints.
 
-One epoch:
+One epoch = exactly TWO pipelined executions (the round-1 design spent
+4-6, and the ~1 s fixed cost per Ray Data execution dominated wall
+time at bench scale — BASELINE.md scaling decomposition):
 
-    frontier ──groupby(host) cap──sort+limit──▶ wave (materialized, ≤wave_size)
-       │                                          │ map_batches(Fetcher pool)
-       │ residual (wave ids broadcast-filtered)   ▼
-       │                                       fetched ──▶ results/epoch=t (atomic)
-       │                                          │ map_batches(Expander)
-       │                                          ▼
-       │                     groupby(url,priority) canonical dedup   [shuffle]
-       │                                          │ map_batches(SeenGate)
-       │                                          ▼
-       └────────────── union ────────────── fresh rows ──▶ frontier t+1 (checkpointed)
+  E1 (wave select): residual ∪ fresh ──(side-effect: frontier parts
+       written for epoch t-1's checkpoint)──▶ groupby(host-bucket)
+       per-host politeness cap + per-bucket partial top-k ──▶ capped
+       (materialized, ≤ min(hosts×budget, buckets×wave_size)); the
+       global top-``wave_size`` cut runs driver-side while capped is
+       small (≤ ``driver_topk_max``) and falls back to the distributed
+       sort+limit beyond that.
+  E2 (epoch body): wave ──map_batches(fetch: results parts written as
+       a side effect; bytes never enter the object store)──▶ expand
+       ──groupby(task_id-bucket) canonical dedup [shuffle]──▶
+       SeenGate semi-join ──▶ fresh rows (materialized).
 
 Determinism: full-tiebreak sort keys (priority, depth, -score, host,
 url), canonical min-reduction on duplicate candidates, read-only seen
@@ -28,11 +31,14 @@ digests are bit-identical across runs, cluster sizes and resumes —
 verified against the single-process oracle (pipelines/oracle.py) in
 tests/test_crawl.py.
 
-Scale notes: the only materialized datasets are the wave (bounded by
-``wave_size`` — the designed cluster-memory budget) and the fresh set
-(bounded by wave_size × branching). The frontier itself streams from /
-to parquet each epoch and is never collected on the driver. Wave-id
-broadcast is one ``ray.put`` per epoch (16 B per url).
+Scale notes: the only driver-materialized state is the wave (bounded
+by ``wave_size`` / ``driver_topk_max`` — the designed driver budget)
+and per-epoch counters. The frontier is never collected: it flows as a
+lazy read of the previous epoch's checkpoint parts (page-cache-warm)
+unioned with the in-memory fresh blocks, and its checkpoint write is a
+pass-through side effect inside E1 — no standalone write execution and
+no write→read round trip on the hot path. Wave-id broadcast is one
+``ray.put`` per epoch (16 B per url).
 """
 
 from __future__ import annotations
@@ -76,6 +82,19 @@ class CrawlSummary:
 
 N_DEDUP_BUCKETS = 64
 
+_PROCESS_ROBOTS: dict = {}
+
+
+def _robots_cache(robots_seed: int):
+    """Per-worker-process robots cache (fetched/parsed once per host,
+    reused across epochs and dataset executions)."""
+    rc = _PROCESS_ROBOTS.get(robots_seed)
+    if rc is None:
+        from ..functions.robots import RobotsCache
+
+        rc = _PROCESS_ROBOTS[robots_seed] = RobotsCache(robots_seed)
+    return rc
+
 
 def _parquet_dir_rows(path: str) -> int:
     """Row count of a parquet directory from file metadata only."""
@@ -111,6 +130,32 @@ def _cast_candidates(t: pa.Table) -> pa.Table:
     return t.select(CANDIDATE_SCHEMA.names).cast(CANDIDATE_SCHEMA)
 
 
+def frontier_sink_fn(staging_dir: str):
+    """Pass-through ``map_batches`` stage that persists each frontier
+    batch as a parquet part — the frontier checkpoint is a SIDE EFFECT
+    of the wave-selection execution, not its own write job. Parts are
+    content-addressed (hash of the batch's sorted task ids) so task
+    retries overwrite instead of duplicating; the driver renames the
+    staging dir into the checkpoint atomically before writing the
+    manifest."""
+    import hashlib as _hashlib
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        os.makedirs(staging_dir, exist_ok=True)
+        part_id = _hashlib.md5(b"".join(sorted(batch.column("task_id").to_pylist()))).hexdigest()
+        tmp = os.path.join(staging_dir, f".part-{part_id}.tmp")
+        pq_mod.write_table(batch, tmp)
+        os.replace(tmp, os.path.join(staging_dir, f"part-{part_id}.parquet"))
+        return batch
+
+    return fn
+
+
 class CrawlEngine:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
@@ -118,12 +163,24 @@ class CrawlEngine:
 
     # -------------------------------------------------- seed admission
     @staticmethod
-    def _seeds_to_candidates(t: pa.Table) -> pa.Table:
+    def _seeds_to_candidates(t: pa.Table, robots_seed: int | None = None) -> pa.Table:
         """Seeds (url,host,depth,priority,score) → candidate rows at
-        epoch 0 with normalized urls and task ids."""
+        epoch 0 with normalized urls and task ids. With robots enabled,
+        disallowed seeds are rejected at admission — the same gate the
+        expander applies to children."""
+        from ..data.synth import host_of
+
+        if robots_seed is not None:
+            from ..functions.robots import RobotsCache
+
+            rc = RobotsCache(robots_seed)
+            keep = [
+                not rc.disallowed(normalize(u), host_of(normalize(u)))
+                for u in t.column("url").to_pylist()
+            ]
+            t = t.filter(pa.array(keep, pa.bool_()))
         urls = [normalize(u) for u in t.column("url").to_pylist()]
         pri = t.column("priority").to_pylist()
-        from ..data.synth import host_of
 
         return pa.table(
             {
@@ -161,10 +218,17 @@ class CrawlEngine:
         return fresh
 
     # -------------------------------------------------- wave selection
-    def _select_wave(self, frontier: ray.data.Dataset, epoch: int):
+    def _select_wave(self, frontier: ray.data.Dataset, epoch: int, sink_dir: str | None = None):
+        """E1: one execution — (optional side-effect frontier checkpoint
+        write) → per-host politeness cap + per-bucket partial top-k →
+        materialized ``capped``. The global top-``wave_size`` cut then
+        runs driver-side (``capped`` is bounded by min(hosts × budget,
+        buckets × wave_size)); beyond ``driver_topk_max`` rows it falls
+        back to the distributed sort+limit."""
         cfg = self.cfg
 
         budget = cfg.host_budget
+        wave_size = cfg.wave_size
 
         def add_host_bucket(t: pa.Table) -> pa.Table:
             hs = t.column("host").to_pylist()
@@ -173,47 +237,127 @@ class CrawlEngine:
             b = pa.array([zlib.crc32(h.encode()) % N_DEDUP_BUCKETS for h in hs], pa.int32())
             return t.append_column("bucket", b)
 
+        robots_seed = cfg.web.seed if cfg.robots else None
+
         def cap_bucket(g: pd.DataFrame) -> pd.DataFrame:
             # politeness cap, vectorized per host-bucket: stable sort by
-            # the wave key, then per-host head(budget)
+            # the wave key, then per-host head(token budget); a bucket
+            # never needs to surface more than wave_size rows globally,
+            # so a per-bucket partial top-k bounds what leaves the shuffle
             g = g.sort_values(
                 SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
             )
-            return g.groupby("host", group_keys=False).head(budget).drop(columns=["bucket"])
+            ranks = g.groupby("host", sort=False).cumcount().to_numpy()
+            if robots_seed is not None:
+                # token-bucket rate model: per-host epoch budget =
+                # host_budget >> robots crawl_delay (worker-cached rules)
+                rc = _robots_cache(robots_seed)
+                budgets = {h: rc.host_budget(h, budget) for h in g["host"].unique()}
+                lim = g["host"].map(budgets).to_numpy()
+            else:
+                lim = budget
+            g = g[ranks < lim]
+            if len(g) > wave_size:
+                g = g.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(wave_size)
+            return g.drop(columns=["bucket"])
 
+        pipe = frontier
+        if sink_dir is not None:
+            pipe = pipe.map_batches(frontier_sink_fn(sink_dir), batch_format="pyarrow")
         capped = (
-            frontier.map_batches(add_host_bucket, batch_format="pyarrow")
+            pipe.map_batches(add_host_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(cap_bucket, batch_format="pandas")
+            .map_batches(_cast_candidates, batch_format="pyarrow")
+            .materialize()
         )
-        capped = capped.map_batches(_cast_candidates, batch_format="pyarrow").materialize()
-        if capped.count() > cfg.wave_size:
-            # budget binds: global top-k needs the all-to-all sort
-            wave = capped.sort(SORT_COLS, descending=SORT_DESC).limit(cfg.wave_size).materialize()
+        if capped.count() > cfg.driver_topk_max:
+            # capped exceeds the driver budget (production wave sizes):
+            # per-block partial top-k already ran in cap_bucket, so this
+            # sort shuffle moves ≤ buckets × wave_size rows
+            wave_pd = (
+                capped.sort(SORT_COLS, descending=SORT_DESC).limit(cfg.wave_size).to_pandas()
+            )
+            wave_pd = wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort")
         else:
-            # budget does not bind ⇒ the wave is exactly the capped set
-            # regardless of order — skip the sort shuffle entirely (the
-            # trace order is recomputed driver-side below either way)
-            wave = capped
-
-        wave_pd = wave.to_pandas()  # bounded by wave_size by construction
-        wave_pd = wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort")
+            wave_pd = capped.to_pandas()
+            wave_pd = wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(
+                cfg.wave_size
+            )
         wave_ids = frozenset(bytes(x) for x in wave_pd["task_id"])
         ids_ref = ray.put(wave_ids)
 
         def drop_wave_ids(t: pa.Table) -> pa.Table:
             ids = ray.get(ids_ref)
-            mask = [tid not in ids for tid in t.column("task_id").to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            mask = pa.array([tid not in ids for tid in t.column("task_id").to_pylist()], pa.bool_())
+            return t.filter(mask)
 
-        residual = frontier.map_batches(drop_wave_ids, batch_format="pyarrow")
-        return wave, wave_pd, residual
+        return wave_pd, drop_wave_ids
+
+    def _wave_dataset(self, wave_pd: pd.DataFrame, epoch: int) -> ray.data.Dataset:
+        """Driver-side wave blocks: the wave is already on the driver
+        (bounded by wave_size), so slicing it into ~2 blocks/core avoids
+        the in-execution Repartition all-to-all AND the set_epoch stage
+        of the round-1 design."""
+        tbl = pa.Table.from_pandas(wave_pd, preserve_index=False)
+        tbl = tbl.select(CANDIDATE_SCHEMA.names).cast(CANDIDATE_SCHEMA)
+        i = tbl.schema.get_field_index("epoch")
+        tbl = tbl.set_column(i, "epoch", pa.array([epoch] * len(tbl), pa.int32()))
+        n_cpus_avail = int(ray.cluster_resources().get("CPU", 8))
+        n_blocks = max(4, min((len(tbl) // self.cfg.fetch_batch_size) + 1, 2 * n_cpus_avail))
+        step = max(1, -(-len(tbl) // n_blocks))
+        chunks = [tbl.slice(off, step) for off in range(0, len(tbl), step)]
+        return ray.data.from_arrow(chunks)
+
+    # -------------------------------------------------- checkpointing
+    def _frontier_dir(self, epoch: int) -> str:
+        return os.path.join(ckpt.epoch_dir(self.cfg.workdir, epoch), "frontier")
+
+    def _commit_pending(self, pending_epoch: int, staging: str | None, counters: dict,
+                        frontier: ray.data.Dataset | None = None) -> None:
+        """Commit epoch ``pending_epoch``'s frontier parts (written as a
+        side effect of the following wave-selection execution, or — at
+        run end — flushed explicitly from ``frontier``) and then write
+        the manifest. Manifest-last ordering means a manifest implies a
+        complete frontier on disk."""
+        import shutil as _shutil
+
+        cfg = self.cfg
+        fdir = self._frontier_dir(pending_epoch)
+        os.makedirs(ckpt.epoch_dir(cfg.workdir, pending_epoch), exist_ok=True)
+        if staging is not None:
+            if not os.path.exists(staging):  # empty frontier produced no parts
+                os.makedirs(staging)
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(CANDIDATE_SCHEMA.empty_table(), os.path.join(staging, "empty.parquet"))
+            if os.path.exists(fdir):
+                _shutil.rmtree(fdir)
+            os.replace(staging, fdir)
+        else:
+            write_table(frontier, fdir)
+        ckpt.write_checkpoint(
+            cfg.workdir,
+            pending_epoch,
+            self.seen.take_deltas(),
+            self.seen.digests(),
+            counters,
+            cfg.fingerprint(),
+            cfg.shard_capacity,
+        )
 
     # -------------------------------------------------- main loop
     def run(self, seeds: pa.Table | None = None, resume: bool = False) -> CrawlSummary:
         cfg = self.cfg
         t0 = time.monotonic()
         os.makedirs(cfg.workdir, exist_ok=True)
+        # Ray Data's default per-operator resource reservation (50%)
+        # starves the fused fetch→expand map stage that feeds each
+        # epoch's groupby when CPUs are scarce — measured 4× map-stage
+        # serialization at 4 CPUs (tasks ran one at a time). The epoch
+        # pipeline is a short chain of bounded stages; reservation buys
+        # no backpressure safety here, so turn it off for engine runs.
+        ray.data.DataContext.get_current().op_resource_reservation_enabled = False
         self.seen = ShardedSeen(cfg.n_shards, cfg.shard_capacity)
         summary = CrawlSummary()
 
@@ -240,7 +384,9 @@ class CrawlEngine:
             if seeds is None:
                 raise ValueError("seeds required for a fresh run")
             t_adm = time.monotonic()
-            seed_cands = ray.data.from_arrow(self._seeds_to_candidates(seeds))
+            seed_cands = ray.data.from_arrow(
+                self._seeds_to_candidates(seeds, cfg.web.seed if cfg.robots else None)
+            )
             frontier = self._admit(seed_cands, commit_epoch=0)
             frontier_rows = frontier.count()
             summary.fresh_urls += frontier_rows
@@ -250,11 +396,30 @@ class CrawlEngine:
             )
 
         web_cfg = cfg.web.as_dict()
+        import shutil as _shutil
+
+        # the epoch whose frontier checkpoint is still pending: its
+        # parts are written as a side effect of the NEXT epoch's
+        # wave-selection execution (or flushed once at run end)
+        pending_epoch: int | None = None
+        pending_counters: dict = {}
         for epoch in range(start_epoch, cfg.max_epochs):
             t_epoch = time.monotonic()
             if frontier_rows == 0:
                 break
-            wave, wave_pd, residual = self._select_wave(frontier, epoch)
+            sink_staging = None
+            if pending_epoch is not None:
+                sink_staging = self._frontier_dir(pending_epoch) + ".staging"
+                _shutil.rmtree(sink_staging, ignore_errors=True)
+                os.makedirs(ckpt.epoch_dir(cfg.workdir, pending_epoch), exist_ok=True)
+            wave_pd, drop_wave_ids = self._select_wave(frontier, epoch, sink_dir=sink_staging)
+            if pending_epoch is not None:
+                self._commit_pending(pending_epoch, sink_staging, pending_counters)
+                # cut the lazy lineage: the frontier now lives on disk
+                # (page-cache-warm) — the next residual filter reads it
+                # instead of replaying prior epochs' unions
+                frontier = read_table(self._frontier_dir(pending_epoch))
+                pending_epoch = None
             t_wave = time.monotonic()
             if len(wave_pd) == 0:
                 break
@@ -265,40 +430,28 @@ class CrawlEngine:
                     for r in wave_pd.itertuples()
                 )
 
-            def set_epoch(t: pa.Table, _e=epoch) -> pa.Table:
-                i = t.schema.get_field_index("epoch")
-                return t.set_column(i, "epoch", pa.array([_e] * len(t), pa.int32()))
-
             # ONE fused pipelined execution for the whole epoch body:
             # fetch (writing results parts as a side effect; bytes never
             # enter the object store) → expand → canonical dedup shuffle
             # → seen-gate semi-join → materialized slim fresh rows.
-            #
-            # Parallelism note: map tasks are 1:1 with BLOCKS, and the
-            # cap/sort stages can emit a handful of large blocks — left
-            # alone, the fetch stage would run nearly serial. Split the
-            # wave to ~2 blocks per core (cheap, no shuffle) so the
-            # fetch pool is actually saturated.
-            n_cpus_avail = int(ray.cluster_resources().get("CPU", 8))
-            n_blocks = max(4, min((n_fetched // cfg.fetch_batch_size) + 1, 2 * n_cpus_avail))
             results_dir = ckpt.results_dir(cfg.workdir, epoch)
             staging = f"{results_dir}.staging-{epoch}"
             # a crashed earlier attempt may have left parts in the
             # deterministic staging path — they must not be merged into
             # this run's commit (the bit-identical-resume contract)
-            import shutil as _shutil
-
             _shutil.rmtree(staging, ignore_errors=True)
             candidates = (
-                wave.repartition(n_blocks)
-                .map_batches(set_epoch, batch_format="pyarrow")
+                self._wave_dataset(wave_pd, epoch)
                 .map_batches(
                     fetch_write_task_fn(web_cfg, staging, verify_rows=cfg.verify_rows),
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
                 )
                 .map_batches(
-                    expander_task_fn(cfg.max_depth, cfg.web.seed, cfg.url_filter),
+                    expander_task_fn(
+                        cfg.max_depth, cfg.web.seed, cfg.url_filter,
+                        robots_seed=cfg.web.seed if cfg.robots else None,
+                    ),
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
                 )
@@ -325,17 +478,13 @@ class CrawlEngine:
                     if t.num_columns:
                         raw_outlinks += int(pa.compute.sum(t.column("n_outlinks")).as_py() or 0)
             t_results = time.monotonic()
-            t_admit = time.monotonic()
 
-            frontier_next = residual.map_batches(_cast_candidates, batch_format="pyarrow").union(
-                fresh.map_batches(_cast_candidates, batch_format="pyarrow")
-            )
-            frontier_dir = os.path.join(ckpt.epoch_dir(cfg.workdir, epoch), "frontier")
-            os.makedirs(ckpt.epoch_dir(cfg.workdir, epoch), exist_ok=True)
-            write_table(frontier_next, frontier_dir)
-            frontier = read_table(frontier_dir)
+            # next frontier: lazy residual-filter ∪ materialized fresh —
+            # consumed (and checkpointed, as a side effect) by the next
+            # epoch's wave selection; no standalone write execution here
+            residual = frontier.map_batches(drop_wave_ids, batch_format="pyarrow")
+            frontier = residual.union(fresh)
             frontier_rows = frontier_rows - n_fetched + n_fresh
-            t_frontier = time.monotonic()
 
             summary.fetched_urls += n_fetched
             summary.raw_outlinks += raw_outlinks
@@ -349,24 +498,20 @@ class CrawlEngine:
                     "sec_wave": round(t_wave - t_epoch, 2),
                     "sec_fetch": round(t_fetch - t_wave, 2),
                     "sec_results": round(t_results - t_fetch, 2),
-                    "sec_admit": round(t_admit - t_results, 2),
-                    "sec_frontier": round(t_frontier - t_admit, 2),
                 }
             )
-            counters = {
+            pending_counters = {
                 "fetched_urls": summary.fetched_urls,
                 "raw_outlinks": summary.raw_outlinks,
                 "fresh_urls": summary.fresh_urls,
             }
-            ckpt.write_checkpoint(
-                cfg.workdir,
-                epoch,
-                self.seen.serialize_all(),
-                self.seen.digests(),
-                counters,
-                cfg.fingerprint(),
-            )
+            pending_epoch = epoch
             summary.epochs = epoch + 1
+
+        if pending_epoch is not None:
+            # run end: flush the final frontier + manifest (the one
+            # standalone frontier write of the whole run)
+            self._commit_pending(pending_epoch, None, pending_counters, frontier=frontier)
 
         summary.final_frontier = frontier_rows
         summary.seen_total = self.seen.total_size()

@@ -39,6 +39,11 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
     import re
 
     url_filter = re.compile(cfg.url_filter) if cfg.url_filter else None
+    robots = None
+    if cfg.robots:
+        from ..functions.robots import RobotsCache
+
+        robots = RobotsCache(cfg.web.seed)
     filters = [CuckooFilter(cfg.shard_capacity) for _ in range(cfg.n_shards)]
     added: set[bytes] = set()
 
@@ -60,6 +65,8 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
     best: dict[bytes, dict] = {}
     for s in seeds:
         url = normalize(s["url"])
+        if robots is not None and robots.disallowed(url, host_of(url)):
+            continue
         tid = task_id(url, int(s["priority"]))
         row = {
             "url": url,
@@ -89,9 +96,12 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
         for r in frontier:
             per_host.setdefault(r["host"], []).append(r)
         pool: list[dict] = []
-        for rows in per_host.values():
+        for host, rows in per_host.items():
             rows.sort(key=lambda r: (r["priority"], r["depth"], -r["score"], r["url"]))
-            pool.extend(rows[: cfg.host_budget])
+            host_cap = (
+                robots.host_budget(host, cfg.host_budget) if robots is not None else cfg.host_budget
+            )
+            pool.extend(rows[:host_cap])
         # global top-k
         pool.sort(key=_sort_key)
         wave = pool[: cfg.wave_size]
@@ -129,6 +139,8 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
                 if child == r["url"]:
                     continue
                 if url_filter is not None and not url_filter.search(child):
+                    continue
+                if robots is not None and robots.disallowed(child, host_of(child)):
                     continue
                 tid = task_id(child, r["priority"])
                 cand = {

@@ -412,11 +412,22 @@ def union_event_order_ids(sf_dir: str):
 )
 def global_top_lineitems(sf_dir: str):
     """O1: global top-k with a full tiebreak (the wave-selection sort
-    pattern)."""
+    pattern). Per-batch partial top-k runs first, so the final sort
+    shuffle moves ≤ k × n_batches rows instead of the whole table."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
-    top = ds.sort(
-        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
-    ).limit(10)
+
+    def partial_topk(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return df.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(10)
+
+    top = (
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=65536)
+        .sort(["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(10)
+    )
     df = top.to_pandas()
     df["price_cents"] = _cents(df.pop("l_extendedprice").to_numpy())
     return df
@@ -629,22 +640,24 @@ def ann_topk_ivf(sf_dir: str):
 # =====================================================================
 
 
-def _doc_texts_ref(sf_dir: str):
-    import ray
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ray.put(dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())))
+def _pairs_frame(out: pd.DataFrame, value_col: str) -> pd.DataFrame:
+    """Stable (id_a, id_b, value) frame — typed empty when no near-dups
+    exist at this scale (zero candidate pairs yields a schemaless
+    empty dataset)."""
+    cols = ["id_a", "id_b", value_col]
+    if out.empty or not set(cols) <= set(out.columns):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return out[cols].sort_values(["id_a", "id_b"]).reset_index(drop=True).astype("int64")
 
 
 @register("minhash_near_dup_pairs")
 def minhash_near_dup_pairs(sf_dir: str):
-    """MinHash+LSH near-dup: shingle→minhash→band→bucket groupby →
-    candidate pairs → exact Jaccard verify (≥0.5). At 100 TB the
-    verify joins text by repartitioning pair ends; here the doc map is
-    one ray.put broadcast."""
-    import ray
-
-    from ..stages.dedup import MinHashStage, band_pairs, verify_pairs_jaccard
+    """MinHash+LSH near-dup: shingle→minhash→band rows → bucketed
+    candidate-pair expansion (one bounded shuffle) → pair ends
+    hash-joined against the doc table → exact Jaccard (≥0.5) verified
+    inside map_batches. No driver pair collection, no whole-corpus
+    text broadcast."""
+    from ..stages.dedup import MinHashStage, join_pair_texts, lsh_candidate_pairs, verify_jaccard_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(
@@ -652,20 +665,19 @@ def minhash_near_dup_pairs(sf_dir: str):
         fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
         batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
-    cand = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    pairs = cand.to_pandas().drop_duplicates()
-    texts = ray.get(_doc_texts_ref(sf_dir))
-    return verify_pairs_jaccard(pairs, texts, threshold=0.5)
+    pairs = lsh_candidate_pairs(bands)
+    joined = join_pair_texts(pairs, _read(sf_dir, "documents", ["doc_id", "text"]))
+    out = joined.map_batches(verify_jaccard_batch(0.5), batch_format="pandas").to_pandas()
+    return _pairs_frame(out, "jaccard_permille")
 
 
 @register("simhash_near_dup_pairs")
 def simhash_near_dup_pairs(sf_dir: str):
-    """SimHash near-dup: 64-bit signatures, 4×16-bit band buckets,
-    verify Hamming ≤ 6."""
-    import ray
-
-    from ..stages.dedup import SimHashStage, band_pairs, simhash64
-    from ..data.imageops import hamming64
+    """SimHash near-dup: 64-bit signatures, 4×16-bit band buckets.
+    Signatures are computed once in the stage and CARRIED through the
+    pair expansion; verification is a vectorized Hamming ≤ 6 with zero
+    joins and zero driver work."""
+    from ..stages.dedup import SimHashStage, lsh_candidate_pairs, verify_hamming_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(
@@ -673,55 +685,84 @@ def simhash_near_dup_pairs(sf_dir: str):
         fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
         batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
-    cand = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    pairs = cand.to_pandas().drop_duplicates()
-    texts = ray.get(_doc_texts_ref(sf_dir))
-    rows = []
-    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
-        d = hamming64(simhash64(texts[a]), simhash64(texts[b]))
-        if d <= 6:
-            rows.append((int(a), int(b), int(d)))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype("int64")
+    pairs = lsh_candidate_pairs(bands, carry=["sig"])
+    out = pairs.map_batches(verify_hamming_batch(6), batch_format="pandas").to_pandas()
+    return _pairs_frame(out, "hamming")
 
 
 @register("embedding_near_dup_pairs")
 def embedding_near_dup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets
-    (12-bit sketch), verified cosine ≥ 0.8."""
-    import ray
-
-    from ..stages.dedup import hyperplane_sketch
+    """Embedding-cosine near-dup via multi-band random-hyperplane LSH
+    (4 bands × 12 planes, distinct seeds — a near-identical pair
+    colliding in ANY band becomes a candidate), bucketed expansion on
+    (band, band_hash), exact cosine ≥ 0.8 verified via hash-joined
+    vectors inside map_batches. Round-1's constant band=0 single-group
+    shuffle and driver-side embedding matrix are gone."""
+    from ..stages.dedup import hyperplane_sketch, lsh_candidate_pairs
+    from ..stages.joins import hash_join
     from ..stages.similarity import _normalize, batch_vectors
 
+    N_BANDS, N_PLANES, SEED = 4, 12, 3
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def sketch(t: pa.Table) -> pa.Table:
         vecs = _normalize(batch_vectors(t, "embedding"))
-        codes = hyperplane_sketch(vecs, n_planes=12, seed=3)
-        return pa.table(
-            {"doc_id": t.column("vec_id").cast(pa.int64()),
-             "band": pa.array(np.zeros(len(t), np.int32)),
-             "band_hash": pa.array([f"{c:03x}" for c in codes], pa.string())}
+        ids = t.column("vec_id").cast(pa.int64())
+        parts = []
+        for band in range(N_BANDS):
+            codes = hyperplane_sketch(vecs, n_planes=N_PLANES, seed=SEED + band)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "band": pa.array(np.full(len(t), band, np.int32)),
+                        "band_hash": pa.array([f"{c:03x}" for c in codes], pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    bands = ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
+    pairs = lsh_candidate_pairs(bands, max_bucket=128)
+
+    def rename_emb(suffix: str):
+        # pack vectors as fixed-width float32 bytes: list/tensor columns
+        # don't survive the join's pandas concat, plain binary does
+        def fn(t: pa.Table) -> pa.Table:
+            vecs = batch_vectors(t, "embedding").astype(np.float32)
+            return pa.table(
+                {
+                    f"id_{suffix}": t.column("vec_id").cast(pa.int64()),
+                    f"emb_{suffix}": pa.array([v.tobytes() for v in vecs], pa.binary()),
+                }
+            )
+
+        return fn
+
+    emb_a = ds.map_batches(rename_emb("a"), batch_format="pyarrow")
+    emb_b = ds.map_batches(rename_emb("b"), batch_format="pyarrow")
+    with_a = hash_join(pairs, emb_a, "id_a", ["id_b"], ["emb_a"])
+    joined = hash_join(with_a, emb_b, "id_b", ["id_a", "emb_a"], ["emb_b"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ["id_a", "id_b", "cos_permille"]}
+            )
+        va = _normalize(np.stack([np.frombuffer(b, np.float32) for b in df["emb_a"]]).astype(np.float64))
+        vb = _normalize(np.stack([np.frombuffer(b, np.float32) for b in df["emb_b"]]).astype(np.float64))
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= 0.8
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+                "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
+                "cos_permille": np.round(cos[keep] * 1000).astype(np.int64),
+            }
         )
 
-    from ..stages.dedup import band_pairs
-
-    cand = (
-        ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
-        .groupby("band")
-        .map_groups(lambda g: band_pairs(g, max_bucket=128), batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
-    mat = _normalize(np.stack(emb["embedding"].to_numpy()))
-    idx = {v: i for i, v in enumerate(emb["vec_id"])}
-    rows = []
-    for a, b in zip(cand.get("id_a", []), cand.get("id_b", [])):
-        cos = float(mat[idx[a]] @ mat[idx[b]])
-        if cos >= 0.8:
-            rows.append((int(a), int(b), int(round(cos * 1000))))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_permille"]).astype("int64")
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    return _pairs_frame(out, "cos_permille")
 
 
 # =====================================================================

@@ -6,14 +6,18 @@ URL to defeat dedup — continuous ingestion as an endless chain of
 micro-batch tasks (crawler/connectors/datasiftstreamingconnector.py:
 42-75,146-399; requeue baseconnector.py:158-181).
 
-Ray Data has no event-time stream; the faithful restatement is a driver
-loop: each iteration builds a bounded Dataset from the source cursor,
-runs the same keyword-filter + aggregate pipeline over it, folds the
-partial aggregates into carried state, and "re-enqueues" by advancing
-the cursor — at-least-once, watermark-carrying, exactly the reference's
-semantics. The invariant gated in tests: the chained result equals the
-one-shot batch result over the same rows (micro-batching is a pure
-execution choice, not a semantics change).
+Ray Data has no event-time stream; the faithful restatement is a
+QUEUE ACTOR + chain loop: a ``MicroBatchSource`` actor stands in for
+the redis queue, holding only a cursor and ONE parquet row group in
+memory at a time (never the table — the round-1 driver-side full read
+is gone); each chain iteration pulls one bounded micro-batch, runs the
+same keyword-filter + aggregate pipeline over it, folds the partial
+aggregates into carried state, and "re-enqueues" by letting the actor
+advance its cursor — at-least-once, watermark-carrying, exactly the
+reference's semantics. Queue order = arrival (file) order, as with the
+reference's redis list. The invariant gated in tests: the chained
+result equals the one-shot batch result over the same rows
+(micro-batching is a pure execution choice, not a semantics change).
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 
@@ -37,28 +42,56 @@ class StreamState:
     n_batches: int = 0
 
 
+@ray.remote(num_cpus=0)
+class MicroBatchSource:
+    """The queue: serves ≤``batch_rows`` events per pull in arrival
+    (file) order. Holds one parquet ROW GROUP in memory at a time — at
+    100 TB the same shape pages through row groups of a partitioned
+    table, memory bounded by max(row_group, batch_rows)."""
+
+    def __init__(self, path: str, batch_rows: int, columns: list[str]):
+        import pyarrow.parquet as pq
+
+        self.pf = pq.ParquetFile(path)
+        self.columns = columns
+        self.batch_rows = batch_rows
+        self.rg = 0
+        self.buf: pa.Table | None = None
+        self.off = 0
+
+    def next_batch(self) -> pa.Table | None:
+        while self.buf is None or self.off >= self.buf.num_rows:
+            if self.rg >= self.pf.num_row_groups:
+                return None
+            self.buf = self.pf.read_row_group(self.rg, columns=self.columns)
+            self.rg += 1
+            self.off = 0
+        chunk = self.buf.slice(self.off, self.batch_rows)
+        self.off += chunk.num_rows
+        return chunk
+
+
 def micro_batch_chain(
     sf_dir: str,
     batch_rows: int = 50,
     keyword: str | None = None,
     max_batches: int | None = None,
 ) -> StreamState:
-    """Consume the events table as a ts-ordered stream in micro-batches
-    of ``batch_rows`` (the reference's num_results=50), maintaining
+    """Consume the events table as a micro-batch stream of
+    ``batch_rows`` rows (the reference's num_results=50), maintaining
     per-type counts/sums and the high watermark."""
-    import pyarrow.parquet as pq
-
-    # the "queue": events ordered by (ts, event_id) — deterministic
-    src = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value", "props"])
-    order = pd.DataFrame({"ts": src.column("ts").to_pandas(), "event_id": src.column("event_id").to_pandas()})
-    order = order.sort_values(["ts", "event_id"], kind="mergesort").index.to_numpy()
-    src = src.take(pa.array(order, pa.int64()))
+    source = MicroBatchSource.remote(
+        f"{sf_dir}/events.parquet", batch_rows,
+        ["event_id", "ts", "event_type", "value", "props"],
+    )
 
     state = StreamState()
-    while state.cursor < src.num_rows:
+    while True:
         if max_batches is not None and state.n_batches >= max_batches:
             break
-        chunk = src.slice(state.cursor, batch_rows)
+        chunk = ray.get(source.next_batch.remote())
+        if chunk is None:
+            break
         ds = ray.data.from_arrow(chunk)
         if keyword is not None:
             kw = keyword
@@ -85,7 +118,8 @@ def micro_batch_chain(
             state.counts[row.event_type] = state.counts.get(row.event_type, 0) + int(row.n)
             state.value_milli[row.event_type] = state.value_milli.get(row.event_type, 0) + int(row.vm)
             state.watermark_us = max(state.watermark_us, int(row.wm))
-        # self-requeue: advance the cursor — the next "task" in the chain
+        # self-requeue: the actor's cursor advanced — the next "task" in
+        # the chain pulls the following micro-batch
         state.cursor += chunk.num_rows
         state.n_batches += 1
     return state

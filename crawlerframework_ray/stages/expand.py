@@ -48,16 +48,17 @@ def child_score(url: str, seed: int) -> float:
     return int.from_bytes(d[1:4], "little") / 0x1000000
 
 
-def expander_task_fn(max_depth: int, seed: int, url_filter: str | None = None):
+def expander_task_fn(max_depth: int, seed: int, url_filter: str | None = None,
+                     robots_seed: int | None = None):
     """Task-based expansion stage with a per-worker-process cached
-    ``Expander`` (compiled url_filter regex reused across epochs
-    without actor-pool spin-up)."""
-    key = (max_depth, seed, url_filter)
+    ``Expander`` (compiled url_filter regex and robots cache reused
+    across epochs without actor-pool spin-up)."""
+    key = (max_depth, seed, url_filter, robots_seed)
 
     def fn(batch):
         e = _PROCESS_EXPANDERS.get(key)
         if e is None:
-            e = _PROCESS_EXPANDERS[key] = Expander(max_depth, seed, url_filter)
+            e = _PROCESS_EXPANDERS[key] = Expander(max_depth, seed, url_filter, robots_seed)
         return e(batch)
 
     return fn
@@ -69,10 +70,19 @@ _PROCESS_EXPANDERS: dict = {}
 class Expander:
     """map_batches callable: fetched batch → expansion candidates."""
 
-    def __init__(self, max_depth: int, seed: int, url_filter: str | None = None):
+    def __init__(self, max_depth: int, seed: int, url_filter: str | None = None,
+                 robots_seed: int | None = None):
         self.max_depth = max_depth
         self.seed = seed
         self.url_filter = re.compile(url_filter) if url_filter else None
+        # robots admission gate (O5): per-worker robots cache — a
+        # disallowed child never enters the frontier
+        if robots_seed is not None:
+            from ..functions.robots import RobotsCache
+
+            self.robots = RobotsCache(robots_seed)
+        else:
+            self.robots = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # In-batch dedup (D3) keeps the CANONICAL duplicate — min
@@ -97,6 +107,8 @@ class Expander:
                 if child == url:  # self-link removal (D2)
                     continue
                 if self.url_filter is not None and not self.url_filter.search(child):
+                    continue
+                if self.robots is not None and self.robots.disallowed(child, host_of(child)):
                     continue
                 tid = task_id(child, priority)
                 row = (child_depth, url, child, priority, epoch + 1)

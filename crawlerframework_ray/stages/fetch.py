@@ -161,7 +161,7 @@ class Fetcher:
     concurrency=N, batch_format="pyarrow")`` — or via
     ``fetcher_task_fn`` for the task-based form."""
 
-    def __init__(self, web_cfg: dict, cache_size: int = 8192, max_fetches_per_batch: int = 100_000):
+    def __init__(self, web_cfg: dict, cache_size: int = 1024, max_fetches_per_batch: int = 100_000):
         self.cfg = SynthWebConfig(**web_cfg)
         self.cache: OrderedDict[str, dict] = OrderedDict()  # S2 memcache analogue
         self.cache_size = cache_size

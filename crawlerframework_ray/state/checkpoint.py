@@ -7,16 +7,28 @@ directory:
 
     <workdir>/ckpt/epoch=NNNN/
         frontier/            next-epoch frontier (parquet dir, atomic)
-        shards/shard_NN.bin  serialized cuckoo shard + exact added ids
+        deltas/shard_NN.bin  the epoch's sealed fresh-id DELTAS per shard
         manifest.json        written LAST (tmp+rename): epoch, shard
                              digests, counters, config fingerprint
 
     <workdir>/results/epoch=NNNN/   fetched rows (atomic, idempotent)
 
-Resume = find the highest epoch whose manifest exists and is complete,
-restore shards, read that frontier, continue at epoch+1. Because every
-stage is deterministic given (frontier, shard state), the resumed run
-is bit-identical to an uninterrupted one — the survey's §7.4 gate.
+Shard state is checkpointed as DELTAS, not full filter images: cuckoo
+state is a pure function of the ordered sequence of per-seal sorted
+insert sets (state/cuckoo.py's canonical-insert discipline), so storing
+each epoch's fresh ids (~16 B/url) reconstructs the filter exactly —
+no 10s-of-MB full-table serialization per epoch on the hot path.
+Resume = find the highest epoch whose manifest exists, REPLAY the delta
+chain 0..e into fresh filters, read that frontier, continue at epoch+1.
+The per-shard sha256 digests recorded in every manifest are computed
+against the live filters, so replay correctness is verifiable. At
+10^10-URL scale the chain would be bounded by writing a full filter
+snapshot every K epochs and replaying only the tail — the delta format
+below is forward-compatible with that (a snapshot is just a delta chain
+prefix compaction).
+
+Because every stage is deterministic given (frontier, shard state), the
+resumed run is bit-identical to an uninterrupted one — SURVEY §7.4.
 """
 
 from __future__ import annotations
@@ -35,39 +47,52 @@ def results_dir(workdir: str, epoch: int) -> str:
     return os.path.join(workdir, "results", f"epoch={epoch:04d}")
 
 
-def _pack_shard(blob: bytes, added: list[bytes], epoch: int) -> bytes:
-    head = struct.pack("<iII", epoch, len(blob), len(added))
-    return head + blob + b"".join(added)
+def _pack_deltas(log: list[tuple[int, list[bytes]]]) -> bytes:
+    out = [struct.pack("<I", len(log))]
+    for seal_epoch, ids in log:
+        out.append(struct.pack("<iI", seal_epoch, len(ids)))
+        out.extend(ids)
+    return b"".join(out)
 
 
-def _unpack_shard(data: bytes) -> tuple[bytes, list[bytes], int]:
-    epoch, blen, n_added = struct.unpack_from("<iII", data, 0)
-    off = struct.calcsize("<iII")
-    blob = data[off : off + blen]
-    off += blen
-    added = [data[off + 16 * i : off + 16 * (i + 1)] for i in range(n_added)]
-    return blob, added, epoch
+def _unpack_deltas(data: bytes) -> list[tuple[int, list[bytes]]]:
+    (n_entries,) = struct.unpack_from("<I", data, 0)
+    off = 4
+    log = []
+    for _ in range(n_entries):
+        seal_epoch, n_ids = struct.unpack_from("<iI", data, off)
+        off += 8
+        ids = [data[off + 16 * i : off + 16 * (i + 1)] for i in range(n_ids)]
+        off += 16 * n_ids
+        log.append((seal_epoch, ids))
+    return log
 
 
 def write_checkpoint(
     workdir: str,
     epoch: int,
-    shard_states: list[tuple[bytes, list[bytes], int]],
+    shard_deltas: list[list[tuple[int, list[bytes]]]],
     digests: list[str],
     counters: dict,
     config_fingerprint: str,
+    shard_capacity: int,
 ) -> None:
+    """``shard_deltas``: per shard, the (seal_epoch, sorted fresh ids)
+    entries sealed since the previous checkpoint (normally one entry;
+    two on the first checkpoint of a fresh run — the seed seal plus
+    epoch 0's seal)."""
     d = epoch_dir(workdir, epoch)
-    shard_d = os.path.join(d, "shards")
-    os.makedirs(shard_d, exist_ok=True)
-    for i, (blob, added, shard_epoch) in enumerate(shard_states):
-        tmp = os.path.join(shard_d, f".tmp-{uuid.uuid4().hex[:8]}")
+    delta_d = os.path.join(d, "deltas")
+    os.makedirs(delta_d, exist_ok=True)
+    for i, log in enumerate(shard_deltas):
+        tmp = os.path.join(delta_d, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "wb") as f:
-            f.write(_pack_shard(blob, added, shard_epoch))
-        os.replace(tmp, os.path.join(shard_d, f"shard_{i:02d}.bin"))
+            f.write(_pack_deltas(log))
+        os.replace(tmp, os.path.join(delta_d, f"shard_{i:02d}.bin"))
     manifest = {
         "epoch": epoch,
-        "n_shards": len(shard_states),
+        "n_shards": len(shard_deltas),
+        "shard_capacity": shard_capacity,
         "shard_digests": digests,
         "counters": counters,
         "config_fingerprint": config_fingerprint,
@@ -103,9 +128,27 @@ def latest_epoch(workdir: str) -> int | None:
 
 
 def load_shards(workdir: str, epoch: int, n_shards: int) -> list[tuple[bytes, list[bytes], int]]:
-    shard_d = os.path.join(epoch_dir(workdir, epoch), "shards")
-    out = []
-    for i in range(n_shards):
-        with open(os.path.join(shard_d, f"shard_{i:02d}.bin"), "rb") as f:
-            out.append(_unpack_shard(f.read()))
-    return out
+    """Reconstruct full shard states at ``epoch`` by replaying the delta
+    chain 0..epoch (canonical sorted inserts ⇒ bit-identical filters).
+    Returns (filter_blob, sorted added ids, last seal epoch) per shard —
+    the same tuple ``SeenShard.restore`` consumes."""
+    from .cuckoo import CuckooFilter
+
+    manifest = load_manifest(workdir, epoch)
+    if manifest is None:
+        raise FileNotFoundError(f"no complete manifest for epoch {epoch}")
+    capacity = manifest["shard_capacity"]
+    filters = [CuckooFilter(capacity) for _ in range(n_shards)]
+    added: list[set[bytes]] = [set() for _ in range(n_shards)]
+    last_seal = [-1] * n_shards
+    for e in range(epoch + 1):
+        delta_d = os.path.join(epoch_dir(workdir, e), "deltas")
+        for i in range(n_shards):
+            with open(os.path.join(delta_d, f"shard_{i:02d}.bin"), "rb") as f:
+                for seal_epoch, ids in _unpack_deltas(f.read()):
+                    filters[i].add_sorted(ids)
+                    added[i].update(ids)
+                    last_seal[i] = seal_epoch
+    return [
+        (filters[i].serialize(), sorted(added[i]), last_seal[i]) for i in range(n_shards)
+    ]

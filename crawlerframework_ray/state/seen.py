@@ -40,6 +40,9 @@ class SeenShard:
         self.added: set[bytes] = set()
         self.staged: set[bytes] = set()
         self.epoch = -1
+        # sealed (epoch, sorted ids) entries not yet taken by a
+        # checkpoint — the delta-checkpoint payload (state/checkpoint.py)
+        self.delta_log: list[tuple[int, list[bytes]]] = []
 
     def contains_batch(self, ids: list[bytes]) -> list[bool]:
         f = self.filter
@@ -58,11 +61,19 @@ class SeenShard:
         if epoch <= self.epoch:
             self.staged.clear()
             return 0
-        n = self.filter.add_sorted(sorted(self.staged))
+        ids = sorted(self.staged)
+        n = self.filter.add_sorted(ids)
         self.added.update(self.staged)
         self.staged.clear()
         self.epoch = epoch
+        self.delta_log.append((epoch, ids))
         return n
+
+    def take_deltas(self) -> list[tuple[int, list[bytes]]]:
+        """Return and clear the sealed deltas accumulated since the
+        last checkpoint."""
+        log, self.delta_log = self.delta_log, []
+        return log
 
     def digest(self) -> str:
         return self.filter.digest()
@@ -80,6 +91,7 @@ class SeenShard:
         self.filter = CuckooFilter.deserialize(blob)
         self.added = set(added)
         self.epoch = epoch
+        self.delta_log = []
 
 
 class ShardedSeen:
@@ -141,6 +153,9 @@ class ShardedSeen:
 
     def serialize_all(self) -> list[tuple[bytes, list[bytes], int]]:
         return ray.get([s.serialize.remote() for s in self.shards])
+
+    def take_deltas(self) -> list[list[tuple[int, list[bytes]]]]:
+        return ray.get([s.take_deltas.remote() for s in self.shards])
 
     def restore_all(self, blobs: list[tuple[bytes, list[bytes], int]]) -> None:
         ray.get(

@@ -138,3 +138,84 @@ def test_mulmod61_matches_python_int_arithmetic():
         [(int(x) * int(y)) % _MERSENNE for x, y in zip(a, h)], dtype=np.uint64
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_lsh_candidate_pairs_minhash_distributed(ray_session):
+    """The round-2 distributed path: bucketed pair expansion + text
+    join + in-pipeline Jaccard verify — same answer as the round-1
+    driver-side path on the planted corpus."""
+    import ray.data
+
+    from crawlerframework_ray.stages.dedup import (
+        MinHashStage,
+        join_pair_texts,
+        lsh_candidate_pairs,
+        verify_jaccard_batch,
+    )
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [BASE, NEAR, FAR, "tiny"]})
+    ds = ray.data.from_pandas(docs)
+    bands = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
+        batch_format="pyarrow", concurrency=1, num_cpus=0.5,
+    )
+    pairs = lsh_candidate_pairs(bands)
+    joined = join_pair_texts(pairs, ray.data.from_pandas(docs))
+    out = joined.map_batches(verify_jaccard_batch(0.5), batch_format="pandas").to_pandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
+    assert (out.jaccard_permille >= 500).all()
+
+
+def test_simhash_carried_signature_verify(ray_session):
+    """Signatures carried through pair expansion: identical docs give a
+    hamming-0 pair; the far doc never pairs."""
+    import ray.data
+
+    from crawlerframework_ray.stages.dedup import (
+        SimHashStage,
+        lsh_candidate_pairs,
+        verify_hamming_batch,
+    )
+
+    docs = pd.DataFrame({"doc_id": [10, 20, 30], "text": [BASE, BASE, FAR]})
+    ds = ray.data.from_pandas(docs)
+    bands = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
+        batch_format="pyarrow", concurrency=1, num_cpus=0.5,
+    )
+    pairs = lsh_candidate_pairs(bands, carry=["sig"])
+    out = pairs.map_batches(verify_hamming_batch(6), batch_format="pandas").to_pandas()
+    assert set(zip(out.id_a, out.id_b)) == {(10, 20)}
+    assert (out.hamming == 0).all()
+
+
+def test_embedding_near_dup_planted_fixture(ray_session, tmp_path):
+    """Multi-band hyperplane LSH must surface planted near-identical
+    embeddings (round-1 returned 0 pairs from a constant band)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawlerframework_ray.pipelines.queries import QUERIES
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    base = rng.standard_normal((40, 32))
+    planted = []
+    vecs, ids = [], []
+    for i in range(40):
+        vecs.append(base[i]); ids.append(i)
+    for j, src in enumerate([3, 17, 29]):
+        dup_id = 100 + j
+        vecs.append(base[src] + rng.standard_normal(32) * 0.01)
+        ids.append(dup_id)
+        planted.append((src, dup_id))
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["embedding_near_dup_pairs"](str(tmp_path))
+    found = set(zip(out.id_a, out.id_b))
+    assert set(planted) <= found, f"planted {planted} not all found in {found}"
+    assert (out.cos_permille >= 800).all()
