@@ -40,21 +40,28 @@ def run_crawl(num_cpus: int) -> dict:
 
     import ray.data
 
-    workdir = tempfile.mkdtemp(prefix="cfray-bench-")
+    # workdir on tmpfs: the sandbox's single shared vda throttles at
+    # ~100 MB/s and this run writes ~1.4 GB of fetched payloads per
+    # epoch — on a real cluster results go to per-node disks / object
+    # storage whose bandwidth scales with N, so staging in tmpfs is
+    # what isolates ENGINE scaling from the one non-scaling sandbox
+    # resource. BASELINE.md reports the disk-backed numbers alongside.
+    bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="cfray-bench-", dir=bench_tmp)
     cfg = CrawlConfig(
         # size_shift=2 → 32-128 px images (~3-50 KB payloads): realistic
         # page weight so fetch+decode compute, not orchestration, is
-        # what the scaling comparison measures. Waves of 48k (vs 16k in
+        # what the scaling comparison measures. Two waves of 180k (vs 3x16k in
         # round 1) amortize the per-epoch fixed cost the way production
         # multi-million-URL waves would — the north_rule's regime.
-        web=SynthWebConfig(seed=42, n_hosts=320, path_space=1 << 17, max_outlinks=6, size_shift=2),
+        web=SynthWebConfig(seed=42, n_hosts=512, path_space=1 << 17, max_outlinks=6, size_shift=2),
         workdir=workdir,
         max_depth=2,
-        wave_size=49152,
-        host_budget=224,
+        wave_size=184320,
+        host_budget=432,
         n_shards=16,
         shard_capacity=1 << 20,
-        max_epochs=3,
+        max_epochs=2,
         fetch_concurrency=max(2, min(8, num_cpus // 2)),
         fetch_batch_size=512,
         verify_rows=True,  # per-row payload invariant enforced in-engine

@@ -107,13 +107,31 @@ def _parquet_dir_rows(path: str) -> int:
     return total
 
 
+def _fixed16_np(col) -> "np.ndarray":
+    """(n, 16) uint8 view of a fixed_size_binary(16) column — the
+    zero-copy path for vectorized task_id math."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.buffers()[-1]
+    a = np.frombuffer(buf, dtype=np.uint8)
+    off = col.offset * 16
+    return a[off : off + len(col) * 16].reshape(-1, 16)
+
+
 def _add_dedup_bucket(t: pa.Table) -> pa.Table:
     """Shuffle key for candidate dedup: a byte of the task_id. Grouping
     by ~64 buckets instead of per-task_id groups keeps the reduction
     vectorized (one pandas call per bucket, not one Python call per
-    duplicate set)."""
-    ids = t.column("task_id").to_pylist()
-    buckets = pa.array([tid[2] % N_DEDUP_BUCKETS for tid in ids], pa.int32())
+    duplicate set). Bucket math is a zero-copy numpy view, not a
+    per-row loop."""
+    import numpy as np
+
+    if len(t) == 0:
+        return t.append_column("bucket", pa.array([], pa.int32()))
+    arr = _fixed16_np(t.column("task_id"))
+    buckets = pa.array((arr[:, 2] % N_DEDUP_BUCKETS).astype(np.int32))
     return t.append_column("bucket", buckets)
 
 
@@ -197,36 +215,12 @@ class CrawlEngine:
             schema=CANDIDATE_SCHEMA,
         )
 
-    def _admit(self, candidates: ray.data.Dataset, commit_epoch: int) -> ray.data.Dataset:
-        """Global canonical dedup (shuffle) → seen-gate semi-join →
-        materialized fresh rows; seals the epoch on the shards."""
-        unique = (
-            candidates.map_batches(_add_dedup_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(_canonical_dedup_bucket, batch_format="pandas")
-        )
-        # SeenGate is passed as a callable INSTANCE → task pool, not an
-        # actor pool: it holds only shard handles (cheap to ship), and
-        # task stages avoid per-epoch actor spin-up.
-        fresh = unique.map_batches(_cast_candidates, batch_format="pyarrow").map_batches(
-            SeenGate(self.seen.handles(), self.cfg.n_shards),
-            batch_format="pyarrow",
-            batch_size=8192,
-        )
-        fresh = fresh.materialize()
-        self.seen.seal(commit_epoch)
-        return fresh
-
-    # -------------------------------------------------- wave selection
-    def _select_wave(self, frontier: ray.data.Dataset, epoch: int, sink_dir: str | None = None):
-        """E1: one execution — (optional side-effect frontier checkpoint
-        write) → per-host politeness cap + per-bucket partial top-k →
-        materialized ``capped``. The global top-``wave_size`` cut then
-        runs driver-side (``capped`` is bounded by min(hosts × budget,
-        buckets × wave_size)); beyond ``driver_topk_max`` rows it falls
-        back to the distributed sort+limit."""
+    def _cap_pipeline(self, frontier: ray.data.Dataset, sink_dir: str | None = None):
+        """Politeness cap + per-bucket partial top-k over a frontier
+        stream → materialized ``capped`` (≤ min(hosts × budget,
+        buckets × wave_size) rows), with an optional side-effect
+        frontier-checkpoint write on the way in."""
         cfg = self.cfg
-
         budget = cfg.host_budget
         wave_size = cfg.wave_size
 
@@ -264,81 +258,125 @@ class CrawlEngine:
         pipe = frontier
         if sink_dir is not None:
             pipe = pipe.map_batches(frontier_sink_fn(sink_dir), batch_format="pyarrow")
-        capped = (
+        return (
             pipe.map_batches(add_host_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(cap_bucket, batch_format="pandas")
             .map_batches(_cast_candidates, batch_format="pyarrow")
             .materialize()
         )
+
+    def _admit_and_select(self, candidates: ray.data.Dataset,
+                          residual: ray.data.Dataset | None,
+                          sink_dir: str | None, commit_epoch: int):
+        """THE epoch execution (one pipelined run): candidate stream →
+        canonical dedup shuffle → seen-gate semi-join → union with the
+        residual frontier → side-effect frontier-checkpoint write →
+        politeness cap → materialized ``capped`` for the NEXT wave.
+        Returns (capped, n_fresh). Seals the epoch on the shards after
+        the execution completes (staged sets are complete then)."""
+        unique = (
+            candidates.map_batches(_add_dedup_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_canonical_dedup_bucket, batch_format="pandas")
+        )
+        # SeenGate is passed as a callable INSTANCE → task pool, not an
+        # actor pool: it holds only shard handles (cheap to ship), and
+        # task stages avoid per-epoch actor spin-up. Residual rows are
+        # already-seen by construction, so they join AFTER the gate.
+        fresh = unique.map_batches(_cast_candidates, batch_format="pyarrow").map_batches(
+            SeenGate(self.seen.handles(), self.cfg.n_shards),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        frontier = fresh.union(residual) if residual is not None else fresh
+        capped = self._cap_pipeline(frontier, sink_dir)
+        # fresh count = what the gate staged (globally unique upstream),
+        # read before seal folds the staging sets into the filters
+        n_fresh = self.seen.staged_total()
+        self.seen.seal(commit_epoch)
+        return capped, n_fresh
+
+    # -------------------------------------------------- wave selection
+    def _wave_from_capped(self, capped: ray.data.Dataset) -> pd.DataFrame:
+        """Global top-``wave_size`` cut over the materialized capped
+        set: driver-side while small (bounded by min(hosts × budget,
+        buckets × wave_size)), distributed sort+limit beyond
+        ``driver_topk_max``. Both paths produce the identical wave
+        (total order, full tiebreak)."""
+        cfg = self.cfg
         if capped.count() > cfg.driver_topk_max:
-            # capped exceeds the driver budget (production wave sizes):
             # per-block partial top-k already ran in cap_bucket, so this
             # sort shuffle moves ≤ buckets × wave_size rows
             wave_pd = (
                 capped.sort(SORT_COLS, descending=SORT_DESC).limit(cfg.wave_size).to_pandas()
             )
-            wave_pd = wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort")
-        else:
-            wave_pd = capped.to_pandas()
-            wave_pd = wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(
-                cfg.wave_size
-            )
-        wave_ids = frozenset(bytes(x) for x in wave_pd["task_id"])
-        ids_ref = ray.put(wave_ids)
-
-        def drop_wave_ids(t: pa.Table) -> pa.Table:
-            ids = ray.get(ids_ref)
-            mask = pa.array([tid not in ids for tid in t.column("task_id").to_pylist()], pa.bool_())
-            return t.filter(mask)
-
-        return wave_pd, drop_wave_ids
+            return wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort")
+        wave_pd = capped.to_pandas()
+        return wave_pd.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(
+            cfg.wave_size
+        )
 
     def _wave_dataset(self, wave_pd: pd.DataFrame, epoch: int) -> ray.data.Dataset:
         """Driver-side wave blocks: the wave is already on the driver
         (bounded by wave_size), so slicing it into ~2 blocks/core avoids
-        the in-execution Repartition all-to-all AND the set_epoch stage
-        of the round-1 design."""
+        an in-execution Repartition all-to-all and a set_epoch stage."""
         tbl = pa.Table.from_pandas(wave_pd, preserve_index=False)
         tbl = tbl.select(CANDIDATE_SCHEMA.names).cast(CANDIDATE_SCHEMA)
         i = tbl.schema.get_field_index("epoch")
         tbl = tbl.set_column(i, "epoch", pa.array([epoch] * len(tbl), pa.int32()))
         n_cpus_avail = int(ray.cluster_resources().get("CPU", 8))
-        n_blocks = max(4, min((len(tbl) // self.cfg.fetch_batch_size) + 1, 2 * n_cpus_avail))
+        # ~4 blocks/core: fine enough that one straggler task costs
+        # ~w/(4c), coarse enough that per-task overhead stays small
+        n_blocks = max(4, min((len(tbl) // self.cfg.fetch_batch_size) + 1, 4 * n_cpus_avail))
         step = max(1, -(-len(tbl) // n_blocks))
         chunks = [tbl.slice(off, step) for off in range(0, len(tbl), step)]
         return ray.data.from_arrow(chunks)
+
+    @staticmethod
+    def _drop_ids_fn(wave_pd: pd.DataFrame):
+        """Residual filter: broadcast the wave's task ids ONCE as an
+        Arrow fixed-width array (zero-copy out of the object store —
+        a Python set of 16-byte objects costs ~0.3 s to unpickle PER
+        TASK at 180k-url waves) and anti-filter with the vectorized
+        ``is_in`` kernel."""
+        import pyarrow.compute as pc
+
+        ids_arr = pa.array(list(wave_pd["task_id"]), pa.binary(16))
+        ids_ref = ray.put(ids_arr)
+
+        def drop_wave_ids(t: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            mask = pc.is_in(t.column("task_id"), value_set=ids)
+            return t.filter(pc.invert(mask))
+
+        return drop_wave_ids
 
     # -------------------------------------------------- checkpointing
     def _frontier_dir(self, epoch: int) -> str:
         return os.path.join(ckpt.epoch_dir(self.cfg.workdir, epoch), "frontier")
 
-    def _commit_pending(self, pending_epoch: int, staging: str | None, counters: dict,
-                        frontier: ray.data.Dataset | None = None) -> None:
-        """Commit epoch ``pending_epoch``'s frontier parts (written as a
-        side effect of the following wave-selection execution, or — at
-        run end — flushed explicitly from ``frontier``) and then write
-        the manifest. Manifest-last ordering means a manifest implies a
-        complete frontier on disk."""
+    def _commit_epoch_checkpoint(self, epoch: int, staging: str, counters: dict) -> None:
+        """Commit epoch ``epoch``'s frontier parts (written as a side
+        effect of the epoch execution) and then write the manifest.
+        Manifest-last ordering means a manifest implies a complete
+        frontier on disk."""
         import shutil as _shutil
 
         cfg = self.cfg
-        fdir = self._frontier_dir(pending_epoch)
-        os.makedirs(ckpt.epoch_dir(cfg.workdir, pending_epoch), exist_ok=True)
-        if staging is not None:
-            if not os.path.exists(staging):  # empty frontier produced no parts
-                os.makedirs(staging)
-                import pyarrow.parquet as _pq
+        fdir = self._frontier_dir(epoch)
+        os.makedirs(ckpt.epoch_dir(cfg.workdir, epoch), exist_ok=True)
+        if not os.path.exists(staging):  # empty frontier produced no parts
+            os.makedirs(staging)
+            import pyarrow.parquet as _pq
 
-                _pq.write_table(CANDIDATE_SCHEMA.empty_table(), os.path.join(staging, "empty.parquet"))
-            if os.path.exists(fdir):
-                _shutil.rmtree(fdir)
-            os.replace(staging, fdir)
-        else:
-            write_table(frontier, fdir)
+            _pq.write_table(CANDIDATE_SCHEMA.empty_table(), os.path.join(staging, "empty.parquet"))
+        if os.path.exists(fdir):
+            _shutil.rmtree(fdir)
+        os.replace(staging, fdir)
         ckpt.write_checkpoint(
             cfg.workdir,
-            pending_epoch,
+            epoch,
             self.seen.take_deltas(),
             self.seen.digests(),
             counters,
@@ -360,9 +398,11 @@ class CrawlEngine:
         ray.data.DataContext.get_current().op_resource_reservation_enabled = False
         self.seen = ShardedSeen(cfg.n_shards, cfg.shard_capacity)
         summary = CrawlSummary()
+        import shutil as _shutil
 
         start_epoch = 0
-        frontier: ray.data.Dataset
+        frontier_base: ray.data.Dataset  # disk-backed rows of the CURRENT frontier
+        capped: ray.data.Dataset | None = None
         if resume:
             last = ckpt.latest_epoch(cfg.workdir)
             if last is None:
@@ -372,54 +412,64 @@ class CrawlEngine:
                 if manifest["config_fingerprint"] != cfg.fingerprint():
                     raise ValueError("checkpoint was written under different semantics")
                 self.seen.restore_all(ckpt.load_shards(cfg.workdir, last, cfg.n_shards))
-                frontier_dir = os.path.join(ckpt.epoch_dir(cfg.workdir, last), "frontier")
-                frontier = read_table(frontier_dir)
+                frontier_dir = self._frontier_dir(last)
+                frontier_base = read_table(frontier_dir)
                 frontier_rows = _parquet_dir_rows(frontier_dir)
                 start_epoch = last + 1
                 c = manifest["counters"]
                 summary.fetched_urls = c["fetched_urls"]
                 summary.raw_outlinks = c["raw_outlinks"]
                 summary.fresh_urls = c["fresh_urls"]
+                if frontier_rows > 0:
+                    # resumed wave selection: one cap-only execution
+                    capped = self._cap_pipeline(frontier_base, None)
         if not resume:
             if seeds is None:
                 raise ValueError("seeds required for a fresh run")
+            # seed admission IS the first epoch execution: dedup → gate
+            # → side-effect frontier write → cap, one pipelined run.
+            # The seed frontier dir is not part of any manifest — a
+            # crash before manifest(0) restarts the run from seeds.
             t_adm = time.monotonic()
-            seed_cands = ray.data.from_arrow(
-                self._seeds_to_candidates(seeds, cfg.web.seed if cfg.robots else None)
+            # normalization + md5 task ids over the seed list are CPU
+            # work that must not run serially on the driver: chunk the
+            # raw seed table and do the candidate prep inside tasks
+            robots_seed = cfg.web.seed if cfg.robots else None
+            n_cpus_avail = int(ray.cluster_resources().get("CPU", 8))
+            step = max(256, -(-len(seeds) // (2 * n_cpus_avail)))
+            chunks = [seeds.slice(off, step) for off in range(0, len(seeds), step)]
+            seed_cands = ray.data.from_arrow(chunks).map_batches(
+                lambda t, _rs=robots_seed: CrawlEngine._seeds_to_candidates(t, _rs),
+                batch_format="pyarrow",
             )
-            frontier = self._admit(seed_cands, commit_epoch=0)
-            frontier_rows = frontier.count()
-            summary.fresh_urls += frontier_rows
+            seed_dir = os.path.join(cfg.workdir, "ckpt", "seed_frontier")
+            seed_staging = seed_dir + ".staging"
+            _shutil.rmtree(seed_staging, ignore_errors=True)
+            os.makedirs(os.path.dirname(seed_dir), exist_ok=True)
+            capped, n_seed_fresh = self._admit_and_select(seed_cands, None, seed_staging, 0)
+            if not os.path.exists(seed_staging):
+                os.makedirs(seed_staging)
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(CANDIDATE_SCHEMA.empty_table(),
+                                os.path.join(seed_staging, "empty.parquet"))
+            if os.path.exists(seed_dir):
+                _shutil.rmtree(seed_dir)
+            os.replace(seed_staging, seed_dir)
+            frontier_base = read_table(seed_dir)
+            frontier_rows = n_seed_fresh
+            summary.fresh_urls += n_seed_fresh
             summary.per_epoch.append(
-                {"epoch": -1, "phase": "seed_admission", "fresh": frontier_rows,
+                {"epoch": -1, "phase": "seed_admission", "fresh": n_seed_fresh,
                  "sec": round(time.monotonic() - t_adm, 2)}
             )
 
         web_cfg = cfg.web.as_dict()
-        import shutil as _shutil
-
-        # the epoch whose frontier checkpoint is still pending: its
-        # parts are written as a side effect of the NEXT epoch's
-        # wave-selection execution (or flushed once at run end)
-        pending_epoch: int | None = None
-        pending_counters: dict = {}
         for epoch in range(start_epoch, cfg.max_epochs):
             t_epoch = time.monotonic()
             if frontier_rows == 0:
                 break
-            sink_staging = None
-            if pending_epoch is not None:
-                sink_staging = self._frontier_dir(pending_epoch) + ".staging"
-                _shutil.rmtree(sink_staging, ignore_errors=True)
-                os.makedirs(ckpt.epoch_dir(cfg.workdir, pending_epoch), exist_ok=True)
-            wave_pd, drop_wave_ids = self._select_wave(frontier, epoch, sink_dir=sink_staging)
-            if pending_epoch is not None:
-                self._commit_pending(pending_epoch, sink_staging, pending_counters)
-                # cut the lazy lineage: the frontier now lives on disk
-                # (page-cache-warm) — the next residual filter reads it
-                # instead of replaying prior epochs' unions
-                frontier = read_table(self._frontier_dir(pending_epoch))
-                pending_epoch = None
+            wave_pd = self._wave_from_capped(capped)
             t_wave = time.monotonic()
             if len(wave_pd) == 0:
                 break
@@ -429,17 +479,22 @@ class CrawlEngine:
                     (epoch, r.url, int(r.depth), int(r.priority))
                     for r in wave_pd.itertuples()
                 )
+            residual = frontier_base.map_batches(self._drop_ids_fn(wave_pd), batch_format="pyarrow")
 
-            # ONE fused pipelined execution for the whole epoch body:
-            # fetch (writing results parts as a side effect; bytes never
-            # enter the object store) → expand → canonical dedup shuffle
-            # → seen-gate semi-join → materialized slim fresh rows.
+            # ONE pipelined execution for the whole epoch: fetch
+            # (results parts written as a side effect; bytes never enter
+            # the object store) → expand → canonical dedup shuffle →
+            # seen-gate semi-join → ∪ residual → frontier-checkpoint
+            # side-effect write → politeness cap → next wave candidates.
             results_dir = ckpt.results_dir(cfg.workdir, epoch)
             staging = f"{results_dir}.staging-{epoch}"
             # a crashed earlier attempt may have left parts in the
-            # deterministic staging path — they must not be merged into
+            # deterministic staging paths — they must not be merged into
             # this run's commit (the bit-identical-resume contract)
             _shutil.rmtree(staging, ignore_errors=True)
+            frontier_staging = self._frontier_dir(epoch) + ".staging"
+            _shutil.rmtree(frontier_staging, ignore_errors=True)
+            os.makedirs(ckpt.epoch_dir(cfg.workdir, epoch), exist_ok=True)
             candidates = (
                 self._wave_dataset(wave_pd, epoch)
                 .map_batches(
@@ -456,8 +511,9 @@ class CrawlEngine:
                     batch_size=cfg.fetch_batch_size,
                 )
             )
-            fresh = self._admit(candidates, commit_epoch=epoch + 1)
-            n_fresh = fresh.count()
+            capped, n_fresh = self._admit_and_select(
+                candidates, residual, frontier_staging, epoch + 1
+            )
             t_fetch = time.monotonic()
 
             # commit this epoch's results partition (atomic rename) and
@@ -477,18 +533,25 @@ class CrawlEngine:
                     t = _pq.read_table(os.path.join(results_dir, part), columns=["n_outlinks"])
                     if t.num_columns:
                         raw_outlinks += int(pa.compute.sum(t.column("n_outlinks")).as_py() or 0)
-            t_results = time.monotonic()
-
-            # next frontier: lazy residual-filter ∪ materialized fresh —
-            # consumed (and checkpointed, as a side effect) by the next
-            # epoch's wave selection; no standalone write execution here
-            residual = frontier.map_batches(drop_wave_ids, batch_format="pyarrow")
-            frontier = residual.union(fresh)
-            frontier_rows = frontier_rows - n_fetched + n_fresh
 
             summary.fetched_urls += n_fetched
             summary.raw_outlinks += raw_outlinks
             summary.fresh_urls += n_fresh
+            # commit the epoch's frontier (side-effect parts → atomic
+            # rename) and write the manifest LAST — a manifest implies a
+            # complete frontier + results on disk
+            self._commit_epoch_checkpoint(
+                epoch, frontier_staging,
+                {
+                    "fetched_urls": summary.fetched_urls,
+                    "raw_outlinks": summary.raw_outlinks,
+                    "fresh_urls": summary.fresh_urls,
+                },
+            )
+            frontier_base = read_table(self._frontier_dir(epoch))
+            frontier_rows = frontier_rows - n_fetched + n_fresh
+            t_results = time.monotonic()
+
             summary.per_epoch.append(
                 {
                     "epoch": epoch,
@@ -500,18 +563,7 @@ class CrawlEngine:
                     "sec_results": round(t_results - t_fetch, 2),
                 }
             )
-            pending_counters = {
-                "fetched_urls": summary.fetched_urls,
-                "raw_outlinks": summary.raw_outlinks,
-                "fresh_urls": summary.fresh_urls,
-            }
-            pending_epoch = epoch
             summary.epochs = epoch + 1
-
-        if pending_epoch is not None:
-            # run end: flush the final frontier + manifest (the one
-            # standalone frontier write of the whole run)
-            self._commit_pending(pending_epoch, None, pending_counters, frontier=frontier)
 
         summary.final_frontier = frontier_rows
         summary.seen_total = self.seen.total_size()

@@ -49,6 +49,17 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+# Golden-parquet oracles (tools/make_goldens.py): serially-computed
+# expected outputs for queries SQL cannot express. The driver's gate
+# runs at sf=0.01, so the SQL reads the sf0.01 golden. Independence
+# level per golden is documented in tools/make_goldens.py.
+_GOLDEN_DIR = "/root/repo/goldens"
+
+
+def _golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
+
+
 # =====================================================================
 # Aggregations (A1/A3/A6/A7 family)
 # =====================================================================
@@ -671,12 +682,24 @@ def minhash_near_dup_pairs(sf_dir: str):
     return _pairs_frame(out, "jaccard_permille")
 
 
-@register("simhash_near_dup_pairs")
+_SIMHASH_SQL = f"""
+    WITH s AS (SELECT doc_id, sig FROM read_parquet('{_GOLDEN_DIR}/simhash_sigs.sf0.01.parquet'))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@register("simhash_near_dup_pairs", _SIMHASH_SQL)
 def simhash_near_dup_pairs(sf_dir: str):
     """SimHash near-dup: 64-bit signatures, 4×16-bit band buckets.
     Signatures are computed once in the stage and CARRIED through the
-    pair expansion; verification is a vectorized Hamming ≤ 6 with zero
-    joins and zero driver work."""
+    pair expansion; verification is a vectorized Hamming with zero
+    joins and zero driver work. Threshold 3 ⇐ the banding recall
+    guarantee (≤3 differing bits across 4 bands ⇒ ≥1 band identical),
+    which is what lets the brute-force ALL-PAIRS DuckDB oracle demand
+    exact pair-set equality."""
     from ..stages.dedup import SimHashStage, lsh_candidate_pairs, verify_hamming_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -686,7 +709,7 @@ def simhash_near_dup_pairs(sf_dir: str):
         batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
     pairs = lsh_candidate_pairs(bands, carry=["sig"])
-    out = pairs.map_batches(verify_hamming_batch(6), batch_format="pandas").to_pandas()
+    out = pairs.map_batches(verify_hamming_batch(3), batch_format="pandas").to_pandas()
     return _pairs_frame(out, "hamming")
 
 
@@ -770,9 +793,41 @@ def embedding_near_dup_pairs(sf_dir: str):
 # =====================================================================
 
 
+def _lang_id_sql() -> str:
+    """The detect_lang heuristic expressed in SQL, generated from the
+    SAME trigram table (functions/textstats._LANG_TRIGRAMS) so both
+    sides stay in lockstep. Count semantics: non-overlapping substring
+    occurrences — identical to str.count and replace()-folding."""
+    from ..functions.textstats import _LANG_TRIGRAMS
+
+    langs = [l for l, g in _LANG_TRIGRAMS.items() if g]
+    score = {
+        l: " + ".join(
+            f"(length(low) - length(replace(low, '{g}', ''))) // 3"
+            for g in _LANG_TRIGRAMS[l]
+        )
+        for l in langs
+    }
+    sel = ", ".join(f"CAST({e} AS BIGINT) AS s_{l}" for l, e in score.items())
+    m = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    first_max = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, {sel}
+      FROM (SELECT doc_id, text, substr(lower(text), 1, 1000) AS low FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(substr(text, 1, 400), '[一-鿿]') THEN 'zh'
+                WHEN m < 2 THEN 'und'
+                {first_max}
+                ELSE 'und' END AS lang_pred
+    FROM (SELECT *, {m} AS m FROM scored)
+    """
+
+
 @register("lang_id_ngram")
 def lang_id_ngram(sf_dir: str):
-    """Language-ID n-gram heuristic over documents (rows-only)."""
+    """Language-ID n-gram heuristic over documents."""
     from ..functions.textstats import detect_lang
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -784,10 +839,13 @@ def lang_id_ngram(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
-@register("doc_quality_fingerprint")
+ORACLE_SQL["lang_id_ngram"] = _lang_id_sql()
+
+
+@register("doc_quality_fingerprint", _golden_sql("quality_fp"))
 def doc_quality_fingerprint(sf_dir: str):
     """Quality scoring + rolling-hash fingerprint + BPE-ish token count
-    per document (rows-only; integers for determinism)."""
+    per document (integers for determinism; golden-parquet oracle)."""
     from ..functions.hashing import fingerprint64
     from ..functions.textstats import bpe_token_count, quality_score
 
@@ -814,7 +872,7 @@ def doc_quality_fingerprint(sf_dir: str):
 # =====================================================================
 
 
-@register("image_decode_stats")
+@register("image_decode_stats", _golden_sql("image_stats"))
 def image_decode_stats(sf_dir: str):
     """Image decode + feature extraction as an actor-pool stage over a
     binary column (T6 scorer slot). Images are generated
@@ -900,7 +958,7 @@ def image_resize_pipeline(sf_dir: str):
 # =====================================================================
 
 
-@register("crawl_frontier_pipeline")
+@register("crawl_frontier_pipeline", _golden_sql("crawl_frontier_counts"))
 def crawl_frontier_pipeline(sf_dir: str):
     """The flagship frontier engine at query scale: per-host fetch
     counts by epoch (rows-only; trace/seen-set equality vs the serial
@@ -1019,7 +1077,7 @@ def rules_tagging_documents(sf_dir: str):
     return out.select_columns(["doc_id", "tags"])
 
 
-@register("parse_entities_crawl")
+@register("parse_entities_crawl", _golden_sql("parse_entity_counts"))
 def parse_entities_crawl(sf_dir: str):
     """M2/M15/§2.10: run the parser-plugin registry (longest-suffix
     host dispatch, typed EAV entity extraction) over a mini crawl's
@@ -1048,7 +1106,7 @@ def parse_entities_crawl(sf_dir: str):
     return df
 
 
-@register("search_seeded_frontier")
+@register("search_seeded_frontier", _golden_sql("search_seeds"))
 def search_seeded_frontier(sf_dir: str):
     """S4 search-engine seeder: query terms → deterministic SERP urls →
     frontier seed rows (rows-only; feeds CrawlEngine.run directly)."""
@@ -1140,3 +1198,159 @@ def simhash_dup_clusters(sf_dir: str):
     df = clusters.groupby("cluster_id").aggregate(Count(alias_name="size")).to_pandas()
     df["size"] = df["size"].astype("int64")
     return df.astype({"cluster_id": "int64"}).sort_values(["cluster_id"]).reset_index(drop=True)
+
+
+# =====================================================================
+# Extractors / translation / importers / mail / affinity (T6-text,
+# M13, S10, S7/S8, T3 — round 2 coverage)
+# =====================================================================
+
+
+@register(
+    "regex_extract_documents",
+    r"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+           CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           CAST(length(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized,
+           CAST(length(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+')) AS BIGINT) AS n_urls,
+           COALESCE(regexp_extract_all(text, '[0-9]+')[1], '') AS first_numbers
+    FROM documents
+    """,
+)
+def regex_extract_documents(sf_dir: str):
+    """T6 extractor family (text side): compiled-once regex entity
+    extraction — email / number / capitalized-term / url counts per
+    document (extractor.py:103-115 semantics, vectorized)."""
+    from ..functions.extractors import RegexExtractStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        RegexExtractStage,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
+    return out.select_columns(
+        ["doc_id", "n_emails", "n_numbers", "n_capitalized", "n_urls", "first_numbers"]
+    )
+
+
+@register(
+    "translate_captions",
+    """
+    SELECT doc_id,
+           array_to_string(list_transform(string_split(text, ' '), x -> reverse(x)), ' ') AS translated,
+           'xx' AS tgt_lang
+    FROM documents
+    """,
+)
+def translate_captions(sf_dir: str):
+    """M13 translation: the external-model actor-pool stage (model
+    loaded once per actor, batched inference) with a deterministic fake
+    MT the DuckDB oracle reproduces."""
+    from ..functions.translate import TranslationStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        TranslationStage,
+        fn_constructor_kwargs={"text_column": "text", "tgt_lang": "xx"},
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+    return out.select_columns(["doc_id", "translated", "tgt_lang"])
+
+
+@register(
+    "doc_import_text",
+    "SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM documents",
+)
+def doc_import_text(sf_dir: str):
+    """S10 doc importer roundtrip: documents → one .txt file each →
+    ``read_binary_files`` → decode stage → rows; the oracle is the
+    source table itself, so the whole import path must be lossless."""
+    import tempfile
+
+    from ..sources.docimport import export_documents_txt, read_text_documents
+
+    doc_dir = export_documents_txt(sf_dir, tempfile.mkdtemp(prefix="cfray-import-"))
+    return read_text_documents(doc_dir)
+
+
+_MAIL_ACCOUNTS = [f"user{i}@mail.example.test" for i in range(24)]
+_NEWS_GROUPS = [f"synth.group.{i}" for i in range(12)]
+
+
+@register("mailbox_watermark_pull", _golden_sql("mailbox_counts"))
+def mailbox_watermark_pull(sf_dir: str):
+    """S7 POP/IMAP watermark pull: per-account uid watermark, bounded
+    incremental pulls, distributed account fan-out. Output: per
+    (account, folder) message counts + high watermark (golden oracle)."""
+    from ray.data.aggregate import Count, Max
+
+    from ..sources.mailbox import read_mailboxes
+
+    ds = read_mailboxes(_MAIL_ACCOUNTS, seed=42)
+    df = (
+        ds.groupby(["account", "folder"])
+        .aggregate(Count(alias_name="n_msgs"), Max("uid", alias_name="max_uid"))
+        .to_pandas()
+    )
+    return df.astype({"n_msgs": "int64", "max_uid": "int64"})
+
+
+@register("newsgroup_article_pull", _golden_sql("newsgroup_counts"))
+def newsgroup_article_pull(sf_dir: str):
+    """S8 NNTP article-range pull over newsgroups (golden oracle)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..sources.mailbox import read_newsgroups
+
+    ds = read_newsgroups(_NEWS_GROUPS, seed=42)
+    df = (
+        ds.groupby("account")
+        .aggregate(
+            Count(alias_name="n_articles"),
+            Min("uid", alias_name="first_article"),
+            Max("uid", alias_name="last_article"),
+        )
+        .to_pandas()
+    )
+    df = df.rename(columns={"account": "newsgroup"})
+    return df.astype({"n_articles": "int64", "first_article": "int64", "last_article": "int64"})
+
+
+@register(
+    "token_affinity_counts",
+    """
+    SELECT source, CAST(ascii(substr(md5(source), 1, 1)) % 4 AS BIGINT) AS token,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY source
+    """,
+)
+def token_affinity_counts(sf_dir: str):
+    """T3 token affinity: rows route through token-bound named actors
+    (state/affinity.py); the per-source counts come back FROM the
+    workers, proving every source landed on exactly its token's actor.
+    The token function is shared with the SQL oracle."""
+    import uuid
+
+    import ray
+
+    from ..state.affinity import AffinityRouter, make_token_workers
+
+    run_id = uuid.uuid4().hex[:8]
+    names, handles = make_token_workers(4, run_id)
+    ds = _read(sf_dir, "documents", ["source"])
+    routed = ds.map_batches(
+        AffinityRouter(names, key_column="source"), batch_format="pyarrow", batch_size=4096
+    )
+    routed.materialize()
+    rows = []
+    for h in handles:
+        token, counts = ray.get(h.report.remote())
+        for source, n in counts.items():
+            rows.append((source, token, n))
+    for h in handles:
+        ray.kill(h)
+    return pd.DataFrame(rows, columns=["source", "token", "n_rows"]).astype(
+        {"token": "int64", "n_rows": "int64"}
+    ).sort_values("source").reset_index(drop=True)

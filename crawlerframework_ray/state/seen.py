@@ -54,6 +54,9 @@ class SeenShard:
         self.staged.update(ids)
         return len(self.staged)
 
+    def staged_size(self) -> int:
+        return len(self.staged)
+
     def seal(self, epoch: int) -> int:
         """Epoch commit: insert the staged set in sorted order (canonical
         filter state), fold into `added`, clear staging. Idempotent:
@@ -136,6 +139,11 @@ class ShardedSeen:
     def seal(self, epoch: int) -> int:
         return sum(ray.get([s.seal.remote(epoch) for s in self.shards]))
 
+    def staged_total(self) -> int:
+        """Total staged (gate-passed) ids — the epoch's fresh count,
+        read between the gate's last batch and ``seal``."""
+        return sum(ray.get([s.staged_size.remote() for s in self.shards]))
+
     def digests(self) -> list[str]:
         return ray.get([s.digest.remote() for s in self.shards])
 
@@ -183,14 +191,20 @@ class SeenGate:
         self.n_shards = n_shards
 
     def __call__(self, batch):
+        import numpy as np
         import pyarrow as pa
+
+        from ..pipelines.crawl import _fixed16_np
 
         ids = batch.column("task_id").to_pylist()
         if not ids:
             return batch
+        # vectorized shard routing: low 8 bytes → uint64 → mod
+        arr = _fixed16_np(batch.column("task_id"))
+        shards_np = (arr[:, :8].copy().view("<u8").reshape(-1) % np.uint64(self.n_shards)).astype(np.int64)
         groups: dict[int, list[int]] = {}
-        for pos, tid in enumerate(ids):
-            groups.setdefault(ShardedSeen.shard_of_id(tid, self.n_shards), []).append(pos)
+        for pos, sh in enumerate(shards_np):
+            groups.setdefault(int(sh), []).append(pos)
         futs = {
             s: self.shards[s].contains_batch.remote([ids[p] for p in pos])
             for s, pos in groups.items()

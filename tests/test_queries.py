@@ -43,9 +43,14 @@ def _sql_queries():
 def test_query_matches_oracle(ray_session, name):
     from crawlerframework_ray.pipelines import queries as q
 
+    import os
+
     ray_df = _canon(_to_df(q.QUERIES[name](SF)))
+    # golden-parquet oracles embed the driver's sf0.01 tag; this gate
+    # runs at sf0.001 — point the SQL at the matching golden
+    sql = q.ORACLE_SQL[name].replace(".sf0.01.parquet", f".{os.path.basename(SF)}.parquet")
     with _duck() as con:
-        oracle_df = _canon(con.execute(q.ORACLE_SQL[name]).df())
+        oracle_df = _canon(con.execute(sql).df())
     assert list(ray_df.columns) == list(oracle_df.columns), (
         f"{name}: columns {list(ray_df.columns)} vs {list(oracle_df.columns)}"
     )

@@ -1,0 +1,206 @@
+"""Regenerate the golden-parquet oracles under /root/repo/goldens/.
+
+Each golden is a serially-computed expected output for a catalog query
+whose semantics plain SQL cannot express; the query's ``oracle_sql``
+entry is then ``SELECT … FROM read_parquet('<golden>')`` so the driver
+gate still compares rows+schema+hash. Independence level per golden
+(documented so the gate's strength is not overstated):
+
+- crawl_frontier_counts / parse_entity_counts: derived from the SERIAL
+  ORACLE crawl loop (pipelines/oracle.py) — an independent
+  implementation of the engine's semantics. Strong oracle.
+- simhash_sigs: shares the signature leaf function with the engine,
+  but the SQL consumes it with a brute-force ALL-PAIRS Hamming join —
+  independently checking the LSH banding's recall guarantee
+  (Hamming ≤ 3 over 4×16-bit bands ⇒ ≥1 band collides) and the whole
+  distributed pair pipeline. Medium-strong.
+- quality_fp / image_stats / search_seeds: serial recomputation of the
+  same pure functions straight off the raw parquet — a regression pin
+  for the Ray-side plumbing (weakest; labelled as such).
+
+Fully serial — no ray.init anywhere. Usage:
+
+    python tools/make_goldens.py [sf_dir ...]   # default sf0.01+sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
+
+
+def _write(name: str, sf_dir: str, df: pd.DataFrame) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(GOLDEN_DIR, f"{name}.{tag}.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    print(f"wrote {path} ({len(df)} rows)")
+
+
+def simhash_sigs(sf_dir: str) -> None:
+    from crawlerframework_ray.stages.dedup import simhash64
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = [simhash64(x) for x in t.column("text").to_pylist()]
+    _write(
+        "simhash_sigs", sf_dir,
+        pd.DataFrame({"doc_id": t.column("doc_id").to_pandas().astype("int64"),
+                      "sig": pd.Series(sigs, dtype="int64")}),
+    )
+
+
+def quality_fp(sf_dir: str) -> None:
+    from crawlerframework_ray.functions.hashing import fingerprint64
+    from crawlerframework_ray.functions.textstats import bpe_token_count, quality_score
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    _write(
+        "quality_fp", sf_dir,
+        pd.DataFrame(
+            {
+                "doc_id": t.column("doc_id").to_pandas().astype("int64"),
+                "quality_micro": pd.Series(
+                    [int(round(quality_score(x) * 1_000_000)) for x in texts], dtype="int64"
+                ),
+                "fingerprint": pd.Series([fingerprint64(x) for x in texts], dtype="int64"),
+                "n_bpe_tokens": pd.Series([bpe_token_count(x) for x in texts], dtype="int64"),
+            }
+        ),
+    )
+
+
+def image_stats(sf_dir: str) -> None:
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()[:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(int(d) % 8, int(d)), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        rows.append((rec["fmt"], img.shape[1] * img.shape[0]))
+    df = pd.DataFrame(rows, columns=["fmt", "n_pixels"])
+    out = df.groupby("fmt", as_index=False).agg(
+        n_images=("n_pixels", "size"), sum_pixels=("n_pixels", "sum")
+    )
+    out["n_images"] = out["n_images"].astype("int64")
+    out["sum_pixels"] = out["sum_pixels"].astype("int64")
+    _write("image_stats", sf_dir, out)
+
+
+def search_seeds(sf_dir: str) -> None:
+    from crawlerframework_ray.data.synth import SynthWebConfig
+    from crawlerframework_ray.sources.seeder import seeds_from_queryterms
+
+    cfg = SynthWebConfig(seed=42, n_hosts=32, path_space=4096)
+    t = seeds_from_queryterms(["amber", "basalt", "cedar"], cfg, n_results=20)
+    _write("search_seeds", sf_dir, t.to_pandas())
+
+
+def crawl_frontier_counts(sf_dir: str) -> None:
+    from crawlerframework_ray.config import CrawlConfig
+    from crawlerframework_ray.data.synth import SynthWebConfig, host_of, seeds_table
+    from crawlerframework_ray.pipelines.oracle import oracle_crawl
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cfg = CrawlConfig(
+        web=SynthWebConfig(seed=42, n_hosts=16, path_space=512, max_outlinks=5),
+        workdir="/tmp/unused-golden",
+        max_depth=2, wave_size=256, host_budget=32, n_shards=8,
+        shard_capacity=1 << 16, max_epochs=3, fetch_concurrency=2, fetch_batch_size=128,
+    )
+    seeds = seeds_table(cfg.web, min(96, max(24, n_docs // 16)))
+    oracle = oracle_crawl(cfg, seeds.to_pylist())
+    df = pd.DataFrame(
+        [(r["epoch"], host_of(r["url"])) for r in oracle["results"]], columns=["epoch", "host"]
+    )
+    out = df.groupby(["epoch", "host"], as_index=False).size().rename(columns={"size": "n_fetched"})
+    out["epoch"] = out["epoch"].astype("int32")
+    out["n_fetched"] = out["n_fetched"].astype("int64")
+    _write("crawl_frontier_counts", sf_dir, out)
+
+
+def parse_entity_counts(sf_dir: str) -> None:
+    from crawlerframework_ray.config import CrawlConfig
+    from crawlerframework_ray.data.synth import SynthWebConfig, host_of, seeds_table
+    from crawlerframework_ray.pipelines.oracle import oracle_crawl
+    from crawlerframework_ray.stages.parse import ParserRegistry
+
+    cfg = CrawlConfig(
+        web=SynthWebConfig(seed=42, n_hosts=8, path_space=128, max_outlinks=4),
+        workdir="/tmp/unused-golden",
+        max_depth=1, wave_size=64, host_budget=16, n_shards=4,
+        shard_capacity=1 << 14, max_epochs=2, fetch_batch_size=64,
+    )
+    oracle = oracle_crawl(cfg, seeds_table(cfg.web, 32).to_pylist())
+    tbl = pa.table(
+        {
+            "host": pa.array([host_of(r["url"]) for r in oracle["results"]], pa.string()),
+            "caption": pa.array([r["caption"] for r in oracle["results"]], pa.string()),
+        }
+    )
+    parsed = ParserRegistry()(tbl)
+    out = (
+        parsed.to_pandas().groupby("entity", as_index=False).size().rename(columns={"size": "n"})
+    )
+    out["n"] = out["n"].astype("int64")
+    _write("parse_entity_counts", sf_dir, out)
+
+
+def mailbox_counts(sf_dir: str) -> None:
+    from crawlerframework_ray.sources.mailbox import pull_messages
+
+    accounts = [f"user{i}@mail.example.test" for i in range(24)]
+    rows = [m for a in accounts for m in pull_messages(a, 0, 42)]
+    df = pd.DataFrame(rows)
+    out = df.groupby(["account", "folder"], as_index=False).agg(
+        n_msgs=("uid", "size"), max_uid=("uid", "max")
+    )
+    out["n_msgs"] = out["n_msgs"].astype("int64")
+    out["max_uid"] = out["max_uid"].astype("int64")
+    _write("mailbox_counts", sf_dir, out)
+
+
+def newsgroup_counts(sf_dir: str) -> None:
+    from crawlerframework_ray.sources.mailbox import group_range, synth_message
+
+    groups = [f"synth.group.{i}" for i in range(12)]
+    rows = []
+    for g in groups:
+        first, last = group_range(g, 42)
+        for art in range(first, last + 1):
+            rows.append(synth_message(g, art, 42))
+    df = pd.DataFrame(rows)
+    out = df.groupby("account", as_index=False).agg(
+        n_articles=("uid", "size"), first_article=("uid", "min"), last_article=("uid", "max")
+    ).rename(columns={"account": "newsgroup"})
+    for c in ["n_articles", "first_article", "last_article"]:
+        out[c] = out[c].astype("int64")
+    _write("newsgroup_counts", sf_dir, out)
+
+
+ALL = [simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+       parse_entity_counts, mailbox_counts, newsgroup_counts]
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    for sf in sf_dirs:
+        for fn in ALL:
+            fn(sf)
+
+
+if __name__ == "__main__":
+    main()
