@@ -1354,3 +1354,35 @@ def token_affinity_counts(sf_dir: str):
     return pd.DataFrame(rows, columns=["source", "token", "n_rows"]).astype(
         {"token": "int64", "n_rows": "int64"}
     ).sort_values("source").reset_index(drop=True)
+
+
+@register("boilerplate_extract_documents", _golden_sql("boilerplate_main"))
+def boilerplate_extract_documents(sf_dir: str):
+    """M4 main-content extraction in its real HTML form: each document
+    is wrapped in a deterministic synthetic page (nav link farm, tag
+    cloud, script/head chrome around known content divs), then pruned
+    by the reference's iterative innermost-block link-density algorithm
+    (functions/boilerplate.py; crawler/utils/utils.py:283-456). The
+    golden oracle is the BY-CONSTRUCTION expected text (content divs →
+    shared strip_html leaf) — independent of the pruning code."""
+    import hashlib
+
+    from ..functions.boilerplate import remove_boilerplate, synth_doc_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        mains = [remove_boilerplate(synth_doc_html(int(i), x)) for i, x in zip(ids, texts)]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "main_len": pa.array([len(m) for m in mains], pa.int64()),
+                "main_md5": pa.array(
+                    [hashlib.md5(m.encode()).hexdigest() for m in mains], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")

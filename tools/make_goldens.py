@@ -191,7 +191,31 @@ def newsgroup_counts(sf_dir: str) -> None:
     _write("newsgroup_counts", sf_dir, out)
 
 
-ALL = [simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+def boilerplate_main(sf_dir: str) -> None:
+    """Expected main-content extraction per document, BY CONSTRUCTION
+    (known content divs -> shared strip_html leaf; never runs the
+    pruning code). Strong oracle for boilerplate_extract_documents."""
+    import hashlib
+
+    from crawlerframework_ray.functions.boilerplate import expected_extract
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()]
+    mains = [expected_extract(x) for x in t.column("text").to_pylist()]
+    _write(
+        "boilerplate_main", sf_dir,
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "main_len": pd.Series([len(m) for m in mains], dtype="int64"),
+                "main_md5": [hashlib.md5(m.encode()).hexdigest() for m in mains],
+            }
+        ).sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+
+ALL = [boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts]
 
 
@@ -204,3 +228,4 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
