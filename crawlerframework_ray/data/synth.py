@@ -52,6 +52,12 @@ class SynthWebConfig:
     path_space: int = 2048          # distinct paths per web
     max_outlinks: int = 6
     size_shift: int = 0             # image dims 8<<(k+shift): 0 → 8-32 px, 2 → 32-128 px
+    # content drift between crawls (update-mode testing): a nonzero
+    # drift_permille re-seeds ~that fraction of pages (content AND
+    # outlinks) chosen by a stable per-url hash of drift_salt — the
+    # rest of the web is byte-identical to drift=(0,0)
+    drift_salt: int = 0
+    drift_permille: int = 0
     formats: tuple = field(default=codecs.FORMATS)
 
     def as_dict(self) -> dict:
@@ -61,6 +67,8 @@ class SynthWebConfig:
             "path_space": self.path_space,
             "max_outlinks": self.max_outlinks,
             "size_shift": self.size_shift,
+            "drift_salt": self.drift_salt,
+            "drift_permille": self.drift_permille,
         }
 
 
@@ -97,9 +105,21 @@ def _digest(url: str, seed: int) -> bytes:
     return hashlib.sha256(f"{seed}|{url}".encode()).digest()
 
 
+def effective_seed(url: str, cfg: SynthWebConfig) -> int:
+    """The page's content seed under drift: a stable per-url coin
+    (independent of the content digest) flips ~drift_permille/1000 of
+    pages to a drift-salted seed. Pure function — shared by engine and
+    oracle, so both sides see the identical drifted web."""
+    if cfg.drift_permille:
+        hd = hashlib.sha256(f"drift|{cfg.drift_salt}|{url}".encode()).digest()
+        if int.from_bytes(hd[:2], "little") % 1000 < cfg.drift_permille:
+            return cfg.seed ^ ((0x9E3779B9 * (cfg.drift_salt or 1)) & 0x7FFFFFFF)
+    return cfg.seed
+
+
 def page_record(url: str, cfg: SynthWebConfig) -> dict:
     """The pure fetch function: url → full page row (PAGES_SCHEMA fields)."""
-    d = _digest(url, cfg.seed)
+    d = _digest(url, effective_seed(url, cfg))
     w = 8 << (d[0] % 3 + cfg.size_shift)  # default 8/16/32 px
     h = 8 << (d[1] % 3 + cfg.size_shift)
     fmt = cfg.formats[d[2] % len(cfg.formats)]
@@ -168,7 +188,7 @@ def n_parts_of(url: str, cfg: SynthWebConfig) -> int:
     """~25% of pages are multi-part articles of 2-4 pages (the
     reference's pagination: a thread/article continues over 'next'
     pages, crawler/connectors/baseconnector.py:1255-1401)."""
-    d = _digest(url, cfg.seed)
+    d = _digest(url, effective_seed(url, cfg))
     return 1 + d[6] % 4 if d[6] % 8 < 2 else 1
 
 

@@ -58,6 +58,7 @@ from ..functions.urlnorm import normalize
 from ..sources.store import read_table, write_table
 from ..stages.expand import CANDIDATE_SCHEMA, expander_task_fn
 from ..stages.fetch import fetch_write_task_fn
+from ..state.hashstore import HashClassifier
 from ..state import checkpoint as ckpt
 from ..state.seen import SeenGate, ShardedSeen
 
@@ -78,6 +79,10 @@ class CrawlSummary:
     per_epoch: list = field(default_factory=list)
     trace: list = field(default_factory=list)  # (epoch, url, depth, priority)
     shard_digests: list = field(default_factory=list)
+    # update-crawl mode only (hash_store passed to run)
+    skipped_urls: int = 0
+    updated_urls: int = 0
+    new_urls: int = 0
 
 
 N_DEDUP_BUCKETS = 64
@@ -385,7 +390,16 @@ class CrawlEngine:
         )
 
     # -------------------------------------------------- main loop
-    def run(self, seeds: pa.Table | None = None, resume: bool = False) -> CrawlSummary:
+    def run(self, seeds: pa.Table | None = None, resume: bool = False,
+            hash_store=None) -> CrawlSummary:
+        """``hash_store`` (state/hashstore.HashStore, update-crawl
+        mode): classify every fetched row against the cross-run
+        content-hash store inside the fetch task — unchanged rows are
+        skipped at the results write, changed/new rows are written with
+        ``update_status`` (1/2) and their hashes staged; the store
+        seals with each epoch. The crawl schedule (trace) is untouched:
+        the seen set stays RUN-scoped dedup, exactly the reference's
+        priority-queue vs session_info split."""
         cfg = self.cfg
         t0 = time.monotonic()
         os.makedirs(cfg.workdir, exist_ok=True)
@@ -498,7 +512,13 @@ class CrawlEngine:
             candidates = (
                 self._wave_dataset(wave_pd, epoch)
                 .map_batches(
-                    fetch_write_task_fn(web_cfg, staging, verify_rows=cfg.verify_rows),
+                    fetch_write_task_fn(
+                        web_cfg, staging, verify_rows=cfg.verify_rows,
+                        classifier=(
+                            None if hash_store is None else
+                            HashClassifier(hash_store.handles(), hash_store.n_shards)
+                        ),
+                    ),
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
                 )
@@ -528,11 +548,22 @@ class CrawlEngine:
             os.replace(staging, results_dir)
 
             raw_outlinks = 0
+            n_updated = n_new = 0
+            status_cols = ["n_outlinks"] + (["update_status"] if hash_store is not None else [])
             for part in os.listdir(results_dir):
                 if part.endswith(".parquet"):
-                    t = _pq.read_table(os.path.join(results_dir, part), columns=["n_outlinks"])
+                    t = _pq.read_table(os.path.join(results_dir, part), columns=status_cols)
                     if t.num_columns:
                         raw_outlinks += int(pa.compute.sum(t.column("n_outlinks")).as_py() or 0)
+                    if hash_store is not None and t.num_columns > 1:
+                        st = t.column("update_status")
+                        n_updated += int(pa.compute.sum(pa.compute.equal(st, 1).cast(pa.int64())).as_py() or 0)
+                        n_new += int(pa.compute.sum(pa.compute.equal(st, 2).cast(pa.int64())).as_py() or 0)
+            if hash_store is not None:
+                hash_store.seal()
+                summary.updated_urls += n_updated
+                summary.new_urls += n_new
+                summary.skipped_urls += n_fetched - n_updated - n_new
 
             summary.fetched_urls += n_fetched
             summary.raw_outlinks += raw_outlinks

@@ -1386,3 +1386,46 @@ def boilerplate_extract_documents(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+@register("in_crawl_update_counts", _golden_sql("update_counts"))
+def in_crawl_update_counts(sf_dir: str):
+    """T5 in-epoch update mode: base crawl → cross-run hash store →
+    update crawl over a 25%-drifted web; unchanged pages are skipped AT
+    THE FETCH WRITE (checkSessionInfoReview semantics), changed/new
+    rows land with update_status. Returns per-(epoch, status) url
+    counts; the golden is the fully serial oracle loop + dict store."""
+    import tempfile
+
+    from .updatecrawl import demo_cfg, demo_n_seeds, update_crawl
+    from ..data.synth import seeds_table
+    from .crawl import CrawlEngine
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    base = demo_cfg(tempfile.mkdtemp(prefix="cfray-updbase-"))
+    seeds = seeds_table(base.web, demo_n_seeds(n_docs))
+    base_summary = CrawlEngine(base).run(seeds=seeds)
+    ucfg = demo_cfg(tempfile.mkdtemp(prefix="cfray-upd-"), drift=True)
+    summary, _store = update_crawl(ucfg, f"{base.workdir}/results", seeds)
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    written = ray.data.read_parquet(
+        f"{ucfg.workdir}/results", columns=["epoch", "update_status"]
+    )
+    df = written.groupby(["epoch", "update_status"]).aggregate(
+        Count(alias_name="n_urls")
+    ).to_pandas()
+    df["status"] = df["update_status"].map({1: "updated", 2: "new"})
+    df = df[["epoch", "status", "n_urls"]].astype({"epoch": "int64", "n_urls": "int64"})
+    # skipped rows are (correctly) absent from the written partitions;
+    # their count comes from the engine's per-status counters
+    skipped = pd.DataFrame(
+        {"epoch": [-1], "status": ["skipped"], "n_urls": [summary.skipped_urls]}
+    ).astype({"epoch": "int64", "n_urls": "int64"})
+    return (
+        pd.concat([df, skipped], ignore_index=True)
+        .sort_values(["epoch", "status"])
+        .reset_index(drop=True)
+    )

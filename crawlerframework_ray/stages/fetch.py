@@ -56,7 +56,8 @@ SLIM_SCHEMA = pa.schema(
 )
 
 
-def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = False):
+def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = False,
+                        classifier=None):
     """Fused fetch+sink stage: fetch the batch, WRITE the full results
     rows (bytes payload included) straight to a parquet part file in
     ``staging_dir`` from inside the task, and return only the slim
@@ -73,7 +74,15 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
     an orphaned staging dir that the next attempt clears. Parts are
     named by the content hash of the batch's sorted task ids, so a Ray
     task retry OVERWRITES its own part instead of duplicating rows —
-    the write is idempotent under the default retry policy."""
+    the write is idempotent under the default retry policy.
+
+    ``classifier`` (update-crawl mode, state/hashstore.HashClassifier):
+    each fetched row is classified against the cross-run content-hash
+    store IN the fetch task — unchanged rows are skipped at the results
+    write (the reference's checkSessionInfoReview skip, inside the
+    epoch), changed/new rows carry an ``update_status`` column (1
+    updated / 2 new). Expansion is unaffected: unchanged pages still
+    stream their outlinks downstream."""
     import hashlib as _hashlib
     import os
 
@@ -89,6 +98,13 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
         if verify_rows:
             verify_payload_batch(out)
         results = out.drop_columns(["outlinks"])
+        if classifier is not None:
+            statuses = classifier(
+                batch.column("task_id").to_pylist(), results.column("content_hash").to_pylist()
+            )
+            st = pa.array(statuses, pa.int8())
+            results = results.append_column("update_status", st)
+            results = results.filter(pa.compute.not_equal(st, 0))
         os.makedirs(staging_dir, exist_ok=True)
         # content-addressed part name: identical input batch ⇒ identical
         # file name, so retries overwrite rather than duplicate

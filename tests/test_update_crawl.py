@@ -1,0 +1,119 @@
+"""In-crawl update mode (T5 in-epoch) vs the serial oracle:
+
+base crawl → hash store → drifted-web update crawl. Gates: trace
+equality on the drifted web, skip/update/new counts, written-rows set
+(unchanged rows must NOT be written), per-shard hash-store digest
+equality, and the salt=0 degenerate case (everything skipped)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from crawlerframework_ray.config import CrawlConfig
+from crawlerframework_ray.data.synth import SynthWebConfig, seeds_table
+from crawlerframework_ray.functions.hashing import task_id
+from crawlerframework_ray.pipelines.crawl import CrawlEngine
+from crawlerframework_ray.pipelines.oracle import oracle_crawl
+from crawlerframework_ray.pipelines.updatecrawl import (
+    oracle_update_crawl,
+    results_hashes,
+    update_crawl,
+)
+
+
+def _cfg(workdir: str, **kw) -> CrawlConfig:
+    base = dict(
+        web=SynthWebConfig(seed=23, n_hosts=8, path_space=96, max_outlinks=5),
+        workdir=workdir,
+        max_depth=2,
+        wave_size=48,
+        host_budget=12,
+        n_shards=4,
+        shard_capacity=1 << 14,
+        max_epochs=3,
+        fetch_concurrency=2,
+        fetch_batch_size=64,
+        record_trace=True,
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def _drifted(cfg: CrawlConfig, workdir: str, salt: int, permille: int) -> CrawlConfig:
+    web = SynthWebConfig(
+        **{**cfg.web.as_dict(), "drift_salt": salt, "drift_permille": permille}
+    )
+    return dataclasses.replace(cfg, web=web, workdir=workdir)
+
+
+@pytest.fixture(scope="module")
+def update_pair(ray_session, tmp_path_factory):
+    base_dir = tmp_path_factory.mktemp("updbase")
+    cfg = _cfg(str(base_dir / "crawl"))
+    seeds = seeds_table(cfg.web, 40)
+    CrawlEngine(cfg).run(seeds=seeds)
+    prev_oracle = oracle_crawl(cfg, seeds.to_pylist())
+    prev_hashes = results_hashes(prev_oracle["results"])
+
+    ucfg = _drifted(cfg, str(base_dir / "update"), salt=7, permille=300)
+    summary, store = update_crawl(ucfg, f"{cfg.workdir}/results", seeds)
+    oracle = oracle_update_crawl(ucfg, seeds.to_pylist(), prev_hashes)
+    return ucfg, summary, store, oracle
+
+
+def test_update_trace_equality(update_pair):
+    _, summary, _, oracle = update_pair
+    assert summary.trace == oracle["trace"]
+
+
+def test_update_counts_match(update_pair):
+    _, summary, _, oracle = update_pair
+    assert summary.skipped_urls == oracle["counts"]["skipped_urls"]
+    assert summary.updated_urls == oracle["counts"]["updated_urls"]
+    assert summary.new_urls == oracle["counts"]["new_urls"]
+    # drift at 300 permille over a drifted-outlink web must exercise
+    # all three statuses, or the fixture proves nothing
+    assert summary.skipped_urls > 0
+    assert summary.updated_urls > 0
+    assert summary.new_urls > 0
+
+
+def test_update_written_rows_match(update_pair):
+    """Results partitions contain exactly the oracle's changed/new rows
+    (unchanged rows skipped at the write), statuses per tid equal."""
+    import pyarrow.parquet as pq
+    import pathlib
+
+    ucfg, _, _, oracle = update_pair
+    written = {}
+    for p in pathlib.Path(f"{ucfg.workdir}/results").rglob("*.parquet"):
+        t = pq.read_table(p, columns=["url", "priority", "update_status"])
+        for u, pr, st in zip(
+            t.column("url").to_pylist(),
+            t.column("priority").to_pylist(),
+            t.column("update_status").to_pylist(),
+        ):
+            written[task_id(u, int(pr))] = st
+    expect = {
+        task_id(r["url"], int(r["priority"])): r["update_status"] for r in oracle["written"]
+    }
+    assert written == expect
+
+
+def test_update_store_digests_match(update_pair):
+    _, _, store, oracle = update_pair
+    assert store.digests() == oracle["store_digests"]
+    assert store.total_size() == len(oracle["store"])
+
+
+def test_no_drift_all_skipped(ray_session, tmp_path):
+    cfg = _cfg(str(tmp_path / "crawl"), max_epochs=2)
+    seeds = seeds_table(cfg.web, 30)
+    CrawlEngine(cfg).run(seeds=seeds)
+    ucfg = dataclasses.replace(cfg, workdir=str(tmp_path / "update"))
+    summary, _ = update_crawl(ucfg, f"{cfg.workdir}/results", seeds)
+    assert summary.updated_urls == 0
+    assert summary.new_urls == 0
+    assert summary.skipped_urls == summary.fetched_urls

@@ -215,7 +215,40 @@ def boilerplate_main(sf_dir: str) -> None:
 
 
 
-ALL = [boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+def update_counts(sf_dir: str) -> None:
+    """Per-(epoch, status) counts of the update-mode demo crawl,
+    computed by the FULLY SERIAL oracle loop + dict store
+    (pipelines/updatecrawl.oracle_update_crawl). Strong oracle."""
+    from crawlerframework_ray.data.synth import seeds_table
+    from crawlerframework_ray.functions.hashing import task_id
+    from crawlerframework_ray.pipelines.oracle import oracle_crawl
+    from crawlerframework_ray.pipelines.updatecrawl import (
+        demo_cfg, demo_n_seeds, oracle_update_crawl, results_hashes)
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    base = demo_cfg("/unused")
+    seeds = seeds_table(base.web, demo_n_seeds(n_docs)).to_pylist()
+    prev = oracle_crawl(base, seeds)
+    ucfg = demo_cfg("/unused", drift=True)
+    upd = oracle_update_crawl(ucfg, seeds, results_hashes(prev["results"]))
+    rows: dict[tuple, int] = {}
+    for r in upd["written"]:
+        key = (int(r["epoch"]), {1: "updated", 2: "new"}[r["update_status"]])
+        rows[key] = rows.get(key, 0) + 1
+    out = pd.DataFrame(
+        [(e, s, n) for (e, s), n in rows.items()], columns=["epoch", "status", "n_urls"]
+    )
+    skipped = pd.DataFrame(
+        [(-1, "skipped", upd["counts"]["skipped_urls"])],
+        columns=["epoch", "status", "n_urls"],
+    )
+    out = pd.concat([out, skipped], ignore_index=True).astype(
+        {"epoch": "int64", "n_urls": "int64"}
+    ).sort_values(["epoch", "status"]).reset_index(drop=True)
+    _write("update_counts", sf_dir, out)
+
+
+ALL = [update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts]
 
 
