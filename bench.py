@@ -54,17 +54,22 @@ def run_crawl(num_cpus: int) -> dict:
         # what the scaling comparison measures. Two waves of 180k (vs 3x16k in
         # round 1) amortize the per-epoch fixed cost the way production
         # multi-million-URL waves would — the north_rule's regime.
-        web=SynthWebConfig(seed=42, n_hosts=512, path_space=1 << 17, max_outlinks=6, size_shift=2),
+        web=SynthWebConfig(seed=42, n_hosts=512, path_space=1 << 17, max_outlinks=6,
+                           size_shift=int(os.environ.get("RAY_GRAFT_SHIFT", "2"))),
         workdir=workdir,
         max_depth=2,
-        wave_size=184320,
-        host_budget=432,
+        wave_size=int(os.environ.get("RAY_GRAFT_WAVE", "184320")),
+        host_budget=432 * int(os.environ.get("RAY_GRAFT_WAVE", "184320")) // 184320,
         n_shards=16,
         shard_capacity=1 << 20,
         max_epochs=2,
         fetch_concurrency=max(2, min(8, num_cpus // 2)),
         fetch_batch_size=512,
         verify_rows=True,  # per-row payload invariant enforced in-engine
+        # at multi-hundred-k waves the driver must not do O(wave) seed
+        # admission / wave cuts — force the distributed paths (both are
+        # trace-identical to the driver forms)
+        driver_topk_max=int(os.environ.get("RAY_GRAFT_TOPK_MAX", str(1 << 20))),
     )
     # warm the worker pool (process spawn + package import in every
     # worker) so cluster cold-start isn't billed to steady-state
@@ -176,7 +181,15 @@ def scaling() -> None:
     hardware ceiling folded in."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_CRAWL_ONLY="1")
+        # scaling config ≠ headline config: size_shift=1 payloads. Rationale (BASELINE.md §scaling): on a
+        # real N→4N NODE comparison every node brings its own memory
+        # bus; on this single shared-bus VM, heavy-payload synthesis at
+        # 32-wide saturates memory bandwidth and measures the HOST, not
+        # the engine (CPU-seconds of the identical fetch work inflate
+        # 1.7-1.9× — decomposition table in BASELINE.md). The headline
+        # 32-cpu bench keeps the heavier size_shift=2 payloads.
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_CRAWL_ONLY="1",
+                   RAY_GRAFT_WAVE="368640", RAY_GRAFT_SHIFT="1", RAY_GRAFT_TOPK_MAX="65536")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -7,21 +7,21 @@ grouped top-k ("politeness budget"); the enqueue dedup gate
 (priorityqueue.py:39-43) becomes the sharded cuckoo SeenGate semi-join;
 bdb persistence becomes per-epoch parquet checkpoints.
 
-One epoch = exactly TWO pipelined executions (the round-1 design spent
-4-6, and the ~1 s fixed cost per Ray Data execution dominated wall
-time at bench scale — BASELINE.md scaling decomposition):
+One epoch = ONE pipelined execution with ONE shuffle (round 1 spent
+4-6 executions and round 2's first cut spent two sort shuffles; each
+extra execution costs ~1 s fixed and each extra sort barrier idles the
+cluster for ~2-3 s at 16+ cpus — BASELINE.md scaling decomposition):
 
-  E1 (wave select): residual ∪ fresh ──(side-effect: frontier parts
-       written for epoch t-1's checkpoint)──▶ groupby(host-bucket)
-       per-host politeness cap + per-bucket partial top-k ──▶ capped
-       (materialized, ≤ min(hosts×budget, buckets×wave_size)); the
-       global top-``wave_size`` cut runs driver-side while capped is
-       small (≤ ``driver_topk_max``) and falls back to the distributed
-       sort+limit beyond that.
-  E2 (epoch body): wave ──map_batches(fetch: results parts written as
-       a side effect; bytes never enter the object store)──▶ expand
-       ──groupby(task_id-bucket) canonical dedup [shuffle]──▶
-       SeenGate semi-join ──▶ fresh rows (materialized).
+  wave ──map_batches(fetch: results parts written as a side effect;
+       bytes never enter the object store)──▶ expand ──∪ residual──▶
+       groupby(host-bucket) [THE shuffle] ──▶ per bucket, one
+       vectorized group fn: canonical dedup → seen-gate RPC →
+       frontier-checkpoint part write → politeness cap + partial
+       top-k ──▶ capped (materialized, ≤ min(hosts×budget,
+       buckets×wave_size)). Same-url candidates share a host, so
+       host-bucketing preserves GLOBAL dedup. The global
+       top-``wave_size`` cut runs driver-side while capped is small
+       (≤ ``driver_topk_max``), distributed sort+limit beyond.
 
 Determinism: full-tiebreak sort keys (priority, depth, -score, host,
 url), canonical min-reduction on duplicate candidates, read-only seen
@@ -44,6 +44,7 @@ no write→read round trip on the hot path. Wave-id broadcast is one
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -125,58 +126,117 @@ def _fixed16_np(col) -> "np.ndarray":
     return a[off : off + len(col) * 16].reshape(-1, 16)
 
 
-def _add_dedup_bucket(t: pa.Table) -> pa.Table:
-    """Shuffle key for candidate dedup: a byte of the task_id. Grouping
-    by ~64 buckets instead of per-task_id groups keeps the reduction
-    vectorized (one pandas call per bucket, not one Python call per
-    duplicate set). Bucket math is a zero-copy numpy view, not a
-    per-row loop."""
-    import numpy as np
-
-    if len(t) == 0:
-        return t.append_column("bucket", pa.array([], pa.int32()))
-    arr = _fixed16_np(t.column("task_id"))
-    buckets = pa.array((arr[:, 2] % N_DEDUP_BUCKETS).astype(np.int32))
-    return t.append_column("bucket", buckets)
-
-
-def _canonical_dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-bucket canonical reduction: min (depth, parent_url) per
-    (url, priority) — matches the serial oracle's
-    first-discoverer-in-heap-order rule. Vectorized: stable sort +
-    drop_duplicates over the whole bucket."""
-    g = g.sort_values(["depth", "parent_url"], kind="mergesort")
-    return g.drop_duplicates(subset=["url", "priority"], keep="first").drop(columns=["bucket"])
 
 
 def _cast_candidates(t: pa.Table) -> pa.Table:
     return t.select(CANDIDATE_SCHEMA.names).cast(CANDIDATE_SCHEMA)
 
 
-def frontier_sink_fn(staging_dir: str):
-    """Pass-through ``map_batches`` stage that persists each frontier
-    batch as a parquet part — the frontier checkpoint is a SIDE EFFECT
-    of the wave-selection execution, not its own write job. Parts are
-    content-addressed (hash of the batch's sorted task ids) so task
-    retries overwrite instead of duplicating; the driver renames the
-    staging dir into the checkpoint atomically before writing the
-    manifest."""
-    import hashlib as _hashlib
-    import os
 
-    import pyarrow.parquet as pq_mod
 
-    def fn(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch
-        os.makedirs(staging_dir, exist_ok=True)
-        part_id = _hashlib.md5(b"".join(sorted(batch.column("task_id").to_pylist()))).hexdigest()
-        tmp = os.path.join(staging_dir, f".part-{part_id}.tmp")
-        pq_mod.write_table(batch, tmp)
-        os.replace(tmp, os.path.join(staging_dir, f"part-{part_id}.parquet"))
-        return batch
+def _flag_and_bucket(flag: int):
+    """Cast to the candidate schema and append the union-source flag
+    (0 candidate / 1 residual) + host-bucket shuffle key."""
+    import zlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _cast_candidates(t)
+        hs = t.column("host").to_pylist()
+        b = pa.array([zlib.crc32(h.encode()) % N_DEDUP_BUCKETS for h in hs], pa.int32())
+        flags = pa.array([flag] * len(t), pa.int8())
+        return t.append_column("__residual", flags).append_column("bucket", b)
 
     return fn
+
+
+def _admit_cap_bucket_fn(shard_handles: list, n_shards: int, budget: int,
+                         wave_size: int, robots_seed: int | None, sink_dir: str | None):
+    """The per-host-bucket epoch reduction (see _admit_and_select).
+    Ships only shard handles; everything inside is vectorized pandas
+    plus one batched RPC round per shard. Task retries are safe: dedup
+    and cap are pure, staging is a set union of identical ids, and the
+    frontier part name is content-addressed."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hashlib
+        import os as _os
+
+        import numpy as _np
+
+        g = g.drop(columns=["bucket"])
+        res = g[g["__residual"] == 1].drop(columns=["__residual"])
+        cand = g[g["__residual"] == 0].drop(columns=["__residual"])
+        if len(cand):
+            # canonical dedup: min (depth, parent_url) per (url, priority)
+            cand = cand.sort_values(["depth", "parent_url"], kind="mergesort").drop_duplicates(
+                subset=["url", "priority"], keep="first"
+            )
+            # seen-gate semi-join: read-only contains + stage fresh ids,
+            # one RPC per shard (candidates are globally unique here —
+            # same url ⇒ same host ⇒ same bucket)
+            ids = [bytes(x) for x in cand["task_id"]]
+            groups: dict[int, list[int]] = {}
+            for pos, tid in enumerate(ids):
+                groups.setdefault(ShardedSeen.shard_of_id(tid, n_shards), []).append(pos)
+            futs = {
+                s: shard_handles[s].contains_batch.remote([ids[p] for p in pos])
+                for s, pos in groups.items()
+            }
+            mask = _np.zeros(len(ids), dtype=bool)
+            for s, pos in groups.items():
+                for p, hit in zip(pos, ray.get(futs[s])):
+                    mask[p] = hit
+            fresh = cand[~mask]
+            fgroups: dict[int, list[bytes]] = {}
+            for tid, m in zip(ids, mask):
+                if not m:
+                    fgroups.setdefault(ShardedSeen.shard_of_id(tid, n_shards), []).append(tid)
+            if fgroups:
+                ray.get([shard_handles[s].stage.remote(v) for s, v in fgroups.items()])
+        else:
+            fresh = cand
+        frontier = pd.concat([fresh, res], ignore_index=True)
+        # frontier-checkpoint side effect (content-addressed part)
+        if sink_dir is not None and len(frontier):
+            _os.makedirs(sink_dir, exist_ok=True)
+            tbl = (
+                pa.Table.from_pandas(frontier, preserve_index=False)
+                .select(CANDIDATE_SCHEMA.names)
+                .cast(CANDIDATE_SCHEMA)
+            )
+            part_id = _hashlib.md5(
+                b"".join(sorted(bytes(x) for x in frontier["task_id"]))
+            ).hexdigest()
+            tmp = _os.path.join(sink_dir, f".part-{part_id}.tmp")
+            pq_write_frontier(tbl, tmp)
+            _os.replace(tmp, _os.path.join(sink_dir, f"part-{part_id}.parquet"))
+        # politeness cap + per-bucket partial top-k (the wave key sort)
+        g2 = frontier.sort_values(
+            SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
+        )
+        ranks = g2.groupby("host", sort=False).cumcount().to_numpy()
+        if robots_seed is not None:
+            # token-bucket rate model: per-host epoch budget =
+            # host_budget >> robots crawl_delay (worker-cached rules)
+            rc = _robots_cache(robots_seed)
+            budgets = {h: rc.host_budget(h, budget) for h in g2["host"].unique()}
+            lim = g2["host"].map(budgets).to_numpy()
+        else:
+            lim = budget
+        if len(g2):
+            g2 = g2[ranks < lim]
+        if len(g2) > wave_size:
+            g2 = g2.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(wave_size)
+        return g2
+
+    return fn
+
+
+def pq_write_frontier(tbl: pa.Table, path: str) -> None:
+    import pyarrow.parquet as pq_mod
+
+    pq_mod.write_table(tbl, path)
+
 
 
 class CrawlEngine:
@@ -220,96 +280,76 @@ class CrawlEngine:
             schema=CANDIDATE_SCHEMA,
         )
 
-    def _cap_pipeline(self, frontier: ray.data.Dataset, sink_dir: str | None = None):
-        """Politeness cap + per-bucket partial top-k over a frontier
-        stream → materialized ``capped`` (≤ min(hosts × budget,
-        buckets × wave_size) rows), with an optional side-effect
-        frontier-checkpoint write on the way in."""
+    def _admit_and_select(self, candidates: ray.data.Dataset | None,
+                          residual: ray.data.Dataset | None,
+                          sink_dir: str | None, commit_epoch: int | None):
+        """THE epoch execution — ONE shuffle: candidates (flag 0) ∪
+        residual (flag 1) → groupby(host-bucket) → per bucket, in one
+        vectorized group fn: canonical dedup → seen-gate RPC →
+        frontier-checkpoint part write → politeness cap + partial
+        top-k → capped. Same-url candidates always share a host, so
+        host-bucketing preserves GLOBAL dedup; the earlier two-shuffle
+        form (tid-bucket dedup, then host-bucket cap) paid a second
+        sort barrier per epoch for nothing (measured ~2-3 s of idle
+        cores per epoch at 16+ cpus). Returns (capped, n_fresh); seals
+        the shards after the execution unless ``commit_epoch`` is None
+        (resume-time cap-only run)."""
         cfg = self.cfg
-        budget = cfg.host_budget
-        wave_size = cfg.wave_size
-
-        def add_host_bucket(t: pa.Table) -> pa.Table:
-            hs = t.column("host").to_pylist()
-            import zlib
-
-            b = pa.array([zlib.crc32(h.encode()) % N_DEDUP_BUCKETS for h in hs], pa.int32())
-            return t.append_column("bucket", b)
-
-        robots_seed = cfg.web.seed if cfg.robots else None
-
-        def cap_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            # politeness cap, vectorized per host-bucket: stable sort by
-            # the wave key, then per-host head(token budget); a bucket
-            # never needs to surface more than wave_size rows globally,
-            # so a per-bucket partial top-k bounds what leaves the shuffle
-            g = g.sort_values(
-                SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
-            )
-            ranks = g.groupby("host", sort=False).cumcount().to_numpy()
-            if robots_seed is not None:
-                # token-bucket rate model: per-host epoch budget =
-                # host_budget >> robots crawl_delay (worker-cached rules)
-                rc = _robots_cache(robots_seed)
-                budgets = {h: rc.host_budget(h, budget) for h in g["host"].unique()}
-                lim = g["host"].map(budgets).to_numpy()
-            else:
-                lim = budget
-            g = g[ranks < lim]
-            if len(g) > wave_size:
-                g = g.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(wave_size)
-            return g.drop(columns=["bucket"])
-
-        pipe = frontier
-        if sink_dir is not None:
-            pipe = pipe.map_batches(frontier_sink_fn(sink_dir), batch_format="pyarrow")
-        return (
-            pipe.map_batches(add_host_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(cap_bucket, batch_format="pandas")
+        parts = []
+        if candidates is not None:
+            parts.append(candidates.map_batches(_flag_and_bucket(0), batch_format="pyarrow"))
+        if residual is not None:
+            parts.append(residual.map_batches(_flag_and_bucket(1), batch_format="pyarrow"))
+        flagged = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+        fn = _admit_cap_bucket_fn(
+            self.seen.handles(), cfg.n_shards, cfg.host_budget, cfg.wave_size,
+            cfg.web.seed if cfg.robots else None, sink_dir,
+        )
+        capped = (
+            flagged.groupby("bucket")
+            .map_groups(fn, batch_format="pandas")
             .map_batches(_cast_candidates, batch_format="pyarrow")
             .materialize()
         )
-
-    def _admit_and_select(self, candidates: ray.data.Dataset,
-                          residual: ray.data.Dataset | None,
-                          sink_dir: str | None, commit_epoch: int):
-        """THE epoch execution (one pipelined run): candidate stream →
-        canonical dedup shuffle → seen-gate semi-join → union with the
-        residual frontier → side-effect frontier-checkpoint write →
-        politeness cap → materialized ``capped`` for the NEXT wave.
-        Returns (capped, n_fresh). Seals the epoch on the shards after
-        the execution completes (staged sets are complete then)."""
-        unique = (
-            candidates.map_batches(_add_dedup_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(_canonical_dedup_bucket, batch_format="pandas")
-        )
-        # SeenGate is passed as a callable INSTANCE → task pool, not an
-        # actor pool: it holds only shard handles (cheap to ship), and
-        # task stages avoid per-epoch actor spin-up. Residual rows are
-        # already-seen by construction, so they join AFTER the gate.
-        fresh = unique.map_batches(_cast_candidates, batch_format="pyarrow").map_batches(
-            SeenGate(self.seen.handles(), self.cfg.n_shards),
-            batch_format="pyarrow",
-            batch_size=8192,
-        )
-        frontier = fresh.union(residual) if residual is not None else fresh
-        capped = self._cap_pipeline(frontier, sink_dir)
+        if commit_epoch is None:
+            return capped, 0
         # fresh count = what the gate staged (globally unique upstream),
         # read before seal folds the staging sets into the filters
         n_fresh = self.seen.staged_total()
         self.seen.seal(commit_epoch)
         return capped, n_fresh
 
+    def _driver_cap(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Driver-side politeness cap over a small frontier — the exact
+        global form of ``cap_bucket`` (same stable sort, same per-host
+        token budgets; no wave_size truncation, which only bounds the
+        shuffle in the distributed form)."""
+        cfg = self.cfg
+        g = df.sort_values(
+            SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
+        )
+        ranks = g.groupby("host", sort=False).cumcount().to_numpy()
+        if cfg.robots:
+            rc = _robots_cache(cfg.web.seed)
+            budgets = {h: rc.host_budget(h, cfg.host_budget) for h in g["host"].unique()}
+            lim = g["host"].map(budgets).to_numpy()
+        else:
+            lim = cfg.host_budget
+        return g[ranks < lim]
+
     # -------------------------------------------------- wave selection
-    def _wave_from_capped(self, capped: ray.data.Dataset) -> pd.DataFrame:
+    def _wave_from_capped(self, capped) -> pd.DataFrame:
         """Global top-``wave_size`` cut over the materialized capped
         set: driver-side while small (bounded by min(hosts × budget,
         buckets × wave_size)), distributed sort+limit beyond
         ``driver_topk_max``. Both paths produce the identical wave
-        (total order, full tiebreak)."""
+        (total order, full tiebreak). Accepts the driver-resident
+        DataFrame the seed fast path produces."""
         cfg = self.cfg
+        if isinstance(capped, pd.DataFrame):
+            return capped.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(
+                cfg.wave_size
+            )
         if capped.count() > cfg.driver_topk_max:
             # per-block partial top-k already ran in cap_bucket, so this
             # sort shuffle moves ≤ buckets × wave_size rows
@@ -436,7 +476,7 @@ class CrawlEngine:
                 summary.fresh_urls = c["fresh_urls"]
                 if frontier_rows > 0:
                     # resumed wave selection: one cap-only execution
-                    capped = self._cap_pipeline(frontier_base, None)
+                    capped, _ = self._admit_and_select(None, frontier_base, None, None)
         if not resume:
             if seeds is None:
                 raise ValueError("seeds required for a fresh run")
@@ -460,7 +500,39 @@ class CrawlEngine:
             seed_staging = seed_dir + ".staging"
             _shutil.rmtree(seed_staging, ignore_errors=True)
             os.makedirs(os.path.dirname(seed_dir), exist_ok=True)
-            capped, n_seed_fresh = self._admit_and_select(seed_cands, None, seed_staging, 0)
+            if len(seeds) <= cfg.driver_topk_max:
+                # driver fast path (same precedent as _wave_from_capped:
+                # identical semantics, two sizes): the prep pipeline is
+                # the only distributed step; dedup/gate/cap run as
+                # vectorized driver ops on the collected slim rows,
+                # skipping two sort barriers and a 10-operator execution
+                # whose CPU content is < 1 s. Beyond driver_topk_max the
+                # distributed path below produces the identical state.
+                import numpy as _np
+                import pyarrow.parquet as _pq
+
+                cand_pd = seed_cands.to_pandas()
+                # canonical dedup — min (depth, parent_url) per (url, priority),
+                # the same rule _admit_cap_bucket_fn applies distributed
+                cand_pd = cand_pd.sort_values(
+                    ["depth", "parent_url"], kind="mergesort"
+                ).drop_duplicates(subset=["url", "priority"], keep="first")
+                ids = [bytes(x) for x in cand_pd["task_id"]]
+                mask = _np.array(self.seen.contains_batch(ids), dtype=bool)
+                fresh_pd = cand_pd[~mask]
+                self.seen.stage([tid for tid, m in zip(ids, mask) if not m])
+                n_seed_fresh = len(fresh_pd)
+                self.seen.seal(0)
+                os.makedirs(seed_staging, exist_ok=True)
+                tbl = (
+                    pa.Table.from_pandas(fresh_pd, preserve_index=False)
+                    .select(CANDIDATE_SCHEMA.names)
+                    .cast(CANDIDATE_SCHEMA)
+                )
+                _pq.write_table(tbl, os.path.join(seed_staging, "part-seed.parquet"))
+                capped = self._driver_cap(fresh_pd)
+            else:
+                capped, n_seed_fresh = self._admit_and_select(seed_cands, None, seed_staging, 0)
             if not os.path.exists(seed_staging):
                 os.makedirs(seed_staging)
                 import pyarrow.parquet as _pq
@@ -547,15 +619,21 @@ class CrawlEngine:
                 _pq.write_table(pa.schema([]).empty_table(), os.path.join(staging, "empty.parquet"))
             os.replace(staging, results_dir)
 
+            # raw-outlink counter: summed from the part NAMES (the fetch
+            # sink encodes each part's pre-classification n_outlinks sum
+            # as ".n<total>"), so the per-epoch roll-up is one listdir —
+            # no parquet scan on the epoch's serial path
             raw_outlinks = 0
             n_updated = n_new = 0
-            status_cols = ["n_outlinks"] + (["update_status"] if hash_store is not None else [])
             for part in os.listdir(results_dir):
-                if part.endswith(".parquet"):
-                    t = _pq.read_table(os.path.join(results_dir, part), columns=status_cols)
+                if not part.endswith(".parquet"):
+                    continue
+                m = re.search(r"\.n(\d+)\.parquet$", part)
+                if m:
+                    raw_outlinks += int(m.group(1))
+                if hash_store is not None:
+                    t = _pq.read_table(os.path.join(results_dir, part), columns=["update_status"])
                     if t.num_columns:
-                        raw_outlinks += int(pa.compute.sum(t.column("n_outlinks")).as_py() or 0)
-                    if hash_store is not None and t.num_columns > 1:
                         st = t.column("update_status")
                         n_updated += int(pa.compute.sum(pa.compute.equal(st, 1).cast(pa.int64())).as_py() or 0)
                         n_new += int(pa.compute.sum(pa.compute.equal(st, 2).cast(pa.int64())).as_py() or 0)
@@ -579,7 +657,10 @@ class CrawlEngine:
                     "fresh_urls": summary.fresh_urls,
                 },
             )
-            frontier_base = read_table(self._frontier_dir(epoch))
+            n_cpu_now = int(ray.cluster_resources().get("CPU", 8))
+            frontier_base = read_table(
+                self._frontier_dir(epoch), override_num_blocks=2 * n_cpu_now
+            )
             frontier_rows = frontier_rows - n_fetched + n_fresh
             t_results = time.monotonic()
 

@@ -919,7 +919,7 @@ def image_decode_stats(sf_dir: str):
     return df
 
 
-@register("image_resize_pipeline")
+@register("image_resize_pipeline", _golden_sql("image_resize_stats"))
 def image_resize_pipeline(sf_dir: str):
     """Resize (block-mean, real) → decode-stats over the resized
     payload — the image-transform plumbing end-to-end (rows-only)."""
@@ -1123,24 +1123,32 @@ def search_seeded_frontier(sf_dir: str):
 # =====================================================================
 
 
-def _mini_crawl_workdir(sf_dir: str, tag: str, max_epochs: int = 2):
-    import tempfile
-
+def _mini_crawl_cfg(workdir: str, max_epochs: int = 2):
+    """ONE definition of the mini-crawl config shared by the queries
+    and their serial goldens (tools/make_goldens.py)."""
     from ..config import CrawlConfig
-    from ..data.synth import SynthWebConfig, seeds_table
-    from .crawl import CrawlEngine
+    from ..data.synth import SynthWebConfig
 
-    cfg = CrawlConfig(
+    return CrawlConfig(
         web=SynthWebConfig(seed=42, n_hosts=8, path_space=128, max_outlinks=4),
-        workdir=tempfile.mkdtemp(prefix=f"cfray-{tag}-"),
+        workdir=workdir,
         max_depth=2, wave_size=64, host_budget=16, n_shards=4,
         shard_capacity=1 << 14, max_epochs=max_epochs, fetch_batch_size=64,
     )
+
+
+def _mini_crawl_workdir(sf_dir: str, tag: str, max_epochs: int = 2):
+    import tempfile
+
+    from ..data.synth import seeds_table
+    from .crawl import CrawlEngine
+
+    cfg = _mini_crawl_cfg(tempfile.mkdtemp(prefix=f"cfray-{tag}-"), max_epochs)
     CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 32))
     return cfg
 
 
-@register("recrawl_change_detection")
+@register("recrawl_change_detection", _golden_sql("recrawl_counts"))
 def recrawl_change_detection(sf_dir: str):
     """D4/T5 incremental re-crawl: re-fetch the crawled url set against
     an identical web (salt 0 — all unchanged, the session_info skip
@@ -1162,7 +1170,7 @@ def recrawl_change_detection(sf_dir: str):
     ).astype({"n_urls": "int64", "n_changed": "int64"})
 
 
-@register("versioned_mark_latest")
+@register("versioned_mark_latest", _golden_sql("version_latest"))
 def versioned_mark_latest(sf_dir: str):
     """J4 versioned mode over crawl results: keep all epoch rows, flag
     is_latest per (url, priority) — per-epoch counts of latest rows
@@ -1183,7 +1191,7 @@ def versioned_mark_latest(sf_dir: str):
     return df
 
 
-@register("simhash_dup_clusters")
+@register("simhash_dup_clusters", _golden_sql("simhash_clusters"))
 def simhash_dup_clusters(sf_dir: str):
     """Near-dup CLUSTER formation: SimHash candidate pairs → connected
     components via distributed min-label propagation — the step that
@@ -1428,4 +1436,48 @@ def in_crawl_update_counts(sf_dir: str):
         pd.concat([df, skipped], ignore_index=True)
         .sort_values(["epoch", "status"])
         .reset_index(drop=True)
+    )
+
+
+@register(
+    "range_join_prior_events",
+    """
+    SELECT CAST(a.event_id AS BIGINT) AS event_id,
+           CAST(a.user_id AS BIGINT) AS user_id,
+           CAST(b.event_id AS BIGINT) AS prior_event_id,
+           b.ts AS prior_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+     AND b.event_id <> a.event_id
+    WHERE a.event_id < 2000
+    """,
+)
+def range_join_prior_events(sf_dir: str):
+    """Interval join (the reference's per-entity time-window scan
+    family, e.g. review-window re-checks): every event of the same user
+    in the hour before each event. Bucketed shuffle + vectorized
+    searchsorted window expansion (stages/joins.range_join) — no cross
+    join, no per-key Python loop, hot keys bounded by their bucket."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import range_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: t.filter(pc.less(t["event_id"], 2000)), batch_format="pyarrow"
+    )
+    right = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: t.rename_columns(["prior_event_id", "user_id", "prior_ts"]),
+        batch_format="pyarrow",
+    )
+    joined = range_join(
+        left, right, key="user_id", left_ts="ts", right_ts="prior_ts",
+        left_cols=["event_id"], right_cols=["prior_event_id"],
+        lower="-1 hours", upper="0 hours",
+    )
+    return joined.map_batches(
+        lambda df: df[df["event_id"] != df["prior_event_id"]][
+            ["event_id", "user_id", "prior_event_id", "prior_ts"]
+        ].astype({"event_id": "int64", "user_id": "int64", "prior_event_id": "int64"}),
+        batch_format="pandas",
     )

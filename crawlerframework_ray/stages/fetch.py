@@ -98,6 +98,11 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
         if verify_rows:
             verify_payload_batch(out)
         results = out.drop_columns(["outlinks"])
+        # raw-outlink sum of the FETCHED batch (pre-classification: the
+        # counter's semantic is outlinks of every fetched page), encoded
+        # into the part filename so the driver's per-epoch counter roll-
+        # up is an os.listdir, not a parquet scan per part
+        n_out_total = int(pa.compute.sum(out.column("n_outlinks")).as_py() or 0)
         if classifier is not None:
             statuses = classifier(
                 batch.column("task_id").to_pylist(), results.column("content_hash").to_pylist()
@@ -121,7 +126,7 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
             use_dictionary=False,
             write_statistics=False,
         )
-        os.replace(tmp, os.path.join(staging_dir, f"part-{part_id}.parquet"))
+        os.replace(tmp, os.path.join(staging_dir, f"part-{part_id}.n{n_out_total}.parquet"))
         return out.select([n for n in SLIM_SCHEMA.names])
 
     return fn

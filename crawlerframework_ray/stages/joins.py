@@ -127,3 +127,89 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         )
 
     return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def range_join(left, right, key: str, left_ts: str, right_ts: str,
+               left_cols: list[str], right_cols: list[str],
+               lower, upper, n_buckets: int = N_JOIN_BUCKETS):
+    """Interval join: every (left, right) pair sharing ``key`` with
+    ``left_ts + lower <= right_ts <= left_ts + upper`` (an operator the
+    reference expressed as per-entity time-window scans, e.g. the
+    review-window re-checks around a post's timestamp). One
+    groupby(bucket) shuffle; inside each bucket the expansion is
+    vectorized: right rows sorted by (key, ts), each left row's window
+    located with two ``searchsorted`` calls on the (key, ts) composite,
+    pairs materialized with ``np.repeat``/concatenated ranges — no
+    per-key Python loop, no cross join. Skew bound: a hot key expands
+    only within its bucket; cap with a pre-aggregated window count if a
+    single key's fan-out exceeds worker memory."""
+    import numpy as np
+
+    lval = [c for c in left_cols if c not in (key, left_ts)]
+    rval = [c for c in right_cols if c not in (key, right_ts)]
+    lcols = [key, left_ts] + lval
+    all_cols = lcols + ["__rts"] + rval
+
+    lt = left.map_batches(
+        lambda t: _pad(t.select(lcols).to_pandas(), all_cols, "l", key, n_buckets),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        lambda t: _pad(
+            t.select([key, right_ts] + rval).to_pandas().rename(columns={right_ts: "__rts"}),
+            all_cols, "r", key, n_buckets,
+        ),
+        batch_format="pyarrow",
+    )
+    unioned = lt.union(rt)
+    lo_off = pd.Timedelta(lower)
+    hi_off = pd.Timedelta(upper)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][lcols]
+        rg = g[g["__side"] == "r"][[key, "__rts"] + rval].dropna(subset=["__rts"])
+        lg = lg.assign(**{left_ts: pd.to_datetime(lg[left_ts]).astype("datetime64[us]")})
+        rg = rg.assign(__rts=pd.to_datetime(rg["__rts"]).astype("datetime64[us]"))
+        if lg.empty or rg.empty:
+            # schema-stable empty output (NaN padding upstream makes
+            # right value columns float — callers re-cast keys)
+            out = lg.head(0).copy()
+            out[right_ts] = pd.Series([], dtype="datetime64[us]")
+            for c in rval:
+                out[c] = pd.Series([], dtype=rg[c].dtype if len(rg.columns) else "float64")
+            return out
+        # composite order (key, ts): windows resolve inside key segments
+        rg = rg.sort_values([key, "__rts"], kind="mergesort").reset_index(drop=True)
+        rkeys = rg[key].to_numpy()
+        rts = rg["__rts"].to_numpy()
+        lkeys = lg[key].to_numpy()
+        lts = lg[left_ts].to_numpy()
+        # searchsorted on the composite: positions of (k, t±off) bounds
+        lo = _composite_searchsorted(rkeys, rts, lkeys, lts + np.timedelta64(lo_off), "left")
+        hi = _composite_searchsorted(rkeys, rts, lkeys, lts + np.timedelta64(hi_off), "right")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(lg)), counts)
+        ri = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) if counts.sum() else np.array([], dtype=np.int64)
+        out = lg.iloc[li].reset_index(drop=True)
+        out[right_ts] = rts[ri] if len(ri) else pd.Series([], dtype="datetime64[us]")
+        for c in rval:
+            out[c] = rg[c].to_numpy()[ri] if len(ri) else pd.Series([], dtype=rg[c].dtype)
+        return out
+
+    return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def _composite_searchsorted(rkeys, rts, lkeys, lbounds, side: str):
+    """Positions of (key, bound) in the (rkeys, rts) composite order.
+    Vectorized: key segment limits via searchsorted on rkeys, then a
+    searchsorted within the concatenated ts array offset per segment."""
+    import numpy as np
+
+    seg_lo = np.searchsorted(rkeys, lkeys, side="left")
+    seg_hi = np.searchsorted(rkeys, lkeys, side="right")
+    out = np.empty(len(lkeys), dtype=np.int64)
+    # per-row searchsorted bounded to the key's segment; segments are
+    # contiguous so this is a tight C loop via np.searchsorted on views
+    for i in range(len(lkeys)):
+        out[i] = seg_lo[i] + np.searchsorted(rts[seg_lo[i]:seg_hi[i]], lbounds[i], side=side)
+    return out

@@ -248,7 +248,130 @@ def update_counts(sf_dir: str) -> None:
     _write("update_counts", sf_dir, out)
 
 
-ALL = [update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+def simhash_clusters(sf_dir: str) -> None:
+    """Cluster sizes from BRUTE-FORCE all-pairs Hamming(<=3) + serial
+    union-find with min-id labels — independent of both the LSH pair
+    pipeline (recall guaranteed by the 4-band pigeonhole) and the
+    distributed min-label propagation. Strong oracle."""
+    from crawlerframework_ray.stages.dedup import simhash64
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()]
+    sigs = [simhash64(x) for x in t.column("text").to_pylist()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin(sigs[i] ^ sigs[j]).count("1") <= 3:
+                a, b = ids[i], ids[j]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id = the propagated min label
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    sizes: dict[int, int] = {}
+    for node in parent:
+        sizes[find(node)] = sizes.get(find(node), 0) + 1
+    out = pd.DataFrame(sorted(sizes.items()), columns=["cluster_id", "size"]).astype(
+        {"cluster_id": "int64", "size": "int64"}
+    )
+    _write("simhash_clusters", sf_dir, out)
+
+
+def recrawl_counts(sf_dir: str) -> None:
+    """Serial model of recrawl_change_detection: oracle crawl ->
+    distinct url set -> re-fetch hashes against salt 0 / 0xBEEF webs.
+    Strong oracle (independent loop; shares only leaf functions)."""
+    from crawlerframework_ray.data.synth import SynthWebConfig, fetch_stitched, seeds_table
+    from crawlerframework_ray.functions.hashing import content_hash
+    from crawlerframework_ray.pipelines.oracle import oracle_crawl
+    from crawlerframework_ray.pipelines.queries import _mini_crawl_cfg
+
+    cfg = _mini_crawl_cfg("/unused")
+    res = oracle_crawl(cfg, seeds_table(cfg.web, 32).to_pylist())
+    old = {}
+    for r in res["results"]:
+        old.setdefault(r["url"], r["content_hash"].hex())
+    rows = []
+    for scenario, salt in (("identical_web", 0), ("drifted_web", 0xBEEF)):
+        web = SynthWebConfig(**{**cfg.web.as_dict(), "seed": cfg.web.seed ^ salt})
+        changed = 0
+        for u, oh in old.items():
+            rec, _ = fetch_stitched(u, web)
+            if content_hash(rec["image_id"], rec["caption"]).hex() != oh:
+                changed += 1
+        rows.append((scenario, len(old), changed))
+    _write(
+        "recrawl_counts", sf_dir,
+        pd.DataFrame(rows, columns=["scenario", "n_urls", "n_changed"]).astype(
+            {"n_urls": "int64", "n_changed": "int64"}
+        ),
+    )
+
+
+def version_latest(sf_dir: str) -> None:
+    """Serial model of versioned_mark_latest: oracle crawl -> per
+    (url, priority) the max-epoch row is latest -> latest counts per
+    epoch. Strong oracle."""
+    from crawlerframework_ray.data.synth import seeds_table
+    from crawlerframework_ray.pipelines.oracle import oracle_crawl
+    from crawlerframework_ray.pipelines.queries import _mini_crawl_cfg
+
+    cfg = _mini_crawl_cfg("/unused")
+    res = oracle_crawl(cfg, seeds_table(cfg.web, 32).to_pylist())
+    latest_epoch: dict[tuple, int] = {}
+    for r in res["results"]:
+        k = (r["url"], r["priority"])
+        latest_epoch[k] = max(latest_epoch.get(k, -1), r["epoch"])
+    counts: dict[int, int] = {}
+    for e in latest_epoch.values():
+        counts[e] = counts.get(e, 0) + 1
+    out = pd.DataFrame(sorted(counts.items()), columns=["epoch", "n_latest"]).astype(
+        {"epoch": "int32", "n_latest": "int64"}
+    )
+    _write("version_latest", sf_dir, out)
+
+
+def image_resize_stats(sf_dir: str) -> None:
+    """Serial recompute of image_resize_pipeline through the SAME stage
+    callables minus Ray — a regression pin for the Ray-side plumbing
+    (weakest tier, like image_stats; labelled as such)."""
+    import pyarrow as pa
+
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+    from crawlerframework_ray.stages.multimodal import ImageDecodeStage, ImageResizeStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:256]
+    recs = [page_record(make_url(d % 8, d), cfg) for d in ids]
+    batch = pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+            "w": pa.array([r["w"] for r in recs], pa.int32()),
+            "h": pa.array([r["h"] for r in recs], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+        }
+    )
+    out = ImageResizeStage(target=8)(batch)
+    out = out.set_column(
+        out.schema.get_field_index("fmt"), "fmt", pa.array(["raw"] * len(out), pa.string())
+    )
+    out = ImageDecodeStage()(out)
+    _write("image_resize_stats", sf_dir, out.to_pandas())
+
+
+ALL = [simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts]
 
 
