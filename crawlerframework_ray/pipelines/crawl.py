@@ -128,6 +128,17 @@ def _fixed16_np(col) -> "np.ndarray":
 
 
 
+def _set_epoch_fn(epoch: int):
+    """Stamp the wave's epoch column inside tasks (distributed wave
+    path — the driver never holds the wave rows)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("epoch")
+        return t.set_column(i, "epoch", pa.array([epoch] * len(t), pa.int32()))
+
+    return fn
+
+
 def _cast_candidates(t: pa.Table) -> pa.Table:
     return t.select(CANDIDATE_SCHEMA.names).cast(CANDIDATE_SCHEMA)
 
@@ -379,7 +390,7 @@ class CrawlEngine:
         return ray.data.from_arrow(chunks)
 
     @staticmethod
-    def _drop_ids_fn(wave_pd: pd.DataFrame):
+    def _drop_ids_fn(ids_arr: pa.Array):
         """Residual filter: broadcast the wave's task ids ONCE as an
         Arrow fixed-width array (zero-copy out of the object store —
         a Python set of 16-byte objects costs ~0.3 s to unpickle PER
@@ -387,7 +398,6 @@ class CrawlEngine:
         ``is_in`` kernel."""
         import pyarrow.compute as pc
 
-        ids_arr = pa.array(list(wave_pd["task_id"]), pa.binary(16))
         ids_ref = ray.put(ids_arr)
 
         def drop_wave_ids(t: pa.Table) -> pa.Table:
@@ -555,17 +565,56 @@ class CrawlEngine:
             t_epoch = time.monotonic()
             if frontier_rows == 0:
                 break
-            wave_pd = self._wave_from_capped(capped)
-            t_wave = time.monotonic()
-            if len(wave_pd) == 0:
-                break
-            n_fetched = len(wave_pd)
-            if cfg.record_trace:
-                summary.trace.extend(
-                    (epoch, r.url, int(r.depth), int(r.priority))
-                    for r in wave_pd.itertuples()
+            # wave cut: driver-side while capped is small, fully
+            # DISTRIBUTED beyond driver_topk_max — the wave then stays a
+            # Dataset end-to-end; only the 16-byte ids (residual filter)
+            # and, in record_trace mode, three slim columns reach the
+            # driver. Identical total order on both paths.
+            wave_input = None
+            if isinstance(capped, pd.DataFrame) or capped.count() <= cfg.driver_topk_max:
+                wave_pd = self._wave_from_capped(capped)
+                n_fetched = len(wave_pd)
+                if n_fetched:
+                    wave_ids = pa.array([bytes(x) for x in wave_pd["task_id"]], pa.binary(16))
+                    if cfg.record_trace:
+                        summary.trace.extend(
+                            (epoch, r.url, int(r.depth), int(r.priority))
+                            for r in wave_pd.itertuples()
+                        )
+                    wave_input = self._wave_dataset(wave_pd, epoch)
+            else:
+                wave_ds = (
+                    capped.sort(SORT_COLS, descending=SORT_DESC)
+                    .limit(cfg.wave_size)
+                    .materialize()
                 )
-            residual = frontier_base.map_batches(self._drop_ids_fn(wave_pd), batch_format="pyarrow")
+                n_fetched = wave_ds.count()
+                if n_fetched:
+                    refs = wave_ds.select_columns(["task_id"]).to_arrow_refs()
+                    id_tbl = pa.concat_tables([ray.get(r) for r in refs])
+                    wave_ids = id_tbl.column("task_id").combine_chunks()
+                    if cfg.record_trace:
+                        tr = wave_ds.select_columns(["url", "depth", "priority"]).to_pandas()
+                        summary.trace.extend(
+                            (epoch, r.url, int(r.depth), int(r.priority))
+                            for r in tr.itertuples()
+                        )
+                    n_cpu_now = int(ray.cluster_resources().get("CPU", 8))
+                    # sort+limit emits few fat blocks — split to ~4
+                    # blocks/core so fetch tasks saturate the cluster.
+                    # The split runs as its OWN tiny execution: an
+                    # AllToAll inside the epoch pipeline can deadlock
+                    # with op resource reservation disabled.
+                    wave_ds = wave_ds.repartition(4 * n_cpu_now).materialize()
+                    wave_input = wave_ds.map_batches(
+                        _set_epoch_fn(epoch), batch_format="pyarrow"
+                    )
+            t_wave = time.monotonic()
+            if not n_fetched:
+                break
+            residual = frontier_base.map_batches(
+                self._drop_ids_fn(wave_ids), batch_format="pyarrow"
+            )
 
             # ONE pipelined execution for the whole epoch: fetch
             # (results parts written as a side effect; bytes never enter
@@ -582,7 +631,7 @@ class CrawlEngine:
             _shutil.rmtree(frontier_staging, ignore_errors=True)
             os.makedirs(ckpt.epoch_dir(cfg.workdir, epoch), exist_ok=True)
             candidates = (
-                self._wave_dataset(wave_pd, epoch)
+                wave_input
                 .map_batches(
                     fetch_write_task_fn(
                         web_cfg, staging, verify_rows=cfg.verify_rows,

@@ -131,3 +131,23 @@ def test_rerun_is_deterministic(ray_session, tmp_path):
     assert s1.trace == s2.trace
     assert s1.shard_digests == s2.shard_digests
     assert s1.fetched_urls == s2.fetched_urls
+
+
+def test_distributed_wave_path_identical(ray_session, tmp_path):
+    """driver_topk_max=0 forces the fully distributed seed admission +
+    wave cut; trace, counters and shard digests must be bit-identical
+    to the driver fast path (same total order on both)."""
+    import dataclasses
+
+    cfg_a = _cfg(tmp_path / "a", max_epochs=3)
+    seeds = _seeds(cfg_a)
+    sa = CrawlEngine(cfg_a).run(seeds=seeds)
+    cfg_b = dataclasses.replace(
+        _cfg(tmp_path / "b", max_epochs=3), driver_topk_max=0
+    )
+    sb = CrawlEngine(cfg_b).run(seeds=seeds)
+    assert sa.trace == sb.trace
+    assert sa.fetched_urls == sb.fetched_urls
+    assert sa.fresh_urls == sb.fresh_urls
+    assert sa.raw_outlinks == sb.raw_outlinks
+    assert sa.shard_digests == sb.shard_digests
