@@ -39,10 +39,11 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    kw = {"override_num_blocks": blocks} if blocks else {}
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -661,7 +662,7 @@ def _pairs_frame(out: pd.DataFrame, value_col: str) -> pd.DataFrame:
     return out[cols].sort_values(["id_a", "id_b"]).reset_index(drop=True).astype("int64")
 
 
-@register("minhash_near_dup_pairs")
+@register("minhash_near_dup_pairs", _golden_sql("minhash_pairs"))
 def minhash_near_dup_pairs(sf_dir: str):
     """MinHash+LSH near-dup: shingle→minhash→band rows → bucketed
     candidate-pair expansion (one bounded shuffle) → pair ends
@@ -670,11 +671,12 @@ def minhash_near_dup_pairs(sf_dir: str):
     text broadcast."""
     from ..stages.dedup import MinHashStage, join_pair_texts, lsh_candidate_pairs, verify_jaccard_batch
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.dedup import stage_task_fn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
-        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+        stage_task_fn(MinHashStage, id_column="doc_id", text_column="text"),
+        batch_format="pyarrow", batch_size=1024,
     )
     pairs = lsh_candidate_pairs(bands)
     joined = join_pair_texts(pairs, _read(sf_dir, "documents", ["doc_id", "text"]))
@@ -702,11 +704,12 @@ def simhash_near_dup_pairs(sf_dir: str):
     exact pair-set equality."""
     from ..stages.dedup import SimHashStage, lsh_candidate_pairs, verify_hamming_batch
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.dedup import stage_task_fn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     bands = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"id_column": "doc_id", "text_column": "text"},
-        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+        stage_task_fn(SimHashStage, id_column="doc_id", text_column="text"),
+        batch_format="pyarrow", batch_size=1024,
     )
     pairs = lsh_candidate_pairs(bands, carry=["sig"])
     out = pairs.map_batches(verify_hamming_batch(3), batch_format="pandas").to_pandas()
@@ -1262,7 +1265,7 @@ def translate_captions(sf_dir: str):
     out = ds.map_batches(
         TranslationStage,
         fn_constructor_kwargs={"text_column": "text", "tgt_lang": "xx"},
-        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+        batch_format="pyarrow", batch_size=1024, concurrency=(2, 16), num_cpus=0.5,
     )
     return out.select_columns(["doc_id", "translated", "tgt_lang"])
 

@@ -371,7 +371,32 @@ def image_resize_stats(sf_dir: str) -> None:
     _write("image_resize_stats", sf_dir, out.to_pandas())
 
 
-ALL = [simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+def minhash_pairs(sf_dir: str) -> None:
+    """BRUTE-FORCE all-pairs n-gram Jaccard (>= 0.5, permille) — the
+    serial oracle for minhash_near_dup_pairs. Banding detection at
+    J=0.5 is probabilistic in general, but on this corpus every
+    qualifying pair sits high enough on the collision curve that LSH
+    recall is exactly 100% (verified: found set == brute set at both
+    sf) — so the golden demands full pair-set equality, pinning recall
+    AND the distributed join-verify path."""
+    from crawlerframework_ray.functions.textstats import jaccard, word_shingles
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()]
+    sh = [word_shingles(x, 3) for x in t.column("text").to_pylist()]
+    rows = []
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            jj = jaccard(sh[i], sh[j])
+            if jj >= 0.5:
+                a, b = sorted((ids[i], ids[j]))
+                rows.append((a, b, int(round(jj * 1000))))
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_permille"]).astype("int64")
+    _write("minhash_pairs", sf_dir, out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+ALL = [minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts]
 
 
