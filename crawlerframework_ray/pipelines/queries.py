@@ -513,9 +513,16 @@ def eav_props_projection(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
     def project(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p).get("k") for p in t.column("props").to_pylist()]
+        # vectorized JSON-path extraction: one Arrow regex kernel per
+        # batch instead of a per-row json.loads loop (the hot-path rule)
+        import pyarrow.compute as pc
+
+        ks = pc.extract_regex(t.column("props"), r'"k"\s*:\s*(?P<k>-?\d+)')
         return pa.table(
-            {"event_id": t.column("event_id"), "prop_k": pa.array(ks, pa.int64())}
+            {
+                "event_id": t.column("event_id"),
+                "prop_k": pc.struct_field(ks, "k").cast(pa.int64()),
+            }
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
@@ -1484,3 +1491,52 @@ def range_join_prior_events(sf_dir: str):
         ].astype({"event_id": "int64", "user_id": "int64", "prior_event_id": "int64"}),
         batch_format="pandas",
     )
+
+
+@register(
+    "session_windows_user",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), y AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM y GROUP BY user_id, session_id
+    """,
+)
+def session_windows_user(sf_dir: str):
+    """Session windows (§2.9 streaming semantics, the gap-based window
+    the tumbling query doesn't cover): per user, events split into
+    sessions at >30-min gaps. One bucketed shuffle on user hash, then a
+    fully vectorized per-bucket pass (sort → per-user lag/diff →
+    cumsum session ids → groupby agg). Partitioning assumption: one
+    user's events fit in a task — the standard sessionization contract
+    (salt by day for pathological keys)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap = pd.Timedelta("30 minutes")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_ts = g.groupby("user_id", sort=False)["ts"].shift()
+        new_s = (prev_ts.isna() | ((g["ts"] - prev_ts) > gap)).astype("int64")
+        g = g.assign(session_id=new_s.groupby(g["user_id"], sort=False).cumsum())
+        out = g.groupby(["user_id", "session_id"], sort=False, as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size")
+        )
+        return out.astype({"user_id": "int64", "session_id": "int64", "n_events": "int64"})
+
+    return bucketed_group_agg(ds, ["user_id"], sessions)
