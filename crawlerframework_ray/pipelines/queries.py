@@ -723,20 +723,49 @@ def simhash_near_dup_pairs(sf_dir: str):
     return _pairs_frame(out, "hamming")
 
 
-@register("embedding_near_dup_pairs")
+@register("embedding_near_dup_pairs", _golden_sql("embedding_pairs"))
 def embedding_near_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup via multi-band random-hyperplane LSH
     (4 bands × 12 planes, distinct seeds — a near-identical pair
     colliding in ANY band becomes a candidate), bucketed expansion on
     (band, band_hash), exact cosine ≥ 0.8 verified via hash-joined
     vectors inside map_batches. Round-1's constant band=0 single-group
-    shuffle and driver-side embedding matrix are gone."""
-    from ..stages.dedup import hyperplane_sketch, lsh_candidate_pairs
+    shuffle and driver-side embedding matrix are gone.
+
+    The corpus has no natural cos≥0.8 pairs at gate scale, so the
+    stream is AUGMENTED with deterministic near-identical twins
+    (plant_near_dup_vectors — a leaf shared with the serial brute-force
+    golden): the pair set is nonzero and exactly known."""
+    from ..stages.dedup import (
+        hyperplane_sketch,
+        lsh_candidate_pairs,
+        plant_near_dup_vectors,
+    )
     from ..stages.joins import hash_join
     from ..stages.similarity import _normalize, batch_vectors
 
     N_BANDS, N_PLANES, SEED = 4, 12, 3
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        vecs = batch_vectors(t, "embedding")
+        pids, pvecs = plant_near_dup_vectors(ids, vecs)
+        if not len(pids):
+            return pa.table(
+                {"vec_id": pa.array(ids, pa.int64()), "embedding": t.column("embedding")}
+            )
+        emb = pa.concat_arrays(
+            [
+                t.column("embedding").combine_chunks().cast(pa.list_(pa.float32())),
+                pa.array([list(map(float, v)) for v in pvecs], pa.list_(pa.float32())),
+            ]
+        )
+        return pa.table(
+            {"vec_id": pa.array(np.concatenate([ids, pids]), pa.int64()), "embedding": emb}
+        )
+
+    ds = base.map_batches(augment, batch_format="pyarrow")
 
     def sketch(t: pa.Table) -> pa.Table:
         vecs = _normalize(batch_vectors(t, "embedding"))

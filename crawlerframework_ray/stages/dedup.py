@@ -423,6 +423,35 @@ def hamming64_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
+PLANT_ID_BASE = 1_000_000
+
+
+def plant_near_dup_vectors(ids: "np.ndarray", vecs: "np.ndarray",
+                           n_plant: int = 32, eps: float = 1e-3,
+                           seed: int = 91) -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic near-identical twins for vec_ids < ``n_plant``:
+    twin = normalize(v + eps·u) with u a unit vector from a PCG64 stream
+    seeded by (seed, vec_id); twin id = PLANT_ID_BASE + vec_id. The
+    resulting cosine is ≈ 1 − eps²/2 ≈ 0.9999995 — far inside every
+    hyperplane band's near-certain collision regime, so the planted
+    pair set is exactly recoverable. Shared leaf: the pipeline's
+    augmentation stage AND the serial brute-force golden call this, so
+    both sides see bit-identical vectors."""
+    keep = ids < n_plant
+    if not keep.any():
+        return np.empty(0, ids.dtype), np.empty((0, vecs.shape[1]), vecs.dtype)
+    base_ids = ids[keep]
+    base = vecs[keep]
+    out = np.empty_like(base)
+    for i, (vid, v) in enumerate(zip(base_ids, base)):
+        rng = np.random.Generator(np.random.PCG64([seed, int(vid)]))
+        u = rng.standard_normal(v.shape[0])
+        u /= np.linalg.norm(u)
+        w = v / np.linalg.norm(v) + eps * u
+        out[i] = (w / np.linalg.norm(w)).astype(vecs.dtype)
+    return base_ids + PLANT_ID_BASE, out
+
+
 def hyperplane_sketch(vecs: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
     """Random-hyperplane LSH code (uint64-packed sign pattern) for
     embedding near-dup bucketing; planes are a pure function of seed."""

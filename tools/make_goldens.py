@@ -396,7 +396,40 @@ def minhash_pairs(sf_dir: str) -> None:
     _write("minhash_pairs", sf_dir, out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
-ALL = [minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+def embedding_pairs(sf_dir: str) -> None:
+    """BRUTE-FORCE all-pairs cosine (>= 0.8, permille) over the
+    AUGMENTED embedding corpus (plant_near_dup_vectors — the leaf
+    shared with the pipeline's augmentation stage, so both sides see
+    bit-identical vectors; the cosine arithmetic mirrors the verify
+    stage: float32 vectors -> float64 normalize -> dot). Independent of
+    the LSH pipeline: any pair it misses or fabricates fails the gate."""
+    import numpy as np
+
+    from crawlerframework_ray.stages.dedup import plant_near_dup_vectors
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").cast("int64").to_numpy()
+    vecs = np.stack([np.asarray(x, np.float32) for x in t.column("embedding").to_pylist()])
+    pids, pvecs = plant_near_dup_vectors(ids, vecs)
+    all_ids = np.concatenate([ids, pids])
+    allv = np.concatenate([vecs, pvecs.astype(np.float32)]).astype(np.float64)
+    allv /= np.linalg.norm(allv, axis=1, keepdims=True)
+    cos = allv @ allv.T
+    iu = np.triu_indices(len(all_ids), k=1)
+    keep = cos[iu] >= 0.8
+    a = np.minimum(all_ids[iu[0][keep]], all_ids[iu[1][keep]])
+    b = np.maximum(all_ids[iu[0][keep]], all_ids[iu[1][keep]])
+    out = pd.DataFrame(
+        {
+            "id_a": a.astype("int64"),
+            "id_b": b.astype("int64"),
+            "cos_permille": np.round(cos[iu][keep] * 1000).astype("int64"),
+        }
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    _write("embedding_pairs", sf_dir, out)
+
+
+ALL = [embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts]
 
 
