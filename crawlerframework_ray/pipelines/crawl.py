@@ -484,6 +484,9 @@ class CrawlEngine:
                 summary.fetched_urls = c["fetched_urls"]
                 summary.raw_outlinks = c["raw_outlinks"]
                 summary.fresh_urls = c["fresh_urls"]
+                summary.skipped_urls = c.get("skipped_urls", 0)
+                summary.updated_urls = c.get("updated_urls", 0)
+                summary.new_urls = c.get("new_urls", 0)
                 if frontier_rows > 0:
                     # resumed wave selection: one cap-only execution
                     capped, _ = self._admit_and_select(None, frontier_base, None, None)
@@ -704,6 +707,12 @@ class CrawlEngine:
                     "fetched_urls": summary.fetched_urls,
                     "raw_outlinks": summary.raw_outlinks,
                     "fresh_urls": summary.fresh_urls,
+                    # update-mode counters (zero in a plain crawl) ride
+                    # in the manifest so an update crawl resumes with
+                    # exact totals
+                    "skipped_urls": summary.skipped_urls,
+                    "updated_urls": summary.updated_urls,
+                    "new_urls": summary.new_urls,
                 },
             )
             n_cpu_now = int(ray.cluster_resources().get("CPU", 8))

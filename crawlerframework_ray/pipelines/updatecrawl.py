@@ -46,6 +46,27 @@ def update_crawl(cfg: CrawlConfig, prev_results_dir: str,
     return summary, store
 
 
+def resume_update_crawl(cfg: CrawlConfig, prev_results_dir: str) -> tuple[CrawlSummary, HashStore]:
+    """Resume a killed update crawl: rebuild the store as
+    previous-run hashes OVERLAID with the hashes committed by this
+    run's finished epochs (their results parts carry (url, priority,
+    content_hash) — the store state at the last checkpoint is a pure
+    function of them), then resume the engine. Post-resume epochs
+    classify against exactly the state an uninterrupted run had."""
+    import os
+
+    store = HashStore(cfg.n_shards)
+    store.load_from_results(prev_results_dir)
+    results_root = os.path.join(cfg.workdir, "results")
+    if os.path.isdir(results_root):
+        for name in sorted(os.listdir(results_root)):
+            part_dir = os.path.join(results_root, name)
+            if name.startswith("epoch=") and os.path.isdir(part_dir):
+                store.load_from_results(part_dir)
+    summary = CrawlEngine(cfg).run(resume=True, hash_store=store)
+    return summary, store
+
+
 def oracle_update_crawl(cfg: CrawlConfig, seeds: list[dict],
                         prev_hashes: dict[bytes, bytes]) -> dict:
     """Serial model of :func:`update_crawl` (independent loop; shares

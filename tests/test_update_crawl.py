@@ -117,3 +117,53 @@ def test_no_drift_all_skipped(ray_session, tmp_path):
     assert summary.updated_urls == 0
     assert summary.new_urls == 0
     assert summary.skipped_urls == summary.fetched_urls
+
+
+def test_update_crawl_resume_bit_identical(ray_session, tmp_path):
+    """A killed update crawl resumes to the same written-rows set,
+    per-status counters and hash-store digests as an uninterrupted run
+    (the reference's session_info survived restarts; here the store is
+    rebuilt from the previous run's results and post-resume epochs
+    classify against the identical committed state)."""
+    import dataclasses
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from crawlerframework_ray.state.hashstore import HashStore
+
+    base = _cfg(str(tmp_path / "base"), max_epochs=2)
+    seeds = seeds_table(base.web, 40)
+    CrawlEngine(base).run(seeds=seeds)
+    prev_results = f"{base.workdir}/results"
+
+    def written(workdir):
+        out = {}
+        for p in pathlib.Path(f"{workdir}/results").rglob("*.parquet"):
+            t = pq.read_table(p, columns=["url", "priority", "update_status"])
+            for u, pr, st in zip(*[t.column(c).to_pylist() for c in
+                                   ("url", "priority", "update_status")]):
+                out[(u, int(pr))] = st
+        return out
+
+    ucfg_full = _drifted(base, str(tmp_path / "u_full"), salt=5, permille=300)
+    s_full, store_full = update_crawl(ucfg_full, prev_results, seeds)
+
+    # partial run: stop after epoch 0, then resume to completion
+    ucfg_part = dataclasses.replace(
+        _drifted(base, str(tmp_path / "u_part"), salt=5, permille=300), max_epochs=1
+    )
+    store1 = HashStore(ucfg_part.n_shards)
+    store1.load_from_results(prev_results)
+    CrawlEngine(ucfg_part).run(seeds=seeds, hash_store=store1)
+
+    from crawlerframework_ray.pipelines.updatecrawl import resume_update_crawl
+
+    ucfg_resume = dataclasses.replace(ucfg_part, max_epochs=base.max_epochs)
+    s_res, store2 = resume_update_crawl(ucfg_resume, prev_results)
+
+    assert (s_res.skipped_urls, s_res.updated_urls, s_res.new_urls) == (
+        s_full.skipped_urls, s_full.updated_urls, s_full.new_urls)
+    assert written(ucfg_resume.workdir) == written(ucfg_full.workdir)
+    assert s_res.shard_digests == s_full.shard_digests
+    assert store2.digests() == store_full.digests()
