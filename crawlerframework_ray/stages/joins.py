@@ -142,7 +142,9 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
     pairs materialized with ``np.repeat``/concatenated ranges — no
     per-key Python loop, no cross join. Skew bound: a hot key expands
     only within its bucket; cap with a pre-aggregated window count if a
-    single key's fan-out exceeds worker memory."""
+    single key's fan-out exceeds worker memory. Keys must be integral
+    (hash string keys upstream) — the window search packs (key, ts)
+    into a 16-byte memcmp-ordered composite."""
     import numpy as np
 
     lval = [c for c in left_cols if c not in (key, left_ts)]
@@ -200,16 +202,23 @@ def range_join(left, right, key: str, left_ts: str, right_ts: str,
 
 
 def _composite_searchsorted(rkeys, rts, lkeys, lbounds, side: str):
-    """Positions of (key, bound) in the (rkeys, rts) composite order.
-    Vectorized: key segment limits via searchsorted on rkeys, then a
-    searchsorted within the concatenated ts array offset per segment."""
+    """Positions of (key, bound) in the (rkeys, rts) composite order —
+    ONE vectorized ``np.searchsorted`` over a 16-byte big-endian
+    (key, ts) encoding whose memcmp order equals the lexicographic
+    order (both halves biased to non-negative first)."""
     import numpy as np
 
-    seg_lo = np.searchsorted(rkeys, lkeys, side="left")
-    seg_hi = np.searchsorted(rkeys, lkeys, side="right")
-    out = np.empty(len(lkeys), dtype=np.int64)
-    # per-row searchsorted bounded to the key's segment; segments are
-    # contiguous so this is a tight C loop via np.searchsorted on views
-    for i in range(len(lkeys)):
-        out[i] = seg_lo[i] + np.searchsorted(rts[seg_lo[i]:seg_hi[i]], lbounds[i], side=side)
-    return out
+    rts_i = rts.astype("datetime64[us]").view("i8")
+    lb_i = lbounds.astype("datetime64[us]").view("i8")
+    kmin = min(rkeys.min(), lkeys.min()) if len(rkeys) and len(lkeys) else 0
+    tmin = min(rts_i.min(), lb_i.min()) if len(rts_i) and len(lb_i) else 0
+
+    def pack(keys, ts):
+        n = len(keys)
+        buf = np.empty((n, 16), np.uint8)
+        buf[:, :8] = (keys - kmin).astype(">i8").view(np.uint8).reshape(n, 8)
+        buf[:, 8:] = (ts - tmin).astype(">i8").view(np.uint8).reshape(n, 8)
+        return buf.reshape(-1).view("V16")
+
+    return np.searchsorted(pack(np.asarray(rkeys, np.int64), rts_i),
+                           pack(np.asarray(lkeys, np.int64), lb_i), side=side)
