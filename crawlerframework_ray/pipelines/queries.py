@@ -54,7 +54,14 @@ def _cents(x: np.ndarray) -> np.ndarray:
 # expected outputs for queries SQL cannot express. The driver's gate
 # runs at sf=0.01, so the SQL reads the sf0.01 golden. Independence
 # level per golden is documented in tools/make_goldens.py.
-_GOLDEN_DIR = "/root/repo/goldens"
+import os as _os
+
+# goldens live at <repo-root>/goldens — derived from the package
+# location so a clone/mount anywhere keeps golden-backed oracles working
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "goldens",
+)
 
 
 def _golden_sql(name: str) -> str:

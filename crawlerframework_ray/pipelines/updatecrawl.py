@@ -52,17 +52,27 @@ def resume_update_crawl(cfg: CrawlConfig, prev_results_dir: str) -> tuple[CrawlS
     run's finished epochs (their results parts carry (url, priority,
     content_hash) — the store state at the last checkpoint is a pure
     function of them), then resume the engine. Post-resume epochs
-    classify against exactly the state an uninterrupted run had."""
+    classify against exactly the state an uninterrupted run had.
+
+    Only epochs with a COMMITTED manifest are overlaid: a crash between
+    the results-dir rename and the manifest write leaves an orphan
+    ``results/epoch=N`` whose epoch the resumed engine will re-execute
+    — overlaying its hashes first would make the re-run classify its
+    changed/new rows as UNCHANGED and silently drop them."""
     import os
+
+    from ..state import checkpoint as _ckpt
 
     store = HashStore(cfg.n_shards)
     store.load_from_results(prev_results_dir)
+    last = _ckpt.latest_epoch(cfg.workdir)
     results_root = os.path.join(cfg.workdir, "results")
-    if os.path.isdir(results_root):
+    if os.path.isdir(results_root) and last is not None:
         for name in sorted(os.listdir(results_root)):
             part_dir = os.path.join(results_root, name)
             if name.startswith("epoch=") and os.path.isdir(part_dir):
-                store.load_from_results(part_dir)
+                if int(name.split("=")[1]) <= last:
+                    store.load_from_results(part_dir)
     summary = CrawlEngine(cfg).run(resume=True, hash_store=store)
     return summary, store
 

@@ -39,8 +39,15 @@ class TokenWorker:
         self.token = token
         self.counts: dict[str, int] = {}
         self.n_batches = 0
+        self._folded: set[bytes] = set()
 
-    def process(self, keys: list[str]) -> int:
+    def process(self, keys: list[str], batch_id: bytes | None = None) -> int:
+        # idempotent under Ray task retries: a re-sent slice carries the
+        # same deterministic batch_id and is folded in exactly once
+        if batch_id is not None:
+            if batch_id in self._folded:
+                return len(keys)
+            self._folded.add(batch_id)
         self.n_batches += 1
         for k in keys:
             self.counts[k] = self.counts.get(k, 0) + 1
@@ -77,7 +84,14 @@ class AffinityRouter:
         for k, t in zip(keys, tokens):
             groups.setdefault(t, []).append(k)
         workers = self._workers()
-        ray.get([workers[t].process.remote(ks) for t, ks in groups.items()])
+        # deterministic per-slice id makes the RPC idempotent: a task
+        # retry re-sends byte-identical slices, folded in exactly once
+        ray.get([
+            workers[t].process.remote(
+                ks, hashlib.md5("\x00".join(ks).encode()).digest()
+            )
+            for t, ks in groups.items()
+        ])
         return batch.append_column("token", pa.array(tokens, pa.int64()))
 
 

@@ -149,6 +149,18 @@ def load_shards(workdir: str, epoch: int, n_shards: int) -> list[tuple[bytes, li
                     filters[i].add_sorted(ids)
                     added[i].update(ids)
                     last_seal[i] = seal_epoch
+    # the manifest's per-shard digests are what makes replay correctness
+    # verifiable: a truncated/corrupted delta file must fail here, not
+    # resume into divergent dedup state
+    expected = manifest.get("shard_digests")
+    if expected is not None:
+        for i in range(n_shards):
+            got = filters[i].digest()
+            if got != expected[i]:
+                raise ValueError(
+                    f"checkpoint replay mismatch: shard {i} digest {got} != "
+                    f"manifest {expected[i]} (corrupted delta chain?)"
+                )
     return [
         (filters[i].serialize(), sorted(added[i]), last_seal[i]) for i in range(n_shards)
     ]

@@ -87,3 +87,42 @@ def test_resume_without_checkpoint_needs_seeds(ray_session, tmp_path):
     cfg = _cfg(str(tmp_path / "none"), 2)
     with pytest.raises(ValueError, match="seeds required"):
         CrawlEngine(cfg).run(resume=True)
+
+
+def test_replay_detects_corrupted_delta(ray_session, tmp_path):
+    """load_shards verifies the replayed filters against the manifest's
+    shard digests — a truncated delta file must raise, not resume into
+    divergent dedup state."""
+    import os
+    import struct
+
+    d = str(tmp_path / "c")
+    cfg = _cfg(d, 2)
+    CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 20))
+    # drop the last id from one shard's epoch-1 delta (keep the framing
+    # valid: rewrite the entry count)
+    path = os.path.join(ckpt.epoch_dir(d, 1), "deltas", "shard_00.bin")
+    with open(path, "rb") as f:
+        data = f.read()
+    (n_entries,) = struct.unpack_from("<I", data, 0)
+    off = 4
+    entries = []
+    for _ in range(n_entries):
+        seal_epoch, n_ids = struct.unpack_from("<iI", data, off)
+        off += 8
+        ids = [data[off + 16 * i: off + 16 * (i + 1)] for i in range(n_ids)]
+        off += 16 * n_ids
+        entries.append((seal_epoch, ids))
+    assert any(ids for _, ids in entries), "fixture must have ids to corrupt"
+    for i, (se, ids) in enumerate(entries):
+        if ids:
+            entries[i] = (se, ids[:-1])
+            break
+    out = [struct.pack("<I", len(entries))]
+    for se, ids in entries:
+        out.append(struct.pack("<iI", se, len(ids)))
+        out.extend(ids)
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+    with pytest.raises(ValueError, match="replay mismatch"):
+        ckpt.load_shards(d, 1, 4)

@@ -167,3 +167,56 @@ def test_update_crawl_resume_bit_identical(ray_session, tmp_path):
     assert written(ucfg_resume.workdir) == written(ucfg_full.workdir)
     assert s_res.shard_digests == s_full.shard_digests
     assert store2.digests() == store_full.digests()
+
+
+def test_update_crawl_resume_orphan_epoch(ray_session, tmp_path):
+    """Crash-window resume: the run dies BETWEEN the results-dir rename
+    and the manifest write, leaving an orphan ``results/epoch=N``. The
+    resume must NOT overlay that epoch's hashes (the re-executed epoch
+    would classify its changed/new rows as UNCHANGED and silently drop
+    them) — written rows, counters and store digests must still equal
+    the uninterrupted run's."""
+    import dataclasses
+    import os
+    import pathlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from crawlerframework_ray.pipelines.updatecrawl import resume_update_crawl
+    from crawlerframework_ray.state.hashstore import HashStore
+
+    base = _cfg(str(tmp_path / "base"), max_epochs=2)
+    seeds = seeds_table(base.web, 40)
+    CrawlEngine(base).run(seeds=seeds)
+    prev_results = f"{base.workdir}/results"
+
+    def written(workdir):
+        out = {}
+        for p in pathlib.Path(f"{workdir}/results").rglob("*.parquet"):
+            t = pq.read_table(p, columns=["url", "priority", "update_status"])
+            for u, pr, st in zip(*[t.column(c).to_pylist() for c in
+                                   ("url", "priority", "update_status")]):
+                out[(u, int(pr))] = st
+        return out
+
+    ucfg_full = _drifted(base, str(tmp_path / "u_full"), salt=5, permille=300)
+    s_full, store_full = update_crawl(ucfg_full, prev_results, seeds)
+
+    # run both epochs, then simulate the crash window by deleting the
+    # LAST epoch's manifest while keeping its committed results dir
+    ucfg_part = _drifted(base, str(tmp_path / "u_part"), salt=5, permille=300)
+    store1 = HashStore(ucfg_part.n_shards)
+    store1.load_from_results(prev_results)
+    CrawlEngine(ucfg_part).run(seeds=seeds, hash_store=store1)
+    last = base.max_epochs - 1
+    os.remove(os.path.join(
+        ucfg_part.workdir, "ckpt", f"epoch={last:04d}", "manifest.json"))
+    assert os.path.isdir(os.path.join(
+        ucfg_part.workdir, "results", f"epoch={last:04d}"))  # the orphan
+
+    s_res, store2 = resume_update_crawl(ucfg_part, prev_results)
+    assert (s_res.skipped_urls, s_res.updated_urls, s_res.new_urls) == (
+        s_full.skipped_urls, s_full.updated_urls, s_full.new_urls)
+    assert written(ucfg_part.workdir) == written(ucfg_full.workdir)
+    assert store2.digests() == store_full.digests()
