@@ -7,21 +7,27 @@ grouped top-k ("politeness budget"); the enqueue dedup gate
 (priorityqueue.py:39-43) becomes the sharded cuckoo SeenGate semi-join;
 bdb persistence becomes per-epoch parquet checkpoints.
 
-One epoch = ONE pipelined execution with ONE shuffle (round 1 spent
-4-6 executions and round 2's first cut spent two sort shuffles; each
-extra execution costs ~1 s fixed and each extra sort barrier idles the
-cluster for ~2-3 s at 16+ cpus — BASELINE.md scaling decomposition):
+One epoch = ONE pipelined execution with NO shuffle barrier (round 1
+spent 4-6 executions; round 2 fused to one execution + one sort-based
+groupby — still a ~2-3 s all-to-all barrier per epoch that idled 16+
+cpus; each extra execution costs ~1 s fixed — BASELINE.md scaling
+decompositions). Round 3 replaces the groupby with the PUSH-based
+bucket-actor exchange (state/frontier.py):
 
   wave ──map_batches(fetch: results parts written as a side effect;
-       bytes never enter the object store)──▶ expand ──∪ residual──▶
-       groupby(host-bucket) [THE shuffle] ──▶ per bucket, one
-       vectorized group fn: canonical dedup → seen-gate RPC →
-       frontier-checkpoint part write → politeness cap + partial
-       top-k ──▶ capped (materialized, ≤ min(hosts×budget,
-       buckets×wave_size)). Same-url candidates share a host, so
-       host-bucketing preserves GLOBAL dedup. The global
-       top-``wave_size`` cut runs driver-side while capped is small
-       (≤ ``driver_topk_max``), distributed sort+limit beyond.
+       bytes never enter the object store)──▶ expand ──▶ route: each
+       batch pushed to its host-bucket actor WHILE fetch still runs
+       (shuffle overlapped with compute). At epoch finalize, every
+       bucket actor — in parallel — drops the wave ids from its
+       RETAINED frontier (the residual never round-trips through
+       disk), canonically dedups the new candidates, runs the
+       seen-gate RPC, writes its frontier-checkpoint part, and applies
+       the politeness cap + partial top-k ──▶ capped (per-bucket Arrow
+       tables, ≤ min(hosts×budget, buckets×wave_size) rows total).
+       Same-url candidates share a host, so host-bucketing preserves
+       GLOBAL dedup. The global top-``wave_size`` cut runs driver-side
+       while capped is small (≤ ``driver_topk_max``), distributed
+       sort+limit beyond.
 
 Determinism: full-tiebreak sort keys (priority, depth, -score, host,
 url), canonical min-reduction on duplicate candidates, read-only seen
@@ -56,12 +62,13 @@ import ray.data
 from ..config import CrawlConfig
 from ..functions.hashing import task_ids_batch
 from ..functions.urlnorm import normalize
-from ..sources.store import read_table, write_table
+from ..sources.store import read_table
 from ..stages.expand import CANDIDATE_SCHEMA, expander_task_fn
 from ..stages.fetch import fetch_write_task_fn
+from ..state.frontier import BucketPool, route_to_buckets_fn
 from ..state.hashstore import HashClassifier
 from ..state import checkpoint as ckpt
-from ..state.seen import SeenGate, ShardedSeen
+from ..state.seen import ShardedSeen
 
 SORT_COLS = ["priority", "depth", "score", "host", "url"]
 SORT_DESC = [False, False, True, False, False]
@@ -145,115 +152,11 @@ def _cast_candidates(t: pa.Table) -> pa.Table:
 
 
 
-def _flag_and_bucket(flag: int):
-    """Cast to the candidate schema and append the union-source flag
-    (0 candidate / 1 residual) + host-bucket shuffle key."""
-    import zlib
-
-    def fn(t: pa.Table) -> pa.Table:
-        t = _cast_candidates(t)
-        hs = t.column("host").to_pylist()
-        b = pa.array([zlib.crc32(h.encode()) % N_DEDUP_BUCKETS for h in hs], pa.int32())
-        flags = pa.array([flag] * len(t), pa.int8())
-        return t.append_column("__residual", flags).append_column("bucket", b)
-
-    return fn
-
-
-def _admit_cap_bucket_fn(shard_handles: list, n_shards: int, budget: int,
-                         wave_size: int, robots_seed: int | None, sink_dir: str | None):
-    """The per-host-bucket epoch reduction (see _admit_and_select).
-    Ships only shard handles; everything inside is vectorized pandas
-    plus one batched RPC round per shard. Task retries are safe: dedup
-    and cap are pure, staging is a set union of identical ids, and the
-    frontier part name is content-addressed."""
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        import hashlib as _hashlib
-        import os as _os
-
-        import numpy as _np
-
-        g = g.drop(columns=["bucket"])
-        res = g[g["__residual"] == 1].drop(columns=["__residual"])
-        cand = g[g["__residual"] == 0].drop(columns=["__residual"])
-        if len(cand):
-            # canonical dedup: min (depth, parent_url) per (url, priority)
-            cand = cand.sort_values(["depth", "parent_url"], kind="mergesort").drop_duplicates(
-                subset=["url", "priority"], keep="first"
-            )
-            # seen-gate semi-join: read-only contains + stage fresh ids,
-            # one RPC per shard (candidates are globally unique here —
-            # same url ⇒ same host ⇒ same bucket)
-            ids = [bytes(x) for x in cand["task_id"]]
-            groups: dict[int, list[int]] = {}
-            for pos, tid in enumerate(ids):
-                groups.setdefault(ShardedSeen.shard_of_id(tid, n_shards), []).append(pos)
-            futs = {
-                s: shard_handles[s].contains_batch.remote([ids[p] for p in pos])
-                for s, pos in groups.items()
-            }
-            mask = _np.zeros(len(ids), dtype=bool)
-            for s, pos in groups.items():
-                for p, hit in zip(pos, ray.get(futs[s])):
-                    mask[p] = hit
-            fresh = cand[~mask]
-            fgroups: dict[int, list[bytes]] = {}
-            for tid, m in zip(ids, mask):
-                if not m:
-                    fgroups.setdefault(ShardedSeen.shard_of_id(tid, n_shards), []).append(tid)
-            if fgroups:
-                ray.get([shard_handles[s].stage.remote(v) for s, v in fgroups.items()])
-        else:
-            fresh = cand
-        frontier = pd.concat([fresh, res], ignore_index=True)
-        # frontier-checkpoint side effect (content-addressed part)
-        if sink_dir is not None and len(frontier):
-            _os.makedirs(sink_dir, exist_ok=True)
-            tbl = (
-                pa.Table.from_pandas(frontier, preserve_index=False)
-                .select(CANDIDATE_SCHEMA.names)
-                .cast(CANDIDATE_SCHEMA)
-            )
-            part_id = _hashlib.md5(
-                b"".join(sorted(bytes(x) for x in frontier["task_id"]))
-            ).hexdigest()
-            tmp = _os.path.join(sink_dir, f".part-{part_id}.tmp")
-            pq_write_frontier(tbl, tmp)
-            _os.replace(tmp, _os.path.join(sink_dir, f"part-{part_id}.parquet"))
-        # politeness cap + per-bucket partial top-k (the wave key sort)
-        g2 = frontier.sort_values(
-            SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
-        )
-        ranks = g2.groupby("host", sort=False).cumcount().to_numpy()
-        if robots_seed is not None:
-            # token-bucket rate model: per-host epoch budget =
-            # host_budget >> robots crawl_delay (worker-cached rules)
-            rc = _robots_cache(robots_seed)
-            budgets = {h: rc.host_budget(h, budget) for h in g2["host"].unique()}
-            lim = g2["host"].map(budgets).to_numpy()
-        else:
-            lim = budget
-        if len(g2):
-            g2 = g2[ranks < lim]
-        if len(g2) > wave_size:
-            g2 = g2.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(wave_size)
-        return g2
-
-    return fn
-
-
-def pq_write_frontier(tbl: pa.Table, path: str) -> None:
-    import pyarrow.parquet as pq_mod
-
-    pq_mod.write_table(tbl, path)
-
-
-
 class CrawlEngine:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
         self.seen: ShardedSeen | None = None
+        self.buckets: BucketPool | None = None
 
     # -------------------------------------------------- seed admission
     @staticmethod
@@ -291,62 +194,31 @@ class CrawlEngine:
             schema=CANDIDATE_SCHEMA,
         )
 
-    def _admit_and_select(self, candidates: ray.data.Dataset | None,
-                          residual: ray.data.Dataset | None,
-                          sink_dir: str | None, commit_epoch: int | None):
-        """THE epoch execution — ONE shuffle: candidates (flag 0) ∪
-        residual (flag 1) → groupby(host-bucket) → per bucket, in one
-        vectorized group fn: canonical dedup → seen-gate RPC →
-        frontier-checkpoint part write → politeness cap + partial
-        top-k → capped. Same-url candidates always share a host, so
-        host-bucketing preserves GLOBAL dedup; the earlier two-shuffle
-        form (tid-bucket dedup, then host-bucket cap) paid a second
-        sort barrier per epoch for nothing (measured ~2-3 s of idle
-        cores per epoch at 16+ cpus). Returns (capped, n_fresh); seals
-        the shards after the execution unless ``commit_epoch`` is None
-        (resume-time cap-only run)."""
-        cfg = self.cfg
-        parts = []
-        if candidates is not None:
-            parts.append(candidates.map_batches(_flag_and_bucket(0), batch_format="pyarrow"))
-        if residual is not None:
-            parts.append(residual.map_batches(_flag_and_bucket(1), batch_format="pyarrow"))
-        flagged = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
-        fn = _admit_cap_bucket_fn(
-            self.seen.handles(), cfg.n_shards, cfg.host_budget, cfg.wave_size,
-            cfg.web.seed if cfg.robots else None, sink_dir,
-        )
-        capped = (
-            flagged.groupby("bucket")
-            .map_groups(fn, batch_format="pandas")
-            .map_batches(_cast_candidates, batch_format="pyarrow")
-            .materialize()
-        )
+    def _route(self, ds: ray.data.Dataset, flag: int) -> None:
+        """Execute ``ds`` with a terminal route-to-buckets stage: every
+        candidate batch is pushed to its host-bucket actor while the
+        upstream (fetch/expand) is still running — the push-based
+        replacement for the epoch's sort shuffle (state/frontier.py)."""
+        ds.map_batches(
+            route_to_buckets_fn(self.buckets.handles(), flag),
+            batch_format="pyarrow",
+            batch_size=8192,
+        ).count()
+
+    def _finalize_epoch(self, wave_ids: pa.Array | None, sink_dir: str | None,
+                        commit_epoch: int | None):
+        """Parallel per-bucket epoch reduction (dedup → seen-gate →
+        frontier part write → politeness cap; FrontierBucket.finalize),
+        then the epoch seal. Returns (capped_refs, n_capped, n_fresh)."""
+        n_capped = self.buckets.finalize_all(wave_ids, sink_dir)
+        refs = self.buckets.capped_refs()
         if commit_epoch is None:
-            return capped, 0
+            return refs, n_capped, 0
         # fresh count = what the gate staged (globally unique upstream),
         # read before seal folds the staging sets into the filters
         n_fresh = self.seen.staged_total()
         self.seen.seal(commit_epoch)
-        return capped, n_fresh
-
-    def _driver_cap(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Driver-side politeness cap over a small frontier — the exact
-        global form of ``cap_bucket`` (same stable sort, same per-host
-        token budgets; no wave_size truncation, which only bounds the
-        shuffle in the distributed form)."""
-        cfg = self.cfg
-        g = df.sort_values(
-            SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
-        )
-        ranks = g.groupby("host", sort=False).cumcount().to_numpy()
-        if cfg.robots:
-            rc = _robots_cache(cfg.web.seed)
-            budgets = {h: rc.host_budget(h, cfg.host_budget) for h in g["host"].unique()}
-            lim = g["host"].map(budgets).to_numpy()
-        else:
-            lim = cfg.host_budget
-        return g[ranks < lim]
+        return refs, n_capped, n_fresh
 
     # -------------------------------------------------- wave selection
     def _wave_from_capped(self, capped) -> pd.DataFrame:
@@ -388,24 +260,6 @@ class CrawlEngine:
         step = max(1, -(-len(tbl) // n_blocks))
         chunks = [tbl.slice(off, step) for off in range(0, len(tbl), step)]
         return ray.data.from_arrow(chunks)
-
-    @staticmethod
-    def _drop_ids_fn(ids_arr: pa.Array):
-        """Residual filter: broadcast the wave's task ids ONCE as an
-        Arrow fixed-width array (zero-copy out of the object store —
-        a Python set of 16-byte objects costs ~0.3 s to unpickle PER
-        TASK at 180k-url waves) and anti-filter with the vectorized
-        ``is_in`` kernel."""
-        import pyarrow.compute as pc
-
-        ids_ref = ray.put(ids_arr)
-
-        def drop_wave_ids(t: pa.Table) -> pa.Table:
-            ids = ray.get(ids_ref)
-            mask = pc.is_in(t.column("task_id"), value_set=ids)
-            return t.filter(pc.invert(mask))
-
-        return drop_wave_ids
 
     # -------------------------------------------------- checkpointing
     def _frontier_dir(self, epoch: int) -> str:
@@ -461,12 +315,18 @@ class CrawlEngine:
         # no backpressure safety here, so turn it off for engine runs.
         ray.data.DataContext.get_current().op_resource_reservation_enabled = False
         self.seen = ShardedSeen(cfg.n_shards, cfg.shard_capacity)
+        # the host-bucket frontier pool: push-based shuffle target +
+        # resident frontier partitions (state/frontier.py)
+        self.buckets = BucketPool(
+            N_DEDUP_BUCKETS, self.seen.handles(), cfg.n_shards, cfg.host_budget,
+            cfg.wave_size, cfg.web.seed if cfg.robots else None,
+        )
         summary = CrawlSummary()
         import shutil as _shutil
 
         start_epoch = 0
-        frontier_base: ray.data.Dataset  # disk-backed rows of the CURRENT frontier
-        capped: ray.data.Dataset | None = None
+        capped_refs: list = []
+        n_capped = 0
         if resume:
             last = ckpt.latest_epoch(cfg.workdir)
             if last is None:
@@ -477,7 +337,6 @@ class CrawlEngine:
                     raise ValueError("checkpoint was written under different semantics")
                 self.seen.restore_all(ckpt.load_shards(cfg.workdir, last, cfg.n_shards))
                 frontier_dir = self._frontier_dir(last)
-                frontier_base = read_table(frontier_dir)
                 frontier_rows = _parquet_dir_rows(frontier_dir)
                 start_epoch = last + 1
                 c = manifest["counters"]
@@ -488,15 +347,20 @@ class CrawlEngine:
                 summary.updated_urls = c.get("updated_urls", 0)
                 summary.new_urls = c.get("new_urls", 0)
                 if frontier_rows > 0:
-                    # resumed wave selection: one cap-only execution
-                    capped, _ = self._admit_and_select(None, frontier_base, None, None)
+                    # resumed frontier: route the checkpointed parts into
+                    # the bucket pool (one cap-only execution, no seal) —
+                    # the actors then hold the frontier exactly as an
+                    # uninterrupted run's would
+                    self._route(read_table(frontier_dir), 1)
+                    capped_refs, n_capped, _ = self._finalize_epoch(None, None, None)
         if not resume:
             if seeds is None:
                 raise ValueError("seeds required for a fresh run")
-            # seed admission IS the first epoch execution: dedup → gate
-            # → side-effect frontier write → cap, one pipelined run.
-            # The seed frontier dir is not part of any manifest — a
-            # crash before manifest(0) restarts the run from seeds.
+            # seed admission IS the first epoch execution: candidate
+            # prep inside tasks → route to the bucket pool → per-bucket
+            # dedup/gate/cap at finalize. No frontier write: the seed
+            # frontier lives in the actors, and a crash before
+            # manifest(0) restarts the run from seeds anyway.
             t_adm = time.monotonic()
             # normalization + md5 task ids over the seed list are CPU
             # work that must not run serially on the driver: chunk the
@@ -509,53 +373,8 @@ class CrawlEngine:
                 lambda t, _rs=robots_seed: CrawlEngine._seeds_to_candidates(t, _rs),
                 batch_format="pyarrow",
             )
-            seed_dir = os.path.join(cfg.workdir, "ckpt", "seed_frontier")
-            seed_staging = seed_dir + ".staging"
-            _shutil.rmtree(seed_staging, ignore_errors=True)
-            os.makedirs(os.path.dirname(seed_dir), exist_ok=True)
-            if len(seeds) <= cfg.driver_topk_max:
-                # driver fast path (same precedent as _wave_from_capped:
-                # identical semantics, two sizes): the prep pipeline is
-                # the only distributed step; dedup/gate/cap run as
-                # vectorized driver ops on the collected slim rows,
-                # skipping two sort barriers and a 10-operator execution
-                # whose CPU content is < 1 s. Beyond driver_topk_max the
-                # distributed path below produces the identical state.
-                import numpy as _np
-                import pyarrow.parquet as _pq
-
-                cand_pd = seed_cands.to_pandas()
-                # canonical dedup — min (depth, parent_url) per (url, priority),
-                # the same rule _admit_cap_bucket_fn applies distributed
-                cand_pd = cand_pd.sort_values(
-                    ["depth", "parent_url"], kind="mergesort"
-                ).drop_duplicates(subset=["url", "priority"], keep="first")
-                ids = [bytes(x) for x in cand_pd["task_id"]]
-                mask = _np.array(self.seen.contains_batch(ids), dtype=bool)
-                fresh_pd = cand_pd[~mask]
-                self.seen.stage([tid for tid, m in zip(ids, mask) if not m])
-                n_seed_fresh = len(fresh_pd)
-                self.seen.seal(0)
-                os.makedirs(seed_staging, exist_ok=True)
-                tbl = (
-                    pa.Table.from_pandas(fresh_pd, preserve_index=False)
-                    .select(CANDIDATE_SCHEMA.names)
-                    .cast(CANDIDATE_SCHEMA)
-                )
-                _pq.write_table(tbl, os.path.join(seed_staging, "part-seed.parquet"))
-                capped = self._driver_cap(fresh_pd)
-            else:
-                capped, n_seed_fresh = self._admit_and_select(seed_cands, None, seed_staging, 0)
-            if not os.path.exists(seed_staging):
-                os.makedirs(seed_staging)
-                import pyarrow.parquet as _pq
-
-                _pq.write_table(CANDIDATE_SCHEMA.empty_table(),
-                                os.path.join(seed_staging, "empty.parquet"))
-            if os.path.exists(seed_dir):
-                _shutil.rmtree(seed_dir)
-            os.replace(seed_staging, seed_dir)
-            frontier_base = read_table(seed_dir)
+            self._route(seed_cands, 0)
+            capped_refs, n_capped, n_seed_fresh = self._finalize_epoch(None, None, 0)
             frontier_rows = n_seed_fresh
             summary.fresh_urls += n_seed_fresh
             summary.per_epoch.append(
@@ -570,12 +389,18 @@ class CrawlEngine:
                 break
             # wave cut: driver-side while capped is small, fully
             # DISTRIBUTED beyond driver_topk_max — the wave then stays a
-            # Dataset end-to-end; only the 16-byte ids (residual filter)
-            # and, in record_trace mode, three slim columns reach the
-            # driver. Identical total order on both paths.
+            # Dataset end-to-end; only the 16-byte ids (for the actors'
+            # residual drop) and, in record_trace mode, three slim
+            # columns reach the driver. Identical total order on both
+            # paths.
             wave_input = None
-            if isinstance(capped, pd.DataFrame) or capped.count() <= cfg.driver_topk_max:
-                wave_pd = self._wave_from_capped(capped)
+            if n_capped <= cfg.driver_topk_max:
+                capped_pd = (
+                    pa.concat_tables(ray.get(capped_refs)).to_pandas()
+                    if capped_refs
+                    else CANDIDATE_SCHEMA.empty_table().to_pandas()
+                )
+                wave_pd = self._wave_from_capped(capped_pd)
                 n_fetched = len(wave_pd)
                 if n_fetched:
                     wave_ids = pa.array([bytes(x) for x in wave_pd["task_id"]], pa.binary(16))
@@ -587,7 +412,8 @@ class CrawlEngine:
                     wave_input = self._wave_dataset(wave_pd, epoch)
             else:
                 wave_ds = (
-                    capped.sort(SORT_COLS, descending=SORT_DESC)
+                    ray.data.from_arrow_refs(capped_refs)
+                    .sort(SORT_COLS, descending=SORT_DESC)
                     .limit(cfg.wave_size)
                     .materialize()
                 )
@@ -615,15 +441,13 @@ class CrawlEngine:
             t_wave = time.monotonic()
             if not n_fetched:
                 break
-            residual = frontier_base.map_batches(
-                self._drop_ids_fn(wave_ids), batch_format="pyarrow"
-            )
 
             # ONE pipelined execution for the whole epoch: fetch
             # (results parts written as a side effect; bytes never enter
-            # the object store) → expand → canonical dedup shuffle →
-            # seen-gate semi-join → ∪ residual → frontier-checkpoint
-            # side-effect write → politeness cap → next wave candidates.
+            # the object store) → expand → push-route to the bucket
+            # actors (shuffle overlapped with fetch — no sort barrier).
+            # The residual never leaves the actors: finalize drops the
+            # wave ids from each bucket's retained frontier.
             results_dir = ckpt.results_dir(cfg.workdir, epoch)
             staging = f"{results_dir}.staging-{epoch}"
             # a crashed earlier attempt may have left parts in the
@@ -655,8 +479,9 @@ class CrawlEngine:
                     batch_size=cfg.fetch_batch_size,
                 )
             )
-            capped, n_fresh = self._admit_and_select(
-                candidates, residual, frontier_staging, epoch + 1
+            self._route(candidates, 0)
+            capped_refs, n_capped, n_fresh = self._finalize_epoch(
+                wave_ids, frontier_staging, epoch + 1
             )
             t_fetch = time.monotonic()
 
@@ -714,10 +539,6 @@ class CrawlEngine:
                     "updated_urls": summary.updated_urls,
                     "new_urls": summary.new_urls,
                 },
-            )
-            n_cpu_now = int(ray.cluster_resources().get("CPU", 8))
-            frontier_base = read_table(
-                self._frontier_dir(epoch), override_num_blocks=2 * n_cpu_now
             )
             frontier_rows = frontier_rows - n_fetched + n_fresh
             t_results = time.monotonic()
