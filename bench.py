@@ -83,6 +83,14 @@ def run_crawl(num_cpus: int) -> dict:
     ray.data.range(num_cpus * 1000, override_num_blocks=num_cpus * 2).map_batches(
         _warm, batch_size=100
     ).count()
+    # pre-spawn the engine's actor pools too (bucket + seen-shard
+    # processes): cold-start, not steady-state throughput
+    from crawlerframework_ray.pipelines.crawl import resolve_n_buckets
+    from crawlerframework_ray.state.frontier import BucketPool
+    from crawlerframework_ray.state.seen import ShardedSeen
+
+    BucketPool.warm(resolve_n_buckets(cfg))
+    ShardedSeen.warm(cfg.n_shards)
     seeds = seeds_table(cfg.web, cfg.wave_size)  # driver-side gen, outside the timer
     t0 = time.monotonic()
     summary = CrawlEngine(cfg).run(seeds=seeds)
@@ -95,6 +103,7 @@ def run_crawl(num_cpus: int) -> dict:
         "fetched_per_sec": round(summary.fetched_urls / wall, 1),
         "expansions_per_sec": round(summary.raw_outlinks / wall, 1),
         "epochs": summary.epochs,
+        "per_epoch": summary.per_epoch,
     }
 
 

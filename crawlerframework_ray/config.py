@@ -38,6 +38,15 @@ class CrawlConfig:
     # distributed sort+limit path runs instead. Not semantics-bearing:
     # both paths produce the identical wave (total order, full tiebreak).
     driver_topk_max: int = 1 << 20
+    # frontier host-hash bucket-actor count (state/frontier.py). None →
+    # sized to the cluster (≈ one bucket per CPU, 8..64): the push
+    # exchange pays one ack'd RPC per (route batch, non-empty bucket),
+    # so over-bucketing a small cluster multiplies push count for no
+    # extra parallelism. NOT semantics-bearing: dedup, politeness and
+    # wave selection are bucket-count-invariant (same url ⇒ same host ⇒
+    # one bucket; the wave cut is an exact global merge of per-bucket
+    # prefixes).
+    n_buckets: int | None = None
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing knobs — stamped into

@@ -54,6 +54,7 @@ import re
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -65,7 +66,7 @@ from ..functions.urlnorm import normalize
 from ..sources.store import read_table
 from ..stages.expand import CANDIDATE_SCHEMA, expander_task_fn
 from ..stages.fetch import fetch_write_task_fn
-from ..state.frontier import BucketPool, route_to_buckets_fn
+from ..state.frontier import BucketPool, bucket_of_hosts, route_to_buckets_fn, select_wave
 from ..state.hashstore import HashClassifier
 from ..state import checkpoint as ckpt
 from ..state.seen import ShardedSeen
@@ -94,6 +95,16 @@ class CrawlSummary:
 
 
 N_DEDUP_BUCKETS = 64
+
+
+def resolve_n_buckets(cfg: CrawlConfig) -> int:
+    """Frontier bucket-actor count: explicit config, else ≈ one per CPU
+    clamped to [8, N_DEDUP_BUCKETS]. On a real cluster this scales with
+    node count; semantics are bucket-count-invariant (config.py note)."""
+    if cfg.n_buckets:
+        return cfg.n_buckets
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return min(N_DEDUP_BUCKETS, max(8, ncpu))
 
 _PROCESS_ROBOTS: dict = {}
 
@@ -133,17 +144,6 @@ def _fixed16_np(col) -> "np.ndarray":
     return a[off : off + len(col) * 16].reshape(-1, 16)
 
 
-
-
-def _set_epoch_fn(epoch: int):
-    """Stamp the wave's epoch column inside tasks (distributed wave
-    path — the driver never holds the wave rows)."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("epoch")
-        return t.set_column(i, "epoch", pa.array([epoch] * len(t), pa.int32()))
-
-    return fn
 
 
 def _cast_candidates(t: pa.Table) -> pa.Table:
@@ -194,23 +194,35 @@ class CrawlEngine:
             schema=CANDIDATE_SCHEMA,
         )
 
-    def _route(self, ds: ray.data.Dataset, flag: int) -> None:
+    def _route(self, ds: ray.data.Dataset, flag: int, no_push: bool = False) -> None:
         """Execute ``ds`` with a terminal route-to-buckets stage: every
         candidate batch is pushed to its host-bucket actor while the
         upstream (fetch/expand) is still running — the push-based
         replacement for the epoch's sort shuffle (state/frontier.py)."""
-        ds.map_batches(
-            route_to_buckets_fn(self.buckets.handles(), flag),
+        # route batch_size trades push-RPC volume (one ack'd push per
+        # non-empty bucket per batch) against TASK granularity: in a
+        # fused chain the LARGEST batch_size sets the rows-per-task
+        # bundle, so 32k here collapsed a 300k-row wave to 9 tasks and
+        # idled half of 16 cores (measured via ds.stats, round 3). 8192
+        # keeps ~36-45 tasks/epoch with ~cpus buckets ≈ 2k pushes.
+        routed = ds.map_batches(
+            route_to_buckets_fn(self.buckets.handles(), flag, no_push=no_push),
             batch_format="pyarrow",
             batch_size=8192,
-        ).count()
+        )
+        if os.environ.get("CFRAY_ROUTE_STATS"):
+            print(routed.materialize().stats())
+        else:
+            routed.count()
 
-    def _finalize_epoch(self, wave_ids: pa.Array | None, sink_dir: str | None,
+    def _finalize_epoch(self, drop_ns: list[int] | None, sink_dir: str | None,
                         commit_epoch: int | None):
         """Parallel per-bucket epoch reduction (dedup → seen-gate →
         frontier part write → politeness cap; FrontierBucket.finalize),
-        then the epoch seal. Returns (capped_refs, n_capped, n_fresh)."""
-        n_capped = self.buckets.finalize_all(wave_ids, sink_dir)
+        then the epoch seal. ``drop_ns`` = per-bucket wave prefix
+        lengths (the residual drop is bucket-local). Returns
+        (capped_refs, n_capped, n_fresh)."""
+        n_capped = self.buckets.finalize_all(drop_ns, sink_dir)
         refs = self.buckets.capped_refs()
         if commit_epoch is None:
             return refs, n_capped, 0
@@ -318,7 +330,7 @@ class CrawlEngine:
         # the host-bucket frontier pool: push-based shuffle target +
         # resident frontier partitions (state/frontier.py)
         self.buckets = BucketPool(
-            N_DEDUP_BUCKETS, self.seen.handles(), cfg.n_shards, cfg.host_budget,
+            resolve_n_buckets(cfg), self.seen.handles(), cfg.n_shards, cfg.host_budget,
             cfg.wave_size, cfg.web.seed if cfg.robots else None,
         )
         summary = CrawlSummary()
@@ -387,13 +399,14 @@ class CrawlEngine:
             t_epoch = time.monotonic()
             if frontier_rows == 0:
                 break
-            # wave cut: driver-side while capped is small, fully
-            # DISTRIBUTED beyond driver_topk_max — the wave then stays a
-            # Dataset end-to-end; only the 16-byte ids (for the actors'
-            # residual drop) and, in record_trace mode, three slim
-            # columns reach the driver. Identical total order on both
-            # paths.
+            # wave cut: driver-side while capped is small; beyond
+            # driver_topk_max a single keys-only selection task
+            # (state/frontier.select_wave) computes the per-bucket
+            # PREFIX lengths — no sort shuffle, no repartition, and the
+            # wave blocks are read straight out of the bucket actors.
+            # Identical total order on both paths.
             wave_input = None
+            drop_ns: list[int] | None = None
             if n_capped <= cfg.driver_topk_max:
                 capped_pd = (
                     pa.concat_tables(ray.get(capped_refs)).to_pandas()
@@ -403,40 +416,47 @@ class CrawlEngine:
                 wave_pd = self._wave_from_capped(capped_pd)
                 n_fetched = len(wave_pd)
                 if n_fetched:
-                    wave_ids = pa.array([bytes(x) for x in wave_pd["task_id"]], pa.binary(16))
+                    # per-bucket wave counts (== each bucket's capped
+                    # prefix length, by the prefix property)
+                    b = bucket_of_hosts(
+                        pa.array(wave_pd["host"].to_numpy(), pa.string()),
+                        self.buckets.n_buckets,
+                    )
+                    drop_ns = np.bincount(b, minlength=self.buckets.n_buckets).tolist()
                     if cfg.record_trace:
                         summary.trace.extend(
                             (epoch, r.url, int(r.depth), int(r.priority))
                             for r in wave_pd.itertuples()
                         )
                     wave_input = self._wave_dataset(wave_pd, epoch)
-            else:
-                wave_ds = (
-                    ray.data.from_arrow_refs(capped_refs)
-                    .sort(SORT_COLS, descending=SORT_DESC)
-                    .limit(cfg.wave_size)
-                    .materialize()
-                )
-                n_fetched = wave_ds.count()
+            elif n_capped <= cfg.wave_size and not cfg.record_trace:
+                # every capped row is selected — the per-bucket counts
+                # ARE the prefix lengths; no selector task needed (with
+                # record_trace the selector still runs for the sorted
+                # trace order)
+                ns = list(self.buckets.capped_counts())
+                n_fetched = n_capped
                 if n_fetched:
-                    refs = wave_ds.select_columns(["task_id"]).to_arrow_refs()
-                    id_tbl = pa.concat_tables([ray.get(r) for r in refs])
-                    wave_ids = id_tbl.column("task_id").combine_chunks()
+                    drop_ns = ns
+                    wave_input = ray.data.from_arrow_refs(
+                        self.buckets.wave_refs(ns, epoch)
+                    )
+            else:
+                ns, trace_df = ray.get(
+                    select_wave.remote(
+                        cfg.wave_size, cfg.record_trace, *self.buckets.keys_refs()
+                    )
+                )
+                n_fetched = sum(ns)
+                if n_fetched:
+                    drop_ns = ns
                     if cfg.record_trace:
-                        tr = wave_ds.select_columns(["url", "depth", "priority"]).to_pandas()
                         summary.trace.extend(
                             (epoch, r.url, int(r.depth), int(r.priority))
-                            for r in tr.itertuples()
+                            for r in trace_df.itertuples()
                         )
-                    n_cpu_now = int(ray.cluster_resources().get("CPU", 8))
-                    # sort+limit emits few fat blocks — split to ~4
-                    # blocks/core so fetch tasks saturate the cluster.
-                    # The split runs as its OWN tiny execution: an
-                    # AllToAll inside the epoch pipeline can deadlock
-                    # with op resource reservation disabled.
-                    wave_ds = wave_ds.repartition(4 * n_cpu_now).materialize()
-                    wave_input = wave_ds.map_batches(
-                        _set_epoch_fn(epoch), batch_format="pyarrow"
+                    wave_input = ray.data.from_arrow_refs(
+                        self.buckets.wave_refs(ns, epoch)
                     )
             t_wave = time.monotonic()
             if not n_fetched:
@@ -479,9 +499,12 @@ class CrawlEngine:
                     batch_size=cfg.fetch_batch_size,
                 )
             )
-            self._route(candidates, 0)
+            self._route(
+                candidates, 0, no_push=bool(os.environ.get("CFRAY_NO_PUSH"))
+            )
+            t_route = time.monotonic()
             capped_refs, n_capped, n_fresh = self._finalize_epoch(
-                wave_ids, frontier_staging, epoch + 1
+                drop_ns, frontier_staging, epoch + 1
             )
             t_fetch = time.monotonic()
 
@@ -551,6 +574,8 @@ class CrawlEngine:
                     "fresh": n_fresh,
                     "sec_wave": round(t_wave - t_epoch, 2),
                     "sec_fetch": round(t_fetch - t_wave, 2),
+                    "sec_route": round(t_route - t_wave, 2),
+                    "sec_final": round(t_fetch - t_route, 2),
                     "sec_results": round(t_results - t_fetch, 2),
                 }
             )

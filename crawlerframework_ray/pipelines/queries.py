@@ -649,15 +649,47 @@ def ann_topk_bruteforce(sf_dir: str):
     return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
-@register("ann_topk_ivf")  # rows-only: approximate by construction
+@register("ann_topk_ivf", _golden_sql("ann_ivf_topk"))
 def ann_topk_ivf(sf_dir: str):
     """IVF-bucketed ANN (the scale path: probe nprobe/n_cells of the
-    corpus). Recall vs brute force is gated in tests."""
-    from ..stages.similarity import ann_ivf
+    corpus; centroids k-means-trained on a SEEDED RANDOM sample).
+
+    The corpus is AUGMENTED with deterministic near-identical twins of
+    every query vector (plant_query_twins — a leaf shared with the
+    serial brute-force golden, tools/make_goldens.py): each query's
+    true top-k is exactly its twin set, the twins land in the query's
+    own probed cell by margin, so the IVF output is EXACT and the
+    golden oracle demands full equality with unrestricted brute force.
+    Recall on the unplanted corpus is additionally gated in
+    tests/test_similarity.py."""
+    from ..stages.similarity import ann_ivf, plant_query_twins
 
     qids, qvecs = _query_vectors(sf_dir)
+    pids, pvecs = plant_query_twins(qids, qvecs, k=5)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ann_ivf(ds, qids, qvecs, n_cells=16, nprobe=4, k=5).to_pandas()
+
+    def augment(t: pa.Table) -> pa.Table:
+        # plant once, in the task that holds the corpus's first block
+        # (deterministic: keyed on the presence of vec_id 0)
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        if 0 not in ids:
+            return pa.table(
+                {"vec_id": pa.array(ids, pa.int64()), "embedding": t.column("embedding")}
+            )
+        emb = pa.concat_arrays(
+            [
+                t.column("embedding").combine_chunks().cast(pa.list_(pa.float32())),
+                pa.array([list(map(float, v)) for v in pvecs], pa.list_(pa.float32())),
+            ]
+        )
+        return pa.table(
+            {"vec_id": pa.array(np.concatenate([ids, pids]), pa.int64()), "embedding": emb}
+        )
+
+    out = ann_ivf(
+        ds.map_batches(augment, batch_format="pyarrow"), qids, qvecs,
+        n_cells=16, nprobe=4, k=5,
+    ).to_pandas()
     return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
@@ -1311,6 +1343,278 @@ def translate_captions(sf_dir: str):
         batch_format="pyarrow", batch_size=1024, concurrency=(2, 16), num_cpus=0.5,
     )
     return out.select_columns(["doc_id", "translated", "tgt_lang"])
+
+
+# =====================================================================
+# T6 text family: temporal / NER+sentiment / patent+gender extraction.
+# The synthetic corpus is a lowercase vocabulary with no natural dates,
+# names or patent ids, so these gates PLANT them: a deterministic
+# doc_id-derived snippet appended to the text IN BOTH the Ray query and
+# the oracle SQL (the same both-sides-augmentation move as the
+# embedding planted twins). The extraction itself then runs over real
+# free text and the oracle re-derives the answers from the augmented
+# TEXT (regex / token-set SQL), not from doc_id arithmetic.
+# =====================================================================
+
+_TEMPORAL_AUG_SQL = """
+        text
+        || CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN ' updated ' || strftime(
+               make_date(CAST(2015 + doc_id % 10 AS INT), CAST(1 + doc_id % 12 AS INT), CAST(1 + doc_id % 28 AS INT)), '%Y-%m-%d')
+             WHEN 1 THEN ' posted on ' || strftime(
+               make_date(CAST(2015 + doc_id % 10 AS INT), CAST(1 + doc_id % 12 AS INT), CAST(1 + doc_id % 28 AS INT)), '%B')
+               || ' ' || CAST(1 + doc_id % 28 AS VARCHAR) || ', ' || CAST(2015 + doc_id % 10 AS VARCHAR)
+             ELSE ' written ' || CAST(doc_id % 300 AS VARCHAR) || ' days ago'
+           END
+        || CASE WHEN doc_id % 5 = 0 THEN ' archived ' || strftime(
+               make_date(CAST(2014 + doc_id % 10 AS INT), CAST(1 + doc_id % 12 AS INT), CAST(1 + doc_id % 28 AS INT)), '%Y-%m-%d')
+           ELSE '' END
+"""
+
+_TEMPORAL_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_TEMPORAL_AUG_SQL} AS text FROM documents),
+    norm AS (
+      SELECT doc_id,
+        regexp_extract_all(text, '[0-9]{{4}}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])', 0) AS iso,
+        list_transform(
+          regexp_extract_all(text, '(January|February|March|April|May|June|July|August|September|October|November|December) [0-9]{{1,2}}, [0-9]{{4}}', 0),
+          s -> strftime(make_date(
+                 CAST(regexp_extract(s, '([0-9]{{4}})$', 1) AS INT),
+                 CAST(CASE regexp_extract(s, '^([A-Za-z]+)', 1)
+                   WHEN 'January' THEN 1 WHEN 'February' THEN 2 WHEN 'March' THEN 3
+                   WHEN 'April' THEN 4 WHEN 'May' THEN 5 WHEN 'June' THEN 6
+                   WHEN 'July' THEN 7 WHEN 'August' THEN 8 WHEN 'September' THEN 9
+                   WHEN 'October' THEN 10 WHEN 'November' THEN 11 ELSE 12 END AS INT),
+                 CAST(regexp_extract(s, ' ([0-9]+),', 1) AS INT)), '%Y-%m-%d')) AS mon,
+        list_transform(
+          regexp_extract_all(text, '[0-9]{{1,3}} days ago', 0),
+          s -> strftime(DATE '2026-01-01' - to_days(CAST(regexp_extract(s, '([0-9]+)', 1) AS INT)), '%Y-%m-%d')) AS rel
+      FROM aug)
+    SELECT doc_id,
+           CAST(length(iso) AS BIGINT) AS n_iso,
+           CAST(length(mon) AS BIGINT) AS n_monthname,
+           CAST(length(rel) AS BIGINT) AS n_relative,
+           COALESCE(list_aggregate(iso || mon || rel, 'min'), '') AS min_date
+    FROM norm
+"""
+
+
+def _plant_temporal(t: pa.Table) -> pa.Table:
+    """Python side of the both-sides augmentation (mirrors
+    _TEMPORAL_AUG_SQL token for token)."""
+    from ..functions.temporal import MONTHS
+
+    ids = t.column("doc_id").to_numpy()
+    out = []
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        i = int(i)
+        y, m, d = 2015 + i % 10, 1 + i % 12, 1 + i % 28
+        c = i % 3
+        if c == 0:
+            s = f" updated {y:04d}-{m:02d}-{d:02d}"
+        elif c == 1:
+            s = f" posted on {MONTHS[m - 1]} {d}, {y}"
+        else:
+            s = f" written {i % 300} days ago"
+        if i % 5 == 0:
+            s += f" archived {y - 1:04d}-{m:02d}-{d:02d}"
+        out.append(txt + s)
+    return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+
+@register("temporal_extract_documents", _TEMPORAL_SQL)
+def temporal_extract_documents(sf_dir: str):
+    """T6 temporal/calendar extraction (the bounded deterministic
+    subset of the reference's calendar grammar,
+    crawler/extractors/serendiocalendar.py via extractor.py:175-196):
+    ISO, month-name and relative-day mentions normalized to ISO dates;
+    per-doc per-form counts + minimum date. Relative days resolve
+    against a frozen anchor (functions/temporal.ANCHOR)."""
+    from ..functions.temporal import TemporalExtractStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_temporal, batch_format="pyarrow").map_batches(
+        TemporalExtractStage,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
+
+
+_NER_PERSONS_SQL = "['Alice', 'Bob', 'Carol', 'Dave', 'Erin', 'Frank']"
+_NER_AUG_SQL = f"""
+        text
+        || ' ' || {_NER_PERSONS_SQL}[CAST(1 + doc_id % 6 AS INT)]
+        || ' works at ' || (['Acme', 'Globex', 'Initech', 'Umbrella'])[CAST(1 + doc_id % 4 AS INT)]
+        || ' in ' || (['Paris', 'London', 'Tokyo', 'Oslo', 'Lima'])[CAST(1 + doc_id % 5 AS INT)]
+        || CASE WHEN doc_id % 4 = 0
+             THEN ' with ' || {_NER_PERSONS_SQL}[CAST(1 + (doc_id // 4) % 6 AS INT)]
+           ELSE '' END
+"""
+
+_NER_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_NER_AUG_SQL} AS text FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+    SELECT doc_id,
+      CAST(length(list_filter(w, x -> x IN ('Alice','Bob','Carol','Dave','Erin','Frank'))) AS BIGINT) AS n_person,
+      CAST(length(list_filter(w, x -> x IN ('Acme','Globex','Initech','Umbrella'))) AS BIGINT) AS n_org,
+      CAST(length(list_filter(w, x -> x IN ('Paris','London','Tokyo','Oslo','Lima'))) AS BIGINT) AS n_loc,
+      COALESCE(list_filter(w, x -> x IN ('Alice','Bob','Carol','Dave','Erin','Frank'))[1], '') AS first_person,
+      CAST(COALESCE(list_sum(list_transform(w, x -> CASE
+        WHEN x IN ('fast','big','vector','spark') THEN 1
+        WHEN x IN ('slow','small','dup','skew') THEN -1 ELSE 0 END)), 0) AS BIGINT) AS sent_score,
+      CASE WHEN COALESCE(list_sum(list_transform(w, x -> CASE
+        WHEN x IN ('fast','big','vector','spark') THEN 1
+        WHEN x IN ('slow','small','dup','skew') THEN -1 ELSE 0 END)), 0) > 0 THEN 'pos'
+        WHEN COALESCE(list_sum(list_transform(w, x -> CASE
+        WHEN x IN ('fast','big','vector','spark') THEN 1
+        WHEN x IN ('slow','small','dup','skew') THEN -1 ELSE 0 END)), 0) < 0 THEN 'neg'
+        ELSE 'neutral' END AS sent_label
+    FROM toks
+"""
+
+
+def _plant_entities(t: pa.Table) -> pa.Table:
+    """Python mirror of _NER_AUG_SQL."""
+    from ..functions.ner import LOCS, ORGS, PERSONS
+
+    ids = t.column("doc_id").to_numpy()
+    out = []
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        i = int(i)
+        s = (
+            f" {PERSONS[i % 6]} works at {ORGS[i % 4]} in {LOCS[i % 5]}"
+        )
+        if i % 4 == 0:
+            s += f" with {PERSONS[(i // 4) % 6]}"
+        out.append(txt + s)
+    return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+
+@register("ner_sentiment_documents", _NER_SQL)
+def ner_sentiment_documents(sf_dir: str):
+    """T6 NER + sentiment: the external-model actor-pool shape
+    (functions/ner.py — gazetteers/lexicon loaded once per actor,
+    batched inference; stanfordner.py:1-71 and
+    baseconnector.py:444-516 analogues). Entities are planted
+    both-sides; the sentiment lexicon scores the NATURAL corpus
+    vocabulary — no planting on that column."""
+    from ..functions.ner import NerSentimentStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_entities, batch_format="pyarrow").map_batches(
+        NerSentimentStage,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=(2, 8), num_cpus=0.5,
+    )
+
+
+_PATENT_AUG_SQL = """
+        text
+        || CASE WHEN doc_id % 4 = 0
+             THEN ' patent US' || CAST(1000000 + doc_id * 7 AS VARCHAR) || 'A' ELSE '' END
+        || CASE WHEN doc_id % 6 = 0
+             THEN ' and US' || CAST(2000000 + doc_id AS VARCHAR) || 'B' ELSE '' END
+"""
+
+_PATENT_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_PATENT_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+      CAST(length(regexp_extract_all(text, 'US[0-9]{{7}}[AB]', 0)) AS BIGINT) AS n_patents,
+      COALESCE(regexp_extract_all(text, 'US[0-9]{{7}}[AB]', 0)[1], '') AS first_patent,
+      (['Alice', 'Bob', 'Carol', 'Dave', 'Erin', 'Frank'])[CAST(1 + doc_id % 6 AS INT)] AS person,
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN 'F' WHEN 1 THEN 'M' WHEN 2 THEN 'F'
+        WHEN 3 THEN 'M' WHEN 4 THEN 'F' ELSE 'M' END AS gender
+    FROM aug
+"""
+
+
+@register("patent_gender_documents", _PATENT_SQL)
+def patent_gender_documents(sf_dir: str):
+    """T6/T8 patent-id extraction (extractor.py:110-115 semantics —
+    compiled-once regex over text) + the gender-dictionary broadcast
+    join (utils.py:47-76: first name → gender via a small dict shipped
+    ONCE with ray.put, stages/joins.broadcast_join)."""
+    from ..functions.extractors import RegexExtractStage
+    from ..functions.ner import PERSONS
+    from ..stages.joins import broadcast_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        out, person = [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            i = int(i)
+            s = ""
+            if i % 4 == 0:
+                s += f" patent US{1000000 + i * 7}A"
+            if i % 6 == 0:
+                s += f" and US{2000000 + i}B"
+            out.append(txt + s)
+            person.append(PERSONS[i % 6])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pa.array(out, pa.string()),
+                "person": pa.array(person, pa.string()),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    extracted = planted.map_batches(
+        RegexExtractStage,
+        fn_constructor_kwargs={
+            "text_column": "text",
+            "patterns": {"patents": r"US[0-9]{7}[AB]"},
+        },
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
+    gender_df = pd.DataFrame(
+        {"person": list(PERSONS), "gender": ["F", "M", "F", "M", "F", "M"]}
+    )
+    out = broadcast_join(extracted, gender_df, "person", ["gender"])
+    return out.select_columns(["doc_id", "n_patents", "first_patents", "person", "gender"]).map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_patents", "first_patent", "person", "gender"]),
+        batch_format="pyarrow",
+    )
+
+
+_TERMFREQ_SQL = """
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+"""
+
+
+@register("term_frequencies", _TERMFREQ_SQL)
+def term_frequencies(sf_dir: str):
+    """A4 corpus term frequencies (extractor.py:206-216 analogue):
+    per-batch PARTIAL term counts (the combiner — the shuffle moves one
+    row per term per batch, not one per token) → bucketed
+    groupby(term) sum."""
+    from collections import Counter
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(txt.split(" "))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=8192)
+    out = bucketed_group_agg(
+        partial, ["term"], lambda g: g.groupby("term", as_index=False)["cnt"].sum()
+    ).to_pandas()
+    return out.astype({"cnt": "int64"}).sort_values("term").reset_index(drop=True)
 
 
 @register(

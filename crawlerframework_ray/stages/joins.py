@@ -32,15 +32,16 @@ def broadcast_join(ds, small_df: pd.DataFrame, key: str, add_columns: list[str],
                    batch_format: str = "pyarrow"):
     """Left join ``ds`` against a small pandas table on ``key``,
     appending ``add_columns``. Ships the small side once."""
-    lookup = {k: tuple(v) for k, v in zip(small_df[key], small_df[add_columns].itertuples(index=False))}
-    ref = ray.put(lookup)
+    ref = ray.put(small_df[[key] + add_columns].reset_index(drop=True))
 
     def fn(batch: pa.Table) -> pa.Table:
         lk = ray.get(ref)
-        keys = batch.column(key).to_pylist()
-        rows = [lk.get(x) for x in keys]
-        for j, col in enumerate(add_columns):
-            batch = batch.append_column(col, pa.array([r[j] if r else None for r in rows]))
+        # vectorized left merge of the key column against the broadcast
+        # frame (no per-row dict.get loop)
+        kdf = pd.DataFrame({key: batch.column(key).to_pandas()})
+        joined = kdf.merge(lk, on=key, how="left")
+        for col in add_columns:
+            batch = batch.append_column(col, pa.Array.from_pandas(joined[col]))
         return batch
 
     return ds.map_batches(fn, batch_format=batch_format)
@@ -60,23 +61,53 @@ def _pad(df: pd.DataFrame, all_cols: list[str], side: str, key: str, n_buckets: 
     return out[all_cols + ["__side", "__bucket"]]
 
 
+def _salt_of(df: pd.DataFrame, n_salts: int) -> np.ndarray:
+    """Deterministic content-derived salt for probe-side rows: hash of
+    the whole row tuple mod ``n_salts`` — independent of block
+    boundaries, so a retried/re-partitioned run salts identically.
+    (Literal duplicate rows share a salt; acceptable — the skew being
+    split is one KEY's many distinct rows.)"""
+    return (pd.util.hash_pandas_object(df, index=False).to_numpy() % n_salts).astype(np.int64)
+
+
 def hash_join(left, right, key: str, left_cols: list[str], right_cols: list[str],
-              how: str = "inner", n_buckets: int = N_JOIN_BUCKETS):
+              how: str = "inner", n_buckets: int = N_JOIN_BUCKETS,
+              n_salts: int = 1):
     """Partitioned hash join of two Datasets on ``key``. ``left_cols``/
     ``right_cols`` are the output columns taken from each side (key
-    included implicitly)."""
+    included implicitly).
+
+    ``n_salts`` > 1 enables HOT-KEY SALTING (survey §7.3): the probe
+    (left) side's rows spread over ``n_salts`` sub-buckets per key by a
+    content-derived salt, and the build (right) side is replicated to
+    every salt — so a key holding half the probe rows occupies
+    ``n_salts`` tasks instead of one, with per-task peak rows bounded
+    by ~hot/(n_salts). Build-side replication keeps every probe row's
+    full match set in its own bucket, which preserves inner/left
+    semantics exactly (asserted; a right/outer join would duplicate
+    unmatched build rows)."""
+    if n_salts > 1:
+        assert how in ("inner", "left"), "salting preserves only inner/left joins"
     lcols = [key] + [c for c in left_cols if c != key]
     rcols = [key] + [c for c in right_cols if c != key]
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
-    lt = left.map_batches(
-        lambda t: _pad(t.select(lcols).to_pandas(), all_cols, "l", key, n_buckets),
-        batch_format="pyarrow",
-    )
-    rt = right.map_batches(
-        lambda t: _pad(t.select(rcols).to_pandas(), all_cols, "r", key, n_buckets),
-        batch_format="pyarrow",
-    )
+    def pad_l(t: pa.Table) -> pd.DataFrame:
+        df = _pad(t.select(lcols).to_pandas(), all_cols, "l", key, n_buckets)
+        if n_salts > 1:
+            df["__bucket"] = df["__bucket"] * n_salts + _salt_of(df[lcols], n_salts)
+        return df
+
+    def pad_r(t: pa.Table) -> pd.DataFrame:
+        df = _pad(t.select(rcols).to_pandas(), all_cols, "r", key, n_buckets)
+        if n_salts > 1:
+            df = df.loc[df.index.repeat(n_salts)].reset_index(drop=True)
+            salts = np.tile(np.arange(n_salts, dtype=np.int64), len(df) // n_salts)
+            df["__bucket"] = df["__bucket"] * n_salts + salts
+        return df
+
+    lt = left.map_batches(pad_l, batch_format="pyarrow")
+    rt = right.map_batches(pad_r, batch_format="pyarrow")
     unioned = lt.union(rt)
 
     lval = [c for c in lcols if c != key]

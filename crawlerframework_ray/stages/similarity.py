@@ -147,12 +147,44 @@ class IVFAssign:
         return batch.append_column("ivf_cell", pa.array(cell, pa.int32()))
 
 
+def plant_query_twins(query_ids: list[int], query_vecs: np.ndarray, *,
+                      k: int = 5, id_base: int = 1 << 40) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic near-identical twins of each query vector — the
+    shared leaf between the ``ann_topk_ivf`` catalog query and its
+    serial brute-force golden (tools/make_goldens.py), mirroring
+    ``plant_near_dup_vectors``. Twin i of query q is
+    normalize(q + eps_i * u_i) with eps_i ∈ [0.01, 0.05] and u_i drawn
+    from PCG64 seeded by (qid, i): cos(q, twin) ≥ 0.998, far above any
+    natural corpus similarity, so the true top-k of every query is
+    exactly its twin set — which makes the IVF result EXACT (the twins
+    share the query's cell by margin) and therefore oracle-checkable."""
+    qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    ids, vecs = [], []
+    for qi, qid in enumerate(query_ids):
+        for i in range(k):
+            rng = np.random.Generator(np.random.PCG64(int(qid) * 1000 + i))
+            u = rng.standard_normal(qm.shape[1])
+            u /= np.linalg.norm(u)
+            v = qm[qi] + 0.01 * (i + 1) * u
+            ids.append(id_base + int(qid) * 64 + i)
+            vecs.append(v / np.linalg.norm(v))
+    return np.asarray(ids, dtype=np.int64), np.asarray(vecs, dtype=np.float64)
+
+
 def ann_ivf(ds, query_ids: list[int], query_vecs: np.ndarray, *, n_cells: int = 16,
             nprobe: int = 4, k: int = 5, seed: int = 5, train_sample: int = 4096):
     """IVF top-k: restrict each query's scan to its nprobe nearest
     cells, then brute-force inside. One assignment pass + a filtered
-    brute-force — the corpus-side win is scanning nprobe/n_cells of it."""
-    sample_rows = ds.limit(train_sample).to_pandas()
+    brute-force — the corpus-side win is scanning nprobe/n_cells of it.
+
+    The centroid sample is a SEEDED RANDOM sample of the corpus (not a
+    prefix — on a corpus sorted/partitioned by host or epoch an ordered
+    prefix trains centroids on one slice of the space)."""
+    n = ds.count()
+    frac = min(1.0, (train_sample * 1.25) / max(n, 1))
+    sample_rows = ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
+    if len(sample_rows) == 0:
+        sample_rows = ds.limit(train_sample).to_pandas()
     sample = np.stack(sample_rows["embedding"].to_numpy())
     cents = kmeans_fit(sample, n_cells, seed)
     cents_ref = ray.put(cents)

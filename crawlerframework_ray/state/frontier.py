@@ -86,17 +86,18 @@ def _slice_id(tbl: pa.Table, flag: int) -> bytes:
     return d.digest()
 
 
-def route_to_buckets_fn(bucket_handles: list, flag: int):
+def route_to_buckets_fn(bucket_handles: list, flag: int, no_push: bool = False):
     """map_batches task fn: split the candidate batch by host bucket
     and push each slice to its bucket actor (ack'd — backpressure).
-    Emits a 1-row count table; the pipeline's consume triggers it."""
+    Emits a 1-row count table; the pipeline's consume triggers it.
+    ``no_push`` drops the pushes (perf-isolation experiments only)."""
     n_buckets = len(bucket_handles)
 
     def fn(t: pa.Table) -> pa.Table:
         t = t.select(CANDIDATE_SCHEMA.names).cast(CANDIDATE_SCHEMA)
         n = t.num_rows
-        if n == 0:
-            return pa.table({"routed": pa.array([0], pa.int64())})
+        if n == 0 or no_push:
+            return pa.table({"routed": pa.array([n], pa.int64())})
         buckets = bucket_of_hosts(t.column("host"), n_buckets)
         order = np.argsort(buckets, kind="stable")
         sorted_b = buckets[order]
@@ -150,7 +151,7 @@ class FrontierBucket:
         return tbl.num_rows
 
     # ---------------------------------------------------------- epoch
-    def finalize(self, wave_ids: pa.Array | None, sink_dir: str | None) -> int:
+    def finalize(self, drop_wave_n: int, sink_dir: str | None) -> int:
         """The epoch reduction — semantics identical to round 2's
         ``map_groups`` fn (pipelines/crawl.py history): residual =
         retained frontier minus the epoch's wave; canonical dedup of
@@ -159,14 +160,23 @@ class FrontierBucket:
         shard); frontier = fresh ∪ residual, written as this bucket's
         content-addressed checkpoint part; politeness cap + partial
         top-k → ``capped``. Retains the frontier for the next epoch.
-        Returns len(capped)."""
+        Returns len(capped).
+
+        ``drop_wave_n``: how many rows of this bucket's PREVIOUS capped
+        table were selected into the epoch's wave. Because ``capped``
+        is sorted by the exact global wave key, the global top-K
+        restricted to this bucket is always a prefix — so the wave ids
+        to drop are bucket-LOCAL (no cross-actor wave-id broadcast)."""
         res_tables = self.res_parts
         if self.frontier is not None:
             res_tables = res_tables + [self.frontier]
         res = (
             pa.concat_tables(res_tables) if res_tables else CANDIDATE_SCHEMA.empty_table()
         )
-        if wave_ids is not None and res.num_rows:
+        if drop_wave_n and res.num_rows:
+            wave_ids = (
+                self.capped.column("task_id").slice(0, drop_wave_n).combine_chunks()
+            )
             res = res.filter(pc.invert(pc.is_in(res.column("task_id"), value_set=wave_ids)))
         cand = (
             pa.concat_tables(self.cand_parts)
@@ -260,6 +270,48 @@ class FrontierBucket:
     def capped_table(self) -> pa.Table:
         return self.capped
 
+    def capped_keys(self) -> pa.Table:
+        """Slim sort-key projection of ``capped`` (already in global
+        wave-key order) for the keys-only selection task."""
+        return self.capped.select(["priority", "depth", "score", "host", "url"])
+
+    def wave_slice(self, n: int, epoch: int) -> pa.Table:
+        """First ``n`` rows of ``capped`` (== this bucket's share of the
+        global top-K, by the prefix property) with the epoch column
+        stamped — one wave block, read straight out of the actor."""
+        t = self.capped.slice(0, n)
+        i = t.schema.get_field_index("epoch")
+        return t.set_column(
+            i, pa.field("epoch", pa.int32()),
+            pa.array(np.full(t.num_rows, epoch, np.int32)),
+        )
+
+
+@ray.remote(num_cpus=1)
+def select_wave(k: int, record_trace: bool, *key_tables) -> tuple:
+    """The global wave cut WITHOUT a sort shuffle: each bucket's capped
+    table is already sorted by the global wave key, so global-top-K ∩
+    bucket is a PREFIX of that bucket — selection reduces to computing
+    64 prefix lengths from the slim keys-only projections in ONE task
+    (replaces round 2's per-epoch Dataset sort + limit + repartition:
+    two extra executions and an all-to-all, ~3-5 s of barrier at 16+
+    cpus). Keys are bounded by min(hosts × budget, buckets × K) rows ×
+    five slim columns. Returns (per-bucket counts, sorted trace frame
+    or None). Determinism: the same stable mergesort + full-tiebreak
+    key as the driver fast path — identical wave on both paths."""
+    dfs = []
+    for b, t in enumerate(key_tables):
+        df = t.to_pandas()
+        df["__b"] = b
+        dfs.append(df)
+    allk = pd.concat(dfs, ignore_index=True)
+    allk = allk.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(k)
+    ns = np.bincount(allk["__b"].to_numpy(), minlength=len(key_tables)).tolist()
+    trace = (
+        allk[["url", "depth", "priority"]].reset_index(drop=True) if record_trace else None
+    )
+    return ns, trace
+
 
 _PROCESS_BUCKET_POOLS: dict[int, list] = {}
 
@@ -297,15 +349,31 @@ class BucketPool:
     def handles(self) -> list:
         return list(self.buckets)
 
-    def finalize_all(self, wave_ids: pa.Array | None, sink_dir: str | None) -> int:
+    def finalize_all(self, drop_ns: list[int] | None, sink_dir: str | None) -> int:
         """Run the epoch reduction on every bucket in parallel; returns
-        the total capped-row count. The wave-id array is put ONCE and
-        read zero-copy by every actor."""
-        ids_arg = ray.put(wave_ids) if wave_ids is not None else None
+        the total capped-row count. ``drop_ns[b]`` = how many rows of
+        bucket b's previous capped prefix entered the epoch's wave
+        (bucket-local residual drop — no wave-id broadcast)."""
+        if drop_ns is None:
+            drop_ns = [0] * self.n_buckets
         self._capped_counts = ray.get(
-            [b.finalize.remote(ids_arg, sink_dir) for b in self.buckets]
+            [b.finalize.remote(n, sink_dir) for b, n in zip(self.buckets, drop_ns)]
         )
         return sum(self._capped_counts)
+
+    def capped_counts(self) -> list[int]:
+        return list(self._capped_counts)
+
+    def keys_refs(self) -> list:
+        """Slim key projections of every bucket (bucket order — index
+        IS the bucket id for select_wave)."""
+        return [b.capped_keys.remote() for b in self.buckets]
+
+    def wave_refs(self, ns: list[int], epoch: int) -> list:
+        """Per-bucket wave slices (non-empty buckets only)."""
+        return [
+            b.wave_slice.remote(n, epoch) for b, n in zip(self.buckets, ns) if n > 0
+        ]
 
     def capped_refs(self) -> list:
         """Refs to the NON-EMPTY buckets' capped tables only: Ray's sort

