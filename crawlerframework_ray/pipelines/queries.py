@@ -1697,18 +1697,22 @@ def token_affinity_counts(sf_dir: str):
 
     run_id = uuid.uuid4().hex[:8]
     names, handles = make_token_workers(4, run_id)
-    ds = _read(sf_dir, "documents", ["source"])
-    routed = ds.map_batches(
-        AffinityRouter(names, key_column="source"), batch_format="pyarrow", batch_size=4096
-    )
-    routed.materialize()
-    rows = []
-    for h in handles:
-        token, counts = ray.get(h.report.remote())
-        for source, n in counts.items():
-            rows.append((source, token, n))
-    for h in handles:
-        ray.kill(h)
+    try:
+        ds = _read(sf_dir, "documents", ["source"])
+        routed = ds.map_batches(
+            AffinityRouter(names, key_column="source"), batch_format="pyarrow", batch_size=4096
+        )
+        routed.materialize()
+        rows = []
+        for h in handles:
+            token, counts = ray.get(h.report.remote())
+            for source, n in counts.items():
+                rows.append((source, token, n))
+    finally:
+        # named actors outlive the query unless killed — guarantee
+        # cleanup even when the pipeline raises mid-run
+        for h in handles:
+            ray.kill(h)
     return pd.DataFrame(rows, columns=["source", "token", "n_rows"]).astype(
         {"token": "int64", "n_rows": "int64"}
     ).sort_values("source").reset_index(drop=True)
