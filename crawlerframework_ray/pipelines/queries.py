@@ -1884,3 +1884,40 @@ def session_windows_user(sf_dir: str):
         return out.astype({"user_id": "int64", "session_id": "int64", "n_events": "int64"})
 
     return bucketed_group_agg(ds, ["user_id"], sessions)
+
+
+@register("api_handler_rotation", _golden_sql("api_rotation"))
+def api_handler_rotation(sf_dir: str):
+    """T4 full form: per-key rate-limited handler pool
+    (apilib.py:14-96 ObjectPool / BaseObject.fetch semantics — quota
+    disable, logical-clock re-enable, NoActiveHandlersAvailable abort).
+    Each source's request stream (its documents in doc_id order) runs
+    through a 3-handler pool whose quota derives from the source name;
+    sources run in parallel via one bucketed shuffle, the rotation is
+    serial inside its task (the reference's per-site contract —
+    state/handlerpool.py docstring). Output: requests served per
+    (source, handler_id), handler_id = -1 counting aborted requests.
+    Golden: independent event-driven serial simulation
+    (tools/make_goldens.py api_rotation)."""
+    import zlib
+
+    from ..stages.agg import bucketed_group_agg
+    from ..state.handlerpool import run_key_stream
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def rotate(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, gg in g.groupby("source", sort=False):
+            n = len(gg.sort_values("doc_id"))
+            quota = 2 + zlib.crc32(src.encode()) % 3
+            hid, _ = run_key_stream(n, 3, quota, 4 * quota)
+            vc = pd.Series(hid).value_counts().sort_index()
+            outs.append(pd.DataFrame({
+                "source": src,
+                "handler_id": vc.index.to_numpy(dtype=np.int64),
+                "n_served": vc.to_numpy(dtype=np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_agg(ds, ["source"], rotate)

@@ -476,8 +476,50 @@ def ann_ivf_topk(sf_dir: str) -> None:
     _write("ann_ivf_topk", sf_dir, out)
 
 
+def api_rotation(sf_dir: str) -> None:
+    """Serial event-driven simulation of the T4 handler-pool protocol
+    (apilib.py:14-96 semantics), written against array state rather
+    than the pool/handler objects the query path uses: per source, at
+    each tick pick the lowest-index handler whose disable window has
+    elapsed; one that already spent its quota is disabled for
+    4*quota ticks and the next is tried; no handler => abort (-1)."""
+    import zlib
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    df = t.to_pandas()
+    rows = []
+    H = 3
+    for src, g in df.groupby("source", sort=False):
+        n = len(g)
+        quota = 2 + zlib.crc32(src.encode()) % 3
+        reset = 4 * quota
+        until = np.zeros(H, dtype=np.int64)   # disabled-until tick
+        spent = np.zeros(H, dtype=np.int64)   # served since last enable
+        served_by = np.full(n, -1, dtype=np.int64)
+        for tick in range(n):
+            for h in range(H):
+                if until[h] > tick:
+                    continue  # still disabled
+                if until[h]:  # disable window elapsed => counter reset
+                    spent[h] = 0
+                    until[h] = 0
+                if spent[h] >= quota:
+                    until[h] = tick + reset  # rate limited on this attempt
+                    continue
+                spent[h] += 1
+                served_by[tick] = h
+                break
+        vc = pd.Series(served_by).value_counts().sort_index()
+        for hid, cnt in vc.items():
+            rows.append((src, int(hid), int(cnt)))
+    out = pd.DataFrame(rows, columns=["source", "handler_id", "n_served"]).astype(
+        {"handler_id": "int64", "n_served": "int64"}
+    )
+    _write("api_rotation", sf_dir, out)
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
-       parse_entity_counts, mailbox_counts, newsgroup_counts]
+       parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation]
 
 
 def main() -> None:
