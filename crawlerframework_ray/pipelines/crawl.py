@@ -222,14 +222,18 @@ class CrawlEngine:
         then the epoch seal. ``drop_ns`` = per-bucket wave prefix
         lengths (the residual drop is bucket-local). Returns
         (capped_refs, n_capped, n_fresh)."""
+        t0 = time.monotonic()
         n_capped = self.buckets.finalize_all(drop_ns, sink_dir)
         refs = self.buckets.capped_refs()
         if commit_epoch is None:
             return refs, n_capped, 0
+        t1 = time.monotonic()
         # fresh count = what the gate staged (globally unique upstream),
         # read before seal folds the staging sets into the filters
         n_fresh = self.seen.staged_total()
         self.seen.seal(commit_epoch)
+        if os.environ.get("CFRAY_FINAL_STATS"):
+            print(f"[final] buckets={t1 - t0:.2f}s seal={time.monotonic() - t1:.2f}s")
         return refs, n_capped, n_fresh
 
     # -------------------------------------------------- wave selection

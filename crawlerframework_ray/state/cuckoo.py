@@ -33,6 +33,23 @@ import numpy as np
 
 _HEADER = struct.Struct("<4sQIIQ")  # magic, n_buckets, bucket_size, max_kicks, count
 
+_ALT_LUT: np.ndarray | None = None
+
+
+def _alt_lut() -> np.ndarray:
+    """uint64[65536]: md5(fp as <H)[:8] little-endian for every 16-bit
+    fingerprint — the vectorized form of ``_alt``'s per-item md5.
+    Filter-independent (the bucket mask is applied by the caller)."""
+    global _ALT_LUT
+    if _ALT_LUT is None:
+        lut = np.empty(1 << 16, dtype=np.uint64)
+        for f in range(1 << 16):
+            lut[f] = int.from_bytes(
+                hashlib.md5(struct.pack("<H", f)).digest()[:8], "little"
+            )
+        _ALT_LUT = lut
+    return _ALT_LUT
+
 
 class CuckooFilter:
     MAGIC = b"CKF1"
@@ -76,6 +93,22 @@ class CuckooFilter:
         if (self.table[i1] == fp).any():
             return True
         return bool((self.table[self._alt(i1, fp)] == fp).any())
+
+    def contains_many(self, arr: np.ndarray) -> np.ndarray:
+        """Vectorized membership for an (n, 16)-uint8 id array —
+        bit-identical to ``contains`` per row (same fp / i1 / alt
+        derivation; the md5-of-fingerprint alt hash comes from a shared
+        65536-entry table since fp is 16-bit)."""
+        if arr.size == 0:
+            return np.zeros(0, dtype=bool)
+        fp = (arr[:, 6].astype(np.uint16) | (arr[:, 7].astype(np.uint16) << np.uint16(8)))
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (arr[:, 8:16].copy().view("<u8").reshape(-1) & mask).astype(np.int64)
+        alt = ((i1.astype(np.uint64) ^ _alt_lut()[fp]) & mask).astype(np.int64)
+        fpc = fp[:, None]
+        return ((self.table[i1] == fpc).any(axis=1)
+                | (self.table[alt] == fpc).any(axis=1))
 
     def add(self, item: bytes) -> bool:
         """Insert; returns False only if the table was full (item

