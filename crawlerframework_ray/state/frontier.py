@@ -139,6 +139,7 @@ class FrontierBucket:
         self.robots_seed = robots_seed
         self.cand_parts: list[pa.Table] = []
         self.res_parts: list[pa.Table] = []
+        self._pending: dict[int, list] = {0: [], 1: []}
         self.frontier: pa.Table | None = None
         self.capped: pa.Table = CANDIDATE_SCHEMA.empty_table()
         self._folded: set[bytes] = set()
@@ -149,25 +150,42 @@ class FrontierBucket:
         self._reset_run(shard_handles, n_shards, host_budget, wave_size, robots_seed)
         return self.bucket_id
 
+    COMPACT_EVERY = 32
+
+    @staticmethod
+    def _own(tables: list) -> pa.Table:
+        """Deep-copy tables into one actor-owned heap table (IPC round
+        trip — guaranteed fresh buffers, no plasma references)."""
+        cat = pa.concat_tables(tables)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, cat.schema) as w:
+            w.write_table(cat)
+        return pa.ipc.open_stream(sink.getvalue()).read_all()
+
+    def _compact(self, flag: int, force: bool = False) -> None:
+        """Fold pending plasma-backed slices into owned heap memory.
+        Retaining every zero-copy pushed slice until finalize meant
+        thousands of shared-memory objects across the pool all dropping
+        their mappings at once — a munmap/TLB-shootdown storm measured
+        at ~250 cpu-s of kernel sys + ~220 cpu-s of hypervisor steal
+        per epoch at 1.47M-row waves, inflating every concurrent memcpy
+        40-100×. Copying per push put the memcpy on the ack critical
+        path instead (~2-4 s of route at 368k waves, A/B-measured), so
+        the copy is BATCHED: every COMPACT_EVERY slices, off most acks,
+        freeing plasma objects in small waves throughout the route
+        phase."""
+        pend = self._pending[flag]
+        if not pend or (len(pend) < self.COMPACT_EVERY and not force):
+            return
+        (self.cand_parts if flag == 0 else self.res_parts).append(self._own(pend))
+        pend.clear()
+
     def push(self, tbl: pa.Table, flag: int, slice_id: bytes) -> int:
         if slice_id in self._folded:
             return tbl.num_rows
         self._folded.add(slice_id)
-        # Deep-copy the slice into actor-owned heap memory (one IPC
-        # round trip). The zero-copy deserialized arg references its
-        # plasma object: retaining hundreds of those per actor until
-        # finalize meant thousands of shared-memory objects across the
-        # pool all unmapped at once when cand_parts dropped — a
-        # munmap/TLB-shootdown storm measured at ~250 cpu-s of SYS plus
-        # ~220 cpu-s of hypervisor steal per epoch at 1.47M-row waves,
-        # inflating every concurrent memcpy 40-100×. Copying at push
-        # time frees each plasma object immediately, amortized across
-        # the route phase and overlapped with fetch.
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, tbl.schema) as w:
-            w.write_table(tbl)
-        owned = pa.ipc.open_stream(sink.getvalue()).read_all()
-        (self.cand_parts if flag == 0 else self.res_parts).append(owned)
+        self._pending[flag].append(tbl)
+        self._compact(flag)
         return tbl.num_rows
 
     # ---------------------------------------------------------- epoch
@@ -202,6 +220,8 @@ class FrontierBucket:
                 _marks.append(f"{label}={now - _t:.2f}/c{cnow - _c:.2f}")
                 _t, _c = now, cnow
 
+        self._compact(0, force=True)
+        self._compact(1, force=True)
         res_tables = self.res_parts
         if self.frontier is not None:
             res_tables = res_tables + [self.frontier]
