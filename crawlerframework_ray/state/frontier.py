@@ -45,15 +45,16 @@ import os
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
 from ..stages.expand import CANDIDATE_SCHEMA
 
-SORT_COLS = ["priority", "depth", "score", "host", "url"]
-_PD_ASC = [True, True, False, True, True]
+# the global wave key (total order; url,priority unique after the gate)
+WAVE_SORT_KEYS = [("priority", "ascending"), ("depth", "ascending"),
+                  ("score", "descending"), ("host", "ascending"),
+                  ("url", "ascending")]
 
 
 def bucket_of_hosts(hosts: pa.Array, n_buckets: int) -> np.ndarray:
@@ -353,12 +354,9 @@ class FrontierBucket:
                 lim = self.host_budget
             g2 = g2.filter(pa.array(ranks < lim))
             if g2.num_rows > self.wave_size:
-                g2 = g2.take(pc.sort_indices(
-                    g2,
-                    sort_keys=[("priority", "ascending"), ("depth", "ascending"),
-                               ("score", "descending"), ("host", "ascending"),
-                               ("url", "ascending")],
-                )).slice(0, self.wave_size)
+                g2 = g2.take(
+                    pc.sort_indices(g2, sort_keys=WAVE_SORT_KEYS)
+                ).slice(0, self.wave_size)
             self.capped = g2.combine_chunks()
         else:
             self.capped = CANDIDATE_SCHEMA.empty_table()
@@ -410,12 +408,7 @@ def select_wave(k: int, record_trace: bool, *key_tables) -> tuple:
     # key is a total order (url,priority unique per bucket), so the
     # bytewise Arrow sort is deterministic and — with ASCII urls —
     # identical to the driver fast path's pandas sort.
-    order = pc.sort_indices(
-        allk,
-        sort_keys=[("priority", "ascending"), ("depth", "ascending"),
-                   ("score", "descending"), ("host", "ascending"),
-                   ("url", "ascending")],
-    )
+    order = pc.sort_indices(allk, sort_keys=WAVE_SORT_KEYS)
     top = allk.take(order.slice(0, k))
     ns = np.bincount(
         top.column("__b").to_numpy(zero_copy_only=False), minlength=len(key_tables)
