@@ -1508,6 +1508,47 @@ def ner_sentiment_documents(sf_dir: str):
     )
 
 
+_GEO_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_NER_AUG_SQL} AS text FROM documents),
+    toks AS (SELECT doc_id,
+               list_filter(string_split(text, ' '),
+                           x -> x IN ('Paris','London','Tokyo','Oslo','Lima')) AS locs
+             FROM aug)
+    SELECT doc_id,
+      CAST(length(locs) AS BIGINT) AS n_locs,
+      COALESCE(locs[1], '') AS first_loc,
+      CASE COALESCE(locs[1], '')
+        WHEN 'Paris' THEN 'FR' WHEN 'London' THEN 'GB' WHEN 'Tokyo' THEN 'JP'
+        WHEN 'Oslo' THEN 'NO' WHEN 'Lima' THEN 'PE' ELSE '' END AS country,
+      CAST(CASE COALESCE(locs[1], '')
+        WHEN 'Paris' THEN 48856600 WHEN 'London' THEN 51507200
+        WHEN 'Tokyo' THEN 35676200 WHEN 'Oslo' THEN 59913900
+        WHEN 'Lima' THEN -12046400 ELSE 0 END AS BIGINT) AS lat_e6,
+      CAST(CASE COALESCE(locs[1], '')
+        WHEN 'Paris' THEN 2352200 WHEN 'London' THEN -127500
+        WHEN 'Tokyo' THEN 139650300 WHEN 'Oslo' THEN 10752200
+        WHEN 'Lima' THEN -77042800 ELSE 0 END AS BIGINT) AS lon_e6
+    FROM toks
+"""
+
+
+@register("geo_lookup_documents", _GEO_SQL)
+def geo_lookup_documents(sf_dir: str):
+    """T6 geo-lookup extractor (extractor.py:129-141 semantics —
+    place-name mention → country/lat/lon via a geo DB): broadcast
+    gazetteer loaded once per actor (functions/geo.py), fixed-point
+    micro-degree coordinates so the oracle hashes bit-for-bit. Reuses
+    the NER planting so one augmented corpus gates both stages."""
+    from ..functions.geo import GeoLookupStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_entities, batch_format="pyarrow").map_batches(
+        GeoLookupStage,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
+
+
 _PATENT_AUG_SQL = """
         text
         || CASE WHEN doc_id % 4 = 0
