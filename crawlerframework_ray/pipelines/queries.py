@@ -945,6 +945,108 @@ def doc_quality_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
+# duplicate planting shared by both sides: docs with id%10<2 collapse
+# onto one synthetic text per 20-id window ({20g, 20g+1, 20g+10,
+# 20g+11} → 4-way dup groups), so the dedup stage has live work
+_PREP_DUP_SQL = (
+    "CASE WHEN doc_id % 10 < 2 THEN 'dupgroup-' || CAST(doc_id // 20 AS VARCHAR) "
+    "ELSE text END"
+)
+_PREP_QUALITY_MIN = 760_000  # ~median quality_micro — the gate stays live
+
+
+def _training_prep_sql() -> str:
+    """Composed oracle: the generated lang-ID SQL (same trigram table)
+    + the quality/token golden + window dedup + final rollup."""
+    return f"""
+    WITH lang AS ({_lang_id_sql()}),
+    q AS (SELECT doc_id, quality_micro, n_bpe_tokens FROM ({_golden_sql("quality_fp")})),
+    base AS (
+      SELECT d.doc_id, {_PREP_DUP_SQL} AS dup_key, l.lang_pred,
+             q.quality_micro, q.n_bpe_tokens
+      FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)),
+    kept AS (SELECT * FROM base
+             WHERE lang_pred <> 'und' AND quality_micro >= {_PREP_QUALITY_MIN}),
+    dedup AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM dedup GROUP BY lang_pred
+    """
+
+
+@register("training_corpus_prep", _training_prep_sql())
+def training_corpus_prep(sf_dir: str):
+    """Composite training-data prep — the flagship text path, stages
+    chained exactly as a 100-TB corpus run would chain them: lang-ID +
+    quality scoring + token counting in ONE featurize pass (per-batch,
+    no intermediate materialization) → filter → exact dedup
+    (hash-bucketed keep-first, the one bounded shuffle) → per-language
+    corpus stats folded into the same bucket reduce, with a 64-row
+    driver combine. The oracle composes the lang-ID SQL generated from
+    the engine's own trigram table, the quality golden, and a window
+    dedup."""
+    from ..functions.textstats import bpe_token_count, detect_lang, quality_score
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dup_key": pa.array(
+                    [
+                        f"dupgroup-{i // 20}" if i % 10 < 2 else x
+                        for i, x in zip(ids, texts)
+                    ],
+                    pa.string(),
+                ),
+                "lang_pred": pa.array([detect_lang(x) for x in texts], pa.string()),
+                "quality_micro": pa.array(
+                    [int(round(quality_score(x) * 1_000_000)) for x in texts], pa.int64()
+                ),
+                "n_bpe_tokens": pa.array([bpe_token_count(x) for x in texts], pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    kept = ds.map_batches(featurize, batch_format="pyarrow", batch_size=8192).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.not_equal(t["lang_pred"], "und"),
+                pc.greater_equal(t["quality_micro"], _PREP_QUALITY_MIN),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # keep-first per dup_key (min doc_id), then the bucket's partial
+        # per-language rollup — the shuffle output is O(langs), not rows
+        first = g.sort_values("doc_id").groupby("dup_key", as_index=False).first()
+        return first.groupby("lang_pred", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            sum_bpe_tokens=("n_bpe_tokens", "sum"),
+            min_doc_id=("doc_id", "min"),
+        )
+
+    parts = bucketed_group_agg(kept, ["dup_key"], reduce).to_pandas()
+    out = parts.groupby("lang_pred", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        sum_bpe_tokens=("sum_bpe_tokens", "sum"),
+        min_doc_id=("min_doc_id", "min"),
+    )
+    for c in ("n_docs", "sum_bpe_tokens", "min_doc_id"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 # =====================================================================
 # Multimodal (rows-only; deterministic synthetic payloads)
 # =====================================================================
