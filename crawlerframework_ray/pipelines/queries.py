@@ -977,6 +977,48 @@ def _training_prep_sql() -> str:
     """
 
 
+@register("approx_distinct_events", _golden_sql("hll_counts"))
+def approx_distinct_events(sf_dir: str):
+    """A5 at sketch scale: HyperLogLog distinct counts over event
+    columns (stages/sketch.py) — per-block 4 KB register partials,
+    max-merge groupby, deterministic estimate. The golden is a single
+    serial pass, so equality proves the distributed split/merge;
+    accuracy vs exact distincts is gated in tests/test_sketch.py."""
+    from ..stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = hll_distinct(ds, ["user_id", "event_type"]).to_pandas()
+    return df.astype({"n_registers": "int64", "hll_estimate": "int64"})
+
+
+_SAMPLE_RATES_PPM = {"en": 250_000, "zh": 600_000, "es": 600_000, "de": 600_000, "fr": 600_000}
+
+_SAMPLE_SQL = (
+    "SELECT doc_id, lang FROM documents "
+    "WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 < CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES_PPM.items())
+    + " ELSE 0 END"
+)
+
+
+@register("stratified_sample_documents", _SAMPLE_SQL)
+def stratified_sample_documents(sf_dir: str):
+    """Per-stratum deterministic downsampling (functions/sampling.py):
+    keep 25% of the dominant language, 60% of the rest — the standard
+    corpus-rebalancing move. Pure hash threshold per row: no shuffle,
+    no RNG, identical output at any cluster size / retry schedule."""
+    from ..functions.sampling import stratified_sample_mask
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        mask = stratified_sample_mask(ids, t.column("lang").to_pylist(), _SAMPLE_RATES_PPM)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
 @register("training_corpus_prep", _training_prep_sql())
 def training_corpus_prep(sf_dir: str):
     """Composite training-data prep — the flagship text path, stages

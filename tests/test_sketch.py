@@ -1,0 +1,57 @@
+"""HyperLogLog sketch gates: merge algebra, accuracy vs exact
+distincts, and the distributed form vs both."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crawlerframework_ray.stages.sketch import (
+    M,
+    batch_registers,
+    estimate,
+    hll_distinct,
+    merge_registers,
+)
+
+
+def test_split_merge_equals_single_pass():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 40, size=50_000)
+    single = batch_registers(vals)
+    parts = [batch_registers(c) for c in np.array_split(vals, 13)]
+    assert np.array_equal(merge_registers(parts), single)
+    # max-merge is idempotent: folding a partial twice changes nothing
+    assert np.array_equal(merge_registers(parts + [parts[0]]), single)
+
+
+@pytest.mark.parametrize("n_distinct", [300, 20_000, 200_000])
+def test_estimate_accuracy(n_distinct):
+    rng = np.random.default_rng(11)
+    # duplicated draws from a fixed universe: HLL must count the
+    # universe, not the rows
+    universe = rng.integers(0, 1 << 62, size=n_distinct)
+    vals = np.concatenate([universe, rng.choice(universe, size=n_distinct // 2)])
+    est = estimate(batch_registers(vals))
+    rel_err = abs(est - n_distinct) / n_distinct
+    assert rel_err < 0.06, (n_distinct, est)  # ~3.7 sigma at m=4096
+
+
+def test_distributed_matches_serial_and_exact(ray_session):
+    import duckdb
+    import ray.data
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    got = hll_distinct(ds, ["user_id", "event_type"]).to_pandas().set_index("col")
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    for c in ("user_id", "event_type"):
+        serial = estimate(batch_registers(t.column(c).to_numpy(zero_copy_only=False)))
+        assert int(got.loc[c, "hll_estimate"]) == serial  # split/merge == one pass
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT {c}) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        assert abs(serial - exact) <= max(3, 0.06 * exact), (c, serial, exact)

@@ -518,8 +518,31 @@ def api_rotation(sf_dir: str) -> None:
     _write("api_rotation", sf_dir, out)
 
 
+def hll_counts(sf_dir: str) -> None:
+    """HLL distinct sketch golden: ONE serial pass over the whole
+    column (no batching) — the Ray side computes per-block partials and
+    max-merges them, so equality here independently verifies the
+    distributed split/merge plumbing; the register/estimate leaf
+    functions are shared (regression-pin tier, like quality_fp). The
+    sketch's accuracy itself is gated separately in tests/test_sketch.py
+    against exact distinct counts."""
+    from crawlerframework_ray.stages.sketch import M, batch_registers, estimate
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    rows = []
+    for c in ("user_id", "event_type"):
+        arr = t.column(c).to_numpy(zero_copy_only=False)
+        rows.append((c, M, estimate(batch_registers(arr))))
+    _write(
+        "hll_counts", sf_dir,
+        pd.DataFrame(rows, columns=["col", "n_registers", "hll_estimate"]).astype(
+            {"n_registers": "int64", "hll_estimate": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
-       parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation]
+       parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts]
 
 
 def main() -> None:
