@@ -977,6 +977,150 @@ def _training_prep_sql() -> str:
     """
 
 
+# ---- PII scrubbing (training-data hygiene) -------------------------
+
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example.org asap' ELSE '' END"
+)
+_PII_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+      regexp_replace(text, '{_EMAIL_RX}', '<EMAIL>', 'g') AS redacted,
+      CAST(length(regexp_extract_all(text, '{_EMAIL_RX}', 0)) AS BIGINT) AS n_redacted
+    FROM aug
+"""
+
+
+@register("pii_scrub_documents", _PII_SQL)
+def pii_scrub_documents(sf_dir: str):
+    """PII redaction over text (training-data hygiene): compiled-once
+    email regex, leftmost non-overlapping sub — identical semantics in
+    Python re and DuckDB RE2 on this ASCII pattern. Emails are planted
+    both sides (the synthetic corpus has none naturally)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    import re as _re
+
+    rx = _re.compile(_EMAIL_RX)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = [
+            x + (f" contact user{i}@mail.example.org asap" if i % 3 == 0 else "")
+            for i, x in zip(ids, t.column("text").to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "redacted": pa.array([rx.sub("<EMAIL>", x) for x in texts], pa.string()),
+                "n_redacted": pa.array([len(rx.findall(x)) for x in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+# ---- benchmark-contamination check ----------------------------------
+
+# each "benchmark item" is exactly 8 distinctive lowercase tokens → one
+# 8-gram apiece, so gram-intersection count == contained-snippet count
+_BENCH_SNIPPETS = (
+    "bmkqa zetall quorv hexad plimt arcov nundr welkis",
+    "bmkqb crantu velops midrash tolkep sarnev duplit oxbow",
+    "bmkqc fenwick ombrel picaro lazulet vintor quassia drelb",
+    "bmkqd harpell invoke mizzen koftak ebonal ruchet stavel",
+)
+_CONTAM_SQL = (
+    "WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 17 = 5 THEN ' ' || (["
+    + ", ".join(f"'{s}'" for s in _BENCH_SNIPPETS)
+    + "])[CAST(1 + doc_id % 4 AS INT)] ELSE '' END AS text FROM documents) "
+    "SELECT doc_id, CAST("
+    + " + ".join(f"CAST(contains(text, '{s}') AS INT)" for s in _BENCH_SNIPPETS)
+    + " AS BIGINT) AS n_matched_grams, ("
+    + " OR ".join(f"contains(text, '{s}')" for s in _BENCH_SNIPPETS)
+    + ") AS contaminated FROM aug"
+)
+
+
+@register("contamination_check", _CONTAM_SQL)
+def contamination_check(sf_dir: str):
+    """Benchmark-contamination detection (training-data hygiene): the
+    held-out set's word 8-grams are hashed ONCE into a broadcast array
+    (the same shingle universe the minhash dedup uses), and each doc's
+    8-gram set is intersected against it per batch — the general
+    n-gram-overlap detector, gated here on planted contamination (the
+    only overlaps this corpus contains, as with the LSH gates)."""
+    import numpy as np
+
+    from ..stages.dedup import _shingle_hashes
+
+    bench = np.unique(
+        np.concatenate([_shingle_hashes(s, k=8) for s in _BENCH_SNIPPETS])
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = [
+            x + (" " + _BENCH_SNIPPETS[i % 4] if i % 17 == 5 else "")
+            for i, x in zip(ids, t.column("text").to_pylist())
+        ]
+        n = [int(np.isin(_shingle_hashes(x, k=8), bench).sum()) for x in texts]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_matched_grams": pa.array(n, pa.int64()),
+                "contaminated": pa.array([v > 0 for v in n], pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+# ---- sequence packing (distributed prefix-sum scan) ------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_SQL = f"""
+    WITH q AS (SELECT doc_id, n_bpe_tokens FROM ({_golden_sql("quality_fp")}))
+    SELECT doc_id, n_bpe_tokens,
+      CAST(COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM q
+"""
+
+
+@register("pack_sequences", _PACK_SQL)
+def pack_sequences(sf_dir: str):
+    """Greedy sequence packing for training (bin = exclusive prefix sum
+    of token counts // budget over canonical doc order) — the one
+    inherently order-dependent aggregation, implemented as the textbook
+    two-phase distributed scan (stages/scan.py: range partials → driver
+    prefix offsets → per-range cumsum)."""
+    from ..functions.textstats import bpe_token_count
+    from ..stages.scan import packed_bins
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": pa.array(
+                    [bpe_token_count(x) for x in t.column("text").to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow", batch_size=8192)
+    out = packed_bins(feats, "doc_id", "n_bpe_tokens", _PACK_BUDGET).to_pandas()
+    return out.astype({"doc_id": "int64", "n_bpe_tokens": "int64", "bin_id": "int64"})
+
+
 @register("approx_distinct_events", _golden_sql("hll_counts"))
 def approx_distinct_events(sf_dir: str):
     """A5 at sketch scale: HyperLogLog distinct counts over event

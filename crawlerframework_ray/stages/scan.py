@@ -1,0 +1,65 @@
+"""Distributed prefix-sum (scan) and greedy sequence packing.
+
+Training-data prep packs documents into fixed-token-budget bins
+(sequence packing): in its contiguous/greedy form, a document's bin is
+``floor(exclusive_prefix_sum(n_tokens) / budget)`` over a canonical
+document order — a global SCAN, the one aggregation shape that is
+inherently order-dependent. The distributed form here is the textbook
+two-phase scan, expressed in Ray Data:
+
+1. rows are hash-free RANGE-partitioned by the canonical key
+   (``range_id = key // range_width`` — deterministic, independent of
+   block boundaries, so pass 1 and pass 2 agree on the partitioning);
+2. pass 1: per-range token totals (one tiny row per range);
+3. the driver computes exclusive prefix offsets over the sorted range
+   totals (O(n_ranges), bounded — ranges are sized so this table is
+   thousands of rows at 100 TB, not millions);
+4. pass 2: ``groupby(range_id).map_groups`` computes the within-range
+   cumulative sum and adds the range's offset.
+
+One bounded shuffle; every heavy step is per-range parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def packed_bins(ds, key: str, weight: str, budget: int, range_width: int = 4096):
+    """Assign each row a ``bin_id`` = exclusive-prefix-sum(weight) //
+    budget over rows ordered by ``key`` (int). Returns a Dataset of
+    (key, weight, bin_id)."""
+
+    def add_range(t: pa.Table) -> pa.Table:
+        rid = pa.compute.floor(
+            pa.compute.divide(pa.compute.cast(t.column(key), pa.float64()), float(range_width))
+        )
+        return t.append_column("__range", pa.compute.cast(rid, pa.int64()))
+
+    ranged = ds.map_batches(add_range, batch_format="pyarrow")
+
+    # pass 1: per-range totals — small enough to bring to the driver
+    # (one partial row per range per block)
+    def partial_totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"__range": t.column("__range").to_numpy(), "total": t.column(weight).to_numpy()}
+        ).groupby("__range", as_index=False)["total"].sum()
+        return pa.table(
+            {"__range": pa.array(df["__range"], pa.int64()),
+             "total": pa.array(df["total"].astype("int64"), pa.int64())}
+        )
+
+    totals = ranged.map_batches(partial_totals, batch_format="pyarrow").to_pandas()
+    per_range = totals.groupby("__range")["total"].sum().sort_index()
+    offsets = per_range.cumsum().shift(fill_value=0).to_dict()  # exclusive
+
+    def within_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key)
+        excl = g[weight].cumsum().shift(fill_value=0) + offsets[int(g["__range"].iloc[0])]
+        out = g[[key, weight]].copy()
+        out["bin_id"] = (excl // budget).astype("int64")
+        return out
+
+    return ranged.groupby("__range").map_groups(within_range, batch_format="pandas")

@@ -55,3 +55,29 @@ def test_distributed_matches_serial_and_exact(ray_session):
             f"SELECT COUNT(DISTINCT {c}) FROM read_parquet('{sf}/events.parquet')"
         ).fetchone()[0]
         assert abs(serial - exact) <= max(3, 0.06 * exact), (c, serial, exact)
+
+
+def test_packed_bins_matches_serial_scan(ray_session):
+    """Distributed two-phase scan == serial cumsum, on adversarial
+    input: many blocks, ranges spanning blocks, sparse/empty ranges,
+    weights straddling bin boundaries."""
+    import pandas as pd
+    import ray.data
+
+    from crawlerframework_ray.stages.scan import packed_bins
+
+    rng = np.random.default_rng(23)
+    keys = np.sort(rng.choice(200_000, size=5_000, replace=False))
+    w = rng.integers(1, 900, size=5_000)
+    df = pd.DataFrame({"k": keys.astype("int64"), "w": w.astype("int64")})
+    ds = ray.data.from_pandas(df).repartition(17)
+
+    got = (
+        packed_bins(ds, "k", "w", budget=1000, range_width=1024)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    serial = df.sort_values("k").reset_index(drop=True)
+    serial["bin_id"] = (serial["w"].cumsum().shift(fill_value=0) // 1000).astype("int64")
+    assert got["bin_id"].tolist() == serial["bin_id"].tolist()
