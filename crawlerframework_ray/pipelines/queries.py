@@ -977,6 +977,50 @@ def _training_prep_sql() -> str:
     """
 
 
+# ---- image phash near-dup (the graft's image payload axis) ----------
+
+_PHASH_SQL = f"""
+    WITH s AS (SELECT img_id, phash FROM read_parquet('{_GOLDEN_DIR}/phash_sigs.sf0.01.parquet'))
+    SELECT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+@register("phash_near_dup_images", _PHASH_SQL)
+def phash_near_dup_images(sf_dir: str):
+    """Image near-duplicate detection over PIXELS, not bytes: decode →
+    64-bit average hash → the same banded pair expansion + carried-sig
+    Hamming verify the text SimHash path uses (stages/dedup.py). The
+    corpus plants cross-format duplicates (same decoded pixels,
+    different lossless container — invisible to byte-hash dedup), and
+    the brute-force all-pairs DuckDB oracle demands exact pair-set
+    equality (banding recall guarantee at Hamming ≤ 3)."""
+    from ..stages.dedup import lsh_candidate_pairs, verify_hamming_batch
+    from ..stages.multimodal import PhashBandStage, phash_corpus_records
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(256)
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = phash_corpus_records(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                "fmt": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    bands = ds.map_batches(gen, batch_format="pyarrow", batch_size=128).map_batches(
+        PhashBandStage,
+        batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5,
+    )
+    pairs = lsh_candidate_pairs(bands, carry=["sig"])
+    out = pairs.map_batches(verify_hamming_batch(3), batch_format="pandas").to_pandas()
+    return _pairs_frame(out, "hamming")
+
+
 # ---- PII scrubbing (training-data hygiene) -------------------------
 
 _EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"

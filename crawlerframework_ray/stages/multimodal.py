@@ -148,3 +148,68 @@ class AudioFeatureStage:
             "audio decode requires soundfile/librosa; the stage contract is "
             "the docstring schema — plug a decoder into __call__"
         )
+
+
+def phash_corpus_records(doc_ids: list[int]) -> list[tuple[int, bytes, str]]:
+    """(img_id, bytes, fmt) image corpus with planted CROSS-FORMAT
+    duplicates: one synthetic image per doc id plus, for ids ≡ 3
+    (mod 5), a twin re-encoding the SAME decoded pixels in a different
+    lossless container — byte-hash dedup cannot see these (different
+    bytes), pixel-level phash dedup must (identical decoded pixels ⇒
+    identical average hash). Shared leaf with the phash_sigs golden."""
+    from ..data import codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    out: list[tuple[int, bytes, str]] = []
+    for d in doc_ids:
+        d = int(d)
+        rec = page_record(make_url(d % 8, d), cfg)
+        out.append((2 * d, rec["bytes"], rec["fmt"]))
+        if d % 5 == 3:
+            img = codecs.decode(rec["bytes"], rec["fmt"])
+            tfmt = "png" if rec["fmt"] != "png" else "raw"
+            out.append((2 * d + 1, codecs.encode(img, tfmt), tfmt))
+    return out
+
+
+class PhashBandStage:
+    """Image near-dup signature stage: decode (codec loaded per worker)
+    → 64-bit average hash → 4×16-bit band rows with the signature
+    carried, exactly the SimHashStage layout, so the banded pair
+    expansion + vectorized Hamming verify machinery (stages/dedup.py)
+    applies to IMAGES unchanged. Hamming ≤ 3 over 4 bands keeps the
+    exact-recall banding guarantee."""
+
+    def __init__(self, id_column: str = "doc_id", bytes_column: str = "bytes",
+                 fmt_column: str = "fmt"):
+        from ..data import codecs
+        from ..data.imageops import average_hash
+
+        self.id_column, self.bytes_column, self.fmt_column = (
+            id_column, bytes_column, fmt_column)
+        self._decode, self._ahash = codecs.decode, average_hash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column(self.id_column).to_pylist()
+        blobs = batch.column(self.bytes_column).to_pylist()
+        fmts = batch.column(self.fmt_column).to_pylist()
+        sigs = [self._ahash(self._decode(bytes(b), f)) for b, f in zip(blobs, fmts)]
+        out_id, out_band, out_hash, out_sig = [], [], [], []
+        for i, s in zip(ids, sigs):
+            u = int(np.int64(s).astype(np.uint64))
+            for band in range(4):
+                out_id.append(i)
+                out_band.append(band)
+                out_hash.append(f"{(u >> (16 * band)) & 0xFFFF:04x}")
+                out_sig.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )

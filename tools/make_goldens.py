@@ -518,6 +518,30 @@ def api_rotation(sf_dir: str) -> None:
     _write("api_rotation", sf_dir, out)
 
 
+def phash_sigs(sf_dir: str) -> None:
+    """Serial recomputation of the image-corpus phashes (shared gen
+    leaf — regression-pin tier like simhash_sigs); the SQL consumes
+    them with a brute-force ALL-PAIRS Hamming join, independently
+    checking the banding recall guarantee and the whole distributed
+    image pair pipeline."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.stages.multimodal import phash_corpus_records
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()[:256]  # mirrors the query's limit(256)
+    rows = [
+        (img_id, average_hash(codecs.decode(blob, fmt)))
+        for img_id, blob, fmt in phash_corpus_records(ids)
+    ]
+    _write(
+        "phash_sigs", sf_dir,
+        pd.DataFrame(rows, columns=["img_id", "phash"]).astype(
+            {"img_id": "int64", "phash": "int64"}
+        ),
+    )
+
+
 def hll_counts(sf_dir: str) -> None:
     """HLL distinct sketch golden: ONE serial pass over the whole
     column (no batching) — the Ray side computes per-block partials and
@@ -542,7 +566,7 @@ def hll_counts(sf_dir: str) -> None:
 
 
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
-       parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts]
+       parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs]
 
 
 def main() -> None:
