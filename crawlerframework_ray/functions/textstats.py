@@ -135,3 +135,50 @@ class TextStatsStage:
             "n_bpe_tokens", pa.array([bpe_token_count(t) for t in texts], pa.int64())
         )
         return batch
+
+
+def repetition_stats(text: str) -> tuple[int, int, int, int]:
+    """Gopher-style repetition measures over the whitespace token
+    stream (Rae et al. 2021 §A1.1 repetition filters, re-expressed on
+    tokens since the synthetic corpus has no line structure):
+    (n_bigrams, top_bigram_cnt, n_trigrams, dup_trigram_cnt).
+
+    Integer outputs only — the keep decision is made by integer
+    cross-multiplication so the DuckDB oracle matches exactly.
+    """
+    from collections import Counter
+
+    toks = text.split(" ")
+    bg = Counter(zip(toks, toks[1:]))
+    n_bg = max(len(toks) - 1, 0)
+    top = max(bg.values()) if bg else 0
+    tg = Counter(zip(toks, toks[1:], toks[2:]))
+    n_tg = max(len(toks) - 2, 0)
+    dup_tg = n_tg - len(tg)
+    return n_bg, top, n_tg, dup_tg
+
+
+class RepetitionStatsStage:
+    """map_batches callable: per-doc repetition stats + keep flag
+    (keep iff top-bigram fraction <= 18% AND duplicate-trigram
+    fraction <= 30%, both as exact integer comparisons)."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        stats = [repetition_stats(t) for t in batch.column(self.text_column).to_pylist()]
+        n_bg, top, n_tg, dup = (
+            [s[i] for s in stats] for i in range(4)
+        )
+        keep = [
+            t * 100 <= b * 18 and d * 100 <= g * 30
+            for b, t, g, d in stats
+        ]
+        batch = batch.append_column("n_bigrams", pa.array(n_bg, pa.int64()))
+        batch = batch.append_column("top_bigram_cnt", pa.array(top, pa.int64()))
+        batch = batch.append_column("n_trigrams", pa.array(n_tg, pa.int64()))
+        batch = batch.append_column("dup_trigram_cnt", pa.array(dup, pa.int64()))
+        return batch.append_column("keep", pa.array(keep, pa.bool_()))

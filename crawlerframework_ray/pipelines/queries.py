@@ -2294,3 +2294,166 @@ def api_handler_rotation(sf_dir: str):
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_group_agg(ds, ["source"], rotate)
+
+
+# =====================================================================
+# Round-3 additions: inverted index (K3 Solr-sink spirit), host-graph
+# PageRank (iterative), Gopher repetition filter (training-data op)
+# =====================================================================
+
+_INVINDEX_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents))
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:64], ',') AS postings_head
+    FROM pairs GROUP BY term
+"""
+
+
+@register("inverted_index_terms", _INVINDEX_SQL)
+def inverted_index_terms(sf_dir: str):
+    """Distributed inverted-index build — the engine-side analogue of
+    the reference's Solr sink (K3, crawler/utils/solrinterface.py:
+    the reference POSTs docs to Solr and lets Solr index; here the
+    posting lists themselves are built as a dataset, partitioned by
+    term). Pattern: per-batch DISTINCT (term, doc_id) pairs (each doc
+    lives in exactly one batch row, so batch-level dedup IS global
+    dedup) -> bucketed groupby(term) -> per-term exact doc_freq +
+    sorted posting-list head (first 64 ids). The head cap keeps the
+    query result bounded under hot terms; a production sink writes the
+    full lists as term-hash-partitioned parquet instead of returning
+    them (same grouping, different sink) — doc_freq stays exact
+    either way."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        terms, docs = [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            for term in set(txt.split(" ")):
+                terms.append(term)
+                docs.append(int(i))
+        return pa.table(
+            {"term": pa.array(terms, pa.string()), "doc_id": pa.array(docs, pa.int64())}
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for term, gg in g.groupby("term", sort=False):
+            ids = np.sort(gg["doc_id"].to_numpy())
+            out.append(
+                (term, len(ids), ",".join(str(int(x)) for x in ids[:64]))
+            )
+        return pd.DataFrame(out, columns=["term", "doc_freq", "postings_head"]).astype(
+            {"doc_freq": "int64"}
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096), ["term"], build
+    )
+
+
+_PAGERANK_EDGES_SQL = """
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 64 AS src, (doc_id * 7 + doc_id // 64 + 1) % 64 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id % 64, (doc_id * 13 + doc_id // 64 + 5) % 64 FROM documents)
+      WHERE src != dst
+"""
+
+def _pagerank_iter_sql(k: int) -> str:
+    return f"""
+    it{k} AS (
+      SELECT n.h, base.b + 85 * COALESCE(s.s, 0) // 100 AS r
+      FROM nodes n CROSS JOIN base LEFT JOIN (
+         SELECT e.dst AS h, SUM(p.r // o.od) AS s
+         FROM edges e JOIN it{k - 1} p ON e.src = p.h JOIN outdeg o ON o.src = e.src
+         GROUP BY e.dst) s ON n.h = s.h)"""
+
+
+_PAGERANK_SQL = f"""
+    WITH edges AS ({_PAGERANK_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    base AS (SELECT (15 * 1000000000000 // 100) // COUNT(*) AS b FROM nodes),
+    it0 AS (SELECT h, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS r FROM nodes),
+    {",".join(_pagerank_iter_sql(k) for k in (1, 2, 3, 4))}
+    SELECT h AS host, CAST(r AS BIGINT) AS rank FROM it4
+"""
+
+
+@register("pagerank_hosts", _PAGERANK_SQL)
+def pagerank_hosts(sf_dir: str):
+    """Host-graph PageRank, 4 power iterations in exact fixed-point
+    int64 (scale 10^12) — crawl-prioritization link analysis over the
+    same host graph the engine's frontier walks. Every contribution
+    and sum is an integer, so the distributed result is bit-identical
+    to the unrolled DuckDB oracle regardless of partitioning (float
+    PageRank cannot hash-match across engines). Edge set derived +
+    globally deduped once and materialized (the invariant side);
+    per-iteration rank/outdeg vectors broadcast via one ray.put and
+    resolved zero-copy in every edge batch (stages/graph.py docstring
+    covers the 10^8-host hash-join form)."""
+    from ..stages.graph import distinct_edges, host_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    return pagerank_int(edges, iters=4)
+
+
+_REPETITION_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || repeat(' spam ham', 30)
+                  ELSE text END AS text
+      FROM documents),
+    t AS (SELECT doc_id, string_split(text, ' ') AS l FROM aug),
+    g AS (SELECT doc_id,
+           list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1]) AS bgs,
+           list_transform(generate_series(1, len(l) - 2), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS tgs
+          FROM t),
+    bg AS (SELECT doc_id, bg, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY doc_id, bg),
+    top AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bg GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(len(bgs) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(top.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+           CAST(len(tgs) AS BIGINT) AS n_trigrams,
+           CAST(len(tgs) - len(list_distinct(tgs)) AS BIGINT) AS dup_trigram_cnt,
+           (COALESCE(top.top_bigram_cnt, 0) * 100 <= len(bgs) * 18
+            AND (len(tgs) - len(list_distinct(tgs))) * 100 <= len(tgs) * 30) AS keep
+    FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+"""
+
+
+@register("repetition_filter_documents", _REPETITION_SQL)
+def repetition_filter_documents(sf_dir: str):
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1,
+    token-stream form): per-doc top-bigram fraction and
+    duplicate-trigram fraction, keep decided by exact integer
+    cross-multiplication (<=18% / <=30%). A deterministic subset
+    (doc_id % 7 == 0) is augmented with a repeated span on BOTH sides
+    so the filter provably fires — the oracle checks rejected docs,
+    not just survivors. One stateless map_batches pass; no shuffle."""
+    from ..functions.textstats import RepetitionStatsStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = [
+            txt + " spam ham" * 30 if int(i) % 7 == 0 else txt
+            for i, txt in zip(ids, t.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(texts, pa.string())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        RepetitionStatsStage, batch_format="pyarrow", batch_size=8192,
+        concurrency=2, num_cpus=0.5,
+    )
+    return out.select_columns(
+        ["doc_id", "n_bigrams", "top_bigram_cnt", "n_trigrams", "dup_trigram_cnt", "keep"]
+    )
