@@ -2457,3 +2457,59 @@ def repetition_filter_documents(sf_dir: str):
     return out.select_columns(
         ["doc_id", "n_bigrams", "top_bigram_cnt", "n_trigrams", "dup_trigram_cnt", "keep"]
     )
+
+
+_QUANT_ANN_SQL = """
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS qq
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS cq
+          FROM embeddings)
+    SELECT query_id, neighbor_id, dot, rank FROM (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(qq, cq) AS BIGINT) AS dot,
+             CAST(row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(qq, cq) DESC, c.vec_id) AS BIGINT) AS rank
+      FROM q, c WHERE c.vec_id != q.qid)
+    WHERE rank <= 5
+"""
+
+
+@register("ann_topk_quantized", _QUANT_ANN_SQL)
+def ann_topk_quantized(sf_dir: str):
+    """int8-quantized brute-force top-k (the memory-footprint scale
+    path: the corpus column crosses the object store at 1/4 the
+    float32 bytes; kernel = int32-accumulated matmul). Integer dot
+    products are exactly associative, so unlike float cosine this
+    variant VALUE-hash-matches the SQL oracle, not just rank-matches.
+    Same partial-top-k shape as ann_topk_bruteforce (broadcast query
+    matrix, per-batch top-k, k×batches-row final shuffle)."""
+    from ..stages.similarity import ann_quantized
+
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_quantized(ds, qids, qvecs, k=5).to_pandas()
+    return out.astype(
+        {"query_id": "int64", "neighbor_id": "int64", "dot": "int64", "rank": "int64"}
+    )
+
+
+@register("kmeans_cluster_embeddings", _golden_sql("kmeans_clusters"))
+def kmeans_cluster_embeddings(sf_dir: str):
+    """Distributed k-means document clustering over the embedding
+    column (8 clusters, 4 Lloyd iterations) in exact integer
+    arithmetic: vectors quantized once (floor(x*1e4+0.5)) and
+    materialized, centroids updated by floored elementwise mean
+    (sum // count) so the distributed run is bit-identical to the
+    serial golden regardless of partitioning. Per iteration the
+    shuffle moves (cluster, count, sum-vector) partials — k rows per
+    batch, never the corpus (stages/similarity.kmeans_cluster_int).
+    Golden: independent naive-loop serial mirror
+    (tools/make_goldens.py kmeans_clusters)."""
+    from ..stages.similarity import kmeans_cluster_int
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_cluster_int(ds, n_clusters=8, iters=4).to_pandas()
+    return out.astype({"vec_id": "int64", "cluster": "int64"})

@@ -201,3 +201,180 @@ def ann_ivf(ds, query_ids: list[int], query_vecs: np.ndarray, *, n_cells: int = 
         batch_format="pyarrow",
     )
     return ann_bruteforce(filtered, query_ids, query_vecs, k=k)
+
+
+# ------------------------------------------------------- quantized ANN
+
+QUANT_SCALE = 127  # int8 symmetric quantization (|x| < 1 for these embeddings)
+
+
+def quantize_int8(m: np.ndarray, scale: int = QUANT_SCALE) -> np.ndarray:
+    """floor(float64(x)*scale + 0.5) — the identical IEEE expression the
+    DuckDB oracle uses (CAST(x AS DOUBLE)*127), so quantized values
+    match bit-for-bit on both sides."""
+    return np.floor(m.astype(np.float64) * scale + 0.5).astype(np.int8)
+
+
+class QuantizedTopK:
+    """Brute-force top-k over int8-quantized vectors by integer dot
+    product. The 100-TB story: the corpus column moves through the
+    object store at 1/4 the float32 bytes (1/8 of float64), and the
+    kernel is an int32-accumulated matmul; exactness is total (integer
+    dots have no accumulation-order ambiguity), so the same query is
+    hash-checkable against SQL — unlike float cosine, which only
+    rank-matches. Emits per-batch partial top-k rows."""
+
+    def __init__(self, queries_ref, id_column: str, vec_column: str, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qmat = q
+        self.qmat = quantize_int8(np.asarray(qmat, dtype=np.float64)).astype(np.int32).T
+        self.id_column, self.vec_column = id_column, vec_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_column).to_pylist(), dtype=np.int64)
+        vq = quantize_int8(batch_vectors(batch, self.vec_column)).astype(np.int32)
+        dots = (vq @ self.qmat).astype(np.int64)  # (batch, nq) exact ints
+        out_q, out_n, out_d = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            col = dots[:, qi]
+            order = np.lexsort((ids, -col))  # dot desc, id asc
+            taken = 0
+            for r in order:
+                if taken >= self.k:
+                    break
+                if ids[r] == qid:
+                    continue
+                out_q.append(int(qid))
+                out_n.append(int(ids[r]))
+                out_d.append(int(col[r]))
+                taken += 1
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "dot": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
+def ann_quantized(ds, query_ids: list[int], query_vecs: np.ndarray, *,
+                  id_column: str = "vec_id", vec_column: str = "embedding",
+                  k: int = 5, batch_size: int = 4096):
+    ref = ray.put((query_ids, query_vecs))
+    partial = ds.map_batches(
+        QuantizedTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "id_column": id_column,
+            "vec_column": vec_column, "k": k,
+        },
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=2, num_cpus=0.5,
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dot", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "dot", "rank"]]
+
+    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+# ------------------------------------------- exact integer k-means
+
+KMEANS_SCALE = 10**4
+
+
+def kmeans_assign_int(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_j sum((x - cents_j)^2), ties to the smallest j — all
+    int64, computed via the expanded form (-2 x·c + |c|^2; the |x|^2
+    term is constant per row). Exact: integer equality of distances
+    gives identical tie behavior on every partition and in the serial
+    golden."""
+    d = -2 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def kmeans_cluster_int(ds, *, n_clusters: int = 8, iters: int = 4,
+                       id_column: str = "vec_id", vec_column: str = "embedding",
+                       scale: int = KMEANS_SCALE):
+    """Distributed Lloyd's k-means in exact integer arithmetic.
+
+    Vectors are quantized once (floor(x*scale + 0.5), int64) and the
+    quantized dataset is materialized — it is the invariant side of
+    the iteration. Centroids are updated by *floored elementwise
+    mean* (sum // count): integer division makes the whole algorithm
+    deterministic and partition-order-independent, so the distributed
+    run is bit-identical to a serial mirror (the golden). Per
+    iteration: centroid matrix broadcast (ray.put once), per-batch
+    assignment + partial (cluster, count, sum-vector) rows — the
+    shuffle moves k rows per batch, never vectors. Init: the
+    quantized vectors of the n_clusters smallest ids (deterministic).
+    """
+    import ray as _ray
+
+    def q(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column).to_pylist(), dtype=np.int64)
+        xq = np.floor(batch_vectors(t, vec_column) * scale + 0.5).astype(np.int64)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "xq": pa.array(list(xq), pa.list_(pa.int64()))}
+        )
+
+    qds = ds.map_batches(q, batch_format="pyarrow", batch_size=4096).materialize()
+
+    # deterministic init: vectors of the n_clusters smallest vec_ids
+    seed_df = qds.sort("vec_id").limit(n_clusters).to_pandas()
+    cents = np.stack(seed_df["xq"].to_numpy()).astype(np.int64)
+
+    from .agg import bucketed_group_agg
+
+    for _ in range(iters):
+        cref = _ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = _ray.get(cref)
+            x = np.stack(t.column("xq").to_numpy(zero_copy_only=False)).astype(np.int64)
+            a = kmeans_assign_int(x, c)
+            rows_c, rows_n, rows_s = [], [], []
+            for j in np.unique(a):
+                m = x[a == j]
+                rows_c.append(int(j))
+                rows_n.append(len(m))
+                rows_s.append(m.sum(axis=0).tolist())  # exact int sums
+            return pa.table(
+                {"cluster": pa.array(rows_c, pa.int64()),
+                 "n": pa.array(rows_n, pa.int64()),
+                 "s": pa.array(rows_s, pa.list_(pa.int64()))}
+            )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for j, gg in g.groupby("cluster", sort=False):
+                s = np.stack(gg["s"].to_numpy()).astype(np.int64).sum(axis=0)
+                out.append((int(j), int(gg["n"].sum()), s.tolist()))
+            return pd.DataFrame(out, columns=["cluster", "n", "s"])
+
+        stats = bucketed_group_agg(
+            qds.map_batches(partial, batch_format="pyarrow"), ["cluster"], merge
+        ).to_pandas()
+        new = cents.copy()
+        for _, r in stats.iterrows():
+            if r["n"] > 0:
+                new[int(r["cluster"])] = (
+                    np.asarray(r["s"], dtype=np.int64) // int(r["n"])
+                )
+        cents = new
+
+    cref = _ray.put(cents)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        x = np.stack(t.column("xq").to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "cluster": pa.array(kmeans_assign_int(x, c), pa.int64())}
+        )
+
+    return qds.map_batches(assign_final, batch_format="pyarrow")

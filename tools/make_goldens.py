@@ -565,8 +565,47 @@ def hll_counts(sf_dir: str) -> None:
     )
 
 
+
+def kmeans_clusters(sf_dir: str) -> None:
+    """Serial mirror of kmeans_cluster_embeddings: independent plain
+    re-implementation of the floored-integer Lloyd spec (quantize
+    floor(x*1e4+0.5); init = vectors of the 8 smallest vec_ids; assign
+    by full squared distance with ties to the smallest cluster;
+    centroid update = elementwise sum // count; 4 iterations). Medium
+    independence: shares only the published spec, not the distributed
+    code paths (assignment here is the naive (x-c)^2 loop, not the
+    expanded matmul form)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pandas().astype("int64").to_numpy()
+    x = np.floor(
+        np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64) * 10**4 + 0.5
+    ).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, x = ids[order], x[order]
+    cents = x[:8].copy()
+    for _ in range(4):
+        assign = np.empty(len(x), np.int64)
+        for i in range(len(x)):
+            d = ((x[i][None, :] - cents) ** 2).sum(axis=1)
+            assign[i] = int(np.argmin(d))
+        for j in range(8):
+            m = x[assign == j]
+            if len(m):
+                cents[j] = m.sum(axis=0) // len(m)
+    assign = np.empty(len(x), np.int64)
+    for i in range(len(x)):
+        d = ((x[i][None, :] - cents) ** 2).sum(axis=1)
+        assign[i] = int(np.argmin(d))
+    _write(
+        "kmeans_clusters", sf_dir,
+        pd.DataFrame({"vec_id": ids, "cluster": assign}).astype(
+            {"vec_id": "int64", "cluster": "int64"}
+        ),
+    )
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
-       parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs]
+       parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
+       kmeans_clusters]
 
 
 def main() -> None:
