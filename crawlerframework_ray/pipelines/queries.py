@@ -2513,3 +2513,75 @@ def kmeans_cluster_embeddings(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = kmeans_cluster_int(ds, n_clusters=8, iters=4).to_pandas()
     return out.astype({"vec_id": "int64", "cluster": "int64"})
+
+
+_SALIENT_SQL = """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+    FROM ranked WHERE rank <= 3
+"""
+
+
+@register("salient_terms_per_doc", _SALIENT_SQL)
+def salient_terms_per_doc(sf_dir: str):
+    """TF-IDF-style salient-term extraction, float-free: top-3 terms
+    per document ranked by (tf DESC, corpus df ASC, term ASC) — the
+    rarity tiebreak gives the IDF effect without a log, so the result
+    is exactly hash-checkable. Shape: per-doc tf rows (one Counter per
+    doc inside map_batches) -> global df via bucketed groupby(term)
+    (one bounded shuffle) -> df table broadcast (vocabulary ≪ corpus;
+    beyond broadcastable vocab this attach becomes the bucketed
+    hash_join on term, stages/joins.py) -> grouped top-3 via bucketed
+    groupby(doc_id). Reference analogue: extractor.py:206-216 term
+    weighting feeding per-doc keyword fields."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.joins import broadcast_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t.column("doc_id").to_numpy()
+        d, terms, tfs = [], [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            for term, c in Counter(txt.split(" ")).items():
+                d.append(int(i))
+                terms.append(term)
+                tfs.append(c)
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()), "term": pa.array(terms, pa.string()),
+             "tf": pa.array(tfs, pa.int64())}
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096)
+    df_tbl = bucketed_group_agg(
+        tf.select_columns(["term"]),
+        ["term"],
+        lambda g: g.groupby("term", as_index=False).size().rename(columns={"size": "df"}),
+    ).to_pandas().astype({"df": "int64"})
+
+    joined = broadcast_join(tf, df_tbl, "term", ["df"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True], kind="mergesort",
+        )
+        g["rank"] = (g.groupby("doc_id").cumcount() + 1).astype(np.int64)
+        out = g[g["rank"] <= 3]
+        return out[["doc_id", "rank", "term", "tf", "df"]].astype(
+            {"doc_id": "int64", "tf": "int64", "df": "int64"}
+        )
+
+    return bucketed_group_agg(joined, ["doc_id"], top3)
