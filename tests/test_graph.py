@@ -1,0 +1,74 @@
+"""Partition-independence gates for the exact-integer iterative ops.
+
+The pagerank_hosts / kmeans_cluster_embeddings docstrings claim the
+fixed-point arithmetic makes results bit-identical regardless of
+partitioning; these tests run the same input at 1 block and at 8
+blocks and assert full equality (float variants would fail this)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pagerank(blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import (
+        distinct_edges,
+        host_edges,
+        pagerank_int,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id"], override_num_blocks=blocks
+    )
+    return (
+        pagerank_int(distinct_edges(host_edges(ds, n_hosts=64)), iters=4)
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def test_pagerank_partition_independent(ray_session):
+    a = _pagerank(1)
+    b = _pagerank(8)
+    assert a.equals(b)
+    # ranks genuinely differentiate hosts (not a constant vector)
+    assert a["rank"].nunique() > 16
+
+
+def _kmeans(blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from crawlerframework_ray.stages.similarity import kmeans_cluster_int
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=blocks,
+    )
+    return (
+        kmeans_cluster_int(ds, n_clusters=8, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_kmeans_partition_independent(ray_session):
+    a = _kmeans(1)
+    b = _kmeans(8)
+    assert a.equals(b)
+    assert a["cluster"].nunique() == 8
+
+
+def test_kmeans_assign_ties_to_smallest():
+    from crawlerframework_ray.stages.similarity import kmeans_assign_int
+
+    x = np.array([[0, 0]], dtype=np.int64)
+    cents = np.array([[1, 0], [-1, 0], [0, 1]], dtype=np.int64)  # all dist 1
+    assert kmeans_assign_int(x, cents)[0] == 0
