@@ -40,13 +40,23 @@ def run_crawl(num_cpus: int) -> dict:
 
     import ray.data
 
-    # workdir on tmpfs: the sandbox's single shared vda throttles at
-    # ~100 MB/s and this run writes ~1.4 GB of fetched payloads per
-    # epoch — on a real cluster results go to per-node disks / object
-    # storage whose bandwidth scales with N, so staging in tmpfs is
-    # what isolates ENGINE scaling from the one non-scaling sandbox
-    # resource. BASELINE.md reports the disk-backed numbers alongside.
-    bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # Workdir staging choice, measured 2026-08-17 (BASELINE.md §staging):
+    # the heavy-payload HEADLINE config (size_shift=2, ~1.4 GB results
+    # per epoch) defaults to DISK — accumulating >2 GB in tmpfs
+    # triggers the host's memory-overcommit storm (39-45% guest sys
+    # time + 14-25% steal measured via /proc/stat, epoch-1 fetch
+    # inflating 4-6×), so tmpfs is faster only in quiet windows
+    # (best 69 s) and 2-4× slower otherwise vs a stable 82 s on disk.
+    # The light-payload SCALING config (size_shift=1, ~4× fewer
+    # bytes) stays on tmpfs: it never tripped the storm, and disk is
+    # the one SHARED sandbox resource that would corrupt an N-vs-4N
+    # comparison. Override with RAY_GRAFT_DISK_WORKDIR=0/1.
+    shift = int(os.environ.get("RAY_GRAFT_SHIFT", "2"))
+    disk_env = os.environ.get("RAY_GRAFT_DISK_WORKDIR")
+    use_disk = (shift >= 2) if disk_env is None else disk_env not in ("0", "")
+    bench_tmp = (
+        None if use_disk else ("/dev/shm" if os.path.isdir("/dev/shm") else None)
+    )
     workdir = tempfile.mkdtemp(prefix="cfray-bench-", dir=bench_tmp)
     cfg = CrawlConfig(
         # size_shift=2 → 32-128 px images (~3-50 KB payloads): realistic
