@@ -1,0 +1,172 @@
+"""Corpus n-gram language-model ops — the "train a cheap LM on the
+corpus, score every document against it" family of a training-data
+pipeline (KenLM-style familiarity/quality scoring, tokenizer-vocabulary
+construction, corpus token-id encoding). Beyond-reference LLM-pipeline
+ops (the reference stops at per-document term counts,
+crawler/extractor.py:206-216); everything here is exact integer
+arithmetic so the DuckDB oracle reproduces results bit-for-bit.
+
+Scale shape:
+- "training" = corpus bigram counts: per-batch PARTIAL counts (the
+  combiner — the shuffle moves one row per distinct bigram per doc,
+  never one per token) → one bounded ``bucketed_group_agg`` shuffle.
+- scoring = a bucketed hash join of the per-doc bigram partials
+  against the model (both sides partitioned on hash(bigram)), then a
+  second bounded groupby(doc) sum. Two passes over the input (train,
+  score) — no mid-pipeline materialization of the corpus.
+- vocabulary top-V: after the grouped count each term exists exactly
+  ONCE globally, so per-block top-V → driver merge of ≤ blocks×V rows
+  is exact; only the V-row vocab ever reaches the driver, shipped back
+  ONCE via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..stages.agg import bucketed_group_agg
+
+VOCAB_SIZE = 256
+
+
+def _doc_bigram_partials(t: pa.Table) -> pa.Table:
+    """(doc_id, bigram, occ): per-document bigram multiplicities —
+    the partial/combiner form (distinct bigrams per doc, not tokens)."""
+    ids = t.column("doc_id").to_numpy()
+    doc_out: list = []
+    bg_out: list = []
+    occ_out: list = []
+    for doc_id, txt in zip(ids, t.column("text").to_pylist()):
+        toks = txt.split(" ")
+        c = Counter(map(" ".join, zip(toks, toks[1:])))
+        doc_out.extend([int(doc_id)] * len(c))
+        bg_out.extend(c.keys())
+        occ_out.extend(c.values())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "bigram": pa.array(bg_out, pa.string()),
+            "occ": pa.array(occ_out, pa.int64()),
+        }
+    )
+
+
+def exploded_bigrams(ds) -> "ray.data.Dataset":
+    return ds.map_batches(_doc_bigram_partials, batch_format="pyarrow", batch_size=4096)
+
+
+def bigram_model(ds) -> "ray.data.Dataset":
+    """(bigram, cnt): total corpus occurrences per bigram. One bounded
+    shuffle over the per-doc partials."""
+    return bucketed_group_agg(
+        exploded_bigrams(ds),
+        ["bigram"],
+        lambda g: g.groupby("bigram", as_index=False)["occ"].sum().rename(columns={"occ": "cnt"}),
+    )
+
+
+def lm_score(docs_factory) -> "ray.data.Dataset":
+    """(doc_id, lm_score, n_bigrams): familiarity of each document under
+    the corpus bigram LM — sum over the doc's bigram INSTANCES of the
+    corpus count of that bigram (exact int64). ``docs_factory`` is a
+    zero-arg callable returning the documents Dataset; it is called
+    twice (train pass, score pass) so neither pass materializes."""
+    from ..stages.joins import hash_join
+
+    model = bigram_model(docs_factory())
+    pairs = hash_join(
+        exploded_bigrams(docs_factory()),
+        model,
+        key="bigram",
+        left_cols=["doc_id", "occ"],
+        right_cols=["cnt"],
+        how="inner",
+    )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(__prod=g["occ"].to_numpy() * g["cnt"].to_numpy())
+        out = g.groupby("doc_id", as_index=False).agg(
+            lm_score=("__prod", "sum"), n_bigrams=("occ", "sum")
+        )
+        return out
+
+    return bucketed_group_agg(pairs, ["doc_id"], per_doc)
+
+
+def term_count_partials(ds) -> "ray.data.Dataset":
+    """(term, cnt) corpus term frequencies — partial per-batch Counter
+    then one bounded grouped sum (the A4 shape)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(txt.split(" "))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    return bucketed_group_agg(
+        partials, ["term"], lambda g: g.groupby("term", as_index=False)["cnt"].sum()
+    )
+
+
+def build_vocab(ds, size: int = VOCAB_SIZE) -> pd.DataFrame:
+    """Top-``size`` terms by (cnt DESC, term ASC) → (term, token_id)
+    with ids 0..V-1 in rank order. After the grouped count every term
+    appears exactly once globally, so a per-block top-``size`` prefix
+    feeds an exact driver merge of ≤ blocks×size candidate rows."""
+
+    def per_block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="mergesort"
+        ).head(size)
+
+    cand = term_count_partials(ds).map_batches(per_block_top, batch_format="pandas").to_pandas()
+    top = (
+        cand.sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")
+        .head(size)
+        .reset_index(drop=True)
+    )
+    top["token_id"] = np.arange(len(top), dtype=np.int64)
+    return top[["term", "token_id"]]
+
+
+def encode_documents(ds, vocab: pd.DataFrame) -> "ray.data.Dataset":
+    """(doc_id, pos, token_id): every token of every document encoded
+    against the vocabulary (OOV → -1). The vocab ships ONCE via
+    ``ray.put``; per-batch encoding is a vectorized Series.map over the
+    flattened token stream, positions via one arange subtraction."""
+    lut = pd.Series(
+        vocab["token_id"].to_numpy(), index=vocab["term"].to_numpy(), dtype="int64"
+    )
+    ref = ray.put(lut)
+
+    def encode(t: pa.Table) -> pa.Table:
+        lk: pd.Series = ray.get(ref)
+        ids = t.column("doc_id").to_numpy()
+        toks_per = [s.split(" ") for s in t.column("text").to_pylist()]
+        lens = np.fromiter((len(x) for x in toks_per), dtype=np.int64, count=len(toks_per))
+        flat = pd.Series(list(chain.from_iterable(toks_per)), dtype="object")
+        tids = flat.map(lk).fillna(-1).astype(np.int64).to_numpy()
+        doc = np.repeat(ids.astype(np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token_id": pa.array(tids, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)

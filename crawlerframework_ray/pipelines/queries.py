@@ -1990,6 +1990,65 @@ def term_frequencies(sf_dir: str):
     return out.astype({"cnt": "int64"}).sort_values("term").reset_index(drop=True)
 
 
+_NGRAM_LM_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) u
+    ),
+    model AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram)
+    SELECT b.doc_id, CAST(SUM(m.cnt) AS BIGINT) AS lm_score,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bg b JOIN model m USING (bigram)
+    GROUP BY b.doc_id
+"""
+
+
+@register("ngram_lm_score", _NGRAM_LM_SQL)
+def ngram_lm_score(sf_dir: str):
+    """Corpus-LM familiarity scoring (beyond-reference LLM-pipeline op,
+    the KenLM-quality-filter shape): 'train' a bigram LM as distributed
+    corpus counts, then score every document = Σ over its bigram
+    instances of the corpus count (exact int64, so the SQL oracle is
+    bit-for-bit). Train pass: per-doc partial counts → one bounded
+    groupby(bigram) shuffle. Score pass: bucketed hash join of the
+    partials against the model on hash(bigram) → bounded groupby(doc)
+    sum. No mid-pipeline materialization."""
+    from ..functions.ngrams import lm_score
+
+    return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+_VOCAB_ENCODE_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS term
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u),
+    cnts AS (SELECT term, COUNT(*) AS cnt FROM pos GROUP BY term),
+    vocab AS (SELECT term,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) - 1 AS BIGINT) AS tid
+              FROM cnts ORDER BY cnt DESC, term ASC LIMIT 256)
+    SELECT p.doc_id, p.pos, CAST(COALESCE(v.tid, -1) AS BIGINT) AS token_id
+    FROM pos p LEFT JOIN vocab v USING (term)
+"""
+
+
+@register("vocab_encode_documents", _VOCAB_ENCODE_SQL)
+def vocab_encode_documents(sf_dir: str):
+    """Tokenizer-vocabulary construction + corpus token-id encoding
+    (beyond-reference LLM-pipeline op): build the top-256 vocabulary by
+    (corpus count DESC, term ASC) — per-block top-V prefixes of the
+    grouped counts, exact because each term exists once after the
+    grouped sum — then encode every token of every document (OOV → -1)
+    with the V-row vocab broadcast ONCE via ray.put. Output is the
+    exploded (doc_id, pos, token_id) form so the oracle compare stays
+    scalar-typed."""
+    from ..functions.ngrams import build_vocab, encode_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = build_vocab(_read(sf_dir, "documents", ["text"]))
+    return encode_documents(docs, vocab)
+
+
 @register(
     "doc_import_text",
     "SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM documents",
