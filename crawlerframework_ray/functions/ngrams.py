@@ -99,6 +99,72 @@ def lm_score(docs_factory) -> "ray.data.Dataset":
     return bucketed_group_agg(pairs, ["doc_id"], per_doc)
 
 
+def _doc_window_partials(t: pa.Table, k: int) -> pa.Table:
+    """(doc_id, win, occ): per-document k-token window multiplicities
+    (rolling exact-substring shingles, the span-dedup unit)."""
+    ids = t.column("doc_id").to_numpy()
+    doc_out: list = []
+    win_out: list = []
+    occ_out: list = []
+    for doc_id, txt in zip(ids, t.column("text").to_pylist()):
+        toks = txt.split(" ")
+        c = Counter(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+        doc_out.extend([int(doc_id)] * len(c))
+        win_out.extend(c.keys())
+        occ_out.extend(c.values())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "win": pa.array(win_out, pa.string()),
+            "occ": pa.array(occ_out, pa.int64()),
+        }
+    )
+
+
+def dup_window_stats(docs_factory, k: int = 8) -> "ray.data.Dataset":
+    """(doc_id, n_windows, dup_windows): exact-substring duplication
+    stats — for each document, how many of its k-token windows occur
+    ≥2 times anywhere in the corpus (the Lee-et-al duplicated-span
+    filter metric, on whole windows so every count is exact int64).
+    Same two-pass train/score shape as :func:`lm_score`: corpus window
+    counts via one bounded groupby(win) shuffle, then a bucketed hash
+    join of the per-doc partials against the model and a bounded
+    groupby(doc) reduction. Documents shorter than k tokens have no
+    windows and drop out (mirrored by the oracle)."""
+    from ..stages.joins import hash_join
+
+    model = bucketed_group_agg(
+        docs_factory().map_batches(
+            lambda t: _doc_window_partials(t, k), batch_format="pyarrow", batch_size=4096
+        ),
+        ["win"],
+        lambda g: g.groupby("win", as_index=False)["occ"].sum().rename(columns={"occ": "cnt"}),
+    )
+    pairs = hash_join(
+        docs_factory().map_batches(
+            lambda t: _doc_window_partials(t, k), batch_format="pyarrow", batch_size=4096
+        ),
+        model,
+        key="win",
+        left_cols=["doc_id", "occ"],
+        right_cols=["cnt"],
+        how="inner",
+    )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        occ = g["occ"].to_numpy()
+        dup = occ * (g["cnt"].to_numpy() >= 2)
+        return (
+            g.assign(__dup=dup)
+            .groupby("doc_id", as_index=False)
+            .agg(n_windows=("occ", "sum"), dup_windows=("__dup", "sum"))
+        )
+
+    return bucketed_group_agg(pairs, ["doc_id"], per_doc)
+
+
 def term_count_partials(ds) -> "ray.data.Dataset":
     """(term, cnt) corpus term frequencies — partial per-batch Counter
     then one bounded grouped sum (the A4 shape)."""

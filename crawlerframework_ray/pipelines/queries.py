@@ -2019,6 +2019,34 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_DUP_WINDOW_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    w AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS win
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-7)) AS i) u),
+    model AS (SELECT win, COUNT(*) AS cnt FROM w GROUP BY win)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN m.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+    FROM w JOIN model m USING (win)
+    GROUP BY w.doc_id
+"""
+
+
+@register("dup_window_stats", _DUP_WINDOW_SQL)
+def dup_window_stats_documents(sf_dir: str):
+    """Exact-substring duplication stats (beyond-reference LLM-pipeline
+    op, the Lee-et-al 'Deduplicating Training Data' span filter on
+    whole 8-token windows): corpus window counts → per-document count
+    of windows occurring ≥2 times anywhere in the corpus. All counts
+    exact int64; bounded shuffles only (groupby(win), hash join on
+    hash(win), groupby(doc))."""
+    from ..functions.ngrams import dup_window_stats
+
+    return dup_window_stats(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]), k=8
+    )
+
+
 _VOCAB_ENCODE_SQL = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS term
