@@ -2602,6 +2602,38 @@ def kmeans_cluster_embeddings(sf_dir: str):
     return out.astype({"vec_id": "int64", "cluster": "int64"})
 
 
+@register("semdedup_embeddings", _golden_sql("semdedup_keep"))
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup inside k-means
+    clusters: keep=0 iff an earlier-id vector in the same cluster has
+    cosine ≥ 0.95, decided by the exact cross-multiplied integer form
+    (dot>0 ∧ dot²·10⁴ ≥ 9025·|a|²·|b|² over floor(x·127+0.5) vectors)
+    so the distributed run value-hash-matches the serial golden.
+    Exact-copy twins are planted (vec_id % 17 == 0, id+1e9) on BOTH
+    sides so the dedup provably fires — the oracle checks dropped
+    rows, not just survivors. Shape: bit-identical integer k-means →
+    bucketed hash join (assignments ⋈ quantized vectors on vec_id) →
+    one vectorized int matmul per cluster group
+    (stages/similarity.semdedup_int)."""
+    from ..stages.similarity import semdedup_int
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        twins = t.filter(pa.array(ids % 17 == 0))
+        twins = twins.set_column(
+            twins.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.compute.add(twins.column("vec_id"), 10**9),
+        )
+        return pa.concat_tables([t, twins])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = semdedup_int(aug).to_pandas()
+    return out.astype({"vec_id": "int64", "cluster": "int64", "keep": "int64"})
+
+
 _SALIENT_SQL = """
     WITH tf AS (
       SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (

@@ -378,3 +378,74 @@ def kmeans_cluster_int(ds, *, n_clusters: int = 8, iters: int = 4,
         )
 
     return qds.map_batches(assign_final, batch_format="pyarrow")
+
+
+# ------------------------------------------- SemDeDup (semantic dedup)
+
+SEMDEDUP_SIM_SCALE = 127
+SEMDEDUP_TAU_NUM = 9025  # tau^2 = 0.9025 (tau = 0.95) ...
+SEMDEDUP_TAU_DEN = 10**4  # ... as an exact integer ratio
+
+
+def semdedup_int(ds, *, n_clusters: int = 8, iters: int = 4,
+                 id_column: str = "vec_id", vec_column: str = "embedding",
+                 tau_num: int = SEMDEDUP_TAU_NUM, tau_den: int = SEMDEDUP_TAU_DEN,
+                 sim_scale: int = SEMDEDUP_SIM_SCALE):
+    """SemDeDup (Abbas et al. 2023): semantic dedup inside k-means
+    clusters — (vec_id, cluster, keep) where keep=0 iff an
+    earlier-id vector in the SAME cluster has cosine ≥ tau.
+
+    Exactness: clustering is :func:`kmeans_cluster_int` (bit-identical
+    across partitionings); the cosine test is the cross-multiplied
+    integer form ``dot>0 and dot^2*tau_den >= tau_num*|a|^2*|b|^2``
+    over ``floor(x*sim_scale+0.5)`` vectors, so the whole output
+    value-hash-matches a serial golden. int64 headroom: requires
+    ``(dim*sim_scale^2)^2 * tau_den < 2^63`` (asserted) — dim ≤ ~850
+    at scale 127.
+
+    Scale shape: assignments attach to the quantized vectors by a
+    bucketed hash join on vec_id (both sides partitioned — no
+    broadcast of an O(n) table); the per-cluster greedy keep is ONE
+    vectorized int matmul per cluster group. The within-cluster work
+    is O(m^2) by construction (that is SemDeDup); at corpus scale
+    n_clusters is sized so m = n/k fits a task, exactly like the
+    paper's 50k-cluster configuration."""
+    from .joins import hash_join
+
+    clusters = kmeans_cluster_int(
+        ds, n_clusters=n_clusters, iters=iters,
+        id_column=id_column, vec_column=vec_column,
+    )
+
+    def q8(t: pa.Table) -> pa.Table:
+        # int64 rows serialized to fixed-width binary: binary shuffles
+        # cleanly through the join + groupby (a list column does not
+        # survive the pandas sort-shuffle), same trick as the embedding
+        # near-dup attach (stages/dedup.py)
+        ids = np.asarray(t.column(id_column).to_pylist(), dtype=np.int64)
+        xq = np.floor(batch_vectors(t, vec_column) * sim_scale + 0.5).astype(np.int64)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "qv": pa.array([r.tobytes() for r in xq], pa.binary())}
+        )
+
+    qds = ds.map_batches(q8, batch_format="pyarrow", batch_size=4096)
+    joined = hash_join(qds, clusters, key="vec_id",
+                       left_cols=["qv"], right_cols=["cluster"], how="inner")
+
+    def keep_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        x = np.stack([np.frombuffer(b, dtype=np.int64) for b in g["qv"].to_numpy()])
+        norms = (x * x).sum(axis=1)
+        assert int(norms.max(initial=0)) ** 2 * tau_den < 2**63, "int64 overflow: shrink sim_scale"
+        d = x @ x.T
+        dup = (d > 0) & (d * d * tau_den >= tau_num * np.outer(norms, norms))
+        earlier = np.tril(dup, k=-1)  # rows sorted by vec_id: i<j only
+        keep = ~earlier.any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": g["vec_id"].astype("int64"),
+             "cluster": g["cluster"].astype("int64"),
+             "keep": keep.astype(np.int64)}
+        )
+
+    return joined.groupby("cluster").map_groups(keep_group, batch_format="pandas")

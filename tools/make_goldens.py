@@ -603,9 +603,64 @@ def kmeans_clusters(sf_dir: str) -> None:
         ),
     )
 
+
+def semdedup_keep(sf_dir: str) -> None:
+    """Serial mirror of semdedup_embeddings: naive re-implementation of
+    the published spec (augment exact twins for vec_id % 17 == 0 at
+    id+1e9; integer Lloyd k-means exactly as kmeans_clusters; within
+    each cluster, in ascending vec_id order, keep=0 iff ANY earlier
+    member passes dot>0 and dot^2*1e4 >= 9025*|a|^2*|b|^2 over
+    floor(x*127+0.5) vectors). Medium independence: per-pair Python
+    loops with arbitrary-precision ints, no shared code with
+    stages/similarity.semdedup_int."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pandas().astype("int64").to_numpy()
+    emb = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    tw = ids % 17 == 0
+    ids = np.concatenate([ids, ids[tw] + 10**9])
+    emb = np.concatenate([emb, emb[tw]], axis=0)
+    order = np.argsort(ids, kind="stable")
+    ids, emb = ids[order], emb[order]
+    x = np.floor(emb * 10**4 + 0.5).astype(np.int64)
+    cents = x[:8].copy()
+    for _ in range(4):
+        assign = np.empty(len(x), np.int64)
+        for i in range(len(x)):
+            d = ((x[i][None, :] - cents) ** 2).sum(axis=1)
+            assign[i] = int(np.argmin(d))
+        for j in range(8):
+            m = x[assign == j]
+            if len(m):
+                cents[j] = m.sum(axis=0) // len(m)
+    assign = np.empty(len(x), np.int64)
+    for i in range(len(x)):
+        d = ((x[i][None, :] - cents) ** 2).sum(axis=1)
+        assign[i] = int(np.argmin(d))
+    q = np.floor(emb * 127 + 0.5).astype(np.int64)
+    keep = np.ones(len(x), np.int64)
+    for j in range(8):
+        members = np.where(assign == j)[0]  # ids already ascending
+        for bi in range(len(members)):
+            b = members[bi]
+            nb = int((q[b] * q[b]).sum())
+            for ai in range(bi):
+                a = members[ai]
+                dot = int((q[a] * q[b]).sum())
+                na = int((q[a] * q[a]).sum())
+                if dot > 0 and dot * dot * 10**4 >= 9025 * na * nb:
+                    keep[b] = 0
+                    break
+    _write(
+        "semdedup_keep", sf_dir,
+        pd.DataFrame({"vec_id": ids, "cluster": assign, "keep": keep}).astype(
+            {"vec_id": "int64", "cluster": "int64", "keep": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
-       kmeans_clusters]
+       kmeans_clusters, semdedup_keep]
 
 
 def main() -> None:
