@@ -1953,6 +1953,55 @@ def patent_gender_documents(sf_dir: str):
     )
 
 
+_ALIGN_SQL = f"""
+    WITH g AS (SELECT * FROM read_parquet('{{GOLDEN}}/alignment_inputs.sf0.01.parquet')),
+    h AS (SELECT image_id, phash,
+            CAST(CAST(('0x' || substr(md5(caption),1,16)) AS UBIGINT) AS HUGEINT) AS hu
+          FROM g)
+    SELECT image_id, phash,
+           CAST(64 - bit_count(xor(phash,
+             CAST(hu - CASE WHEN hu >= 9223372036854775808
+                        THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+           )) AS BIGINT) AS align_score
+    FROM h
+""".replace("{GOLDEN}", _GOLDEN_DIR)
+
+
+@register("caption_alignment_scores", _ALIGN_SQL)
+def caption_alignment_scores(sf_dir: str):
+    """Image↔caption alignment scoring — the CLIP-style cross-modal
+    scorer (T6 slot) as a deterministic fake model behind the real
+    actor-pool inference shape (stages/multimodal.AlignmentScoreStage;
+    same mold as translate_captions). Both towers are real per-modality
+    compute: pixel decode → average-hash, byte-exact md5-64 of the
+    caption; score = 64 − hamming ∈ [0,64]. The oracle recomputes the
+    caption tower AND the combine natively in SQL (md5/xor/bit_count);
+    only the pixel phash is golden-pinned (independent serial
+    decode)."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import AlignmentScoreStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+                "caption": pa.array([r["caption"] for r in recs], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+        .map_batches(AlignmentScoreStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=2, num_cpus=0.5)
+    )
+
+
 _TERMFREQ_SQL = """
     SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

@@ -213,3 +213,54 @@ class PhashBandStage:
                 "sig": pa.array(out_sig, pa.int64()),
             }
         )
+
+
+class AlignmentScoreStage:
+    """Image↔caption alignment scoring — the CLIP-style cross-modal
+    scorer slot (T6) behind the fake-external-model actor-pool shape
+    (same mold as functions/translate.py): the "model" is deterministic
+    so the whole op is oracle-checkable, while the Ray-side plumbing
+    (actor pool, per-batch batched inference over decoded pixels,
+    integer scores) is exactly what a real CLIP scorer needs.
+
+    Score = 64 − hamming(phash(decoded pixels), md5_64(caption)):
+    both towers are real computations over their modality (pixel
+    decode + average-hash; byte-exact md5), the scalar lives in
+    [0, 64], and DuckDB reproduces the caption tower + the combine
+    natively (md5, xor, bit_count) — only the pixel phash needs a
+    golden.
+
+    Output: image_id:string, phash:int64, align_score:int64.
+    """
+
+    def __init__(self, strict: bool = True):
+        import hashlib
+
+        self._md5 = hashlib.md5
+        self.decoders = dict(codecs._DECODERS)  # built once per actor
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import hamming64_np
+
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        caps = batch.column("caption").to_pylist()
+        phash = np.fromiter(
+            (average_hash(self.decoders[f](d)) for f, d in zip(fmts, datas)),
+            dtype=np.int64, count=len(ids),
+        )
+        cap64 = np.fromiter(
+            (int.from_bytes(self._md5(c.encode("utf-8")).digest()[:8], "big")
+             for c in caps),
+            dtype=np.uint64, count=len(ids),
+        )
+        score = 64 - hamming64_np(phash.view(np.uint64), cap64).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(phash, pa.int64()),
+                "align_score": pa.array(score, pa.int64()),
+            }
+        )

@@ -658,9 +658,36 @@ def semdedup_keep(sf_dir: str) -> None:
     )
 
 
+
+def alignment_inputs(sf_dir: str) -> None:
+    """Serial recomputation of the caption-alignment corpus (image_id,
+    phash, caption) for the 512-doc image set (shared gen leaf —
+    regression-pin tier like phash_sigs): phash from an independent
+    decode of the stored bytes; the SQL oracle recomputes the caption
+    tower (md5-64) and the combine (xor + bit_count) NATIVELY, so the
+    scoring op itself is independently verified."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()[:512]  # mirrors the query's limit(512)
+    rows = []
+    for d in ids:
+        r = page_record(make_url(int(d) % 8, int(d)), cfg)
+        rows.append((r["image_id"], average_hash(codecs.decode(r["bytes"], r["fmt"])), r["caption"]))
+    _write(
+        "alignment_inputs", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "phash", "caption"]).astype(
+            {"image_id": "string", "phash": "int64", "caption": "string"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
-       kmeans_clusters, semdedup_keep]
+       kmeans_clusters, semdedup_keep, alignment_inputs]
 
 
 def main() -> None:
