@@ -1,0 +1,121 @@
+"""Partition-independence + edge-case gates for the corpus n-gram /
+SemDeDup family (the SQL-oracle gate in test_queries.py checks values;
+these check the docstring claims that don't show up there: results are
+bit-identical regardless of block layout, and degenerate documents are
+handled the same way the oracle handles them)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(blocks: int):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=blocks,
+    )
+
+
+def _lm(blocks: int) -> pd.DataFrame:
+    from crawlerframework_ray.functions.ngrams import lm_score
+
+    return (
+        lm_score(lambda: _docs(blocks))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "lm_score": "int64", "n_bigrams": "int64"})
+    )
+
+
+def test_lm_score_partition_independent(ray_session):
+    a = _lm(1)
+    b = _lm(8)
+    assert a.equals(b)
+    assert (a["lm_score"] >= a["n_bigrams"]).all()  # every bigram counts itself
+
+
+def _semdedup(blocks: int) -> pd.DataFrame:
+    from crawlerframework_ray.stages.similarity import semdedup_int
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=blocks,
+    )
+    return (
+        semdedup_int(ds, n_clusters=4, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "cluster": "int64", "keep": "int64"})
+    )
+
+
+def test_semdedup_partition_independent(ray_session):
+    a = _semdedup(1)
+    b = _semdedup(8)
+    assert a.equals(b)
+
+
+def test_semdedup_drops_exact_twin(ray_session):
+    """An exact duplicate vector with a larger id is dropped; the
+    original is kept."""
+    import numpy as np
+    import ray.data
+
+    from crawlerframework_ray.stages.similarity import semdedup_int
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs = np.vstack([vecs, vecs[3:4]])  # twin of id 3 at id 40
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(41)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        semdedup_int(ray.data.from_arrow(t), n_clusters=2, iters=2)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[3, "keep"] == 1
+    assert out.loc[40, "keep"] == 0
+    assert out.loc[40, "cluster"] == out.loc[3, "cluster"]
+
+
+def test_ngram_degenerate_docs(ray_session):
+    """Docs with <2 tokens produce no bigrams (dropped from lm_score,
+    matching the oracle); encode still emits one row per token."""
+    import ray.data
+
+    from crawlerframework_ray.functions.ngrams import (
+        build_vocab,
+        encode_documents,
+        lm_score,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["solo", "a b a b", ""], pa.string()),
+        }
+    )
+    mk = lambda: ray.data.from_arrow(t)  # noqa: E731
+    lm = lm_score(mk).to_pandas()
+    assert set(lm["doc_id"]) == {1}  # "solo" and "" have no bigrams
+    # doc 1: bigrams a-b (x2), b-a (x1); model counts 2,1 -> score 2*2+1*1
+    assert int(lm.loc[lm.doc_id == 1, "lm_score"].iloc[0]) == 5
+    vocab = build_vocab(mk(), size=2)
+    enc = encode_documents(mk(), vocab).to_pandas()
+    # one row per token incl. the empty-string token of doc 2
+    assert len(enc) == 1 + 4 + 1
+    assert set(enc.loc[enc.doc_id == 2, "token_id"]) <= {-1, 0, 1}
