@@ -236,3 +236,80 @@ def encode_documents(ds, vocab: pd.DataFrame) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+
+
+DSIR_N_BUCKETS = 1024
+
+
+def _bucket64(term: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:8], "big") % DSIR_N_BUCKETS
+
+
+def dsir_importance(docs_factory, target_lang: str = "en",
+                    n_buckets: int = DSIR_N_BUCKETS) -> "ray.data.Dataset":
+    """(doc_id, target_mass, raw_mass): DSIR-style hashed n-gram
+    importance features (Xie et al. 2023 'Data Selection for Language
+    Models via Importance Resampling', unigram-bucket form): every
+    token hashes into one of ``n_buckets`` buckets; the target
+    distribution is the token mass of the ``target_lang`` subset, the
+    raw distribution is the whole corpus. A document's importance
+    features are the sums of target/raw bucket masses over ITS tokens —
+    exact int64, ratio left to the consumer so no floats enter the
+    pipeline. Scale shape: the feature pass reduces to TWO fixed
+    n_buckets-long int vectors (a driver combine of n_buckets-row
+    partials — constant size regardless of corpus), broadcast ONCE;
+    the scoring pass is one stateless map_batches."""
+    import hashlib
+
+    def partial_buckets(t: pa.Table) -> pa.Table:
+        tgt = np.zeros(n_buckets, np.int64)
+        raw = np.zeros(n_buckets, np.int64)
+        md5 = hashlib.md5
+        for lang, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+            for tok in txt.split(" "):
+                b = int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "big") % n_buckets
+                raw[b] += 1
+                if lang == target_lang:
+                    tgt[b] += 1
+        idx = np.flatnonzero(raw)
+        return pa.table(
+            {"bucket": pa.array(idx, pa.int64()),
+             "tgt": pa.array(tgt[idx], pa.int64()),
+             "raw": pa.array(raw[idx], pa.int64())}
+        )
+
+    parts = (
+        docs_factory()
+        .map_batches(partial_buckets, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )  # ≤ n_buckets rows per batch; the combine is O(n_buckets), not O(corpus)
+    g = parts.groupby("bucket").sum()
+    tgt = np.zeros(n_buckets, np.int64)
+    raw = np.zeros(n_buckets, np.int64)
+    tgt[g.index.to_numpy()] = g["tgt"].to_numpy()
+    raw[g.index.to_numpy()] = g["raw"].to_numpy()
+    ref = ray.put((tgt, raw))
+
+    def score(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        tg, rw = ray.get(ref)
+        ids, tm, rm = [], [], []
+        for doc_id, txt in zip(t.column("doc_id").to_numpy(), t.column("text").to_pylist()):
+            bs = np.fromiter(
+                (int.from_bytes(_h.md5(tok.encode("utf-8")).digest()[:8], "big") % n_buckets
+                 for tok in txt.split(" ")),
+                dtype=np.int64,
+            )
+            ids.append(int(doc_id))
+            tm.append(int(tg[bs].sum()))
+            rm.append(int(rw[bs].sum()))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "target_mass": pa.array(tm, pa.int64()),
+             "raw_mass": pa.array(rm, pa.int64())}
+        )
+
+    return docs_factory().map_batches(score, batch_format="pyarrow", batch_size=8192)

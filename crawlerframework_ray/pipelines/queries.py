@@ -2068,6 +2068,41 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_DSIR_SQL = """
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    b AS (SELECT doc_id, lang,
+                 CAST(CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+          FROM toks),
+    tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b WHERE lang = 'en' GROUP BY bucket),
+    rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bucket)
+    SELECT b.doc_id,
+           CAST(SUM(COALESCE(tc.cnt, 0)) AS BIGINT) AS target_mass,
+           CAST(SUM(rc.cnt) AS BIGINT) AS raw_mass
+    FROM b LEFT JOIN tc USING (bucket) JOIN rc USING (bucket)
+    GROUP BY b.doc_id
+"""
+
+
+@register("dsir_importance_documents", _DSIR_SQL)
+def dsir_importance_documents(sf_dir: str):
+    """DSIR-style hashed n-gram importance features (Xie et al. 2023,
+    unigram-bucket form — beyond-reference LLM-pipeline op): tokens
+    hash into 1024 buckets (md5-64 mod, byte-identical in SQL); the
+    target distribution is the lang='en' token mass, raw is the whole
+    corpus; each document gets the exact int64 sums of target/raw
+    bucket masses over its tokens (the importance ratio's numerator /
+    denominator — no floats). The feature state is TWO fixed
+    1024-long int vectors (constant size at any corpus scale),
+    combined on the driver and broadcast once."""
+    from ..functions.ngrams import dsir_importance
+
+    return dsir_importance(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_lang="en",
+    )
+
+
 _DUP_WINDOW_SQL = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     w AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS win
