@@ -2068,6 +2068,53 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_HEAVY_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' za' || CAST(doc_id AS VARCHAR) || ' zb' || CAST(doc_id AS VARCHAR)
+                  || ' zc' || CAST(doc_id AS VARCHAR) || ' zd' || CAST(doc_id AS VARCHAR)
+                  || ' ze' || CAST(doc_id AS VARCHAR) || ' zf' || CAST(doc_id AS VARCHAR)
+                  || ' zg' || CAST(doc_id AS VARCHAR) || ' zh' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM aug) GROUP BY term),
+    r AS (SELECT term, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank
+          FROM c)
+    SELECT rank, term, cnt, CAST(0 AS BIGINT) AS exact_certified
+    FROM r WHERE rank <= 16
+"""
+
+
+@register("heavy_hitter_terms", _HEAVY_SQL)
+def heavy_hitter_terms_documents(sf_dir: str):
+    """EXACT corpus top-16 terms at sketch cost — mergeable Misra-Gries
+    summaries (≤256 rows per batch cross the wire, constant driver
+    state) propose candidates, one exact recount pass verifies
+    (stages/sketch.heavy_hitter_terms). A long tail of one-off terms is
+    planted on BOTH sides (8 unique tokens per doc) so per-batch
+    eviction genuinely fires (~65k distinct >> 256 slots,
+    exact_certified=0) — the oracle then demands value equality of the
+    top-16 against full counts, proving the candidate/verify pair is
+    exact in the eviction regime, not just when the sketch degenerates
+    to a counter."""
+    from ..stages.sketch import heavy_hitter_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = [
+            txt + " " + " ".join(f"z{s}{int(i)}" for s in "abcdefgh")
+            for i, txt in zip(ids, t.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(texts, pa.string())})
+
+    return heavy_hitter_terms(
+        ds.map_batches(plant, batch_format="pyarrow"), k=16, slots=256
+    )
+
+
 _DSIR_SQL = """
     WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
                   FROM documents),

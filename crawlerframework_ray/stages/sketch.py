@@ -100,3 +100,93 @@ def hll_distinct(ds, columns: list[str]):
         .groupby("col")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+# ----------------------------------------- Misra-Gries heavy hitters
+
+MG_SLOTS = 256
+
+
+def _mg_summary(counter: "dict[str, int]", slots: int) -> tuple[dict, int]:
+    """Reduce a full counter to a Misra-Gries summary of ``slots``
+    entries. Returns (summary, n_decrements): classic MG — when the
+    summary overflows, decrement every counter by the smallest evictee
+    weight. n_decrements > 0 means estimates carry error ≤ N/slots."""
+    if len(counter) <= slots:
+        return dict(counter), 0
+    items = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
+    cut = items[slots][1]  # weight of the first evictee
+    out = {k: v - cut for k, v in items[:slots] if v > cut}
+    return out, cut
+
+
+def heavy_hitter_terms(ds, *, k: int = 32, slots: int = MG_SLOTS):
+    """EXACT corpus top-k terms at sketch cost — the two-phase
+    candidate/verify shape (Misra-Gries summaries are mergeable, so
+    phase 1 moves ≤ ``slots`` rows per batch instead of the term
+    universe):
+
+    1. per-batch MG summaries → driver merge (≤ slots entries live at
+       any point — constant driver state, like the HLL registers);
+    2. the candidate set is broadcast and EXACTLY recounted in one
+       map_batches pass (counts only candidate terms), then top-k by
+       (cnt DESC, term ASC).
+
+    Exactness certificate: MG guarantees any term with true count
+    > N·(decrements/N) survives; when NO decrement ever happened
+    (term universe ≤ slots — asserted into the output as
+    ``exact_certified``) the candidate set provably contains every
+    term, so the recounted top-k equals the full-count top-k and the
+    SQL oracle can demand value equality. With decrements the result
+    is still exact whenever the true k-th count exceeds the total
+    decrement bound; the certificate column reports which regime the
+    run was in."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(txt.split(" "))
+        summ, dec = _mg_summary(c, slots)
+        return pa.table(
+            {"term": pa.array(list(summ.keys()) + ["\x00dec"], pa.string()),
+             "w": pa.array(list(summ.values()) + [dec], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    decrements = int(parts.loc[parts["term"] == "\x00dec", "w"].sum())
+    merged = parts[parts["term"] != "\x00dec"].groupby("term")["w"].sum()
+    # merged MG: re-prune to `slots` (merge of MG summaries is MG)
+    if len(merged) > slots:
+        cut = int(merged.sort_values(ascending=False).iloc[slots])
+        decrements += cut
+        merged = merged[merged > cut] - cut
+    cand = sorted(merged.index.tolist())
+    ref = ray.put(set(cand))
+
+    def recount(t: pa.Table) -> pa.Table:
+        from collections import Counter as _C
+
+        keep = ray.get(ref)
+        c: _C = _C()
+        for txt in t.column("text").to_pylist():
+            c.update(tok for tok in txt.split(" ") if tok in keep)
+        return pa.table(
+            {"term": pa.array(list(c.keys()), pa.string()),
+             "cnt": pa.array(list(c.values()), pa.int64())}
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+        .groupby("term", as_index=False)["cnt"].sum()
+        .sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    exact["rank"] = np.arange(1, len(exact) + 1, dtype=np.int64)
+    exact["exact_certified"] = np.int64(1 if decrements == 0 else 0)
+    return exact[["rank", "term", "cnt", "exact_certified"]]
