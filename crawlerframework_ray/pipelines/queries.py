@@ -2068,6 +2068,68 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_QUANTILE_SQL = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75
+    FROM documents GROUP BY lang
+"""
+
+
+@register("quantiles_chars_per_lang", _QUANTILE_SQL)
+def quantiles_chars_per_lang(sf_dir: str):
+    """Exact distributed order statistics over a bounded value domain —
+    the histogram-quantile pattern: per-batch partial (lang, value,
+    count) rows (the combiner — the shuffle moves one row per distinct
+    value per batch, never one per document) → one bounded
+    groupby(lang) → a cumulative-count walk selects the discrete
+    quantile at index ceil(q·n)−1, exactly DuckDB's quantile_disc
+    convention, so the result is integer-exact at any partitioning.
+    At corpus scale the shuffle is bounded by langs × distinct values,
+    independent of row count."""
+    from collections import Counter
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(
+            zip(t.column("lang").to_pylist(), t.column("n_chars").to_pylist())
+        )
+        langs, vals, cnts = [], [], []
+        for (lang, v), n in c.items():
+            langs.append(lang)
+            vals.append(int(v))
+            cnts.append(n)
+        return pa.table(
+            {"lang": pa.array(langs, pa.string()),
+             "n_chars": pa.array(vals, pa.int64()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            h = gg.groupby("n_chars")["cnt"].sum().sort_index()
+            cum = h.cumsum().to_numpy()
+            vals = h.index.to_numpy()
+            n = int(cum[-1])
+            qs = []
+            for num, den in ((1, 4), (1, 2), (3, 4)):
+                idx = (num * n + den - 1) // den - 1  # ceil(q*n) - 1, 0-based
+                qs.append(int(vals[np.searchsorted(cum, idx + 1)]))
+            out.append((lang, n, *qs))
+        return pd.DataFrame(out, columns=["lang", "n_docs", "p25", "p50", "p75"])
+
+    res = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["lang"], reduce,
+    ).to_pandas()
+    return res.astype({"n_docs": "int64", "p25": "int64", "p50": "int64", "p75": "int64"})
+
+
 _HEAVY_SQL = """
     WITH aug AS (
       SELECT doc_id,
