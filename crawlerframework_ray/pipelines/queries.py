@@ -2068,6 +2068,43 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_ANTI_SQL = """
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@register("customers_without_urgent_orders", _ANTI_SQL)
+def customers_without_urgent_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no URGENT order — the
+    J-family completion (inner/left/asof/semi already gated; every
+    customer has SOME order in the synth data, so the build side is
+    the filtered subset to keep the result non-trivial). One bucketed
+    shuffle; the build side ships only per-batch distinct keys after a
+    pushed-down filter at the read (stages/joins.anti_join)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+            .select(["o_custkey"])
+            .rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = anti_join(
+        cust, urgent, key="c_custkey", left_cols=["c_name", "c_nationkey"]
+    ).to_pandas()
+    return out.astype({"c_custkey": "int64", "c_nationkey": "int64"})
+
+
 _QUANTILE_SQL = """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,

@@ -253,3 +253,34 @@ def _composite_searchsorted(rkeys, rts, lkeys, lbounds, side: str):
 
     return np.searchsorted(pack(np.asarray(rkeys, np.int64), rts_i),
                            pack(np.asarray(lkeys, np.int64), lb_i), side=side)
+
+
+def anti_join(left, right, key: str, left_cols: list[str],
+              n_buckets: int = N_JOIN_BUCKETS):
+    """Partitioned anti-join: rows of ``left`` whose ``key`` has NO
+    match in ``right`` (the NOT EXISTS / EXCEPT-by-key form the
+    reference expressed as per-row Postgres point lookups). Same
+    one-shuffle pad/union/groupby(bucket) shape as :func:`hash_join`;
+    the build side ships only its distinct keys per batch (a per-batch
+    combiner — the shuffle never moves build payload columns)."""
+    lcols = [key] + [c for c in left_cols if c != key]
+    all_cols = lcols
+
+    lt = left.map_batches(
+        lambda t: _pad(t.select(lcols).to_pandas(), all_cols, "l", key, n_buckets),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        lambda t: _pad(
+            t.select([key]).to_pandas().drop_duplicates(), all_cols, "r", key, n_buckets
+        ),
+        batch_format="pyarrow",
+    )
+    unioned = lt.union(rt)
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][lcols]
+        seen = g.loc[g["__side"] == "r", key].unique()
+        return lg[~lg[key].isin(seen)]
+
+    return unioned.groupby("__bucket").map_groups(filter_bucket, batch_format="pandas")
