@@ -2068,6 +2068,96 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_PIVOT_SQL = """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+"""
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register("pivot_user_event_counts", _PIVOT_SQL)
+def pivot_user_event_counts(sf_dir: str):
+    """Pivot/reshape: long (user_id, event_type) rows → one wide row
+    per user with a count column per type. The distributed form is a
+    per-batch crosstab partial (already wide — the shuffle moves one
+    row per user per batch with 5 int columns, never the raw events)
+    → bounded groupby(user_id) sum. Column set is fixed up front (the
+    pivot contract at scale: unknown-key pivots need a keys pass
+    first)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        wide = pd.crosstab(df["user_id"], df["event_type"]).reindex(
+            columns=_PIVOT_TYPES, fill_value=0
+        )
+        wide.columns = cols
+        return wide.astype("int64").reset_index()
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["user_id"],
+        lambda g: g.groupby("user_id", as_index=False)[cols].sum(),
+    ).to_pandas()
+    return out.astype({c: "int64" for c in ["user_id"] + cols})
+
+
+_ROLLUP_SQL = """
+    SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+@register("rollup_lang_source", _ROLLUP_SQL)
+def rollup_lang_source(sf_dir: str):
+    """Hierarchical rollup (GROUP BY ROLLUP(lang, source)): ONE
+    distributed pass computes the leaf (lang, source) aggregates via
+    the bounded bucketed shuffle; every super-level — (lang, ALL) and
+    the grand total — derives from the LEAF table (langs × sources
+    rows, constant-size at any corpus scale), never from a second scan.
+    The additive-aggregate rollup pattern every OLAP cube build uses."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    leaf = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["lang", "source"],
+        lambda g: g.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        ),
+    ).to_pandas()
+    by_lang = leaf.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+    )
+    by_lang["source"] = "ALL"
+    total = pd.DataFrame(
+        {"lang": ["ALL"], "source": ["ALL"],
+         "n_docs": [leaf["n_docs"].sum()], "sum_chars": [leaf["sum_chars"].sum()]}
+    )
+    out = pd.concat([leaf, by_lang, total], ignore_index=True)
+    return out[["lang", "source", "n_docs", "sum_chars"]].astype(
+        {"n_docs": "int64", "sum_chars": "int64"}
+    )
+
+
 _ANTI_SQL = """
     SELECT c.c_custkey, c.c_name, c.c_nationkey
     FROM customer c
