@@ -2068,6 +2068,44 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_LAG_SQL = """
+    SELECT event_id, user_id,
+           CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS gap_us
+    FROM events
+"""
+
+
+@register("event_gaps_per_user", _LAG_SQL)
+def event_gaps_per_user(sf_dir: str):
+    """Per-key window function (LAG): inter-event gap in µs per user,
+    -1 for each user's first event — the row-level windowed family
+    (tumbling/session windows are gated separately). Distributed form:
+    one bounded groupby(user) shuffle, then ONE vectorized sort + diff
+    across all of a bucket's users (np.diff on the µs array, reset at
+    user boundaries) — no per-row or per-user Python dispatch."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        gap = np.empty(len(g), np.int64)
+        gap[0] = -1
+        if len(g) > 1:
+            gap[1:] = us[1:] - us[:-1]
+            new_user = g["user_id"].to_numpy()[1:] != g["user_id"].to_numpy()[:-1]
+            gap[1:][new_user] = -1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "user_id": g["user_id"].to_numpy(),
+             "gap_us": gap}
+        )
+
+    out = bucketed_group_agg(ds, ["user_id"], gaps).to_pandas()
+    return out.astype({"event_id": "int64", "user_id": "int64", "gap_us": "int64"})
+
+
 _PIVOT_SQL = """
     SELECT user_id,
            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
