@@ -1953,6 +1953,70 @@ def patent_gender_documents(sf_dir: str):
     )
 
 
+_IMG_PREP_SQL = f"""
+    WITH g AS (SELECT * FROM read_parquet('{{GOLDEN}}/alignment_inputs.sf0.01.parquet')),
+    h AS (SELECT image_id, phash,
+            CAST(CAST(('0x' || substr(md5(caption),1,16)) AS UBIGINT) AS HUGEINT) AS hu
+          FROM g),
+    s AS (SELECT image_id, phash,
+            CAST(64 - bit_count(xor(phash,
+              CAST(hu - CASE WHEN hu >= 9223372036854775808
+                         THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+            )) AS BIGINT) AS align_score
+          FROM h),
+    f AS (SELECT * FROM s WHERE align_score >= 30),
+    d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY image_id) AS rn FROM f)
+    SELECT image_id, phash, align_score FROM d WHERE rn = 1
+""".replace("{GOLDEN}", _GOLDEN_DIR)
+
+
+@register("image_corpus_prep", _IMG_PREP_SQL)
+def image_corpus_prep(sf_dir: str):
+    """Composite image-corpus prep — the flagship IMAGE path (graft
+    payload), stages chained as a multimodal training-set build would
+    chain them: decode + cross-modal alignment scoring (actor pool) →
+    alignment filter (≥30 of 64) → exact pixel-dup drop (keep
+    smallest image_id per phash — the bounded groupby(phash)
+    keep-first shuffle). The oracle composes the alignment golden with
+    the native md5/xor/bit_count score, the same filter, and a window
+    dedup."""
+    import pyarrow.compute as pc
+
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.multimodal import AlignmentScoreStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+                "caption": pa.array([r["caption"] for r in recs], pa.string()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+        .map_batches(AlignmentScoreStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=2, num_cpus=0.5)
+        .map_batches(lambda t: t.filter(pc.greater_equal(t["align_score"], 30)),
+                     batch_format="pyarrow")
+    )
+    out = bucketed_group_agg(
+        scored, ["phash"],
+        lambda g: g.sort_values("image_id", kind="mergesort")
+                   .groupby("phash", as_index=False).first(),
+    ).to_pandas()
+    return out[["image_id", "phash", "align_score"]].astype(
+        {"phash": "int64", "align_score": "int64"}
+    )
+
+
 _ALIGN_SQL = f"""
     WITH g AS (SELECT * FROM read_parquet('{{GOLDEN}}/alignment_inputs.sf0.01.parquet')),
     h AS (SELECT image_id, phash,
