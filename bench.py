@@ -139,6 +139,18 @@ def main() -> None:
         with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
             f.read()
 
+    # host-weather canary: a fixed single-thread numpy probe (reads
+    # ~0.9-1.0 s on this box when idle; BASELINE.md documents 1.5-2×
+    # inflation under the co-tenant storms). Recorded in the JSON so a
+    # slow BENCH run is interpretable against the documented drift.
+    import numpy as _np
+
+    _a = _np.random.default_rng(0).random((2000, 2000))
+    _t = time.monotonic()
+    for _ in range(2):
+        _a @ _a
+    host_probe = round(time.monotonic() - _t, 3)
+
     t_all = time.monotonic()
     crawl = run_crawl(NUM_CPUS)
 
@@ -152,6 +164,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "crawl": crawl,
+                    "host_probe_sec": host_probe,
                     "sf": SF_DIR,
                     "num_cpus": NUM_CPUS,
                 }
@@ -177,6 +190,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "crawl": crawl,
+                "host_probe_sec": host_probe,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
             }
@@ -239,6 +253,7 @@ def scaling() -> None:
                 "crawl_16": best[16]["crawl"],
                 "crawl_32": best[32]["crawl"],
                 "all_walls": {k: [r["crawl"]["wall_sec"] for r in v] for k, v in runs.items()},
+                "host_probe_sec": {k: [r.get("host_probe_sec") for r in v] for k, v in runs.items()},
                 "sf": SF_DIR,
             }
         )
