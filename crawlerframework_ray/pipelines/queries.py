@@ -2132,6 +2132,48 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_PART_EXPORT_SQL = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(doc_id AS BIGINT)) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY lang
+"""
+
+
+@register("partitioned_export_roundtrip", _PART_EXPORT_SQL)
+def partitioned_export_roundtrip(sf_dir: str):
+    """Partitioned sink + read-back (the resumable-output contract as a
+    catalog entry): documents are written hive-partitioned by lang —
+    one directory per key, so a failed corpus export resumes by
+    skipping finished partitions — then each partition is read back
+    INDEPENDENTLY (pruned read, no cross-partition I/O) and verified
+    by count + id-sum against the source-table oracle. A row landing
+    in the wrong partition, dropped, or duplicated changes the
+    per-partition sums."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out_dir = tempfile.mkdtemp(prefix="cfray-export-")
+    try:
+        ds.write_parquet(out_dir, partition_cols=["lang"])
+        rows = []
+        for part in sorted(os.listdir(out_dir)):
+            if not part.startswith("lang="):
+                continue
+            lang = part.split("=", 1)[1]
+            sub = ray.data.read_parquet(os.path.join(out_dir, part), columns=["doc_id"])
+            df = sub.to_pandas()
+            rows.append((lang, len(df), int(df["doc_id"].astype("int64").sum())))
+        return pd.DataFrame(rows, columns=["lang", "n_docs", "sum_ids"]).astype(
+            {"n_docs": "int64", "sum_ids": "int64"}
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 _LAG_SQL = """
     SELECT event_id, user_id,
            CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts))
