@@ -1953,6 +1953,30 @@ def patent_gender_documents(sf_dir: str):
     )
 
 
+def _image_caption_corpus(sf_dir: str):
+    """512 deterministic (image_id, bytes, fmt, caption) rows derived
+    from doc ids via the synthetic page store — the shared input of the
+    alignment queries (pure function of sf_dir; golden generators
+    recompute it serially)."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+                "caption": pa.array([r["caption"] for r in recs], pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
 _IMG_PREP_SQL = f"""
     WITH g AS (SELECT * FROM read_parquet('{{GOLDEN}}/alignment_inputs.sf0.01.parquet')),
     h AS (SELECT image_id, phash,
@@ -1982,26 +2006,11 @@ def image_corpus_prep(sf_dir: str):
     dedup."""
     import pyarrow.compute as pc
 
-    from ..data.synth import SynthWebConfig, make_url, page_record
     from ..stages.agg import bucketed_group_agg
     from ..stages.multimodal import AlignmentScoreStage
 
-    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
-    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
-
-    def gen(t: pa.Table) -> pa.Table:
-        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
-        return pa.table(
-            {
-                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
-                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
-                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
-                "caption": pa.array([r["caption"] for r in recs], pa.string()),
-            }
-        )
-
     scored = (
-        ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+        _image_caption_corpus(sf_dir)
         .map_batches(AlignmentScoreStage, batch_format="pyarrow", batch_size=128,
                      concurrency=2, num_cpus=0.5)
         .map_batches(lambda t: t.filter(pc.greater_equal(t["align_score"], 30)),
@@ -2042,27 +2051,11 @@ def caption_alignment_scores(sf_dir: str):
     caption tower AND the combine natively in SQL (md5/xor/bit_count);
     only the pixel phash is golden-pinned (independent serial
     decode)."""
-    from ..data.synth import SynthWebConfig, make_url, page_record
     from ..stages.multimodal import AlignmentScoreStage
 
-    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
-    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
-
-    def gen(t: pa.Table) -> pa.Table:
-        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
-        return pa.table(
-            {
-                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
-                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
-                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
-                "caption": pa.array([r["caption"] for r in recs], pa.string()),
-            }
-        )
-
-    return (
-        ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
-        .map_batches(AlignmentScoreStage, batch_format="pyarrow", batch_size=128,
-                     concurrency=2, num_cpus=0.5)
+    return _image_caption_corpus(sf_dir).map_batches(
+        AlignmentScoreStage, batch_format="pyarrow", batch_size=128,
+        concurrency=2, num_cpus=0.5,
     )
 
 
