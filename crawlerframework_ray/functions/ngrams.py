@@ -35,26 +35,19 @@ from ..stages.agg import bucketed_group_agg
 VOCAB_SIZE = 256
 
 
+def _tokens(txt: str) -> list[str]:
+    """Space-split tokens, matching DuckDB ``string_split(text, ' ')``
+    exactly: the empty string yields ZERO tokens (Python's
+    ``"".split(" ")`` would yield [''] — verified divergence), while
+    interior runs of spaces yield '' tokens on both sides."""
+    return txt.split(" ") if txt else []
+
+
 def _doc_bigram_partials(t: pa.Table) -> pa.Table:
-    """(doc_id, bigram, occ): per-document bigram multiplicities —
-    the partial/combiner form (distinct bigrams per doc, not tokens)."""
-    ids = t.column("doc_id").to_numpy()
-    doc_out: list = []
-    bg_out: list = []
-    occ_out: list = []
-    for doc_id, txt in zip(ids, t.column("text").to_pylist()):
-        toks = txt.split(" ")
-        c = Counter(map(" ".join, zip(toks, toks[1:])))
-        doc_out.extend([int(doc_id)] * len(c))
-        bg_out.extend(c.keys())
-        occ_out.extend(c.values())
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_out, pa.int64()),
-            "bigram": pa.array(bg_out, pa.string()),
-            "occ": pa.array(occ_out, pa.int64()),
-        }
-    )
+    """(doc_id, bigram, occ): per-document bigram multiplicities — the
+    2-token case of :func:`_doc_window_partials` (a bigram IS a k=2
+    rolling window; one implementation, two column names)."""
+    return _doc_window_partials(t, 2, out_column="bigram")
 
 
 def exploded_bigrams(ds) -> "ray.data.Dataset":
@@ -99,15 +92,16 @@ def lm_score(docs_factory) -> "ray.data.Dataset":
     return bucketed_group_agg(pairs, ["doc_id"], per_doc)
 
 
-def _doc_window_partials(t: pa.Table, k: int) -> pa.Table:
-    """(doc_id, win, occ): per-document k-token window multiplicities
-    (rolling exact-substring shingles, the span-dedup unit)."""
+def _doc_window_partials(t: pa.Table, k: int, out_column: str = "win") -> pa.Table:
+    """(doc_id, <out_column>, occ): per-document k-token window
+    multiplicities (rolling exact-substring shingles, the span-dedup
+    unit; k=2 is the bigram case)."""
     ids = t.column("doc_id").to_numpy()
     doc_out: list = []
     win_out: list = []
     occ_out: list = []
     for doc_id, txt in zip(ids, t.column("text").to_pylist()):
-        toks = txt.split(" ")
+        toks = _tokens(txt)
         c = Counter(
             " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
         )
@@ -117,7 +111,7 @@ def _doc_window_partials(t: pa.Table, k: int) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(doc_out, pa.int64()),
-            "win": pa.array(win_out, pa.string()),
+            out_column: pa.array(win_out, pa.string()),
             "occ": pa.array(occ_out, pa.int64()),
         }
     )
@@ -172,7 +166,7 @@ def term_count_partials(ds) -> "ray.data.Dataset":
     def partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for txt in t.column("text").to_pylist():
-            c.update(txt.split(" "))
+            c.update(_tokens(txt))
         return pa.table(
             {
                 "term": pa.array(list(c.keys()), pa.string()),
@@ -220,7 +214,7 @@ def encode_documents(ds, vocab: pd.DataFrame) -> "ray.data.Dataset":
     def encode(t: pa.Table) -> pa.Table:
         lk: pd.Series = ray.get(ref)
         ids = t.column("doc_id").to_numpy()
-        toks_per = [s.split(" ") for s in t.column("text").to_pylist()]
+        toks_per = [_tokens(s) for s in t.column("text").to_pylist()]
         lens = np.fromiter((len(x) for x in toks_per), dtype=np.int64, count=len(toks_per))
         flat = pd.Series(list(chain.from_iterable(toks_per)), dtype="object")
         tids = flat.map(lk).fillna(-1).astype(np.int64).to_numpy()
@@ -261,15 +255,14 @@ def dsir_importance(docs_factory, target_lang: str = "en",
     n_buckets-long int vectors (a driver combine of n_buckets-row
     partials — constant size regardless of corpus), broadcast ONCE;
     the scoring pass is one stateless map_batches."""
-    import hashlib
+    assert n_buckets == DSIR_N_BUCKETS, "_bucket64 and the SQL oracle fix 1024 buckets"
 
     def partial_buckets(t: pa.Table) -> pa.Table:
         tgt = np.zeros(n_buckets, np.int64)
         raw = np.zeros(n_buckets, np.int64)
-        md5 = hashlib.md5
         for lang, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
-            for tok in txt.split(" "):
-                b = int.from_bytes(md5(tok.encode("utf-8")).digest()[:8], "big") % n_buckets
+            for tok in _tokens(txt):
+                b = _bucket64(tok)
                 raw[b] += 1
                 if lang == target_lang:
                     tgt[b] += 1
@@ -293,16 +286,10 @@ def dsir_importance(docs_factory, target_lang: str = "en",
     ref = ray.put((tgt, raw))
 
     def score(t: pa.Table) -> pa.Table:
-        import hashlib as _h
-
         tg, rw = ray.get(ref)
         ids, tm, rm = [], [], []
         for doc_id, txt in zip(t.column("doc_id").to_numpy(), t.column("text").to_pylist()):
-            bs = np.fromiter(
-                (int.from_bytes(_h.md5(tok.encode("utf-8")).digest()[:8], "big") % n_buckets
-                 for tok in txt.split(" ")),
-                dtype=np.int64,
-            )
+            bs = np.fromiter((_bucket64(tok) for tok in _tokens(txt)), dtype=np.int64)
             ids.append(int(doc_id))
             tm.append(int(tg[bs].sum()))
             rm.append(int(rw[bs].sum()))

@@ -2072,27 +2072,9 @@ def term_frequencies(sf_dir: str):
     per-batch PARTIAL term counts (the combiner — the shuffle moves one
     row per term per batch, not one per token) → bucketed
     groupby(term) sum."""
-    from collections import Counter
+    from ..functions.ngrams import term_count_partials
 
-    from ..stages.agg import bucketed_group_agg
-
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partial_counts(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t.column("text").to_pylist():
-            c.update(txt.split(" "))
-        return pa.table(
-            {
-                "term": pa.array(list(c.keys()), pa.string()),
-                "cnt": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    partial = ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=8192)
-    out = bucketed_group_agg(
-        partial, ["term"], lambda g: g.groupby("term", as_index=False)["cnt"].sum()
-    ).to_pandas()
+    out = term_count_partials(_read(sf_dir, "documents", ["text"])).to_pandas()
     return out.astype({"cnt": "int64"}).sort_values("term").reset_index(drop=True)
 
 
@@ -3131,7 +3113,8 @@ def salient_terms_per_doc(sf_dir: str):
         ids = t.column("doc_id").to_numpy()
         d, terms, tfs = [], [], []
         for i, txt in zip(ids, t.column("text").to_pylist()):
-            for term, c in Counter(txt.split(" ")).items():
+            # '' → zero tokens, matching DuckDB string_split
+            for term, c in Counter(txt.split(" ") if txt else []).items():
                 d.append(int(i))
                 terms.append(term)
                 tfs.append(c)

@@ -240,26 +240,42 @@ class AlignmentScoreStage:
         self.decoders = dict(codecs._DECODERS)  # built once per actor
         self.strict = strict
 
+    def _decode(self, data: bytes, fmt: str) -> np.ndarray | None:
+        # same external-format contract as ImageDecodeStage: strict →
+        # NotImplementedError, non-strict → skip the row
+        if fmt in self.decoders:
+            return self.decoders[fmt](data)
+        if fmt in EXTERNAL_IMAGE_FMTS:
+            if self.strict:
+                raise NotImplementedError(
+                    f"decode for external format {fmt!r} requires an image codec "
+                    "library; plug one into AlignmentScoreStage.decoders"
+                )
+            return None
+        raise ValueError(f"unknown image format {fmt!r}")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .dedup import hamming64_np
 
-        ids = batch.column("image_id").to_pylist()
-        fmts = batch.column("fmt").to_pylist()
-        datas = batch.column("bytes").to_pylist()
-        caps = batch.column("caption").to_pylist()
-        phash = np.fromiter(
-            (average_hash(self.decoders[f](d)) for f, d in zip(fmts, datas)),
-            dtype=np.int64, count=len(ids),
-        )
-        cap64 = np.fromiter(
-            (int.from_bytes(self._md5(c.encode("utf-8")).digest()[:8], "big")
-             for c in caps),
-            dtype=np.uint64, count=len(ids),
-        )
+        ids_out: list[str] = []
+        phash_list: list[int] = []
+        cap_list: list[int] = []
+        for i, fmt, data, cap in zip(
+            batch.column("image_id").to_pylist(), batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(), batch.column("caption").to_pylist(),
+        ):
+            img = self._decode(data, fmt)
+            if img is None:
+                continue
+            ids_out.append(i)
+            phash_list.append(average_hash(img))
+            cap_list.append(int.from_bytes(self._md5(cap.encode("utf-8")).digest()[:8], "big"))
+        phash = np.array(phash_list, dtype=np.int64)
+        cap64 = np.array(cap_list, dtype=np.uint64)
         score = 64 - hamming64_np(phash.view(np.uint64), cap64).astype(np.int64)
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
+                "image_id": pa.array(ids_out, pa.string()),
                 "phash": pa.array(phash, pa.int64()),
                 "align_score": pa.array(score, pa.int64()),
             }

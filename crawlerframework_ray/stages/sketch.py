@@ -149,7 +149,8 @@ def heavy_hitter_terms(ds, *, k: int = 32, slots: int = MG_SLOTS):
     def partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for txt in t.column("text").to_pylist():
-            c.update(txt.split(" "))
+            if txt:  # '' has ZERO tokens (string_split parity)
+                c.update(txt.split(" "))
         summ, dec = _mg_summary(c, slots)
         return pa.table(
             {"term": pa.array(list(summ.keys()) + ["\x00dec"], pa.string()),
@@ -173,7 +174,8 @@ def heavy_hitter_terms(ds, *, k: int = 32, slots: int = MG_SLOTS):
         keep = ray.get(ref)
         c: _C = _C()
         for txt in t.column("text").to_pylist():
-            c.update(tok for tok in txt.split(" ") if tok in keep)
+            if txt:
+                c.update(tok for tok in txt.split(" ") if tok in keep)
         return pa.table(
             {"term": pa.array(list(c.keys()), pa.string()),
              "cnt": pa.array(list(c.values()), pa.int64())}
