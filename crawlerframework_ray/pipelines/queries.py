@@ -2107,6 +2107,61 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_LATE_LAT_US = 7 * 86400 * 10**6
+
+_LATE_SQL = f"""
+    WITH a AS (SELECT event_id, event_type, value, epoch_us(ts) AS us,
+                      (event_id * 7919) % 10007 AS ak
+               FROM events),
+    o AS (SELECT event_type, value, us,
+            MAX(us) OVER (ORDER BY ak, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM a),
+    kept AS (SELECT * FROM o WHERE us >= COALESCE(pm, 0) - {_LATE_LAT_US}),
+    late AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_late FROM o
+             WHERE us < COALESCE(pm, 0) - {_LATE_LAT_US})
+    SELECT k.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_milli,
+           (SELECT CAST(MAX(us) AS BIGINT) FROM o) AS watermark_us,
+           (SELECT n_late FROM late) AS n_late
+    FROM kept k GROUP BY k.event_type
+"""
+
+
+@register("stream_late_data_counts", _LATE_SQL)
+def stream_late_data_counts(sf_dir: str):
+    """§2.9 late-data/watermark semantics: the events table arrives in
+    a deterministic pseudo-random order ((event_id·7919) mod 10007 —
+    the stand-in for network arrival, identical in the SQL), streamed
+    through the SAME queue-actor micro-batch chain as
+    stream_microbatch_counts; an event whose ts is older than
+    (running-max event-time − 7 days) at its arrival is LATE —
+    counted and excluded. Per-row semantics, so the chunking cannot
+    change the result; the oracle replays the identical contract with
+    one window running max."""
+    import pyarrow.parquet as pq_
+
+    from .streaming import micro_batch_chain_late
+
+    t = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+    ids = t.column("event_id").to_numpy()
+    order = np.lexsort((ids, (ids * 7919) % 10007))
+    import tempfile
+
+    arrival_path = tempfile.mktemp(prefix="cfray-stream-", suffix=".parquet")
+    pq_.write_table(t.take(order), arrival_path, row_group_size=2048)
+    try:
+        return micro_batch_chain_late(arrival_path, batch_rows=50,
+                                      lateness_us=_LATE_LAT_US)
+    finally:
+        import os
+
+        os.unlink(arrival_path)
+
+
 _PART_EXPORT_SQL = """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CAST(doc_id AS BIGINT)) AS BIGINT) AS sum_ids

@@ -152,3 +152,80 @@ def stream_result_frame(state: StreamState) -> pd.DataFrame:
     )
     out["watermark_us"] = state.watermark_us
     return out.astype({"n_events": "int64", "sum_value_milli": "int64", "watermark_us": "int64"})
+
+
+def micro_batch_chain_late(
+    events_path: str,
+    batch_rows: int = 50,
+    lateness_us: int = 30 * 86400 * 10**6,
+) -> pd.DataFrame:
+    """§2.9 late-data semantics: the chain drops events that arrive
+    AFTER the watermark has passed them — watermark = (max event-time
+    seen over all prior arrivals) − ``lateness_us``; an event with
+    ts < watermark-before-it is LATE (counted, excluded from the
+    aggregates). Per-ROW semantics, so chunk boundaries cannot change
+    the result (the chain==batch invariant holds by construction); the
+    per-chunk check is one vectorized running max seeded by the carried
+    cross-chunk maximum. The first-ever arrival is never late (prior
+    max = 0, both sides).
+
+    ``events_path`` must already be in ARRIVAL order — callers stand in
+    for the network with a deterministic permutation (see
+    stream_late_data_counts)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    source = MicroBatchSource.remote(
+        events_path, batch_rows, ["event_id", "ts", "event_type", "value"],
+    )
+    state = StreamState()
+    n_late = 0
+    pending = source.next_batch.remote()
+    while True:
+        chunk = ray.get(pending)
+        if chunk is None:
+            break
+        pending = source.next_batch.remote()
+        if chunk.num_rows:
+            us = chunk.column("ts").cast(pa.int64()).to_numpy()
+            cmax = np.maximum.accumulate(us)
+            prior = np.maximum(
+                np.concatenate(([state.watermark_us], cmax[:-1])),
+                state.watermark_us,
+            )
+            late = us < prior - lateness_us
+            n_late += int(late.sum())
+            _fold_chunk_no_wm(state, chunk.filter(pa.array(~late)))
+            state.watermark_us = max(state.watermark_us, int(cmax[-1]))
+        state.n_batches += 1
+    out = pd.DataFrame(
+        {
+            "event_type": sorted(state.counts),
+            "n_events": [state.counts[k] for k in sorted(state.counts)],
+            "sum_value_milli": [state.value_milli[k] for k in sorted(state.counts)],
+        }
+    )
+    out["watermark_us"] = state.watermark_us
+    out["n_late"] = n_late
+    return out.astype(
+        {"n_events": "int64", "sum_value_milli": "int64",
+         "watermark_us": "int64", "n_late": "int64"}
+    )
+
+
+def _fold_chunk_no_wm(state: StreamState, t: pa.Table) -> None:
+    """Fold counts/sums only — the late-data chain manages the
+    watermark itself (the raw running max, BEFORE lateness subtraction,
+    and over ALL arrivals, so a late event never advances it)."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+    vm = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 1000 + 0.5)
+    u, inv = np.unique(et, return_inverse=True)
+    n = np.bincount(inv)
+    s = np.bincount(inv, weights=vm).astype(np.int64)
+    for k, nk, sk in zip(u.tolist(), n.tolist(), s.tolist()):
+        state.counts[k] = state.counts.get(k, 0) + int(nk)
+        state.value_milli[k] = state.value_milli.get(k, 0) + int(sk)
