@@ -2107,6 +2107,34 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_TRIANGLE_SQL = f"""
+    WITH dedges AS ({{EDGES}}),
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM dedges),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM u e1 JOIN u e2 ON e2.a = e1.b
+      JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT x AS host FROM tri UNION ALL
+                SELECT y FROM tri UNION ALL SELECT z FROM tri)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY host
+"""
+
+
+@register("host_triangle_counts", None)
+def host_triangle_counts(sf_dir: str):
+    """Per-host triangle counts on the undirected host link graph —
+    the multi-way graph join (wedge join on the mid vertex + closing
+    semi-join, stages/graph.triangle_counts): each triangle found
+    exactly once as an ordered wedge a<b<c closed by edge (a,c), then
+    its three corners explode into one bounded groupby count. Oracle:
+    three-way SQL self-join over the same derived edge set."""
+    from ..stages.graph import host_edges, triangle_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return triangle_counts(host_edges(ds, n_hosts=64), n_hosts=64)
+
+
 _LATE_LAT_US = 7 * 86400 * 10**6
 
 _LATE_SQL = f"""
@@ -2954,6 +2982,12 @@ def _pagerank_iter_sql(k: int) -> str:
          FROM edges e JOIN it{k - 1} p ON e.src = p.h JOIN outdeg o ON o.src = e.src
          GROUP BY e.dst) s ON n.h = s.h)"""
 
+
+# the triangle oracle shares the derived edge set with pagerank; it is
+# registered here because _PAGERANK_EDGES_SQL is defined just above
+ORACLE_SQL["host_triangle_counts"] = _TRIANGLE_SQL.replace(
+    "{EDGES}", _PAGERANK_EDGES_SQL
+)
 
 _PAGERANK_SQL = f"""
     WITH edges AS ({_PAGERANK_EDGES_SQL}),

@@ -153,3 +153,98 @@ def pagerank_int(edges_ds, scale: int = PAGERANK_SCALE, iters: int = 4) -> pd.Da
         rank = base + DAMP_NUM * in_sum // DAMP_DEN
 
     return pd.DataFrame({"host": nodes, "rank": rank.astype(np.int64)})
+
+
+def triangle_counts(edges_ds, n_hosts: int) -> pd.DataFrame:
+    """Per-host triangle counts on the undirected host graph — the
+    multi-way graph join pattern (each triangle found exactly once as
+    an ordered wedge a<b<c closed by edge (a,c)):
+
+    1. canonicalize: (min,max) per directed edge, global dedup (one
+       bounded shuffle);
+    2. wedge join: edges ⋈ edges on b=a' (bucketed hash join — the
+       all-to-all is on hash(mid-vertex), so a hub vertex's wedges land
+       in one bucket: salt hubs via hash_join(n_salts) at scale);
+    3. close: wedges semi-joined against the edge set on the composite
+       key a·n_hosts+c (int-packed — swap to a string key when vertex
+       ids exceed 2^31);
+    4. explode each triangle's three corners → bounded groupby count.
+    """
+    from .joins import hash_join
+
+    canon = bucketed_group_agg(
+        edges_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pa.array(
+                        np.minimum(t.column("src").to_numpy(), t.column("dst").to_numpy()),
+                        pa.int64(),
+                    ),
+                    "b": pa.array(
+                        np.maximum(t.column("src").to_numpy(), t.column("dst").to_numpy()),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["a", "b"],
+        lambda g: g.drop_duplicates(ignore_index=True),
+    )
+
+    left = canon.map_batches(
+        lambda t: pa.table({"mid": t.column("b"), "lo": t.column("a")}),
+        batch_format="pyarrow",
+    )
+    right = canon.map_batches(
+        lambda t: pa.table({"mid": t.column("a"), "hi": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(left, right, key="mid", left_cols=["lo"], right_cols=["hi"])
+
+    wk = wedges.map_batches(
+        lambda t: pa.table(
+            {
+                "ac": pa.array(
+                    t.column("lo").to_numpy() * n_hosts + t.column("hi").to_numpy(),
+                    pa.int64(),
+                ),
+                "x": t.column("lo"), "y": t.column("mid"), "z": t.column("hi"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ek = canon.map_batches(
+        lambda t: pa.table(
+            {
+                "ac": pa.array(
+                    t.column("a").to_numpy() * n_hosts + t.column("b").to_numpy(),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tris = hash_join(wk, ek, key="ac", left_cols=["x", "y", "z"], right_cols=["one"])
+
+    corners = tris.map_batches(
+        lambda t: pa.table(
+            {
+                "host": pa.array(
+                    np.concatenate(
+                        [t.column("x").to_numpy(), t.column("y").to_numpy(),
+                         t.column("z").to_numpy()]
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = bucketed_group_agg(
+        corners,
+        ["host"],
+        lambda g: g.groupby("host", as_index=False).agg(n_triangles=("host", "size")),
+    ).to_pandas()
+    return out.astype({"host": "int64", "n_triangles": "int64"})
