@@ -2107,6 +2107,43 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_UPSAMPLE_SQL = """
+    SELECT doc_id, lang, CAST(u - 1 AS BIGINT) AS copy_idx
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+           1, CASE WHEN lang = 'en' THEN 1 ELSE 2 END)) AS u) t
+"""
+
+
+@register("upsample_mixture_documents", _UPSAMPLE_SQL)
+def upsample_mixture_documents(sf_dir: str):
+    """Mixture construction by deterministic upsampling (the
+    data-mixing step of a training run: replicate under-represented
+    slices — here non-English docs ×2, English ×1): one stateless
+    map_batches doing a vectorized np.repeat with an explicit copy_idx
+    so downstream shuffles can keep replicas distinct. No shuffle, no
+    RNG — the epoch recipe is a pure function of the row, so a retried
+    task regenerates identical replicas (the at-least-once-safe form
+    of weighted sampling)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def repl(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        w = np.where(langs == "en", 1, 2).astype(np.int64)
+        starts = np.cumsum(w) - w
+        idx = np.arange(int(w.sum()), dtype=np.int64) - np.repeat(starts, w)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, w), pa.int64()),
+                "lang": pa.array(np.repeat(langs, w), pa.string()),
+                "copy_idx": pa.array(idx, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(repl, batch_format="pyarrow", batch_size=8192)
+
+
 _TRIANGLE_SQL = f"""
     WITH dedges AS ({{EDGES}}),
     u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM dedges),
