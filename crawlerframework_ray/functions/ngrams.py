@@ -300,3 +300,81 @@ def dsir_importance(docs_factory, target_lang: str = "en",
         )
 
     return docs_factory().map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+BPE_SEP = "\x1f"  # symbol separator inside the carried word encoding
+
+
+def bpe_train(docs_ds, n_merges: int = 8) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016, the
+    word-frequency-table formulation every production BPE trainer
+    uses): the corpus collapses ONCE to (word, cnt) via the bounded
+    grouped count — the only corpus-scale pass — then each merge
+    round is a map_batches pair-count partial over the WORD table
+    (vocab-sized, not corpus-sized) + one bounded grouped sum; the
+    winning pair (count DESC, (left,right) ASC — exactly
+    deterministic) is broadcast back and applied by a second
+    map_batches. Returns the merge table
+    (step, left, right, merged, pair_count) — the trained tokenizer.
+
+    At 100 TB the word table is ~10^7 rows (Heaps' law), so each round
+    shuffles megabytes, not the corpus; the driver only ever sees the
+    per-bucket pair sums (bounded by distinct pairs)."""
+
+    words = term_count_partials(docs_ds).map_batches(
+        lambda df: pd.DataFrame(
+            {"syms": [BPE_SEP.join(w) for w in df["term"]], "cnt": df["cnt"]}
+        ),
+        batch_format="pandas",
+    ).materialize()  # vocab-sized; the invariant side of the iteration
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c: Counter = Counter()
+            for syms, cnt in zip(df["syms"], df["cnt"]):
+                s = syms.split(BPE_SEP)
+                for a, b in zip(s, s[1:]):
+                    c[(a, b)] += int(cnt)
+            if not c:
+                return pd.DataFrame({"left": [], "right": [], "w": []})
+            ls, rs = zip(*c.keys())
+            return pd.DataFrame({"left": ls, "right": rs, "w": list(c.values())})
+
+        pairs = bucketed_group_agg(
+            words.map_batches(pair_partial, batch_format="pandas"),
+            ["left", "right"],
+            lambda g: g.groupby(["left", "right"], as_index=False)["w"].sum(),
+        ).to_pandas()
+        if pairs.empty:
+            break
+        top = pairs.sort_values(
+            ["w", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        ).iloc[0]
+        left, right, wcnt = str(top["left"]), str(top["right"]), int(top["w"])
+        merged = left + right
+        merges.append((step, left, right, merged, wcnt))
+
+        ref = ray.put((left, right, merged))
+
+        def apply_merge(df: pd.DataFrame) -> pd.DataFrame:
+            lf, rt, mg = ray.get(ref)
+            out = []
+            for syms in df["syms"]:
+                s = syms.split(BPE_SEP)
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lf and s[i + 1] == rt:
+                        res.append(mg)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(BPE_SEP.join(res))
+            return pd.DataFrame({"syms": out, "cnt": df["cnt"]})
+
+        words = words.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["step", "left", "right", "merged", "pair_count"]
+    ).astype({"step": "int64", "pair_count": "int64"})

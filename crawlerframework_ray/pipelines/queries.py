@@ -2107,6 +2107,21 @@ def ngram_lm_score(sf_dir: str):
     return lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+@register("bpe_train_merges", _golden_sql("bpe_merges"))
+def bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016):
+    corpus → (word, cnt) once via the bounded grouped count, then 8
+    merge rounds over the vocab-sized word table — pair-count partials
+    + bounded grouped sum per round, winner by (count DESC, pair ASC),
+    applied by a broadcast map_batches (functions/ngrams.bpe_train).
+    Completes the tokenizer family: vocab_encode_documents builds the
+    word-level vocab, this trains the subword merges. Oracle:
+    independent naive serial mirror (tools/make_goldens.bpe_merges)."""
+    from ..functions.ngrams import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
+
+
 _UPSAMPLE_SQL = """
     SELECT doc_id, lang, CAST(u - 1 AS BIGINT) AS copy_idx
     FROM documents,

@@ -685,9 +685,55 @@ def alignment_inputs(sf_dir: str) -> None:
     )
 
 
+
+def bpe_merges(sf_dir: str) -> None:
+    """Serial mirror of bpe_train_merges: naive single-process BPE on
+    the word-frequency table (space tokens, '' text = zero tokens; 8
+    rounds of: count adjacent symbol pairs weighted by word frequency,
+    merge the (count DESC, pair ASC) winner everywhere). Medium
+    independence: shares only the published Sennrich BPE spec, none of
+    the distributed code paths."""
+    from collections import Counter
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        if txt:
+            wc.update(txt.split(" "))
+    words = {w: list(w) for w in wc}
+    rows = []
+    for step in range(1, 9):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        rows.append((step, left, right, merged, cnt))
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    _write(
+        "bpe_merges", sf_dir,
+        pd.DataFrame(rows, columns=["step", "left", "right", "merged", "pair_count"]).astype(
+            {"step": "int64", "pair_count": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
-       kmeans_clusters, semdedup_keep, alignment_inputs]
+       kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges]
 
 
 def main() -> None:
