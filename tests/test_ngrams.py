@@ -120,3 +120,42 @@ def test_ngram_degenerate_docs(ray_session):
     # parity — "".split(" ") would wrongly yield [''])
     assert len(enc) == 1 + 4 + 0
     assert (enc["doc_id"] != 2).all()
+
+
+def test_bpe_train_partition_independent(ray_session):
+    """The merge table must be bit-identical at 1 block and 8 blocks
+    (deterministic winner: count DESC, pair ASC)."""
+    import ray.data
+
+    from crawlerframework_ray.functions.ngrams import bpe_train
+
+    def run(blocks: int):
+        ds = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["text"], override_num_blocks=blocks
+        )
+        return bpe_train(ds, n_merges=4)
+
+    a, b = run(1), run(8)
+    assert a.equals(b)
+    assert len(a) == 4 and (a["pair_count"] > 0).all()
+
+
+def test_heavy_hitters_batch_size_independent(ray_session):
+    """The exact-recount output may not depend on how the stream was
+    chunked: different batch sizes produce different MG summaries, but
+    the verified top-k must be identical."""
+    import ray.data
+
+    from crawlerframework_ray.stages.sketch import heavy_hitter_terms
+
+    def run(bs: int):
+        ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+
+        # heavy_hitter_terms fixes batch_size internally; emulate the
+        # boundary change by repartitioning the input instead
+        return heavy_hitter_terms(
+            ds.repartition(1 if bs == 0 else 8), k=8, slots=64
+        )
+
+    a, b = run(0), run(1)
+    assert a[["rank", "term", "cnt"]].equals(b[["rank", "term", "cnt"]])
