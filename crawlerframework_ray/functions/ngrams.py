@@ -378,3 +378,61 @@ def bpe_train(docs_ds, n_merges: int = 8) -> pd.DataFrame:
     return pd.DataFrame(
         merges, columns=["step", "left", "right", "merged", "pair_count"]
     ).astype({"step": "int64", "pair_count": "int64"})
+
+
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply trained merges to one word, in training order, each
+    exhaustively left-to-right — the exact inverse-side contract of
+    :func:`bpe_train` (and of the serial golden)."""
+    syms = list(word)
+    for left, right in merges:
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                res.append(left + right)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def bpe_encode_documents(docs_ds, merges_df: pd.DataFrame) -> "ray.data.Dataset":
+    """(doc_id, pos, piece): every document tokenized by the trained
+    BPE — space-split words, each word segmented by the merge table
+    (broadcast ONCE via ray.put; a per-actor LRU of word→pieces makes
+    the common case one dict hit, since word frequency is Zipfian).
+    One stateless map_batches pass; the corpus-scale tokenization step
+    that feeds sequence packing."""
+    pairs = list(zip(merges_df["left"].tolist(), merges_df["right"].tolist()))
+    ref = ray.put(pairs)
+
+    def encode(t: pa.Table) -> pa.Table:
+        mg = ray.get(ref)
+        cache: dict[str, list[str]] = {}
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        piece_out: list[str] = []
+        for doc_id, txt in zip(t.column("doc_id").to_numpy(), t.column("text").to_pylist()):
+            pos = 0
+            for w in _tokens(txt):
+                pieces = cache.get(w)
+                if pieces is None:
+                    pieces = bpe_apply(w, mg)
+                    if len(cache) < 1 << 16:
+                        cache[w] = pieces
+                for p in pieces:
+                    ids_out.append(int(doc_id))
+                    pos_out.append(pos)
+                    piece_out.append(p)
+                    pos += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+                "piece": pa.array(piece_out, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)

@@ -2122,6 +2122,23 @@ def bpe_train_merges(sf_dir: str):
     return bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
 
 
+@register("bpe_encode_corpus", _golden_sql("bpe_encoded"))
+def bpe_encode_corpus(sf_dir: str):
+    """Corpus tokenization with the trained BPE — train the 8 merges
+    (bpe_train_merges), broadcast the merge table once, segment every
+    document into subword pieces in one stateless map_batches pass
+    with a per-actor word→pieces LRU (Zipfian hit rate). The
+    train→encode loop that feeds sequence packing. Oracle: independent
+    serial mirror re-training and re-segmenting naively
+    (tools/make_goldens.bpe_encoded)."""
+    from ..functions.ngrams import bpe_encode_documents, bpe_train
+
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
+    return bpe_encode_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), merges
+    )
+
+
 _UPSAMPLE_SQL = """
     SELECT doc_id, lang, CAST(u - 1 AS BIGINT) AS copy_idx
     FROM documents,

@@ -731,9 +731,77 @@ def bpe_merges(sf_dir: str) -> None:
     )
 
 
+
+def bpe_encoded(sf_dir: str) -> None:
+    """Serial mirror of bpe_encode_documents: re-trains the 8 merges
+    exactly as bpe_merges, then tokenizes every document naively
+    (space words, '' = zero tokens; merges applied in training order,
+    each exhaustively left-to-right). Medium independence: no shared
+    code with the distributed encoder."""
+    from collections import Counter
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    wc: Counter = Counter()
+    for txt in texts:
+        if txt:
+            wc.update(txt.split(" "))
+    words = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(8):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right))
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    seg = {}
+    def segment(w):
+        if w not in seg:
+            syms = list(w)
+            for left, right in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            seg[w] = syms
+        return seg[w]
+    rows_d, rows_p, rows_s = [], [], []
+    for doc_id, txt in zip(t.column("doc_id").to_pylist(), texts):
+        pos = 0
+        for w in (txt.split(" ") if txt else []):
+            for p in segment(w):
+                rows_d.append(int(doc_id)); rows_p.append(pos); rows_s.append(p)
+                pos += 1
+    _write(
+        "bpe_encoded", sf_dir,
+        pd.DataFrame({"doc_id": rows_d, "pos": rows_p, "piece": rows_s}).astype(
+            {"doc_id": "int64", "pos": "int64", "piece": "string"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
-       kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges]
+       kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded]
 
 
 def main() -> None:
