@@ -1363,6 +1363,104 @@ def image_resize_pipeline(sf_dir: str):
     return resized
 
 
+@register("video_frame_sample", _golden_sql("video_frame_stats"))
+def video_frame_sample(sf_dir: str):
+    """Video frame sampling → per-frame decode stats: the video-side
+    multimodal pipeline end-to-end over the in-repo lossless ``qvd``
+    container (data/media.py). Every 4th frame of each 16-frame clip
+    fans out to a raw-encoded image row inside map_batches (the binary
+    payload never leaves Arrow), then the SAME ImageDecodeStage the
+    image pipelines use computes phash + mean luma per frame. Golden is
+    computed straight from the synthesis arrays — independently gating
+    the codec round trip and the sample→decode composition.
+
+    Reference analogue: the connector fetch loop treats every payload
+    as an opaque blob (crawler/connectors/baseconnector.py:1140-1251);
+    frame sampling is the video form of its per-payload extract phase.
+    """
+    from ..data.media import encode_qvd, synth_video
+    from ..stages.multimodal import ImageDecodeStage, VideoFrameSampleStage
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(64)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [int(d) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "video_id": pa.array([f"v{d}" for d in ids], pa.string()),
+                "bytes": pa.array(
+                    [encode_qvd(synth_video(d, w=32, h=32, n_frames=16), fps=10) for d in ids],
+                    pa.binary(),
+                ),
+                "fmt": pa.array(["qvd"] * len(ids), pa.string()),
+            }
+        )
+
+    def to_image_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # frame rows → image rows keyed video_id#frame_idx, fmt=raw
+        pad = pc.utf8_lpad(pc.cast(t["frame_idx"], pa.string()), 2, "0")
+        image_id = pc.binary_join_element_wise(t["video_id"], pad, "#")
+        return pa.table(
+            {
+                "image_id": image_id,
+                "bytes": t["bytes"],
+                "fmt": pa.array(["raw"] * len(t), pa.string()),
+            }
+        )
+
+    df = (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=64)
+        .map_batches(VideoFrameSampleStage, fn_constructor_kwargs={"every_n": 4},
+                     batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=0.5)
+        .map_batches(to_image_rows, batch_format="pyarrow")
+        .map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=2, num_cpus=0.5)
+        .to_pandas()
+    )
+    df = df.drop(columns=["fmt"]).sort_values("image_id", kind="mergesort").reset_index(drop=True)
+    return df.astype({"w": "int32", "h": "int32", "phash_calc": "int64",
+                      "mean_luma_milli": "int64"})
+
+
+@register("audio_window_features", _golden_sql("audio_window_stats"))
+def audio_window_features(sf_dir: str):
+    """Windowed audio energy features over the in-repo ``qau`` PCM
+    container: decode (once-per-actor decoder) → exact integer
+    sum-of-squares and floor-RMS per 1024-sample window. Golden is
+    computed straight from the integer waveform (no codec, no stage) —
+    the features are pure int64, so the gate is bit-exact."""
+    from ..data.media import encode_qau, synth_audio
+    from ..stages.multimodal import AudioFeatureStage
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(128)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [int(d) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "audio_id": pa.array([f"a{d}" for d in ids], pa.string()),
+                "bytes": pa.array(
+                    [encode_qau(synth_audio(d, n_samples=8192, sample_rate=8000), 8000)
+                     for d in ids],
+                    pa.binary(),
+                ),
+                "fmt": pa.array(["qau"] * len(ids), pa.string()),
+            }
+        )
+
+    df = (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=64)
+        .map_batches(AudioFeatureStage, fn_constructor_kwargs={"window": 1024},
+                     batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5)
+        .to_pandas()
+    )
+    df = df.sort_values(["audio_id", "window_idx"], kind="mergesort").reset_index(drop=True)
+    return df.astype({"window_idx": "int32", "sum_sq": "int64", "rms_milli": "int64",
+                      "sample_rate": "int32"})
+
+
 # =====================================================================
 # The crawl itself (rows-only)
 # =====================================================================

@@ -2,12 +2,14 @@
 
 Image / audio / video payloads are ``binary`` columns with typed
 metadata columns alongside (w, h, fmt, …) — exactly the graft's
-input_hint payload. Decode / resize / feature-extract run as actor-pool
-``map_batches`` stages (decoder built once per actor). The in-repo
-codecs (raw/png/qds) are REAL decoders; external formats (jpeg, webp,
-mp3, mp4) are STUBBED behind ``NotImplementedError`` because no media
-libraries exist in this environment — the Ray-side plumbing (schemas,
-batch sizes, actor signatures, output layout) is real and tested.
+input_hint payload. Decode / resize / feature-extract / frame-sample
+run as actor-pool ``map_batches`` stages (decoder built once per
+actor). The in-repo codecs (images raw/png/qds in data/codecs.py;
+video qvd / audio qau in data/media.py) are REAL decoders with
+oracle-gated pipelines; external formats (jpeg, webp, mp3, mp4) are
+STUBBED behind ``NotImplementedError`` because no media libraries
+exist in this environment — the Ray-side plumbing (schemas, batch
+sizes, actor signatures, output layout) is shared and tested.
 
 Batch-size note: binary payload rows are wide; callers should pass a
 small ``batch_size`` (≤256 for megapixel images) so batch × concurrency
@@ -116,37 +118,124 @@ class ImageResizeStage:
         return batch
 
 
-class VideoFrameSampleStage:
-    """STUB — video frame sampling (every Nth frame → image rows).
+EXTERNAL_VIDEO_FMTS = {"mp4", "webm", "mkv", "avi", "mov"}
+EXTERNAL_AUDIO_FMTS = {"mp3", "ogg", "flac", "wav", "aac"}
 
-    Contract: input rows (video_id:string, bytes:binary, fmt:string,
-    fps:float, n_frames:int32); output rows (video_id, frame_idx:int32,
-    bytes:binary [raw-encoded frame], w, h). Requires a video decoder
-    (pyav/ffmpeg) not present in this environment.
+
+class VideoFrameSampleStage:
+    """Video frame sampling: every Nth frame → raw-encoded image rows.
+
+    REAL for the in-repo ``qvd`` container (data/media.py — lossless
+    raw-frame video, decoder built once per actor); external containers
+    (mp4/webm/…) stay stubbed behind ``NotImplementedError`` because no
+    video decoder (pyav/ffmpeg) exists in this environment — the stage
+    contract (schemas, fan-out layout, actor signature) is identical.
+
+    Input rows: video_id:string, bytes:binary, fmt:string.
+    Output rows: video_id:string, frame_idx:int32, bytes:binary
+    (raw-encoded frame, feedable to ImageDecodeStage), w:int32, h:int32,
+    fps:int32 — a flat_map-shaped fan-out done inside map_batches so
+    the binary payload never leaves Arrow.
     """
 
-    def __init__(self, every_n: int = 30):
-        self.every_n = every_n
+    def __init__(self, every_n: int = 4, strict: bool = True):
+        from ..data import media
+
+        self.every_n = max(int(every_n), 1)
+        self.strict = strict
+        self._decode = media.decode_qvd  # bound once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decode requires ffmpeg/pyav; the stage contract is the "
-            "docstring schema — plug a decoder into __call__"
+        out = {"video_id": [], "frame_idx": [], "bytes": [], "w": [], "h": [], "fps": []}
+        for vid, fmt, data in zip(
+            batch.column("video_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            if fmt != "qvd":
+                if fmt in EXTERNAL_VIDEO_FMTS:
+                    if self.strict:
+                        raise NotImplementedError(
+                            f"decode for external video container {fmt!r} requires "
+                            "ffmpeg/pyav; plug a decoder into VideoFrameSampleStage"
+                        )
+                    continue
+                raise ValueError(f"unknown video format {fmt!r}")
+            frames, fps = self._decode(bytes(data))
+            n, h, w, _ = frames.shape
+            for f in range(0, n, self.every_n):
+                out["video_id"].append(vid)
+                out["frame_idx"].append(f)
+                out["bytes"].append(codecs.encode_raw(frames[f]))
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fps"].append(fps)
+        return pa.table(
+            {
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fps": pa.array(out["fps"], pa.int32()),
+            }
         )
 
 
 class AudioFeatureStage:
-    """STUB — audio feature extraction (windowed RMS / spectral stats).
+    """Audio feature extraction: windowed energy over decoded PCM.
 
-    Contract: input rows (audio_id:string, bytes:binary, fmt:string,
-    sample_rate:int32); output rows (audio_id, window_idx:int32,
-    rms_milli:int64). Requires an audio decoder not present here.
+    REAL for the in-repo ``qau`` container (data/media.py — int16 mono
+    PCM); external containers (mp3/ogg/…) stay stubbed behind
+    ``NotImplementedError`` (no soundfile/librosa here). Features are
+    exact integers: sum_sq = Σ s² (int64) and rms_milli =
+    isqrt(sum_sq·10⁶/window) — floor of 1000·RMS with no float path,
+    so a serial oracle reproduces them bit-exactly.
+
+    Input rows: audio_id:string, bytes:binary, fmt:string.
+    Output rows: audio_id:string, window_idx:int32, sum_sq:int64,
+    rms_milli:int64, sample_rate:int32.
     """
 
+    def __init__(self, window: int = 1024, strict: bool = True):
+        from ..data import media
+
+        self.window = int(window)
+        self.strict = strict
+        self._decode = media.decode_qau
+        self._energies = media.window_energies
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decode requires soundfile/librosa; the stage contract is "
-            "the docstring schema — plug a decoder into __call__"
+        out = {"audio_id": [], "window_idx": [], "sum_sq": [], "rms_milli": [], "sample_rate": []}
+        for aid, fmt, data in zip(
+            batch.column("audio_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            if fmt != "qau":
+                if fmt in EXTERNAL_AUDIO_FMTS:
+                    if self.strict:
+                        raise NotImplementedError(
+                            f"decode for external audio container {fmt!r} requires "
+                            "soundfile/librosa; plug a decoder into AudioFeatureStage"
+                        )
+                    continue
+                raise ValueError(f"unknown audio format {fmt!r}")
+            pcm, rate = self._decode(bytes(data))
+            for idx, sum_sq, rms in self._energies(pcm, self.window):
+                out["audio_id"].append(aid)
+                out["window_idx"].append(idx)
+                out["sum_sq"].append(sum_sq)
+                out["rms_milli"].append(rms)
+                out["sample_rate"].append(rate)
+        return pa.table(
+            {
+                "audio_id": pa.array(out["audio_id"], pa.string()),
+                "window_idx": pa.array(out["window_idx"], pa.int32()),
+                "sum_sq": pa.array(out["sum_sq"], pa.int64()),
+                "rms_milli": pa.array(out["rms_milli"], pa.int64()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+            }
         )
 
 

@@ -86,3 +86,96 @@ def test_average_hash_similar_images_close():
     assert hamming64(average_hash(img), average_hash(noisy)) <= 4
     other = _img(8, 32, 32)
     assert hamming64(average_hash(img), average_hash(other)) > 10
+
+
+# ---------------------------------------------------------------- media (qvd/qau)
+
+
+def test_qvd_roundtrip_lossless():
+    from crawlerframework_ray.data import media
+
+    frames = media.synth_video(123, w=16, h=8, n_frames=5)
+    blob = media.encode_qvd(frames, fps=24)
+    back, fps = media.decode_qvd(blob)
+    assert fps == 24
+    np.testing.assert_array_equal(back, frames)
+
+
+def test_qvd_frames_differ_and_deterministic():
+    from crawlerframework_ray.data import media
+
+    a = media.synth_video(7, w=32, h=32, n_frames=4)
+    b = media.synth_video(7, w=32, h=32, n_frames=4)
+    np.testing.assert_array_equal(a, b)
+    assert np.any(a[0] != a[1])  # frame sampling is observable
+    assert np.any(a != media.synth_video(8, w=32, h=32, n_frames=4))
+
+
+def test_qau_roundtrip_lossless():
+    from crawlerframework_ray.data import media
+
+    pcm = media.synth_audio(55, n_samples=4096, sample_rate=16000)
+    blob = media.encode_qau(pcm, sample_rate=16000)
+    back, rate = media.decode_qau(blob)
+    assert rate == 16000
+    assert back.dtype == np.int16
+    np.testing.assert_array_equal(back, pcm)
+
+
+def test_window_energies_exact():
+    import math
+
+    from crawlerframework_ray.data import media
+
+    pcm = np.array([3, -4, 0, 0, 1, 1, 1, 1, 9], dtype=np.int16)  # trailing 9 dropped
+    feats = media.window_energies(pcm, window=4)
+    assert feats == [
+        (0, 25, math.isqrt(25 * 1_000_000 // 4)),
+        (1, 4, math.isqrt(4 * 1_000_000 // 4)),
+    ]
+
+
+def test_video_stage_external_format_stubbed():
+    import pyarrow as pa
+    import pytest
+
+    from crawlerframework_ray.stages.multimodal import (
+        AudioFeatureStage,
+        VideoFrameSampleStage,
+    )
+
+    vbatch = pa.table(
+        {"video_id": ["x"], "bytes": [b"\x00"], "fmt": ["mp4"]}
+    )
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True)(vbatch)
+    assert len(VideoFrameSampleStage(strict=False)(vbatch)) == 0
+
+    abatch = pa.table(
+        {"audio_id": ["x"], "bytes": [b"\x00"], "fmt": ["mp3"]}
+    )
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(strict=True)(abatch)
+    assert len(AudioFeatureStage(strict=False)(abatch)) == 0
+
+
+def test_video_stage_samples_every_n():
+    import pyarrow as pa
+
+    from crawlerframework_ray.data import media
+    from crawlerframework_ray.stages.multimodal import VideoFrameSampleStage
+
+    frames = media.synth_video(3, w=8, h=8, n_frames=10)
+    batch = pa.table(
+        {
+            "video_id": ["v3"],
+            "bytes": [media.encode_qvd(frames, fps=5)],
+            "fmt": ["qvd"],
+        }
+    )
+    out = VideoFrameSampleStage(every_n=3)(batch)
+    assert out.column("frame_idx").to_pylist() == [0, 3, 6, 9]
+    from crawlerframework_ray.data import codecs
+
+    got = codecs.decode_raw(out.column("bytes")[1].as_py())
+    np.testing.assert_array_equal(got, frames[3])

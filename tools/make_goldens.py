@@ -799,9 +799,64 @@ def bpe_encoded(sf_dir: str) -> None:
     )
 
 
+def video_frame_stats(sf_dir: str) -> None:
+    """Per-sampled-frame stats computed STRAIGHT from the synthesis
+    arrays (synth_video), never through the qvd codec or the Ray
+    stages — independently checks the encode→decode round trip AND
+    the frame-sample → decode-stage composition."""
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.data.media import synth_video
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(d) for d in t.column("doc_id").to_pylist()[:64]]
+    rows = []
+    for d in ids:
+        frames = synth_video(d, w=32, h=32, n_frames=16)
+        for f in range(0, 16, 4):
+            img = frames[f]
+            rows.append(
+                (
+                    f"v{d}#{f:02d}",
+                    32,
+                    32,
+                    average_hash(img),
+                    int(round(float(img.mean()) * 1000)),
+                )
+            )
+    _write(
+        "video_frame_stats", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "w", "h", "phash_calc", "mean_luma_milli"])
+        .astype({"w": "int32", "h": "int32", "phash_calc": "int64", "mean_luma_milli": "int64"}),
+    )
+
+
+def audio_window_stats(sf_dir: str) -> None:
+    """Per-window exact energies computed straight from synth_audio
+    (integer PCM), never through the qau codec or the actor stage."""
+    import math
+
+    from crawlerframework_ray.data.media import synth_audio
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(d) for d in t.column("doc_id").to_pylist()[:128]]
+    rows = []
+    for d in ids:
+        pcm = synth_audio(d, n_samples=8192, sample_rate=8000).astype(np.int64)
+        for i in range(8192 // 1024):
+            s = int((pcm[i * 1024 : (i + 1) * 1024] ** 2).sum())
+            rows.append((f"a{d}", i, s, math.isqrt(s * 1_000_000 // 1024), 8000))
+    _write(
+        "audio_window_stats", sf_dir,
+        pd.DataFrame(rows, columns=["audio_id", "window_idx", "sum_sq", "rms_milli", "sample_rate"])
+        .astype({"window_idx": "int32", "sum_sq": "int64", "rms_milli": "int64",
+                 "sample_rate": "int32"}),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
-       kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded]
+       kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
+       video_frame_stats, audio_window_stats]
 
 
 def main() -> None:
