@@ -730,6 +730,44 @@ def minhash_near_dup_pairs(sf_dir: str):
     return _pairs_frame(out, "jaccard_permille")
 
 
+_NGRAM_JACCARD_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) u),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b, p.inter,
+           CAST(sa.n + sb.n - p.inter AS BIGINT) AS union_sz,
+           CAST((2000 * p.inter + (sa.n + sb.n - p.inter))
+                // (2 * (sa.n + sb.n - p.inter)) AS BIGINT) AS jaccard_permille
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE 2 * p.inter >= sa.n + sb.n - p.inter
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
+def ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup (≥ 0.5) — the inverted-index form
+    with no LSH approximation, complementing minhash_near_dup_pairs:
+    distinct word-trigram rows → one bounded shuffle co-locating each
+    gram's postings → per-gram pair expansion carrying both set sizes
+    → bucketed grouped count = |A∩B|. Pure integer arithmetic end to
+    end, zero joins, zero driver state; the oracle is the NATIVE SQL
+    self-join (strongest tier — no golden). The df_cap skew guard is
+    asserted lossless on the gate corpora in tests/test_dedup.py."""
+    from ..stages.dedup import exact_jaccard_pairs, ngram_set_rows
+
+    grams = ngram_set_rows(_read(sf_dir, "documents", ["doc_id", "text"], blocks=32))
+    out = exact_jaccard_pairs(grams, tau_num=1, tau_den=2).to_pandas()
+    return (
+        out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True).astype("int64")
+    )
+
+
 _SIMHASH_SQL = f"""
     WITH s AS (SELECT doc_id, sig FROM read_parquet('{_GOLDEN_DIR}/simhash_sigs.sf0.01.parquet'))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -598,3 +598,129 @@ def label_propagation_clusters(pairs, max_rounds: int = 16):
         if n_changed == 0:
             break
     return labels
+
+
+# --------------------------------------------------------------- exact
+# n-gram Jaccard (inverted-index expansion; no LSH approximation)
+
+
+def ngram_set_rows(docs_ds, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Documents → one row per DISTINCT word k-gram per document:
+    (doc_id:int64, gram_h:int64 [stable 64-bit hash], n:int64 [the
+    doc's distinct-gram count, carried so the pair stage needs no
+    size join]).
+
+    Tokenization is ``text.split(' ')`` — exactly DuckDB's
+    ``string_split(text, ' ')`` (empty tokens preserved) so the SQL
+    oracle tokenizes identically. Hashing is pandas' vectorized
+    siphash (fixed key ⇒ deterministic across processes/nodes); a
+    64-bit collision between two of the corpus' distinct grams is the
+    only way the two sides can diverge (~1e-11 at 10^5 grams).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        grams_out: list[str] = []
+        n_out: list[int] = []
+        for d, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            toks = txt.split(" ")
+            if len(toks) < k:
+                continue
+            gs = set(" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1))
+            ids_out.extend([int(d)] * len(gs))
+            grams_out.extend(gs)
+            n_out.extend([len(gs)] * len(gs))
+        gram_h = pd.util.hash_array(np.array(grams_out, dtype=object)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "gram_h": pa.array(gram_h, pa.int64()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _bucket_gram_pairs(g: pd.DataFrame, df_cap: int) -> pd.DataFrame:
+    """Pair expansion for one shuffle bucket of gram rows: every gram's
+    rows are fully co-located (bucket key = hash(gram_h)), so group
+    size == the gram's global document frequency. Groups above
+    ``df_cap`` are skipped — the skew guard (same posture as the LSH
+    ``max_bucket`` cap): a pathological stop-gram costs O(df²) pair
+    rows; the guard bounds the task, and callers assert max df < cap
+    on gated corpora so the guard is provably lossless there."""
+    dup = g.loc[g.duplicated("gram_h", keep=False)]
+    out = []
+    for _, sub in dup.groupby("gram_h", sort=False):
+        if len(sub) < 2 or len(sub) > df_cap:
+            continue
+        sub = sub.sort_values("doc_id")
+        ids = sub["doc_id"].to_numpy()
+        ns = sub["n"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), 1)
+        out.append(
+            pd.DataFrame(
+                {
+                    "id_a": ids[ia].astype(np.int64),
+                    "id_b": ids[ib].astype(np.int64),
+                    "n_a": ns[ia].astype(np.int64),
+                    "n_b": ns[ib].astype(np.int64),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["id_a", "id_b", "n_a", "n_b"]}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def exact_jaccard_pairs(grams_ds, *, tau_num: int = 1, tau_den: int = 2,
+                        n_buckets: int = 64, df_cap: int = 256):
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b) — the
+    inverted-index form, no LSH: one bounded shuffle co-locates each
+    gram's postings (bucket = hash(gram_h) % n_buckets), per-gram
+    ``np.triu_indices`` expansion emits one row per shared gram per
+    pair carrying both docs' set sizes, and a second bucketed grouped
+    reduction counts rows per pair = |A∩B| — so Jaccard is computed
+    in exact integer arithmetic with ZERO joins and zero driver state.
+
+    Keep iff ``tau_den·|A∩B| ≥ tau_num·|A∪B|``; output adds
+    ``jaccard_permille = (2000·inter + union) // (2·union)`` (round
+    half up, pure integers — bit-identical to the SQL oracle).
+
+    Scale: the expansion shuffle moves Σ df(gram)² pair rows bounded
+    by ``df_cap``·Σ df; true stop-grams should be dropped upstream.
+    Reference analogue: the dedup semi-joins of SURVEY §2.7 (D1-D4);
+    this is the exact-similarity form the reference never had.
+    """
+    from .agg import bucketed_group_agg
+
+    def add_bucket(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["__bucket"] = (df["gram_h"].to_numpy().view(np.uint64) % n_buckets).astype(np.int64)
+        return df
+
+    pair_rows = (
+        grams_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket_gram_pairs(g.drop(columns="__bucket"), df_cap),
+            batch_format="pandas",
+        )
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            inter=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        union = agg["n_a"] + agg["n_b"] - agg["inter"]
+        keep = tau_den * agg["inter"] >= tau_num * union
+        agg = agg.loc[keep]
+        union = union.loc[keep]
+        agg["union_sz"] = union.astype(np.int64)
+        agg["jaccard_permille"] = ((2000 * agg["inter"] + union) // (2 * union)).astype(np.int64)
+        return agg[["id_a", "id_b", "inter", "union_sz", "jaccard_permille"]].astype("int64")
+
+    return bucketed_group_agg(pair_rows, ["id_a", "id_b"], reduce)

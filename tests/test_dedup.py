@@ -219,3 +219,67 @@ def test_embedding_near_dup_planted_fixture(ray_session, tmp_path):
     found = set(zip(out.id_a, out.id_b))
     assert set(planted) <= found, f"planted {planted} not all found in {found}"
     assert (out.cos_permille >= 800).all()
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+
+
+def test_exact_jaccard_pairs_tiny_corpus(ray_session):
+    """Serial set arithmetic vs the distributed inverted-index pipeline
+    on a constructed corpus with one exact dup, one near dup, and one
+    unrelated doc."""
+    import ray.data
+
+    from crawlerframework_ray.stages.dedup import exact_jaccard_pairs, ngram_set_rows
+
+    texts = {
+        1: "a b c d e f",
+        2: "a b c d e f",          # exact dup of 1
+        3: "a b c d e zz",         # near dup of 1/2
+        4: "p q r s t u",          # unrelated
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()]
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    out = (
+        exact_jaccard_pairs(ngram_set_rows(ds), tau_num=1, tau_den=2)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    def grams(s):
+        t = s.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    expected = []
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = grams(texts[a]), grams(texts[b])
+            inter, union = len(ga & gb), len(ga | gb)
+            if 2 * inter >= union:
+                expected.append((a, b, inter, union, (2000 * inter + union) // (2 * union)))
+    exp = pd.DataFrame(
+        expected, columns=["id_a", "id_b", "inter", "union_sz", "jaccard_permille"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, exp)
+    assert (1, 2) in set(zip(out["id_a"], out["id_b"]))  # the exact dup survived
+    assert out.loc[(out["id_a"] == 1) & (out["id_b"] == 2), "jaccard_permille"].iloc[0] == 1000
+
+
+def test_exact_jaccard_df_cap_is_lossless_on_gate_corpora():
+    """The df_cap skew guard in exact_jaccard_pairs drops grams with
+    document frequency > cap; assert no gram on either gate corpus
+    comes near the cap, so the guard provably never fires there and
+    the native-SQL oracle equality is exact by construction."""
+    import pyarrow.parquet as pq
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        df_counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            toks = txt.split(" ")
+            for g in set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)):
+                df_counts[g] = df_counts.get(g, 0) + 1
+        assert max(df_counts.values()) < 256 // 4, sf
