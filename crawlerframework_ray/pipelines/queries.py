@@ -1059,6 +1059,121 @@ def phash_near_dup_images(sf_dir: str):
     return _pairs_frame(out, "hamming")
 
 
+_XMODAL_QUERY_CAPTIONS = [
+    "amber grove", "basalt cliff", "cedar harbor", "delta quartz",
+    "ember jasper", "flint umber", "garnet bluff", "harbor sable",
+]
+
+_XMODAL_SQL = f"""
+    WITH s AS (SELECT img_id, phash FROM read_parquet('{{GOLDEN}}/phash_sigs.sf0.01.parquet')),
+    q(query_id, caption) AS (VALUES {", ".join(f"({i}, '{c}')" for i, c in enumerate(_XMODAL_QUERY_CAPTIONS))}),
+    qh AS (SELECT query_id,
+             CAST(CAST(('0x' || substr(md5(caption),1,16)) AS UBIGINT) AS HUGEINT) AS hu
+           FROM q),
+    qs AS (SELECT query_id,
+             CAST(hu - CASE WHEN hu >= 9223372036854775808
+                       THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS qhash
+           FROM qh),
+    scored AS (SELECT qs.query_id, s.img_id,
+                 CAST(64 - bit_count(xor(s.phash, qs.qhash)) AS BIGINT) AS score
+               FROM s CROSS JOIN qs),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, img_id ASC) AS rnk
+               FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id, img_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+""".replace("{GOLDEN}", _GOLDEN_DIR)
+
+
+@register("cross_modal_topk", _XMODAL_SQL)
+def cross_modal_topk(sf_dir: str):
+    """Cross-modal retrieval: text query → top-k images — the
+    similarity-search pattern over the IMAGE payload (the graft's
+    modality) rather than the embeddings table. Query captions go
+    through the caption tower (md5-64), the corpus through the pixel
+    tower (decode → average-hash, once per image), score =
+    64 − hamming. Execution is the broadcast-ANN shape: the 8-hash
+    query matrix is a closure constant shipped once per task, each
+    batch computes its score matrix vectorized (XOR + popcount via
+    hamming64_np) and emits only per-query top-k partials, so the
+    final exchange moves k·queries·batches rows; the grouped final
+    top-k runs distributed. Tiebreak (score DESC, img_id ASC) is
+    total, so the SQL window-rank oracle is exact. Pixel phashes are
+    golden-pinned (independent serial decode); the caption tower,
+    combine, and ranking are native SQL."""
+    from ..data.imageops import average_hash
+    from ..stages.dedup import hamming64_np
+    from ..stages.multimodal import phash_corpus_records
+
+    k = 5
+    qhash = np.array(
+        [
+            int.from_bytes(hashlib.md5(c.encode("utf-8")).digest()[:8], "big")
+            for c in _XMODAL_QUERY_CAPTIONS
+        ],
+        dtype=np.uint64,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(256)
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = phash_corpus_records(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "img_id": pa.array([r[0] for r in rows], pa.int64()),
+                "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                "fmt": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        from ..data import codecs
+
+        ids = np.asarray(t.column("img_id").to_pylist(), dtype=np.int64)
+        sig = np.array(
+            [
+                average_hash(codecs.decode(bytes(b), f))
+                for b, f in zip(t.column("bytes").to_pylist(), t.column("fmt").to_pylist())
+            ],
+            dtype=np.int64,
+        )
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qhash)):
+            score = 64 - hamming64_np(
+                sig.view(np.uint64), np.full(len(sig), qhash[qi], np.uint64)
+            ).astype(np.int64)
+            order = np.lexsort((ids, -score))[: min(k, len(ids))]
+            out_q.extend([qi] * len(order))
+            out_i.extend(ids[order])
+            out_s.extend(score[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "img_id": pa.array(np.asarray(out_i, dtype=np.int64), pa.int64()),
+                "score": pa.array(np.asarray(out_s, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "img_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    df = (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=128)
+        .map_batches(score_topk, batch_format="pyarrow", batch_size=128)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        df.sort_values(["query_id", "rnk"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 # ---- PII scrubbing (training-data hygiene) -------------------------
 
 _EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
