@@ -86,7 +86,11 @@ def test_multimodal_stubs_raise_cleanly():
     with pytest.raises(NotImplementedError, match="codec"):
         ImageDecodeStage(strict=True)(batch)
     assert len(ImageDecodeStage(strict=False)(batch)) == 0  # graceful skip
+    # video/audio are REAL for the in-repo qvd/qau containers (gated in
+    # test_codecs + the catalog queries); external containers still stub
+    vbatch = pa.table({"video_id": ["x"], "bytes": [b"\x00"], "fmt": ["mp4"]})
     with pytest.raises(NotImplementedError):
-        VideoFrameSampleStage()(batch)
+        VideoFrameSampleStage()(vbatch)
+    abatch = pa.table({"audio_id": ["x"], "bytes": [b"\x00"], "fmt": ["mp3"]})
     with pytest.raises(NotImplementedError):
-        AudioFeatureStage()(batch)
+        AudioFeatureStage()(abatch)
