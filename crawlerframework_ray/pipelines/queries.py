@@ -250,6 +250,115 @@ def tumbling_window_user_hour(sf_dir: str):
     return df
 
 
+@register(
+    "hopping_window_event_type",
+    """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                      CAST(FLOOR(value*1000+0.5) AS BIGINT) AS v
+               FROM events),
+    w AS (SELECT event_type, (us // 900000000 - j) * 900 AS window_start_s, v
+          FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) u)
+    SELECT event_type, CAST(window_start_s AS BIGINT) AS window_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS sum_value_milli
+    FROM w GROUP BY event_type, window_start_s
+    """,
+)
+def hopping_window_event_type(sf_dir: str):
+    """Streaming §2.9: HOPPING (sliding) event-time windows — size
+    60 min, hop 15 min, so every event belongs to exactly 4 overlapping
+    windows. The 4× replication happens as a vectorized np.repeat
+    INSIDE the per-batch partial aggregate (the shuffle moves one row
+    per (event_type, window) per batch, never the replicated events),
+    then the usual bucketed grouped sum. Window key = window start in
+    epoch seconds; integerized values so the SQL oracle is exact."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    hop_us, n_hops = 900_000_000, 4
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        us = df["ts"].astype("int64").to_numpy()
+        base = us // hop_us
+        v = np.floor(df["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        idx = np.repeat(np.arange(len(df)), n_hops)
+        j = np.tile(np.arange(n_hops, dtype=np.int64), len(df))
+        rep = pd.DataFrame(
+            {
+                "event_type": et[idx],
+                "window_start_s": (base[idx] - j) * 900,
+                "n_events": np.int64(1),
+                "sum_value_milli": v[idx],
+            }
+        )
+        return rep.groupby(["event_type", "window_start_s"], as_index=False)[
+            ["n_events", "sum_value_milli"]
+        ].sum()
+
+    from ..stages.agg import bucketed_group_agg
+
+    df = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "window_start_s"],
+        lambda g: g.groupby(["event_type", "window_start_s"], as_index=False)[
+            ["n_events", "sum_value_milli"]
+        ].sum(),
+    ).to_pandas()
+    for c in ["window_start_s", "n_events", "sum_value_milli"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+@register(
+    "customer_order_stats_outer",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS sum_total_cents
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey,
+           CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(p.sum_total_cents, 0) AS BIGINT) AS sum_total_cents
+    FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+    """,
+)
+def customer_order_stats_outer(sf_dir: str):
+    """LEFT OUTER join with null→zero semantics: every customer keeps a
+    row even with no orders (the reference's per-record point lookups
+    could only ever do inner/left — this is the distributed form).
+    Build side is pre-aggregated per custkey (bucketed partial sum, so
+    the join's probe side is one row per customer and the build side
+    one row per customer-with-orders), then the partitioned hash join
+    runs with how='left' and unmatched rows fill 0."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["n_orders"] = np.int64(1)
+        df["sum_total_cents"] = _cents(df["o_totalprice"].to_numpy())
+        return df.groupby("o_custkey", as_index=False)[["n_orders", "sum_total_cents"]].sum()
+
+    per_cust = bucketed_group_agg(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["o_custkey"],
+        lambda g: g.groupby("o_custkey", as_index=False)[["n_orders", "sum_total_cents"]].sum(),
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(
+        cust, per_cust, "c_custkey",
+        ["c_custkey"], ["n_orders", "sum_total_cents"], how="left",
+    ).to_pandas()
+    for c in ["n_orders", "sum_total_cents"]:
+        joined[c] = joined[c].fillna(0).astype("int64")
+    return joined.astype({"c_custkey": "int64"}).sort_values("c_custkey").reset_index(drop=True)
+
+
 # =====================================================================
 # Joins (J1-J7 family)
 # =====================================================================
