@@ -1723,6 +1723,68 @@ def audio_window_features(sf_dir: str):
                       "sample_rate": "int32"})
 
 
+def _media_dup_query(sf_dir: str, corpus_fn, gram_stage, stage_kwargs: dict):
+    """Shared body of the video/audio near-dup queries: deterministic
+    corpus with planted twins → fused fingerprint gram stage (decode +
+    sample + hash in one actor call, so each item's gram count is
+    exact) → the SAME exact_jaccard_pairs machinery the text n-gram
+    near-dup uses. Multimodal dedup = text dedup with a different
+    fingerprint function."""
+    from ..stages.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(128)
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = corpus_fn(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                "fmt": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    grams = ds.map_batches(gen, batch_format="pyarrow", batch_size=128).map_batches(
+        gram_stage, fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5,
+    )
+    out = exact_jaccard_pairs(grams, tau_num=1, tau_den=2).to_pandas()
+    return (
+        out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True).astype("int64")
+    )
+
+
+@register("video_near_dup_pairs", _golden_sql("video_dup_pairs"))
+def video_near_dup_pairs(sf_dir: str):
+    """Video near-duplicate detection over CONTENT, not bytes:
+    decode → sample every 4th frame → per-frame average-hash →
+    fingerprint grams (frame_idx, phash) → exact Jaccard ≥ 0.5 via the
+    text near-dup pair machinery (stages/dedup.exact_jaccard_pairs)
+    unchanged. The corpus plants container twins (identical pixels,
+    different fps header — Jaccard 1.0) and partial twins (first frame
+    replaced — Jaccard 0.6); the golden is a serial brute-force
+    all-pairs mirror over the same fingerprints."""
+    from ..stages.multimodal import VideoPhashGramStage, video_dup_corpus_records
+
+    return _media_dup_query(
+        sf_dir, video_dup_corpus_records, VideoPhashGramStage, {"every_n": 4}
+    )
+
+
+@register("audio_near_dup_pairs", _golden_sql("audio_dup_pairs"))
+def audio_near_dup_pairs(sf_dir: str):
+    """Audio near-duplicate detection via windowed-energy fingerprints
+    (window_idx, sum_sq): container twins (identical PCM, different
+    sample-rate header) land at Jaccard 1.0, one-sample-perturbed twins
+    at 7/9 — both above the 0.5 gate; unrelated clips share no windows.
+    Same exact_jaccard_pairs engine as text and video."""
+    from ..stages.multimodal import AudioGramStage, audio_dup_corpus_records
+
+    return _media_dup_query(
+        sf_dir, audio_dup_corpus_records, AudioGramStage, {"window": 1024}
+    )
+
+
 # =====================================================================
 # The crawl itself (rows-only)
 # =====================================================================

@@ -369,3 +369,131 @@ class AlignmentScoreStage:
                 "align_score": pa.array(score, pa.int64()),
             }
         )
+
+
+def video_dup_corpus_records(doc_ids: list[int]) -> list[tuple[int, bytes, str]]:
+    """(vid, bytes, 'qvd') video corpus with planted near-duplicates:
+    one 16-frame clip per doc id plus, for ids ≡ 3 (mod 10), a
+    CONTAINER twin (identical pixels, different fps header — invisible
+    to byte-hash dedup, Jaccard 1.0 over sampled-frame phashes) and,
+    for ids ≡ 8 (mod 10), a PARTIAL twin whose first frame is replaced
+    by foreign content (3 of 4 sampled frames shared ⇒ Jaccard 0.6).
+    Shared leaf with the video_dup_pairs golden."""
+    from ..data import media
+
+    out: list[tuple[int, bytes, str]] = []
+    for d in doc_ids:
+        d = int(d)
+        frames = media.synth_video(d, w=32, h=32, n_frames=16)
+        out.append((2 * d, media.encode_qvd(frames, fps=10), "qvd"))
+        if d % 10 == 3:
+            out.append((2 * d + 1, media.encode_qvd(frames, fps=20), "qvd"))
+        elif d % 10 == 8:
+            twin = frames.copy()
+            twin[0] = media.synth_video(d + 100_000, w=32, h=32, n_frames=1)[0]
+            out.append((2 * d + 1, media.encode_qvd(twin, fps=10), "qvd"))
+    return out
+
+
+def audio_dup_corpus_records(doc_ids: list[int]) -> list[tuple[int, bytes, str]]:
+    """(aid, bytes, 'qau') audio corpus with planted near-duplicates:
+    ids ≡ 3 (mod 10) add a container twin (identical PCM, different
+    sample-rate header ⇒ identical window fingerprints), ids ≡ 8
+    (mod 10) add a one-sample-perturbed twin (7 of 8 windows shared ⇒
+    Jaccard 7/9). Shared leaf with the audio_dup_pairs golden."""
+    from ..data import media
+
+    out: list[tuple[int, bytes, str]] = []
+    for d in doc_ids:
+        d = int(d)
+        pcm = media.synth_audio(d, n_samples=8192, sample_rate=8000)
+        out.append((2 * d, media.encode_qau(pcm, 8000), "qau"))
+        if d % 10 == 3:
+            out.append((2 * d + 1, media.encode_qau(pcm, 16000), "qau"))
+        elif d % 10 == 8:
+            twin = pcm.copy()
+            twin[0] = np.int16(int(twin[0]) ^ 1)
+            out.append((2 * d + 1, media.encode_qau(twin, 8000), "qau"))
+    return out
+
+
+class VideoPhashGramStage:
+    """Videos → fingerprint 'gram' rows for exact-Jaccard near-dup
+    (stages/dedup.exact_jaccard_pairs): decode → sample every Nth frame
+    → per-frame average-hash → one row per (video, frame_idx, phash)
+    gram. Fused into ONE stage so a video's gram count ``n`` is exact
+    regardless of downstream batching. Output: doc_id:int64,
+    gram_h:int64, n:int64 — exactly the ngram_set_rows layout, so the
+    text near-dup pair machinery applies to VIDEO unchanged."""
+
+    def __init__(self, every_n: int = 4):
+        from ..data import media
+        from ..data.imageops import average_hash
+        from .dedup import _splitmix64
+
+        self.every_n = max(int(every_n), 1)
+        self._decode = media.decode_qvd
+        self._ahash = average_hash
+        self._mix = _splitmix64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        key_out: list[np.ndarray] = []
+        n_out: list[int] = []
+        for vid, data in zip(
+            batch.column("doc_id").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            frames, _ = self._decode(bytes(data))
+            idxs = np.arange(0, frames.shape[0], self.every_n, dtype=np.uint64)
+            sigs = np.array([self._ahash(frames[int(f)]) for f in idxs], dtype=np.int64)
+            grams = self._mix(sigs.view(np.uint64) ^ (idxs * np.uint64(0x9E3779B97F4A7C15)))
+            ids_out.extend([int(vid)] * len(grams))
+            key_out.append(grams.view(np.int64))
+            n_out.extend([len(grams)] * len(grams))
+        gram_h = np.concatenate(key_out) if key_out else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "gram_h": pa.array(gram_h, pa.int64()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )
+
+
+class AudioGramStage:
+    """Audio clips → fingerprint gram rows (window_idx, sum_sq) for
+    exact-Jaccard near-dup — the audio analogue of VideoPhashGramStage,
+    same output layout (doc_id, gram_h, n)."""
+
+    def __init__(self, window: int = 1024):
+        from ..data import media
+        from .dedup import _splitmix64
+
+        self.window = int(window)
+        self._decode = media.decode_qau
+        self._energies = media.window_energies
+        self._mix = _splitmix64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        key_out: list[np.ndarray] = []
+        n_out: list[int] = []
+        for aid, data in zip(
+            batch.column("doc_id").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            pcm, _ = self._decode(bytes(data))
+            feats = self._energies(pcm, self.window)
+            idxs = np.array([f[0] for f in feats], dtype=np.uint64)
+            sums = np.array([f[1] for f in feats], dtype=np.uint64)
+            grams = self._mix(sums ^ (idxs * np.uint64(0x9E3779B97F4A7C15)))
+            ids_out.extend([int(aid)] * len(grams))
+            key_out.append(grams.view(np.int64))
+            n_out.extend([len(grams)] * len(grams))
+        gram_h = np.concatenate(key_out) if key_out else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "gram_h": pa.array(gram_h, pa.int64()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )

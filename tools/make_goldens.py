@@ -853,10 +853,61 @@ def audio_window_stats(sf_dir: str) -> None:
     )
 
 
+def _fingerprint_pairs_golden(records, fingerprints) -> pd.DataFrame:
+    """Serial ALL-PAIRS Jaccard (>= 0.5, integer permille) over
+    per-item fingerprint sets — the brute-force mirror of the
+    distributed gram-stage → exact_jaccard_pairs composition."""
+    ids = [r[0] for r in records]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(fingerprints[i] & fingerprints[j])
+            union = len(fingerprints[i] | fingerprints[j])
+            if union and 2 * inter >= union:
+                a, b = sorted((ids[i], ids[j]))
+                rows.append((a, b, inter, union, (2000 * inter + union) // (2 * union)))
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "inter", "union_sz", "jaccard_permille"]
+    ).astype("int64").sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def video_dup_pairs(sf_dir: str) -> None:
+    """Serial mirror of video_near_dup_pairs: decode each corpus blob,
+    fingerprint = {(frame_idx, phash)} over every 4th frame, all-pairs
+    Jaccard. Shared corpus leaf (video_dup_corpus_records); the
+    pair-finding path is fully independent of the distributed one."""
+    from crawlerframework_ray.data import media
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.stages.multimodal import video_dup_corpus_records
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    recs = video_dup_corpus_records(t.column("doc_id").to_pylist()[:128])
+    fps = []
+    for _, blob, _fmt in recs:
+        frames, _ = media.decode_qvd(blob)
+        fps.append({(f, average_hash(frames[f])) for f in range(0, frames.shape[0], 4)})
+    _write("video_dup_pairs", sf_dir, _fingerprint_pairs_golden(recs, fps))
+
+
+def audio_dup_pairs(sf_dir: str) -> None:
+    """Serial mirror of audio_near_dup_pairs: fingerprint =
+    {(window_idx, sum_sq)} per clip, all-pairs Jaccard."""
+    from crawlerframework_ray.data import media
+    from crawlerframework_ray.stages.multimodal import audio_dup_corpus_records
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    recs = audio_dup_corpus_records(t.column("doc_id").to_pylist()[:128])
+    fps = []
+    for _, blob, _fmt in recs:
+        pcm, _ = media.decode_qau(blob)
+        fps.append({(i, s) for i, s, _r in media.window_energies(pcm, 1024)})
+    _write("audio_dup_pairs", sf_dir, _fingerprint_pairs_golden(recs, fps))
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
-       video_frame_stats, audio_window_stats]
+       video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs]
 
 
 def main() -> None:
