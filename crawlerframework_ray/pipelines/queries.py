@@ -310,6 +310,60 @@ def hopping_window_event_type(sf_dir: str):
 
 
 @register(
+    "urgent_orders_pruned_scan",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY order_month
+    """,
+)
+def urgent_orders_pruned_scan(sf_dir: str):
+    """Prune-at-the-read: the predicate is PUSHED INTO the parquet scan
+    (``read_parquet(filter=...)`` — pyarrow row-group/fragment pruning)
+    together with the column projection, so only qualifying rows of the
+    3 needed columns leave storage; at 100 TB the scan reads the
+    priority+date row groups, not the table. Downstream is a small
+    grouped monthly rollup (integerized cents)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    expr = (pads.field("o_orderpriority") == "1-URGENT") & (
+        pads.field("o_orderdate") >= pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+        filter=expr,
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        out = pd.DataFrame(
+            {
+                "order_month": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "n_orders": np.int64(1),
+                "sum_total_cents": _cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+        return out.groupby("order_month", as_index=False)[["n_orders", "sum_total_cents"]].sum()
+
+    from ..stages.agg import bucketed_group_agg
+
+    df = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["order_month"],
+        lambda g: g.groupby("order_month", as_index=False)[["n_orders", "sum_total_cents"]].sum(),
+    ).to_pandas()
+    for c in ["n_orders", "sum_total_cents"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("order_month").reset_index(drop=True)
+
+
+@register(
     "customer_order_stats_outer",
     """
     WITH per_cust AS (

@@ -283,3 +283,62 @@ def test_exact_jaccard_df_cap_is_lossless_on_gate_corpora():
             for g in set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)):
                 df_counts[g] = df_counts.get(g, 0) + 1
         assert max(df_counts.values()) < 256 // 4, sf
+
+
+def test_exact_jaccard_hot_gram_skew_guard(ray_session):
+    """Pathological stop-gram: one trigram shared by HALF the corpus.
+    With df_cap below its document frequency the guard drops exactly
+    that gram's pair contribution (bounding the expansion task at
+    O(cap²) instead of O(corpus²/4)) while every other gram still
+    counts — verified against a serial mirror applying the same
+    df>cap filter."""
+    import ray.data
+
+    from crawlerframework_ray.stages.dedup import exact_jaccard_pairs, ngram_set_rows
+
+    hot = "x y z"
+    docs = {}
+    for i in range(64):
+        base = f"w{i} v{i} u{i} t{i}"
+        docs[i] = f"{base} {hot}" if i % 2 == 0 else base
+    # two planted near-dup pairs that must survive the guard
+    docs[100] = "a b c d e f g"
+    docs[101] = "a b c d e f g"
+    docs[102] = f"p q r s t {hot}"
+    docs[103] = f"p q r s t {hot}"
+
+    ds = ray.data.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    out = (
+        exact_jaccard_pairs(ngram_set_rows(ds), tau_num=1, tau_den=2, df_cap=8)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    # serial mirror with the identical df>8 stop-gram filter
+    def grams(s):
+        t = s.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    gsets = {k: grams(v) for k, v in docs.items()}
+    df_counts: dict[str, int] = {}
+    for gs in gsets.values():
+        for g in gs:
+            df_counts[g] = df_counts.get(g, 0) + 1
+    assert df_counts[hot] > 8  # the guard genuinely fires
+    expected = []
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            # intersection counts only grams under the cap; union stays
+            # over the FULL sets (n is carried from the gram stage)
+            inter = sum(1 for g in gsets[a] & gsets[b] if df_counts[g] <= 8)
+            union = len(gsets[a]) + len(gsets[b]) - inter
+            if inter and 2 * inter >= union:
+                expected.append((a, b, inter, union, (2000 * inter + union) // (2 * union)))
+    exp = pd.DataFrame(
+        expected, columns=["id_a", "id_b", "inter", "union_sz", "jaccard_permille"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, exp)
+    got_pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (100, 101) in got_pairs and (102, 103) in got_pairs
