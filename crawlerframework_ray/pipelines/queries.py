@@ -2034,6 +2034,64 @@ def _mini_crawl_workdir(sf_dir: str, tag: str, max_epochs: int = 2):
     return cfg
 
 
+@register(
+    "refresh_priority_users",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS span_s
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events, span_s,
+           CAST(LEAST(97000, 1000 + (CAST(96000 AS BIGINT) * 86400 * (n_events - 1))
+                             // GREATEST(span_s, 1)) AS BIGINT) AS priority_milli
+    FROM s
+    """,
+)
+def refresh_priority_users(sf_dir: str):
+    """Re-crawl scheduling priority from OBSERVED update rates — the
+    reference's TaskManager formula ``priority = 96/frequency + 1``
+    (1 = on-demand, 97 = daily; crawler/utils/taskmanager.py:156-163)
+    computed distributed: per-key update frequency is estimated from
+    the event stream (mean inter-update gap = span/(n−1)), then the
+    formula is applied in pure integer arithmetic (milli-priority,
+    capped at 97.0 = update daily-or-faster). Per-batch partial
+    (min, max, count) per key → bucketed merge — the shuffle moves
+    three ints per key per batch."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        us = df["ts"].astype("int64")
+        g = df.assign(us=us).groupby("user_id", as_index=False).agg(
+            n_events=("us", "size"), min_us=("us", "min"), max_us=("us", "max")
+        )
+        return g
+
+    from ..stages.agg import bucketed_group_agg
+
+    merged = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"],
+        lambda g: g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"), min_us=("min_us", "min"), max_us=("max_us", "max")
+        ),
+    ).to_pandas()
+    n = merged["n_events"].astype("int64")
+    # floor each endpoint to seconds BEFORE subtracting - matches
+    # DuckDB epoch(max)-epoch(min) exactly (floor(a)-floor(b) != floor(a-b))
+    span_s = (merged["max_us"] // 1_000_000 - merged["min_us"] // 1_000_000).astype("int64")
+    prio = 1000 + (96_000 * 86_400 * (n - 1)) // span_s.clip(lower=1)
+    out = pd.DataFrame(
+        {
+            "user_id": merged["user_id"],
+            "n_events": n,
+            "span_s": span_s,
+            "priority_milli": prio.clip(upper=97_000).astype("int64"),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 @register("recrawl_change_detection", _golden_sql("recrawl_counts"))
 def recrawl_change_detection(sf_dir: str):
     """D4/T5 incremental re-crawl: re-fetch the crawled url set against
