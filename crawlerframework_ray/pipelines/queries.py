@@ -2034,6 +2034,61 @@ def _mini_crawl_workdir(sf_dir: str, tag: str, max_epochs: int = 2):
     return cfg
 
 
+_SHARD_SQL = """
+    WITH h AS (SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15))
+                      AS UBIGINT) AS BIGINT) AS hkey
+               FROM documents)
+    SELECT doc_id, CAST(hkey % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM h
+"""
+
+
+@register("deterministic_shard_assignment", _SHARD_SQL)
+def deterministic_shard_assignment(sf_dir: str):
+    """Training-shard shuffling without RNG state: every document gets
+    a pseudorandom rank from a seeded content hash (md5(doc_id‖seed)),
+    shard = rank % N, position within the shard = rank order — so the
+    'shuffle' is a pure function of (seed, doc_id): retry-safe,
+    partition-independent, and resumable (exactly the property Ray's
+    random_shuffle cannot give a restarted 100-TB job). Hash is
+    computed per batch, the per-shard ordering runs as a grouped sort
+    (N groups, each ~corpus/N). 60 bits of the md5 are used so the
+    BIGINT key is collision-free for parity with the SQL window-rank
+    oracle; a production path would use the splitmix mixer instead of
+    md5 (same structure, ~10× cheaper)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hkeys(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hs = [
+            int.from_bytes(hashlib.md5(f"{d}#42".encode()).digest()[:8], "big") >> 4
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(d) for d in ids], pa.int64()),
+                "hkey": pa.array(hs, pa.int64()),
+                "shard": pa.array([h % 8 for h in hs], pa.int64()),
+            }
+        )
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", "doc_id"], kind="mergesort").reset_index(drop=True)
+        g["pos_in_shard"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "shard", "pos_in_shard"]]
+
+    df = (
+        ds.map_batches(hkeys, batch_format="pyarrow", batch_size=65536)
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 @register(
     "refresh_priority_users",
     """
