@@ -931,6 +931,46 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+_INCR_JACCARD_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) u),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g
+              WHERE a.doc_id < 250 AND b.doc_id >= 250
+              GROUP BY 1, 2)
+    SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b, p.inter,
+           CAST(sa.n + sb.n - p.inter AS BIGINT) AS union_sz,
+           CAST((2000 * p.inter + (sa.n + sb.n - p.inter))
+                // (2 * (sa.n + sb.n - p.inter)) AS BIGINT) AS jaccard_permille
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE 2 * p.inter >= sa.n + sb.n - p.inter
+"""
+
+
+@register("incremental_near_dup_new_docs", _INCR_JACCARD_SQL)
+def incremental_near_dup_new_docs(sf_dir: str):
+    """INCREMENTAL dedup — the production form: a batch of NEW
+    documents (doc_id ≥ 250) is checked against the EXISTING corpus
+    (doc_id < 250) without re-expanding old↔old pairs. Same
+    inverted-index machinery as ngram_jaccard_pairs, but the per-gram
+    expansion emits only CROSS pairs (old × new per posting list,
+    O(df_old·df_new) instead of O(df²)) — at 100 TB this is the
+    difference between re-deduping the corpus per ingest batch and
+    probing a standing index. Native SQL oracle with the same
+    boundary predicate."""
+    from ..stages.dedup import exact_jaccard_pairs, ngram_set_rows
+
+    grams = ngram_set_rows(_read(sf_dir, "documents", ["doc_id", "text"], blocks=32))
+    out = exact_jaccard_pairs(grams, tau_num=1, tau_den=2, cross_boundary=250).to_pandas()
+    return (
+        out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True).astype("int64")
+    )
+
+
 _SIMHASH_SQL = f"""
     WITH s AS (SELECT doc_id, sig FROM read_parquet('{_GOLDEN_DIR}/simhash_sigs.sf0.01.parquet'))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2032,6 +2072,60 @@ def _mini_crawl_workdir(sf_dir: str, tag: str, max_epochs: int = 2):
     cfg = _mini_crawl_cfg(tempfile.mkdtemp(prefix=f"cfray-{tag}-"), max_epochs)
     CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 32))
     return cfg
+
+
+@register(
+    "rolling_sum3_per_user",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(FLOOR(value*1000+0.5) AS BIGINT)) OVER
+             (PARTITION BY user_id ORDER BY ts, value
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_sum_milli
+    FROM events
+    """,
+)
+def rolling_sum3_per_user(sf_dir: str):
+    """Row-window aggregate (the moving-window member of the §2.9
+    window-function family next to LAG): per-key rolling 3-row sum in
+    event-time order, computed as a vectorized grouped rolling sum per
+    bucket — each key's rows co-located by one bounded shuffle, then
+    pandas rolling(3).sum() over integerized values per group (no
+    per-row Python). Total order (ts, value) makes the SQL window
+    oracle exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts_us": df["ts"].astype("int64"),
+                "v_milli": np.floor(df["value"].to_numpy() * 1000 + 0.5).astype(np.int64),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby("user_id", sort=False):
+            sub = sub.sort_values(["ts_us", "v_milli"], kind="mergesort").reset_index(drop=True)
+            sub["rolling_sum_milli"] = (
+                sub["v_milli"].rolling(3, min_periods=1).sum().astype(np.int64)
+            )
+            out.append(sub[["user_id", "ts_us", "rolling_sum_milli"]])
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["user_id", "ts_us", "rolling_sum_milli"]}
+        )
+
+    from ..stages.agg import bucketed_group_agg
+
+    df = bucketed_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536), ["user_id"], roll
+    ).to_pandas()
+    return (
+        df.sort_values(["user_id", "ts_us", "rolling_sum_milli"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
 
 
 _SHARD_SQL = """

@@ -642,14 +642,20 @@ def ngram_set_rows(docs_ds, k: int = 3, id_col: str = "doc_id", text_col: str = 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _bucket_gram_pairs(g: pd.DataFrame, df_cap: int) -> pd.DataFrame:
+def _bucket_gram_pairs(g: pd.DataFrame, df_cap: int,
+                       cross_boundary: int | None = None) -> pd.DataFrame:
     """Pair expansion for one shuffle bucket of gram rows: every gram's
     rows are fully co-located (bucket key = hash(gram_h)), so group
     size == the gram's global document frequency. Groups above
     ``df_cap`` are skipped — the skew guard (same posture as the LSH
     ``max_bucket`` cap): a pathological stop-gram costs O(df²) pair
     rows; the guard bounds the task, and callers assert max df < cap
-    on gated corpora so the guard is provably lossless there."""
+    on gated corpora so the guard is provably lossless there.
+
+    ``cross_boundary`` prunes the expansion to CROSS pairs only
+    (id_a < boundary ≤ id_b) — the incremental-dedup form: new items
+    are checked against the existing corpus without re-expanding
+    old↔old pairs (O(df_old·df_new) per gram instead of O(df²))."""
     dup = g.loc[g.duplicated("gram_h", keep=False)]
     out = []
     for _, sub in dup.groupby("gram_h", sort=False):
@@ -658,7 +664,15 @@ def _bucket_gram_pairs(g: pd.DataFrame, df_cap: int) -> pd.DataFrame:
         sub = sub.sort_values("doc_id")
         ids = sub["doc_id"].to_numpy()
         ns = sub["n"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), 1)
+        if cross_boundary is not None:
+            n_old = int((ids < cross_boundary).sum())
+            if n_old == 0 or n_old == len(ids):
+                continue
+            # sorted ids ⇒ old block is the prefix: full cross product
+            ia, ib = np.meshgrid(np.arange(n_old), np.arange(n_old, len(ids)), indexing="ij")
+            ia, ib = ia.ravel(), ib.ravel()
+        else:
+            ia, ib = np.triu_indices(len(ids), 1)
         out.append(
             pd.DataFrame(
                 {
@@ -677,7 +691,8 @@ def _bucket_gram_pairs(g: pd.DataFrame, df_cap: int) -> pd.DataFrame:
 
 
 def exact_jaccard_pairs(grams_ds, *, tau_num: int = 1, tau_den: int = 2,
-                        n_buckets: int = 64, df_cap: int = 256):
+                        n_buckets: int = 64, df_cap: int = 256,
+                        cross_boundary: int | None = None):
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b) — the
     inverted-index form, no LSH: one bounded shuffle co-locates each
     gram's postings (bucket = hash(gram_h) % n_buckets), per-gram
@@ -692,8 +707,11 @@ def exact_jaccard_pairs(grams_ds, *, tau_num: int = 1, tau_den: int = 2,
 
     Scale: the expansion shuffle moves Σ df(gram)² pair rows bounded
     by ``df_cap``·Σ df; true stop-grams should be dropped upstream.
-    Reference analogue: the dedup semi-joins of SURVEY §2.7 (D1-D4);
-    this is the exact-similarity form the reference never had.
+    ``cross_boundary``: only pairs straddling the id boundary are
+    expanded (incremental dedup — new ids vs the existing corpus,
+    O(df_old·df_new) per gram). Reference analogue: the dedup
+    semi-joins of SURVEY §2.7 (D1-D4); this is the exact-similarity
+    form the reference never had.
     """
     from .agg import bucketed_group_agg
 
@@ -706,7 +724,7 @@ def exact_jaccard_pairs(grams_ds, *, tau_num: int = 1, tau_den: int = 2,
         grams_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(
-            lambda g: _bucket_gram_pairs(g.drop(columns="__bucket"), df_cap),
+            lambda g: _bucket_gram_pairs(g.drop(columns="__bucket"), df_cap, cross_boundary),
             batch_format="pandas",
         )
     )
