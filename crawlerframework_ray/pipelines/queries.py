@@ -3863,6 +3863,52 @@ def ann_topk_quantized(sf_dir: str):
     )
 
 
+_RECALL_EVAL_SQL = f"""
+    WITH bf AS ({_ANN_SQL}), qz AS ({_QUANT_ANN_SQL}),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+    hits AS (SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM bf JOIN qz USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_permille
+    FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
+"""
+
+
+@register("ann_recall_eval", _RECALL_EVAL_SQL)
+def ann_recall_eval(sf_dir: str):
+    """Evaluation as a first-class pipeline ("measure, don't guess"):
+    recall@5 of the int8-quantized ANN against the float brute-force
+    truth, per query. Both top-k pipelines run distributed (broadcast
+    query matrix + per-batch partial top-k each); their outputs are
+    inherently small (k·|Q| rows), so the intersection count is a
+    driver-side merge of two bounded results — the one place a
+    driver-side join is the scale-correct choice. Quantization changes
+    the ordering for real here (unnormalized int8 dot vs normalized
+    float cosine), so the recall values are informative, deterministic,
+    and exactly reproduced by the composed native-SQL oracle."""
+    from ..stages.similarity import ann_bruteforce, ann_quantized
+
+    qids, qvecs = _query_vectors(sf_dir)
+    bf = (
+        ann_bruteforce(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), qids, qvecs, k=5)
+        .to_pandas()[["query_id", "neighbor_id"]]
+    )
+    qz = (
+        ann_quantized(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), qids, qvecs, k=5)
+        .to_pandas()[["query_id", "neighbor_id"]]
+    )
+    hits = bf.merge(qz, on=["query_id", "neighbor_id"]).groupby("query_id").size()
+    n_hits = pd.Series(qids, name="query_id").map(hits).fillna(0).astype("int64")
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(qids, dtype="int64"),
+            "n_hits": n_hits.to_numpy(),
+            "recall_permille": (n_hits.to_numpy() * 1000) // 5,
+        }
+    ).sort_values("query_id").reset_index(drop=True)
+
+
 @register("kmeans_cluster_embeddings", _golden_sql("kmeans_clusters"))
 def kmeans_cluster_embeddings(sf_dir: str):
     """Distributed k-means document clustering over the embedding
