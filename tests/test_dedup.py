@@ -342,3 +342,27 @@ def test_exact_jaccard_hot_gram_skew_guard(ray_session):
     pd.testing.assert_frame_equal(out, exp)
     got_pairs = set(zip(out["id_a"], out["id_b"]))
     assert (100, 101) in got_pairs and (102, 103) in got_pairs
+
+
+def test_exact_jaccard_partition_independent(ray_session):
+    """The inverted-index pair pipeline must produce identical output
+    whatever the input block structure (retries / different cluster
+    widths repartition freely)."""
+    from crawlerframework_ray.stages.dedup import exact_jaccard_pairs, ngram_set_rows
+
+    import ray.data
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(blocks):
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"], override_num_blocks=blocks
+        )
+        return (
+            exact_jaccard_pairs(ngram_set_rows(ds), tau_num=1, tau_den=2)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(2), run(17))
