@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "minhash_near_dup_pairs",
     "image_decode_stats",
+    # round-3 continuation: the exact (no-LSH) dedup family's heaviest op
+    "ngram_jaccard_pairs",
 ]
 
 
