@@ -1186,6 +1186,125 @@ def doc_quality_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
+_FERTILITY_SQL = f"""
+    WITH w AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words,
+                      len(text) AS n_chars FROM documents),
+    b AS (SELECT doc_id, n_bpe_tokens FROM read_parquet('{_GOLDEN_DIR}/quality_fp.sf0.01.parquet'))
+    SELECT lang, CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(n_bpe_tokens) * 1000 // SUM(n_words) AS BIGINT) AS fertility_milli,
+           CAST(SUM(n_chars) * 1000 // SUM(n_words) AS BIGINT) AS chars_per_word_milli
+    FROM w JOIN b USING (doc_id) GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", _FERTILITY_SQL)
+def tokenizer_fertility_by_lang(sf_dir: str):
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    language — the standard tokenizer-efficiency diagnostic a
+    multilingual corpus pipeline reports before training. Per-doc
+    token/word counts are one vectorizable pass; per-language partials
+    shuffle two ints per lang per batch; the ratio is computed in
+    integer permille AFTER the global sums (never averaged per doc —
+    fertility is a ratio of sums). Token counts are golden-pinned
+    (same bpe_token_count leaf as doc_quality_fingerprint); word
+    counts and the combine are native SQL."""
+    from ..functions.textstats import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["sum_bpe_tokens"] = [bpe_token_count(x) for x in df["text"]]
+        df["sum_words"] = [len(x.split(" ")) for x in df["text"]]
+        df["sum_chars"] = [len(x) for x in df["text"]]
+        return df.groupby("lang", as_index=False)[
+            ["sum_bpe_tokens", "sum_words", "sum_chars"]
+        ].sum()
+
+    from ..stages.agg import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["lang"],
+        lambda g: g.groupby("lang", as_index=False)[
+            ["sum_bpe_tokens", "sum_words", "sum_chars"]
+        ].sum(),
+    ).to_pandas()
+    out["fertility_milli"] = (out["sum_bpe_tokens"] * 1000) // out["sum_words"]
+    out["chars_per_word_milli"] = (out["sum_chars"] * 1000) // out["sum_words"]
+    out = out.drop(columns=["sum_chars"])
+    for c in ["sum_bpe_tokens", "sum_words", "fertility_milli", "chars_per_word_milli"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (SELECT CASE WHEN doc_id % 11 = 1 THEN doc_id + 100000 ELSE doc_id END AS doc_id,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id % 7 != 0)
+    SELECT CAST(COALESCE(v1.doc_id, v2.doc_id) AS BIGINT) AS doc_id,
+           CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v1.h != v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
+@register("dataset_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def dataset_snapshot_diff(sf_dir: str):
+    """Dataset versioning diff — per-id added/removed/changed/unchanged
+    between two corpus snapshots (the data-ops primitive behind
+    incremental corpus releases; D4's content-change detection applied
+    table-to-table instead of crawl-to-crawl). v2 is derived
+    deterministically from v1 (drop %7, mutate %5, renumber %11 as new
+    ids) so both engines see identical snapshots. One bucketed FULL
+    OUTER hash join on doc_id carrying md5(text) from each side —
+    status is a vectorized comparison per bucket, never a driver loop."""
+    from ..stages.joins import hash_join
+
+    def h1(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "h1": pa.array(
+                    [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def h2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy()
+        texts = t.column("text").to_pylist()
+        keep = ids % 7 != 0
+        out_ids = np.where(ids % 11 == 1, ids + 100_000, ids)[keep]
+        hs = [
+            hashlib.md5(((x + " v2") if d % 5 == 0 else x).encode("utf-8")).hexdigest()
+            for d, x, k in zip(ids, texts, keep) if k
+        ]
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "h2": pa.array(hs, pa.string())}
+        )
+
+    v1 = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(h1, batch_format="pyarrow")
+    v2 = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(h2, batch_format="pyarrow")
+    joined = hash_join(v1, v2, "doc_id", ["doc_id", "h1"], ["h2"], how="outer")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        status = np.where(
+            df["h2"].isna(), "removed",
+            np.where(df["h1"].isna(), "added",
+                     np.where(df["h1"] != df["h2"], "changed", "unchanged")),
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "status": status})
+
+    out = joined.map_batches(classify, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 # duplicate planting shared by both sides: docs with id%10<2 collapse
 # onto one synthetic text per 20-id window ({20g, 20g+1, 20g+10,
 # 20g+11} → 4-way dup groups), so the dedup stage has live work
