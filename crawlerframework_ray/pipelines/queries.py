@@ -775,6 +775,73 @@ def exact_dedup_documents(sf_dir: str):
     return df
 
 
+_WINNOW_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (SELECT doc_id, i,
+            CAST(CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))
+                 AS UBIGINT) AS BIGINT) AS gh
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) u),
+    w AS (SELECT doc_id, i,
+            min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            count(*) OVER (PARTITION BY doc_id) AS ng
+          FROM g),
+    sel AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= ng - 3)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+    FROM sel GROUP BY doc_id
+"""
+
+
+@register("winnowing_fingerprints", _WINNOW_SQL)
+def winnowing_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word 3-gram, slide a window of 4
+    consecutive gram hashes, select each window's minimum — the
+    guarantee is at least one fingerprint per 4-gram span, so any
+    sufficiently long shared passage between two documents shares a
+    fingerprint. Per-doc output is the distinct-fingerprint count and
+    their XOR (an order-free checksum, so the gate is value-exact on
+    the selected SET, not just its size). Sliding min is one
+    vectorized ``sliding_window_view`` per doc; no shuffle at all —
+    fingerprinting is embarrassingly parallel, downstream passage-dup
+    joins would reuse the exact_jaccard_pairs machinery."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    k, w = 3, 4
+
+    def fn(t: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids_out, n_out, xor_out = [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = txt.split(" ")
+            if len(toks) < k + w - 1:
+                continue
+            gh = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[:8], "big"
+                    ) >> 4
+                    for i in range(len(toks) - k + 1)
+                ],
+                dtype=np.int64,
+            )
+            fps = np.unique(sliding_window_view(gh, w).min(axis=1))
+            ids_out.append(int(d))
+            n_out.append(len(fps))
+            xor_out.append(int(np.bitwise_xor.reduce(fps)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_fps": pa.array(n_out, pa.int64()),
+                "fp_xor": pa.array(xor_out, pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(fn, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
