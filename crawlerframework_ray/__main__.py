@@ -36,7 +36,20 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--verify-rows", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
 
+    q = sub.add_parser("query", help="run a catalog query (or list them)")
+    q.add_argument("name", nargs="?", help="query name; omit to list the catalog")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default=None, help="write result parquet here instead of printing")
+    q.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.name is None:
+        from .pipelines.queries import ORACLE_SQL, QUERIES
+
+        for name in sorted(QUERIES):
+            print(f"{name}\t{'sql-oracle' if name in ORACLE_SQL else 'rows-only'}")
+        return 0
 
     import ray
 
@@ -51,6 +64,26 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "query":
+        from .pipelines.queries import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; run without a name to list", file=sys.stderr)
+            ray.shutdown()
+            return 2
+        res = QUERIES[args.name](args.sf_dir)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if args.out:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
+            print(json.dumps({"query": args.name, "rows": len(df), "out": args.out}))
+        else:
+            print(df.to_string(max_rows=50))
+        ray.shutdown()
+        return 0
 
     from .config import CrawlConfig
     from .data.synth import SynthWebConfig, seeds_table
