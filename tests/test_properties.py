@@ -1,0 +1,141 @@
+"""Property-based gates (hypothesis) for the pure leaf functions the
+distributed pipelines are built on. These are the invariants the
+oracle-equality gates rely on implicitly; here they are checked over
+generated inputs, not just the fixture corpora. All serial — no Ray.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SET = settings(max_examples=60, deadline=None)
+
+
+# ------------------------------------------------------------- codecs
+
+dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@SET
+@given(dims, st.integers(0, 2**31 - 1))
+def test_raw_png_roundtrip_identity(dim, seed):
+    from crawlerframework_ray.data import codecs
+
+    h, w = dim
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_raw(codecs.encode_raw(img)), img)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+@SET
+@given(st.integers(8, 24), st.integers(8, 24), st.integers(0, 2**31 - 1))
+def test_qds_lossy_error_bounded(h, w, seed):
+    """qds is 6-bit quantization with mid-rise reconstruction: per-pixel
+    error must stay in [-2, +1] (so PSNR ≥ 40 dB on any image)."""
+    from crawlerframework_ray.data import codecs
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    back = codecs.decode_qds(codecs.encode_qds(img))
+    err = back.astype(np.int16) - img.astype(np.int16)
+    assert err.min() >= -2 and err.max() <= 2
+
+
+@SET
+@given(st.integers(1, 6), st.integers(4, 16), st.integers(4, 16),
+       st.integers(0, 2**31 - 1), st.integers(1, 240))
+def test_qvd_roundtrip_identity(n, h, w, seed, fps):
+    from crawlerframework_ray.data import media
+
+    frames = np.random.default_rng(seed).integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    back, fps2 = media.decode_qvd(media.encode_qvd(frames, fps=fps))
+    assert fps2 == fps
+    np.testing.assert_array_equal(back, frames)
+
+
+@SET
+@given(st.integers(1, 5000), st.integers(0, 2**31 - 1), st.sampled_from([8000, 16000, 44100]))
+def test_qau_roundtrip_identity(n, seed, rate):
+    from crawlerframework_ray.data import media
+
+    pcm = np.random.default_rng(seed).integers(-32768, 32768, n, dtype=np.int64).astype(np.int16)
+    back, rate2 = media.decode_qau(media.encode_qau(pcm, rate))
+    assert rate2 == rate
+    np.testing.assert_array_equal(back, pcm)
+
+
+@SET
+@given(st.integers(1, 4096), st.integers(0, 2**31 - 1), st.integers(1, 512))
+def test_window_energies_match_naive(n, seed, window):
+    import math
+
+    from crawlerframework_ray.data.media import window_energies
+
+    pcm = np.random.default_rng(seed).integers(-32768, 32768, n, dtype=np.int64).astype(np.int16)
+    got = window_energies(pcm, window)
+    assert len(got) == n // window
+    for i, sum_sq, rms in got:
+        expect = sum(int(x) ** 2 for x in pcm[i * window : (i + 1) * window])
+        assert sum_sq == expect
+        assert rms == math.isqrt(expect * 1_000_000 // window)
+
+
+# ------------------------------------------------------------- urlnorm
+
+url_st = st.builds(
+    lambda scheme, host, segs, q, frag: (
+        f"{scheme}://{host}/" + "/".join(segs) + (f"?{q}" if q else "") + (f"#{frag}" if frag else "")
+    ),
+    st.sampled_from(["http", "HTTP", "https"]),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,20}(:(80|443|8080))?", fullmatch=True),
+    st.lists(st.sampled_from(["a", "B", "..", ".", "p%61th", "x y", ""]), max_size=6),
+    st.sampled_from(["", "a=1", "b=%20", "a=1&b=2"]),
+    st.sampled_from(["", "frag"]),
+)
+
+
+@SET
+@given(url_st)
+def test_urlnorm_idempotent(url):
+    from crawlerframework_ray.functions.urlnorm import normalize
+
+    once = normalize(url)
+    assert normalize(once) == once
+
+
+# ------------------------------------------------------------- cuckoo
+
+@SET
+@given(st.lists(st.binary(min_size=16, max_size=16), min_size=1, max_size=300, unique=True),
+       st.integers(0, 2**31 - 1))
+def test_cuckoo_no_false_negatives(items, seed):
+    """Every successfully added item must be reported present — the
+    property the URL-seen dedup's correctness rides on (false
+    positives merely skip a re-fetch; a false negative would violate
+    the seen-set membership gate). Keys are 16-byte digests — the
+    filter's contract (state/seen.py feeds md5 digests)."""
+    from crawlerframework_ray.state.cuckoo import CuckooFilter
+
+    f = CuckooFilter(capacity=2048)
+    added = [x for x in items if f.add(x)]
+    assert len(added) == len(items)  # far below capacity: no kicks lost
+    for x in added:
+        assert f.contains(x)
+
+
+# ------------------------------------------------------- integer math
+
+@SET
+@given(st.integers(0, 10_000), st.integers(0, 10_000))
+def test_jaccard_permille_formula_bounds(inter, extra):
+    """(2000·inter + union) // (2·union) is round-half-up of
+    1000·inter/union, in [0, 1000], and hits 1000 iff inter == union."""
+    union = max(inter + extra, 1)
+    p = (2000 * inter + union) // (2 * union)
+    assert 0 <= p <= 1000
+    assert (p == 1000) == (inter == union)
+    import fractions
+
+    exact = fractions.Fraction(1000 * inter, union)
+    assert abs(p - exact) <= fractions.Fraction(1, 2)
