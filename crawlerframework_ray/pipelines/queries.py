@@ -775,6 +775,64 @@ def exact_dedup_documents(sf_dir: str):
     return df
 
 
+_SAMPLE_K_SQL = """
+    WITH h AS (SELECT doc_id, lang,
+                 CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s7'), 1, 15))
+                      AS UBIGINT) AS BIGINT) AS hkey
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
+          FROM h)
+    WHERE rnk <= 5
+"""
+
+
+@register("sample_k_per_lang", _SAMPLE_K_SQL)
+def sample_k_per_lang(sf_dir: str):
+    """Deterministic exactly-K-per-group sampling (inspection samples,
+    few-shot pools): rank every doc inside its language by a seeded
+    content hash and keep the first K — RNG-free, so the sample is
+    stable under retries and repartitioning, and uniform because the
+    hash order is independent of ingestion order. Per-batch partial
+    top-K per group keeps the shuffle at K·groups·batches rows (the
+    grouped form of the global partial-top-k pattern)."""
+    k = 5
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def hkeys(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["hkey"] = [
+            int.from_bytes(hashlib.md5(f"{int(d)}#s7".encode()).digest()[:8], "big") >> 4
+            for d in df["doc_id"]
+        ]
+        # partial top-K per group inside the batch: only candidate rows
+        # reach the shuffle
+        return (
+            df.sort_values(["hkey", "doc_id"], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", "doc_id"], kind="mergesort").head(k).reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "lang", "rnk"]]
+
+    df = (
+        ds.map_batches(hkeys, batch_format="pyarrow", batch_size=65536)
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        df.sort_values(["lang", "rnk"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "rnk": "int64"})
+    )
+
+
 _WINNOW_SQL = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     g AS (SELECT doc_id, i,
