@@ -2109,6 +2109,65 @@ def video_near_dup_pairs(sf_dir: str):
     )
 
 
+@register("video_corpus_prep", _golden_sql("video_prep_stats"))
+def video_corpus_prep(sf_dir: str):
+    """The VIDEO-side composite flagship (image_corpus_prep's sibling):
+    fingerprint (decode → every-4th-frame phash grams) → exact-Jaccard
+    near-dup pairs → distributed min-label connected components →
+    keep-min-per-cluster dedup via a bucketed ANTI-join of the corpus
+    against the dropped set → kept-count rollup by source-doc residue
+    class (the class the twin planting keys on, so a dedup failure
+    localizes to the twin tier that broke). Every stage is the shared
+    machinery: gram stage, pair engine, label propagation, anti_join —
+    nothing bespoke. Golden is an independent serial union-find
+    mirror."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.dedup import exact_jaccard_pairs, label_propagation_clusters
+    from ..stages.joins import anti_join
+    from ..stages.multimodal import VideoPhashGramStage, video_dup_corpus_records
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(128)
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = video_dup_corpus_records(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                "fmt": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    grams = ds.map_batches(gen, batch_format="pyarrow", batch_size=128).map_batches(
+        VideoPhashGramStage, fn_constructor_kwargs={"every_n": 4},
+        batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5,
+    ).materialize()  # reused twice: pair input + corpus id set
+
+    pairs = exact_jaccard_pairs(grams, tau_num=1, tau_den=2)
+    labels = label_propagation_clusters(pairs)
+    dropped = labels.map_batches(
+        lambda df: df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]],
+        batch_format="pandas",
+    )
+    corpus_ids = grams.map_batches(
+        lambda df: df[["doc_id"]].drop_duplicates(), batch_format="pandas"
+    )
+    kept = anti_join(corpus_ids, dropped, "doc_id", ["doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates()
+        out["residue"] = (out["doc_id"] // 2) % 10
+        out["n_kept"] = np.int64(1)
+        return out.groupby("residue", as_index=False)["n_kept"].sum()
+
+    rollup = bucketed_group_agg(
+        kept.map_batches(partial, batch_format="pandas"),
+        ["residue"],
+        lambda g: g.groupby("residue", as_index=False)["n_kept"].sum(),
+    ).to_pandas()
+    return rollup.sort_values("residue").reset_index(drop=True).astype("int64")
+
+
 @register("audio_near_dup_pairs", _golden_sql("audio_dup_pairs"))
 def audio_near_dup_pairs(sf_dir: str):
     """Audio near-duplicate detection via windowed-energy fingerprints

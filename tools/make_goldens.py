@@ -904,10 +904,55 @@ def audio_dup_pairs(sf_dir: str) -> None:
     _write("audio_dup_pairs", sf_dir, _fingerprint_pairs_golden(recs, fps))
 
 
+def video_prep_stats(sf_dir: str) -> None:
+    """Serial mirror of the video_corpus_prep composite: fingerprint →
+    all-pairs Jaccard ≥ 0.5 → union-find connected components →
+    keep-min per component → kept-count rollup by doc-id residue class
+    (the class structure is what the twin planting keys on, so the
+    rollup localizes a dedup failure to the twin tier that broke)."""
+    from crawlerframework_ray.data import media
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.stages.multimodal import video_dup_corpus_records
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    recs = video_dup_corpus_records(t.column("doc_id").to_pylist()[:128])
+    ids = [r[0] for r in recs]
+    fps = []
+    for _, blob, _fmt in recs:
+        frames, _ = media.decode_qvd(blob)
+        fps.append({(f, average_hash(frames[f])) for f in range(0, frames.shape[0], 4)})
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(fps[i] & fps[j])
+            union = len(fps[i] | fps[j])
+            if union and 2 * inter >= union:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    kept = [i for i in ids if find(i) == i]
+    rows = {}
+    for v in kept:
+        res = (v // 2) % 10  # residue class of the SOURCE doc id
+        rows[res] = rows.get(res, 0) + 1
+    _write(
+        "video_prep_stats", sf_dir,
+        pd.DataFrame(sorted(rows.items()), columns=["residue", "n_kept"]).astype("int64"),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
-       video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs]
+       video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
+       video_prep_stats]
 
 
 def main() -> None:
