@@ -4334,3 +4334,340 @@ def salient_terms_per_doc(sf_dir: str):
         )
 
     return bucketed_group_agg(joined, ["doc_id"], top3)
+
+
+# =====================================================================
+# Multiway star join + static/dynamic corpus quality filters
+# =====================================================================
+
+_Q3_SQL = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100+0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-style multiway star join: customer ⋈ orders ⋈ lineitem
+    with per-side pushed-down filters, grouped revenue, global top-10.
+    Three-table plan with exactly TWO bounded shuffles: (1) the
+    dimension filter (c_mktsegment) is applied AT THE READ and the
+    surviving keys semi-join orders via the bucketed hash_join — at
+    32-node scale the dimension side ships only distinct keys per
+    bucket, never the fact table; (2) lineitem is pre-aggregated per
+    batch (one partial revenue row per (batch, orderkey) — the
+    combiner) before its join+groupby shuffle, and the global top-10
+    is taken per bucket first (partial top-k) so the driver sees at
+    most 10 × n_buckets rows. Reference analogue: the multi-table
+    report joins in crawler/db reporting (crawlerdb.py join helpers);
+    revenue integerized per row (floor(x*100+0.5)) so the sum is
+    order-independent."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.joins import hash_join
+
+    cutoff = np.datetime64("1995-03-15T00:00:00")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    # semi: every surviving order joined to its (unique) building customer key
+    orders_b = hash_join(
+        orders, cust, key="o_custkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_orderpriority"], right_cols=[],
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        df = t.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                 "revenue_cents": pd.Series([], dtype="int64")})
+        df["revenue_cents"] = np.floor(
+            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()) * 100 + 0.5
+        ).astype(np.int64)
+        return df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    joined = hash_join(
+        li, orders_b, key="l_orderkey",
+        left_cols=["revenue_cents"], right_cols=["o_orderdate", "o_orderpriority"],
+    )
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False)[
+            "revenue_cents"
+        ].sum()
+        return out.sort_values(
+            ["revenue_cents", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(10)
+
+    part = bucketed_group_agg(joined, ["l_orderkey"], topk_bucket).to_pandas()
+    out = part.sort_values(
+        ["revenue_cents", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True], kind="mergesort",
+    ).head(10).reset_index(drop=True)
+    return out[["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]].astype(
+        {"l_orderkey": "int64", "revenue_cents": "int64"}
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "a", "is", "with", "for")
+
+_GOPHER_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(word)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(SUM(CASE WHEN word IN {_GOPHER_STOPWORDS!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      FROM w GROUP BY doc_id)
+    SELECT doc_id, n_words, sum_len, n_alpha, n_stop,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 80
+                      AND 3*n_words <= sum_len AND sum_len <= 10*n_words
+                      AND 5*n_alpha >= 4*n_words
+                      AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM agg
+"""
+
+
+@register("gopher_rules_filter", _GOPHER_SQL)
+def gopher_rules_filter(sf_dir: str):
+    """Gopher static quality rules (Rae et al. 2021 §A1.1, the
+    rule-based half next to repetition_filter_documents): per-document
+    word count bounds, mean-word-length band, alphabetic-word
+    fraction, and minimum stopword count, combined into one keep
+    decision. Entirely integer (ratio gates cross-multiplied:
+    3·n ≤ Σlen ≤ 10·n, 5·n_alpha ≥ 4·n) so the distributed run
+    value-hash-matches SQL exactly. Shape: one stateless map_batches
+    pass, no shuffle — per-doc flags are emitted with the decision so
+    the oracle checks every intermediate, not just the survivor set."""
+    import re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    alpha = re.compile(r"[a-zA-Z]")
+    stop = set(_GOPHER_STOPWORDS)
+
+    def rules(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nw = np.empty(len(ids), np.int64)
+        sl = np.empty(len(ids), np.int64)
+        na = np.empty(len(ids), np.int64)
+        ns = np.empty(len(ids), np.int64)
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            words = txt.split(" ")  # matches DuckDB string_split ('' -> [''])
+            nw[i] = len(words)
+            sl[i] = sum(len(w) for w in words)
+            na[i] = sum(1 for w in words if alpha.search(w))
+            ns[i] = sum(1 for w in words if w in stop)
+        keep = (
+            (nw >= 30) & (nw <= 80)
+            & (3 * nw <= sl) & (sl <= 10 * nw)
+            & (5 * na >= 4 * nw)
+            & (ns >= 2)
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n_words": pa.array(nw),
+             "sum_len": pa.array(sl), "n_alpha": pa.array(na),
+             "n_stop": pa.array(ns), "keep": pa.array(keep)}
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow", batch_size=8192)
+
+
+_SRC_FILTER_SQL = """
+    WITH q AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      FROM documents),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(nw) AS BIGINT) AS sum_nw FROM q GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(SUM(sum_nw) AS BIGINT) AS sum_total FROM s),
+    kept AS (SELECT s.source FROM s, tot
+             WHERE s.sum_nw * tot.n_total >= tot.sum_total * s.n_docs)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nw) AS BIGINT) AS sum_words_kept
+    FROM q WHERE source IN (SELECT source FROM kept)
+    GROUP BY lang
+"""
+
+
+@register("source_mean_filter", _SRC_FILTER_SQL)
+def source_mean_filter(sf_dir: str):
+    """Domain-level corpus filtering (the RefinedWeb/C4 move of
+    dropping whole LOW-QUALITY DOMAINS, not documents): pass 1
+    computes per-source document count + total word mass as per-batch
+    partials folded by one bounded groupby (one row per source);
+    sources whose mean words/doc is >= the GLOBAL mean are kept —
+    the threshold is cross-multiplied (sum_src·n_total >=
+    sum_total·n_src) so the decision is integer-exact and
+    constant-free (non-degenerate at every scale by construction).
+    Pass 2 re-streams documents, filters by broadcast membership of
+    the kept-source set (ray.put once, read per task — sources ≪
+    corpus), and folds per-language survivor stats. The aggregate →
+    tiny-driver-decision → broadcast-filter shape is the canonical
+    two-pass global filter; at 100 TB each pass is one streaming scan
+    and the only shuffle is source-bounded."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist()})
+        df["nw"] = [len(txt.split(" ")) for txt in t.column("text").to_pylist()]
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("nw", "size"), sum_nw=("nw", "sum")
+        )
+        return g.astype({"n_docs": "int64", "sum_nw": "int64"})
+
+    per_src = bucketed_group_agg(
+        _read(sf_dir, "documents", ["source", "text"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=8192
+        ),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)[["n_docs", "sum_nw"]].sum(),
+    ).to_pandas()
+
+    n_total = int(per_src["n_docs"].sum())
+    sum_total = int(per_src["sum_nw"].sum())
+    kept = set(
+        per_src.loc[
+            per_src["sum_nw"] * n_total >= sum_total * per_src["n_docs"], "source"
+        ]
+    )
+    kept_ref = ray.put(kept)
+
+    def survivors(t: pa.Table) -> pd.DataFrame:
+        ks = ray.get(kept_ref)
+        src = t.column("source").to_pylist()
+        mask = np.fromiter((s in ks for s in src), bool, len(src))
+        if not mask.any():
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n_docs_kept": pd.Series([], dtype="int64"),
+                                 "sum_words_kept": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"lang": np.asarray(t.column("lang").to_pylist(), object)[mask]})
+        df["nw"] = [
+            len(txt.split(" "))
+            for txt, m in zip(t.column("text").to_pylist(), mask) if m
+        ]
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs_kept=("nw", "size"), sum_words_kept=("nw", "sum")
+        )
+        return g.astype({"n_docs_kept": "int64", "sum_words_kept": "int64"})
+
+    out = bucketed_group_agg(
+        _read(sf_dir, "documents", ["lang", "source", "text"]).map_batches(
+            survivors, batch_format="pyarrow", batch_size=8192
+        ),
+        ["lang"],
+        lambda g: g.groupby("lang", as_index=False)[["n_docs_kept", "sum_words_kept"]].sum(),
+    ).to_pandas()
+    return out.astype({"n_docs_kept": "int64", "sum_words_kept": "int64"})
+
+
+_PCTL_FILTER_SQL = """
+    WITH thr AS (SELECT CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75
+                 FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents, thr WHERE n_chars >= thr.p75
+    GROUP BY lang
+"""
+
+
+@register("quality_percentile_filter", _PCTL_FILTER_SQL)
+def quality_percentile_filter(sf_dir: str):
+    """Dynamic-threshold filtering at a GLOBAL percentile (the
+    select-top-quartile-by-signal move used for quality-scored corpus
+    ablations): pass 1 builds the exact value histogram of n_chars as
+    per-batch (value, count) partials — the shuffle is bounded by the
+    value domain, never the row count — and the driver walks the
+    cumulative counts to the discrete p75 (ceil(q·n)−1, exactly
+    DuckDB's quantile_disc convention, same machinery as
+    quantiles_chars_per_lang but GLOBAL, feeding a decision instead of
+    a report). Pass 2 filters n_chars >= p75 with a plain vectorized
+    compare (the threshold is one broadcast int) and folds per-lang
+    survivor stats. Integer-exact at any partitioning."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = t.column("n_chars").to_pandas().value_counts()
+        return pa.table(
+            {"n_chars": pa.array(vc.index.to_numpy(np.int64)),
+             "cnt": pa.array(vc.to_numpy(np.int64))}
+        )
+
+    hist = (
+        ds.select_columns(["n_chars"])
+        .map_batches(hist_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_chars")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    cum = hist["sum(cnt)"].to_numpy().cumsum()
+    n = int(cum[-1])
+    idx = (3 * n + 3) // 4 - 1  # ceil(0.75*n) - 1, 0-based
+    p75 = int(hist["n_chars"].to_numpy()[np.searchsorted(cum, idx + 1)])
+
+    def survivors(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.greater_equal(t["n_chars"], p75))
+        df = t.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n_docs_kept": pd.Series([], dtype="int64"),
+                                 "min_chars": pd.Series([], dtype="int64"),
+                                 "sum_chars": pd.Series([], dtype="int64")})
+        return df.groupby("lang", as_index=False).agg(
+            n_docs_kept=("n_chars", "size"), min_chars=("n_chars", "min"),
+            sum_chars=("n_chars", "sum"),
+        ).astype({"n_docs_kept": "int64", "min_chars": "int64", "sum_chars": "int64"})
+
+    out = bucketed_group_agg(
+        ds.map_batches(survivors, batch_format="pyarrow", batch_size=65536),
+        ["lang"],
+        lambda g: g.groupby("lang", as_index=False).agg(
+            n_docs_kept=("n_docs_kept", "sum"), min_chars=("min_chars", "min"),
+            sum_chars=("sum_chars", "sum"),
+        ),
+    ).to_pandas()
+    return out.astype(
+        {"n_docs_kept": "int64", "min_chars": "int64", "sum_chars": "int64"}
+    )
