@@ -4671,3 +4671,240 @@ def quality_percentile_filter(sf_dir: str):
     return out.astype(
         {"n_docs_kept": "int64", "min_chars": "int64", "sum_chars": "int64"}
     )
+
+
+# =====================================================================
+# Model-eval, robust statistics, and image-side training prep
+# =====================================================================
+
+
+def _confusion_sql() -> str:
+    return f"""
+    SELECT d.lang AS true_lang, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d
+    JOIN ({_lang_id_sql()}) p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    """
+
+
+@register("lang_confusion_matrix")
+def lang_confusion_matrix(sf_dir: str):
+    """Classifier-eval rollup: confusion matrix of the n-gram lang-ID
+    model against the labeled lang column — the model-evaluation
+    counterpart of ann_recall_eval for the text side (every corpus
+    pipeline that gates on a classifier needs its error matrix as a
+    first-class query). Shape: stateless per-batch predict (the model
+    table is a compiled-in constant, built once per process) + partial
+    (true, pred) counts → one bounded groupby (≤ langs² rows). The
+    oracle embeds the SAME generated trigram-scoring SQL as
+    lang_id_ngram, so the matrix is value-exact, not approximate."""
+    from ..functions.textstats import detect_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "true_lang": t.column("lang").to_pylist(),
+                "lang_pred": [detect_lang(x) for x in t.column("text").to_pylist()],
+            }
+        )
+        g = df.groupby(["true_lang", "lang_pred"], as_index=False).size()
+        return g.rename(columns={"size": "n_docs"}).astype({"n_docs": "int64"})
+
+    from ..stages.agg import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["true_lang", "lang_pred"],
+        lambda g: g.groupby(["true_lang", "lang_pred"], as_index=False)["n_docs"].sum(),
+    ).to_pandas()
+    return out.astype({"n_docs": "int64"})
+
+
+ORACLE_SQL["lang_confusion_matrix"] = _confusion_sql()
+
+
+_OUTLIER_SQL = """
+    WITH med AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+                 FROM documents GROUP BY lang),
+    mad AS (SELECT d.lang,
+                   CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad
+            FROM documents d JOIN med m USING (lang) GROUP BY d.lang)
+    SELECT d.lang, m.med, a.mad,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN abs(d.n_chars - m.med) > 2 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN med m USING (lang) JOIN mad a ON a.lang = d.lang
+    GROUP BY d.lang, m.med, a.mad
+"""
+
+
+@register("length_outliers_per_lang", _OUTLIER_SQL)
+def length_outliers_per_lang(sf_dir: str):
+    """Robust outlier detection (median + MAD, the heavy-tail-safe
+    z-score): per language, flag documents whose |n_chars − median|
+    exceeds 2×MAD. The entire three-statistic cascade (median → MAD →
+    outlier count) is derived from ONE per-lang value histogram — the
+    per-batch partial emits (lang, value, count) rows, one bounded
+    shuffle co-locates each language's histogram, and the reduce walks
+    cumulative counts for the median (ceil(q·n)−1, quantile_disc
+    convention), FOLDS the same histogram into an |v−med| histogram
+    for the MAD (no second data pass), then counts outliers from it.
+    At 100 TB: one streaming scan, shuffle bounded by langs × distinct
+    values, zero driver state."""
+    from collections import Counter
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(
+            zip(t.column("lang").to_pylist(), t.column("n_chars").to_pylist())
+        )
+        langs, vals, cnts = [], [], []
+        for (lang, v), n in c.items():
+            langs.append(lang)
+            vals.append(int(v))
+            cnts.append(n)
+        return pa.table(
+            {"lang": pa.array(langs, pa.string()),
+             "n_chars": pa.array(vals, pa.int64()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    def _disc_quantile(vals: np.ndarray, cnts: np.ndarray, num: int, den: int) -> int:
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        idx = (num * n + den - 1) // den - 1  # ceil(q*n) - 1, 0-based
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            h = gg.groupby("n_chars")["cnt"].sum().sort_index()
+            vals = h.index.to_numpy(np.int64)
+            cnts = h.to_numpy(np.int64)
+            med = _disc_quantile(vals, cnts, 1, 2)
+            adev = np.abs(vals - med)
+            order = np.argsort(adev, kind="stable")
+            ah = pd.Series(cnts[order]).groupby(adev[order]).sum()
+            avals, acnts = ah.index.to_numpy(np.int64), ah.to_numpy(np.int64)
+            mad = _disc_quantile(avals, acnts, 1, 2)
+            n_out = int(acnts[avals > 2 * mad].sum())
+            out.append((lang, med, mad, int(cnts.sum()), n_out))
+        return pd.DataFrame(out, columns=["lang", "med", "mad", "n_docs", "n_outliers"])
+
+    res = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536), ["lang"], reduce
+    ).to_pandas()
+    return res.astype({"med": "int64", "mad": "int64", "n_docs": "int64", "n_outliers": "int64"})
+
+
+_ASPECT_BUCKETS = ((0, 1, 1), (1, 2, 1), (2, 1, 2), (3, 4, 1), (4, 1, 4))
+
+_ASPECT_SQL = f"""
+    WITH dims AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dims.sf0.01.parquet')),
+    b AS (SELECT * FROM (VALUES {", ".join(str(t) for t in _ASPECT_BUCKETS)}) AS t(bi, bw, bh)),
+    ranked AS (
+      SELECT image_id, w, h, bw, bh,
+             ROW_NUMBER() OVER (PARTITION BY image_id
+                                ORDER BY abs(w*bh - h*bw), bi) AS rn
+      FROM dims CROSS JOIN b)
+    SELECT bw AS bucket_w, bh AS bucket_h,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w*h) AS BIGINT) AS sum_pixels
+    FROM ranked WHERE rn = 1 GROUP BY bw, bh
+"""
+
+
+@register("aspect_bucket_images", _ASPECT_SQL)
+def aspect_bucket_images(sf_dir: str):
+    """Aspect-ratio bucketing for image training (the SDXL-style move:
+    assign every image to the nearest aspect bucket so batches can be
+    shape-homogeneous without distorting crops). Distance is the
+    cross-multiplied |w·bh − h·bw| — integer, so nearest-bucket is
+    exact; ties break to the lowest bucket index on both sides. Shape:
+    decode (actor pool, dims from the DECODED array so the codec round
+    trip is in the loop) → vectorized argmin over the 5-bucket distance
+    matrix per batch → partial (bucket, count, pixels) rollup → one
+    tiny groupby. The oracle recomputes the bucketing logic natively in
+    SQL over golden-pinned dims — only the decode is pinned, the
+    assignment itself is independently checked."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import ImageDecodeStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {"image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+             "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+             "fmt": pa.array([r["fmt"] for r in recs], pa.string())}
+        )
+
+    bw = np.array([b[1] for b in _ASPECT_BUCKETS], np.int64)
+    bh = np.array([b[2] for b in _ASPECT_BUCKETS], np.int64)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        # |w·bh − h·bw| distance matrix (n × buckets); argmin ties → lowest index
+        dist = np.abs(w[:, None] * bh[None, :] - h[:, None] * bw[None, :])
+        bi = dist.argmin(axis=1)
+        df = pd.DataFrame(
+            {"bucket_w": bw[bi], "bucket_h": bh[bi], "n_pixels": w * h}
+        )
+        g = df.groupby(["bucket_w", "bucket_h"], as_index=False).agg(
+            n_images=("n_pixels", "size"), sum_pixels=("n_pixels", "sum")
+        )
+        return g.astype({"n_images": "int64", "sum_pixels": "int64"})
+
+    out = (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+        .map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=2, num_cpus=0.5)
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby(["bucket_w", "bucket_h"])
+        .sum(["n_images", "sum_pixels"])
+        .to_pandas()
+        .rename(columns={"sum(n_images)": "n_images", "sum(sum_pixels)": "sum_pixels"})
+    )
+    return out.astype(
+        {"bucket_w": "int64", "bucket_h": "int64", "n_images": "int64", "sum_pixels": "int64"}
+    )
+
+
+@register("image_patch_stats", _golden_sql("patch_stats"))
+def image_patch_stats(sf_dir: str):
+    """ViT-style patch statistics: decode → non-overlapping 8×8 patch
+    grid → integer per-patch luma sums reduced per image (the exact
+    preprocessing shape of a vision-transformer embedder, minus the
+    matmul). Actor-pool stage (decoders built once per actor,
+    stages/multimodal.PatchStatsStage), one vectorized reshape per
+    image, no shuffle. The golden is a fully serial mirror that walks
+    patches with explicit nested loops — independent of the reshape
+    path — so a stride/axis mistake cannot pass."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import PatchStatsStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {"image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+             "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+             "fmt": pa.array([r["fmt"] for r in recs], pa.string())}
+        )
+
+    return (
+        ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+        .map_batches(PatchStatsStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=2, num_cpus=0.5)
+    )

@@ -118,6 +118,50 @@ class ImageResizeStage:
         return batch
 
 
+class PatchStatsStage:
+    """ViT-style patch extraction: decode → non-overlapping p×p patches
+    → integer per-patch luma sums (sum of all channel values), reduced
+    to per-image stats. The patch grid is the exact preprocessing shape
+    of a vision-transformer embedder; sums are int64 so the output is
+    value-hash-comparable to the serial golden. Decoders built once per
+    actor; the patch reduction is one vectorized reshape per image
+    (synthetic dims are multiples of p=8).
+
+    Output schema: image_id:string, n_patches:int64,
+    min_patch_luma:int64, max_patch_luma:int64, sum_luma:int64.
+    """
+
+    def __init__(self, patch: int = 8):
+        self.patch = patch
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.patch
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        n_p, mn, mx, tot = [], [], [], []
+        for fmt, data in zip(fmts, datas):
+            img = self.decoders[fmt](data).astype(np.int64)
+            h, w, _ = img.shape
+            sums = img[: h // p * p, : w // p * p].reshape(h // p, p, w // p, p, 3).sum(
+                axis=(1, 3, 4)
+            )
+            n_p.append(sums.size)
+            mn.append(int(sums.min()))
+            mx.append(int(sums.max()))
+            tot.append(int(sums.sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_patches": pa.array(n_p, pa.int64()),
+                "min_patch_luma": pa.array(mn, pa.int64()),
+                "max_patch_luma": pa.array(mx, pa.int64()),
+                "sum_luma": pa.array(tot, pa.int64()),
+            }
+        )
+
+
 EXTERNAL_VIDEO_FMTS = {"mp4", "webm", "mkv", "avi", "mov"}
 EXTERNAL_AUDIO_FMTS = {"mp3", "ogg", "flac", "wav", "aac"}
 

@@ -948,11 +948,73 @@ def video_prep_stats(sf_dir: str) -> None:
     )
 
 
+def image_dims(sf_dir: str) -> None:
+    """Per-image decoded dimensions for the 500-doc image corpus
+    (shared gen leaf — regression-pin tier like phash_sigs): w/h taken
+    from the DECODED array shape, not the page record fields, so the
+    golden also pins the codec round trip. Feeds the SQL-native
+    aspect-bucket assignment oracle (the bucketing logic itself is
+    recomputed in SQL, only the dims are pinned)."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in t.column("doc_id").to_pylist():
+        d = int(d)
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        rows.append((rec["image_id"], img.shape[1], img.shape[0]))
+    _write(
+        "image_dims", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "w", "h"]).astype(
+            {"image_id": "string", "w": "int64", "h": "int64"}
+        ),
+    )
+
+
+def patch_stats(sf_dir: str) -> None:
+    """Serial mirror of the ViT-style 8x8 patch statistics: decode each
+    image and walk patches with EXPLICIT nested loops + int() sums —
+    independent of the vectorized reshape path the Ray stage uses."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in t.column("doc_id").to_pylist():
+        d = int(d)
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        h, w = img.shape[0], img.shape[1]
+        sums = []
+        for py in range(0, h, 8):
+            for px in range(0, w, 8):
+                s = 0
+                for yy in range(py, py + 8):
+                    for xx in range(px, px + 8):
+                        for c in range(3):
+                            s += int(img[yy, xx, c])
+                sums.append(s)
+        rows.append((rec["image_id"], len(sums), min(sums), max(sums), sum(sums)))
+    _write(
+        "patch_stats", sf_dir,
+        pd.DataFrame(
+            rows, columns=["image_id", "n_patches", "min_patch_luma", "max_patch_luma", "sum_luma"]
+        ).astype(
+            {"image_id": "string", "n_patches": "int64", "min_patch_luma": "int64",
+             "max_patch_luma": "int64", "sum_luma": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats]
+       video_prep_stats, image_dims, patch_stats]
 
 
 def main() -> None:
