@@ -4908,3 +4908,57 @@ def image_patch_stats(sf_dir: str):
         .map_batches(PatchStatsStage, batch_format="pyarrow", batch_size=128,
                      concurrency=2, num_cpus=0.5)
     )
+
+
+_JSONL_SQL = """
+    SELECT CASE WHEN event_id % 13 = 7 THEN 'quarantined' ELSE 'ok' END AS status,
+           CASE WHEN event_id % 13 = 7 THEN '__unparseable__' ELSE event_type END AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 13 = 7 THEN 0
+                         ELSE CAST(FLOOR(value*1000+0.5) AS BIGINT) END) AS BIGINT) AS sum_value_milli,
+           CAST(SUM(CASE WHEN event_id % 13 = 7 THEN 0
+                         ELSE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) END) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register("jsonl_ingest_quarantine", _JSONL_SQL)
+def jsonl_ingest_quarantine(sf_dir: str):
+    """JSONL source + dead-letter quarantine routing (S5/S9 source
+    family + O4 guards): a JSONL directory derived from the events
+    table — with a planted torn-write corruption on every
+    event_id % 13 == 7 line — is streamed through read_text, parsed
+    per batch by a TOLERANT decoder that routes unparseable lines to a
+    'quarantined' label instead of crashing or silently dropping, then
+    rolled up per (status, event_type). Every input line is accounted
+    for in the output (ok + quarantined counts reconcile to the line
+    total), which is the property the oracle checks relationally from
+    the parquet. Nested-JSON field extraction (props.k) is part of the
+    parse. sources/jsonsource.py; reference analogue: per-item
+    try/except + error counters in the API connectors
+    (baseconnector.py fetch loops)."""
+    import tempfile
+
+    from ..sources.jsonsource import export_events_jsonl, read_jsonl_with_quarantine
+    from ..stages.agg import bucketed_group_agg
+
+    jdir = export_events_jsonl(sf_dir, tempfile.mkdtemp(prefix="cfray-jsonl-"))
+    ds = read_jsonl_with_quarantine(jdir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby(["status", "event_type"], as_index=False).agg(
+            n_rows=("value_milli", "size"), sum_value_milli=("value_milli", "sum"),
+            sum_k=("k", "sum"),
+        )
+        return g.astype({"n_rows": "int64", "sum_value_milli": "int64", "sum_k": "int64"})
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["status", "event_type"],
+        lambda g: g.groupby(["status", "event_type"], as_index=False)[
+            ["n_rows", "sum_value_milli", "sum_k"]
+        ].sum(),
+    ).to_pandas()
+    return out.astype({"n_rows": "int64", "sum_value_milli": "int64", "sum_k": "int64"})

@@ -60,6 +60,41 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def compact_table(src: str, dst: str, target_rows_per_file: int = 1 << 20) -> dict:
+    """Small-file compaction: stream-read a parquet directory (e.g. the
+    crawl store's per-fetch-task content-addressed parts, which at
+    production scale accumulate thousands of small files per epoch) and
+    rewrite it with ~``target_rows_per_file`` rows per output file.
+    Content-preserving by construction — the row MULTISET is identical,
+    only the file layout changes (row order across files is not part of
+    the store's contract; every consumer reads the directory as a set).
+
+    Distributed end to end: the read streams blocks, ``repartition``
+    uses Ray's shuffle-free block splitting/coalescing (no all-to-all —
+    blocks are split or concatenated, never hashed), and the write is
+    atomic via ``write_table``. Returns {files_before, files_after,
+    n_rows} so maintenance jobs can log the reclaim.
+
+    Reference analogue: the relational sink's periodic OPTIMIZE/vacuum
+    duty the reference delegated to its database (crawlerdb.py bulk
+    tables); Lance datasets get the same via ``compact_files`` when the
+    lance codepath is active.
+    """
+
+    def _n_files(p: str) -> int:
+        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+    ds = read_table(src)
+    n_rows = ds.count()
+    n_out = max(1, (n_rows + target_rows_per_file - 1) // target_rows_per_file)
+    write_table(read_table(src).repartition(n_out), dst)
+    return {
+        "files_before": _n_files(src),
+        "files_after": _n_files(dst),
+        "n_rows": n_rows,
+    }
+
+
 def write_arrow(table: pa.Table, path: str) -> None:
     """Atomic single-file parquet write for small driver-side tables
     (frontier snapshots, manifests' sidecar tables)."""
