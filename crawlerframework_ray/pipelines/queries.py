@@ -4962,3 +4962,68 @@ def jsonl_ingest_quarantine(sf_dir: str):
         ].sum(),
     ).to_pandas()
     return out.astype({"n_rows": "int64", "sum_value_milli": "int64", "sum_k": "int64"})
+
+
+_MM_PACK_BUDGET = 64
+
+_MM_PACK_SQL = f"""
+    WITH cap AS (SELECT image_id, caption FROM ({_golden_sql("alignment_inputs")})),
+    dims AS (SELECT image_id, w, h FROM read_parquet('{_GOLDEN_DIR}/image_dims.sf0.01.parquet')),
+    q AS (SELECT cap.image_id,
+                 CAST(len(string_split(cap.caption, ' '))
+                      + (dims.w // 8) * (dims.h // 8) AS BIGINT) AS n_tokens_mm
+          FROM cap JOIN dims USING (image_id))
+    SELECT image_id, n_tokens_mm,
+           CAST(COALESCE(SUM(n_tokens_mm) OVER (ORDER BY image_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_MM_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM q
+"""
+
+
+@register("multimodal_pack_sequences", _MM_PACK_SQL)
+def multimodal_pack_sequences(sf_dir: str):
+    """Interleaved image+caption sequence packing for multimodal
+    training: each pair costs caption tokens PLUS its vision-token
+    count ((w/8)·(h/8) ViT patches from the DECODED dims, so
+    variable-resolution images cost what they actually occupy in the
+    context window — the Llava/Flamingo packing arithmetic), and pairs
+    are packed into fixed-budget bins by the same two-phase distributed
+    prefix-sum as pack_sequences (stages/scan.packed_bins). Canonical
+    order is image_id; the scan key is the hex id reinterpreted as an
+    order-preserving shifted int64 (fixed-width lowercase hex ⇒
+    lexicographic == numeric order, asserted). The oracle joins the
+    caption and dims goldens and recomputes cost + window cumsum
+    natively — only decode is pinned, the packing is independently
+    checked."""
+    from ..data import codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.scan import packed_bins
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids, keys, costs = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            rec = page_record(make_url(int(d) % 8, int(d)), cfg)
+            img = codecs.decode(rec["bytes"], rec["fmt"])
+            h, w = img.shape[0], img.shape[1]
+            iid = rec["image_id"]
+            assert len(iid) == 16  # fixed-width hex: lex order == numeric order
+            ids.append(iid)
+            keys.append(int(iid, 16) - (1 << 63))
+            costs.append(len(rec["caption"].split(" ")) + (w // 8) * (h // 8))
+        return pa.table(
+            {"__key": pa.array(keys, pa.int64()),
+             "n_tokens_mm": pa.array(costs, pa.int64()),
+             "image_id": pa.array(ids, pa.string())}
+        )
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow", batch_size=256)
+    out = packed_bins(
+        feats, "__key", "n_tokens_mm", _MM_PACK_BUDGET, carry=["image_id"]
+    ).to_pandas()
+    return out[["image_id", "n_tokens_mm", "bin_id"]].astype(
+        {"n_tokens_mm": "int64", "bin_id": "int64"}
+    )

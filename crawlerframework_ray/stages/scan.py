@@ -27,16 +27,29 @@ import pandas as pd
 import pyarrow as pa
 
 
-def packed_bins(ds, key: str, weight: str, budget: int, range_width: int = 4096):
+def packed_bins(ds, key: str, weight: str, budget: int, range_width: int = 4096,
+                carry: list[str] | None = None):
     """Assign each row a ``bin_id`` = exclusive-prefix-sum(weight) //
     budget over rows ordered by ``key`` (int). Returns a Dataset of
-    (key, weight, bin_id)."""
+    (key, weight, *carry, bin_id); ``carry`` columns ride along
+    untouched (e.g. a string id whose order-preserving int surrogate
+    is the scan key)."""
 
     def add_range(t: pa.Table) -> pa.Table:
-        rid = pa.compute.floor(
-            pa.compute.divide(pa.compute.cast(t.column(key), pa.float64()), float(range_width))
-        )
-        return t.append_column("__range", pa.compute.cast(rid, pa.int64()))
+        k = t.column(key)
+        if pa.types.is_integer(k.type):
+            # exact int division (trunc — monotone in key, which is all the
+            # range partition needs); the float path loses precision past
+            # 2^53 and pyarrow refuses the cast for full-range int64 keys
+            rid = pa.compute.cast(pa.compute.divide(k, range_width), pa.int64())
+        else:
+            rid = pa.compute.cast(
+                pa.compute.floor(
+                    pa.compute.divide(pa.compute.cast(k, pa.float64()), float(range_width))
+                ),
+                pa.int64(),
+            )
+        return t.append_column("__range", rid)
 
     ranged = ds.map_batches(add_range, batch_format="pyarrow")
 
@@ -58,7 +71,7 @@ def packed_bins(ds, key: str, weight: str, budget: int, range_width: int = 4096)
     def within_range(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(key)
         excl = g[weight].cumsum().shift(fill_value=0) + offsets[int(g["__range"].iloc[0])]
-        out = g[[key, weight]].copy()
+        out = g[[key, weight] + list(carry or [])].copy()
         out["bin_id"] = (excl // budget).astype("int64")
         return out
 
