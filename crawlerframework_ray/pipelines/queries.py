@@ -5027,3 +5027,59 @@ def multimodal_pack_sequences(sf_dir: str):
     return out[["image_id", "n_tokens_mm", "bin_id"]].astype(
         {"n_tokens_mm": "int64", "bin_id": "int64"}
     )
+
+
+_XML_SUFFIX = ' <b>&"q\'s"</b>'
+
+_XMLESC_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 3 THEN ' <b>&"q''s"</b>' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(text,
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+               '"', '&quot;'), '''', '&#39;') AS xml_text,
+           CAST(length(text) - length(regexp_replace(text, '[&<>"'']', '', 'g'))
+                AS BIGINT) AS n_escaped
+    FROM aug
+"""
+
+
+@register("xml_escape_documents", _XMLESC_SQL)
+def xml_escape_documents(sf_dir: str):
+    """§2.8 scalar completion: XML entity escaping (the reference's
+    escapexml, utils.py:457-464 — ampersand first, then the four
+    bracket/quote entities) plus an escaped-character count, as one
+    stateless vectorized pass (pyarrow.compute.replace_substring
+    chain — no Python loop). Specials are planted deterministically on
+    doc_id % 7 == 3 on BOTH sides so the escape provably fires on this
+    corpus."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        planted = pa.array(ids.to_numpy() % 7 == 3)
+        text = pc.if_else(
+            planted,
+            pc.binary_join_element_wise(t.column("text"), _XML_SUFFIX, ""),
+            t.column("text"),
+        )
+        n_esc = pc.subtract(
+            pc.utf8_length(text),
+            pc.utf8_length(
+                pc.replace_substring_regex(text, pattern="[&<>\"']", replacement="")
+            ),
+        )
+        out = text
+        for raw, ent in (
+            ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&#39;")
+        ):
+            out = pc.replace_substring(out, pattern=raw, replacement=ent)
+        return pa.table(
+            {"doc_id": ids, "xml_text": out, "n_escaped": pc.cast(n_esc, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
