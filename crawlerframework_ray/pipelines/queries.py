@@ -5083,3 +5083,62 @@ def xml_escape_documents(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+@register("source_minhash_similarity", _golden_sql("source_minhash"))
+def source_minhash_similarity(sf_dir: str):
+    """Corpus-level overlap estimation: one MinHash sketch PER SOURCE
+    (the elementwise min over its documents' signatures — the
+    associative merge that makes MinHash a corpus sketch, not just a
+    pair filter) and the pairwise estimated-Jaccard matrix between
+    sources. This is the dataset-overlap planning op (which slices of a
+    new crawl duplicate an existing corpus?) at sketch cost: per-batch
+    partial sketches (source × 64 perm rows per batch — bounded,
+    independent of document count) → one tiny groupby(source, perm) min
+    → a driver-side sources² match count over 64-int sketches. The
+    golden folds documents serially one at a time, so equality proves
+    the distributed partial-merge associativity end to end."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.dedup import _mod61, _mulmod61, _perm_params, _shingle_hashes
+
+    N_PERM = 64
+    a, b = _perm_params(N_PERM, seed=7)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        srcs = t.column("source").to_pylist()
+        texts = t.column("text").to_pylist()
+        acc: dict = {}
+        for src, txt in zip(srcs, texts):
+            h = _mod61(_shingle_hashes(txt, 3))
+            vals = _mod61(_mulmod61(a[:, None], h[None, :]) + b[:, None])
+            sig = vals.min(axis=1)
+            prev = acc.get(src)
+            acc[src] = sig if prev is None else np.minimum(prev, sig)
+        rows = []
+        for src, sig in acc.items():
+            for p in range(N_PERM):
+                rows.append((src, p, int(sig[p])))
+        return pd.DataFrame(rows, columns=["source", "perm", "v"]).astype(
+            {"perm": "int64", "v": "int64"}
+        )
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    sk = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["source", "perm"],
+        lambda g: g.groupby(["source", "perm"], as_index=False)["v"].min(),
+    ).to_pandas()
+
+    sigs = {
+        src: g.sort_values("perm")["v"].to_numpy()
+        for src, g in sk.groupby("source", sort=True)
+    }
+    srcs = sorted(sigs)
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            m = int((sigs[sa] == sigs[sb]).sum())
+            rows.append((sa, sb, m, (1000 * m) // N_PERM))
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_matches", "est_jaccard_permille"]
+    ).astype({"n_matches": "int64", "est_jaccard_permille": "int64"})

@@ -1010,11 +1010,44 @@ def patch_stats(sf_dir: str) -> None:
     )
 
 
+def source_minhash(sf_dir: str) -> None:
+    """Serial mirror of the per-source corpus MinHash sketch: for each
+    source, the elementwise MIN over its documents' signatures, folded
+    one document at a time (independent of the distributed per-batch
+    partial-merge path — equality proves the merge associativity), then
+    the pairwise match-count / estimated-Jaccard table. Signature leaf
+    (minhash_signature) is shared — regression-pin tier like
+    simhash_sigs."""
+    from crawlerframework_ray.stages.dedup import _perm_params, minhash_signature
+
+    N_PERM = 64
+    a, b = _perm_params(N_PERM, seed=7)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    sigs: dict = {}
+    for src, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        sig = minhash_signature(txt, N_PERM, a, b, k=3)
+        if src in sigs:
+            sigs[src] = np.minimum(sigs[src], sig)
+        else:
+            sigs[src] = sig
+    srcs = sorted(sigs)
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            m = int((sigs[sa] == sigs[sb]).sum())
+            rows.append((sa, sb, m, (1000 * m) // N_PERM))
+    _write(
+        "source_minhash", sf_dir,
+        pd.DataFrame(rows, columns=["source_a", "source_b", "n_matches", "est_jaccard_permille"])
+        .astype({"n_matches": "int64", "est_jaccard_permille": "int64"}),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats]
+       video_prep_stats, image_dims, patch_stats, source_minhash]
 
 
 def main() -> None:
