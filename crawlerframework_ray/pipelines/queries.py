@@ -5142,3 +5142,58 @@ def source_minhash_similarity(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["source_a", "source_b", "n_matches", "est_jaccard_permille"]
     ).astype({"n_matches": "int64", "est_jaccard_permille": "int64"})
+
+
+@register("bloom_membership_new_docs", _golden_sql("bloom_probe"))
+def bloom_membership_new_docs(sf_dir: str):
+    """Bloom-filter membership probe of a NEW ingest batch against a
+    standing corpus — the sketch-cost complement of the exact seen-set
+    (T1) and of incremental_near_dup_new_docs: 10 bits/key instead of a
+    key store, no false negatives (asserted: bloom_hit covers every
+    planted member), false positives bounded by (1-e^{-kn/m})^k. The
+    filter builds as per-batch packed-bit partials OR-merged (one 8 KB
+    row per block crosses the wire — associative/idempotent like the
+    HLL registers, retry-safe); the merged filter broadcasts once
+    (ray.put) and the probe is one stateless pass over the new batch.
+    Members are planted (dup-probe-<id> on doc_id % 6 == 0, derived
+    identically on both sides) so hits provably fire; the golden
+    builds/probes one text at a time, proving merge associativity."""
+    import ray
+
+    from ..stages.sketch import bloom_merge, bloom_partial, bloom_probe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        members = [txt for d, txt in zip(ids, texts) if d % 3 != 0]
+        members += [f"dup-probe-{int(d)}" for d in ids if d % 6 == 0]
+        return pa.table({"packed": pa.array([bloom_partial(members).tobytes()], pa.binary())})
+
+    parts = [
+        np.frombuffer(r["packed"], dtype=np.uint8)
+        for r in ds.map_batches(build_partial, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    ]
+    packed_ref = ray.put(bloom_merge(parts))
+
+    def probe(t: pa.Table) -> pa.Table:
+        packed = ray.get(packed_ref)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        mask = ids % 3 == 0
+        probes = [
+            f"dup-probe-{int(d)}" if d % 6 == 0 else txt
+            for d, txt in zip(ids[mask], np.asarray(texts, dtype=object)[mask])
+        ]
+        hits = bloom_probe(packed, probes).astype(np.int64)
+        exact = (ids[mask] % 6 == 0).astype(np.int64)
+        assert bool((hits >= exact).all())  # no false negatives
+        return pa.table(
+            {"doc_id": pa.array(ids[mask], pa.int64()),
+             "bloom_hit": pa.array(hits, pa.int64()),
+             "exact_dup": pa.array(exact, pa.int64())}
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=8192)

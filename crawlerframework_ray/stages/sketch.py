@@ -192,3 +192,50 @@ def heavy_hitter_terms(ds, *, k: int = 32, slots: int = MG_SLOTS):
     exact["rank"] = np.arange(1, len(exact) + 1, dtype=np.int64)
     exact["exact_certified"] = np.int64(1 if decrements == 0 else 0)
     return exact[["rank", "term", "cnt", "exact_certified"]]
+
+
+# ---------------------------------------------------------------------
+# Blocked Bloom filter (membership sketch): per-batch bit-array
+# partials OR-merged — associative/commutative/idempotent, so build is
+# order-insensitive and retry-safe like the HLL registers above. No
+# false negatives by construction; false positives bounded by the
+# standard (1 - e^{-kn/m})^k. The reference gated URL admission on an
+# exact per-instance seen set (T1); the bloom form is the probe-side
+# complement for "have we EVER crawled content like this" checks where
+# exactness isn't needed but memory is 10 bits/key.
+
+BLOOM_M = 1 << 16      # bits
+BLOOM_K = 4
+
+
+def _bloom_positions(texts: list[str]) -> np.ndarray:
+    """(n, K) bit positions from the md5 of each text — 16-bit slices
+    of the digest, deterministic across processes."""
+    import hashlib
+
+    out = np.empty((len(texts), BLOOM_K), dtype=np.int64)
+    for i, t in enumerate(texts):
+        d = hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()
+        for j in range(BLOOM_K):
+            out[i, j] = int.from_bytes(d[2 * j : 2 * j + 2], "little")
+    return out
+
+
+def bloom_partial(texts: list[str]) -> np.ndarray:
+    """One batch → packed bit array (BLOOM_M/8 bytes)."""
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    if texts:
+        bits[_bloom_positions(texts).ravel()] = True
+    return np.packbits(bits)
+
+
+def bloom_merge(parts: list[np.ndarray]) -> np.ndarray:
+    return np.bitwise_or.reduce(np.stack(parts), axis=0)
+
+
+def bloom_probe(packed: np.ndarray, texts: list[str]) -> np.ndarray:
+    """(n,) bool: True iff ALL k positions are set (possible member)."""
+    bits = np.unpackbits(packed).astype(bool)
+    if not texts:
+        return np.zeros(0, dtype=bool)
+    return bits[_bloom_positions(texts)].all(axis=1)

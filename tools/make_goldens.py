@@ -1043,11 +1043,45 @@ def source_minhash(sf_dir: str) -> None:
     )
 
 
+def bloom_probe_golden(sf_dir: str) -> None:
+    """Serial mirror of the bloom membership op: set bits one text at a
+    time into one array, probe one text at a time (independent of the
+    distributed per-batch partial + OR-merge path — equality proves the
+    merge associativity). Planted members (dup-probe-<id>) fire on both
+    sides by construction."""
+    from crawlerframework_ray.stages.sketch import (
+        BLOOM_M, _bloom_positions, bloom_probe,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = [int(d) for d in t.column("doc_id").to_pylist()]
+    texts = t.column("text").to_pylist()
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for d, txt in zip(ids, texts):
+        if d % 3 != 0:
+            bits[_bloom_positions([txt])[0]] = True
+        if d % 6 == 0:
+            bits[_bloom_positions([f"dup-probe-{d}"])[0]] = True
+    packed = np.packbits(bits)
+    rows = []
+    for d, txt in zip(ids, texts):
+        if d % 3 != 0:
+            continue
+        probe = f"dup-probe-{d}" if d % 6 == 0 else txt
+        rows.append((d, int(bloom_probe(packed, [probe])[0]), int(d % 6 == 0)))
+    _write(
+        "bloom_probe", sf_dir,
+        pd.DataFrame(rows, columns=["doc_id", "bloom_hit", "exact_dup"]).astype(
+            {"doc_id": "int64", "bloom_hit": "int64", "exact_dup": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden]
 
 
 def main() -> None:
