@@ -182,3 +182,15 @@ class RepetitionStatsStage:
         batch = batch.append_column("n_trigrams", pa.array(n_tg, pa.int64()))
         batch = batch.append_column("dup_trigram_cnt", pa.array(dup, pa.int64()))
         return batch.append_column("keep", pa.array(keep, pa.bool_()))
+
+
+def normalize_text(text: str) -> str:
+    """Unicode hygiene as one pure scalar (M10, the visible form of the
+    cleanUnicode pass utils.py:468-477): NFKC compatibility fold
+    (fullwidth forms, NBSP → space, combining sequences composed),
+    casefold, then collapse every whitespace run to a single space and
+    strip. Deterministic; identical across processes."""
+    import unicodedata
+
+    n = unicodedata.normalize("NFKC", text).casefold()
+    return " ".join(n.split())

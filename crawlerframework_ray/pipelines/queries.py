@@ -5197,3 +5197,75 @@ def bloom_membership_new_docs(sf_dir: str):
         )
 
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=8192)
+
+
+_SPLIT_SQL = """
+    WITH h AS (
+      SELECT lang, ((doc_id * 2654435761) % 4294967296) % 1000 AS r
+      FROM documents)
+    SELECT lang,
+           CASE WHEN r < 980 THEN 'train' WHEN r < 990 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY 1, 2
+"""
+
+
+@register("train_val_test_split", _SPLIT_SQL)
+def train_val_test_split(sf_dir: str):
+    """Deterministic 98/1/1 train/val/test split with per-(lang, split)
+    counts — the leak-proof form of dataset splitting: the split is a
+    pure function of the id (Knuth multiplicative hash mod 1000, the
+    same primitive as stratified_sample_documents), so a document can
+    NEVER migrate between splits across reruns, retries, cluster sizes
+    or corpus growth (append-only ids keep old assignments). No
+    shuffle for the assignment (stateless map), one bounded groupby
+    for the audit counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        r = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(1000)
+        split = np.where(r < 980, "train", np.where(r < 990, "val", "test"))
+        df = pd.DataFrame({"lang": t.column("lang").to_pylist(), "split": split})
+        g = df.groupby(["lang", "split"], as_index=False).size().rename(columns={"size": "n_docs"})
+        return g.astype({"n_docs": "int64"})
+
+    from ..stages.agg import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=65536),
+        ["lang", "split"],
+        lambda g: g.groupby(["lang", "split"], as_index=False)["n_docs"].sum(),
+    ).to_pandas()
+    return out.astype({"n_docs": "int64"})
+
+
+@register("normalize_text_documents", _golden_sql("norm_text"))
+def normalize_text_documents(sf_dir: str):
+    """Unicode text normalization (M10 as a first-class op): NFKC
+    compatibility fold + casefold + whitespace-run collapse, with messy
+    unicode planted on doc_id % 11 == 2 (combining accent, NBSP,
+    fullwidth letter, tab — identically on both sides) so every
+    normalization rule provably fires. One stateless pass
+    (functions/textstats.normalize_text); the changed flag audits which
+    rows the pass touched."""
+    from ..functions.textstats import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        outs, changed = [], []
+        for d, txt in zip(ids, t.column("text").to_pylist()):
+            if d % 11 == 2:
+                txt = txt + "  Á Ｈi\t"
+            n = normalize_text(txt)
+            outs.append(n)
+            changed.append(int(n != txt))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "norm_text": pa.array(outs, pa.string()),
+             "changed": pa.array(changed, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)

@@ -1077,11 +1077,33 @@ def bloom_probe_golden(sf_dir: str) -> None:
     )
 
 
+def norm_text(sf_dir: str) -> None:
+    """Serial mirror of unicode text normalization (shared pure leaf —
+    regression-pin tier): NFKC + casefold + whitespace collapse over
+    the planted-messy corpus."""
+    from crawlerframework_ray.functions.textstats import normalize_text
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        d = int(d)
+        if d % 11 == 2:
+            txt = txt + "  A\u0301\u00a0\uff28i\t"
+        n = normalize_text(txt)
+        rows.append((d, n, int(n != txt)))
+    _write(
+        "norm_text", sf_dir,
+        pd.DataFrame(rows, columns=["doc_id", "norm_text", "changed"]).astype(
+            {"doc_id": "int64", "norm_text": "string", "changed": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text]
 
 
 def main() -> None:
