@@ -5269,3 +5269,67 @@ def normalize_text_documents(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+_PREP2_SQL = f"""
+    WITH g AS ({_GOPHER_SQL}),
+    d AS (SELECT doc_id, lang FROM documents),
+    s AS (
+      SELECT d.lang, g.n_words,
+             CASE WHEN ((d.doc_id * 2654435761) % 4294967296) % 1000 < 980 THEN 'train'
+                  WHEN ((d.doc_id * 2654435761) % 4294967296) % 1000 < 990 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d JOIN g ON g.doc_id = d.doc_id
+      WHERE g.keep = 1)
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words
+    FROM s GROUP BY lang, split
+"""
+
+
+@register("corpus_prep_v2", _PREP2_SQL)
+def corpus_prep_v2(sf_dir: str):
+    """Second composite flagship, built from this round's ops: Gopher
+    static quality rules → deterministic leak-proof train/val/test
+    assignment → per-(lang, split) corpus accounting — and the whole
+    chain is ONE streaming pass (every stage is a pure function of the
+    row: rule flags, hash split, partial counts), so the only shuffle
+    is the final bounded rollup. The oracle composes the same gate SQL
+    and split expression, checking the composition — not just the
+    pieces — end to end."""
+    import re
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    alpha = re.compile(r"[a-zA-Z]")
+    stop = set(_GOPHER_STOPWORDS)
+
+    def fused(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy()
+        langs = t.column("lang").to_pylist()
+        rows = []
+        for d, lang, txt in zip(ids, langs, t.column("text").to_pylist()):
+            words = txt.split(" ")
+            nw = len(words)
+            sl = sum(len(w) for w in words)
+            na = sum(1 for w in words if alpha.search(w))
+            ns = sum(1 for w in words if w in stop)
+            if not (30 <= nw <= 80 and 3 * nw <= sl <= 10 * nw
+                    and 5 * na >= 4 * nw and ns >= 2):
+                continue
+            r = ((int(d) * 2654435761) % 2**32) % 1000
+            split = "train" if r < 980 else ("val" if r < 990 else "test")
+            rows.append((lang, split, nw))
+        df = pd.DataFrame(rows, columns=["lang", "split", "n_words"])
+        g = df.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n_words", "size"), sum_words=("n_words", "sum")
+        )
+        return g.astype({"n_docs": "int64", "sum_words": "int64"})
+
+    out = bucketed_group_agg(
+        ds.map_batches(fused, batch_format="pyarrow", batch_size=8192),
+        ["lang", "split"],
+        lambda g: g.groupby(["lang", "split"], as_index=False)[["n_docs", "sum_words"]].sum(),
+    ).to_pandas()
+    return out.astype({"n_docs": "int64", "sum_words": "int64"})
