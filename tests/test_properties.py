@@ -130,12 +130,16 @@ def test_cuckoo_no_false_negatives(items, seed):
 @given(st.integers(0, 10_000), st.integers(0, 10_000))
 def test_jaccard_permille_formula_bounds(inter, extra):
     """(2000·inter + union) // (2·union) is round-half-up of
-    1000·inter/union, in [0, 1000], and hits 1000 iff inter == union."""
+    1000·inter/union, in [0, 1000]. (An earlier iff-1000 claim was
+    wrong: hypothesis found inter=1999, union=2000 — 0.9995 correctly
+    rounds UP to 1000 without the sets being equal. The exact spec is
+    the round-half-up identity below.)"""
+    import fractions
+
     union = max(inter + extra, 1)
     p = (2000 * inter + union) // (2 * union)
     assert 0 <= p <= 1000
-    assert (p == 1000) == (inter == union)
-    import fractions
-
+    assert inter != union or p == 1000  # equality still implies 1000
     exact = fractions.Fraction(1000 * inter, union)
-    assert abs(p - exact) <= fractions.Fraction(1, 2)
+    # round-half-up identity: p is the unique int with p - 1/2 <= exact < p + 1/2
+    assert p - fractions.Fraction(1, 2) <= exact < p + fractions.Fraction(1, 2)
