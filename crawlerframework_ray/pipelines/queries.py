@@ -5333,3 +5333,142 @@ def corpus_prep_v2(sf_dir: str):
         lambda g: g.groupby(["lang", "split"], as_index=False)[["n_docs", "sum_words"]].sum(),
     ).to_pandas()
     return out.astype({"n_docs": "int64", "sum_words": "int64"})
+
+
+_APPORTION_TOTAL = 100_000
+
+_APPORTION_SQL = f"""
+    WITH pr AS ({_PAGERANK_SQL}),
+    tot AS (SELECT SUM(rank) AS R FROM pr),
+    q AS (SELECT host, rank,
+                 ({_APPORTION_TOTAL} * rank) // tot.R AS base,
+                 ({_APPORTION_TOTAL} * rank) % tot.R AS rem
+          FROM pr, tot),
+    l AS (SELECT {_APPORTION_TOTAL} - SUM(base) AS leftover FROM q),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rr FROM q)
+    SELECT host, rank,
+           CAST(base + CASE WHEN rr <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS slots
+    FROM r, l
+"""
+
+
+@register("budget_apportion_hosts", _APPORTION_SQL)
+def budget_apportion_hosts(sf_dir: str):
+    """Crawl-budget apportionment: divide a fixed wave budget
+    (100,000 fetch slots) across hosts proportionally to their
+    PageRank by the exact largest-remainder (Hamilton) method — floor
+    quotas, then the leftover slots go to the largest fractional
+    remainders (remainder DESC, host ASC tiebreak). Sum of slots ==
+    budget EXACTLY (asserted), which float-proportional allocation
+    cannot promise. The distributed work is the PageRank itself
+    (edge-set dedup + 4 integer power iterations); the apportionment
+    runs driver-side over the host table — hosts ≪ corpus, the same
+    bounded-driver-state rule as the scan's prefix offsets. Reference
+    analogue: TaskManager's per-frequency priority budgeting
+    (taskmanager.py:156-163) scaled to a rank-driven wave plan."""
+    from ..stages.graph import distinct_edges, host_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pr = pagerank_int(distinct_edges(host_edges(ds, n_hosts=64)), iters=4)
+    ranks = pr["rank"].to_numpy().astype(np.int64)
+    hosts = pr["host"].to_numpy().astype(np.int64)
+    R = int(ranks.sum())
+    base = (_APPORTION_TOTAL * ranks) // R
+    rem = (_APPORTION_TOTAL * ranks) % R
+    leftover = _APPORTION_TOTAL - int(base.sum())
+    order = np.lexsort((hosts, -rem))  # rem DESC, host ASC
+    slots = base.copy()
+    slots[order[:leftover]] += 1
+    assert int(slots.sum()) == _APPORTION_TOTAL
+    return pd.DataFrame({"host": hosts, "rank": ranks, "slots": slots}).astype(
+        {"host": "int64", "rank": "int64", "slots": "int64"}
+    )
+
+
+_TRANSITION_SQL = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transition_counts", _TRANSITION_SQL)
+def event_transition_counts(sf_dir: str):
+    """Markov transition mining over per-user event sequences (the
+    sequence-model counterpart of event_gaps_per_user): co-locate each
+    user's events with ONE bucketed shuffle, order within user by
+    (ts, event_id) — the deterministic tiebreak makes the pair set
+    hash-exact — shift to pair every event with its predecessor, and
+    fold (prev, next) counts; the per-bucket partials are bounded by
+    event-types² so the final fold is tiny. At 100 TB the only heavy
+    step is the user-key shuffle the session/window family already
+    pays."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        mask = prev.notna()
+        df = pd.DataFrame(
+            {"prev_type": prev[mask].to_numpy(), "next_type": g.loc[mask, "event_type"].to_numpy()}
+        )
+        out = df.groupby(["prev_type", "next_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return out.astype({"n": "int64"})
+
+    part = bucketed_group_agg(ds, ["user_id"], per_bucket).to_pandas()
+    out = part.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+    return out.astype({"n": "int64"})
+
+
+_WEEK_US = 7 * 86400 * 10**6
+
+_RETENTION_SQL = f"""
+    WITH f AS (SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cw
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cw,
+                 epoch_us(e.ts) // {_WEEK_US} - f.cw AS off
+          FROM events e JOIN f USING (user_id))
+    SELECT CAST(cw AS BIGINT) AS cohort_week, CAST(off AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM a GROUP BY cohort_week, week_offset
+"""
+
+
+@register("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (the panel analytics every ingest
+    pipeline ends up feeding): cohort = a user's first-event epoch
+    week, cell = distinct users of that cohort active at each week
+    offset. ONE user-key bucketed shuffle does everything — within the
+    bucket each user's min week and distinct active weeks are local —
+    and the per-bucket partial is bounded by cohorts × offsets, so the
+    final fold is tiny. Same single-shuffle shape as sessionization;
+    integer epoch-week arithmetic on both sides."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64") // _WEEK_US  # epoch-week
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "week": us.to_numpy()})
+        first = df.groupby("user_id")["week"].transform("min")
+        df["cohort_week"] = first
+        df["week_offset"] = df["week"] - first
+        cells = df[["user_id", "cohort_week", "week_offset"]].drop_duplicates()
+        out = cells.groupby(["cohort_week", "week_offset"], as_index=False).size().rename(
+            columns={"size": "n_active_users"}
+        )
+        return out.astype({"cohort_week": "int64", "week_offset": "int64",
+                           "n_active_users": "int64"})
+
+    part = bucketed_group_agg(ds, ["user_id"], per_bucket).to_pandas()
+    out = part.groupby(["cohort_week", "week_offset"], as_index=False)["n_active_users"].sum()
+    return out.astype({"cohort_week": "int64", "week_offset": "int64", "n_active_users": "int64"})
