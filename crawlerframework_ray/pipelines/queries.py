@@ -475,42 +475,66 @@ def revenue_by_nation(sf_dir: str):
     """,
 )
 def order_revenue_join(sf_dir: str):
-    """J2-style large-large join: lineitem pre-aggregated per order
-    (combiner shrinks the probe side), then a partitioned hash join
-    against orders (stages/joins.hash_join — one groupby shuffle
-    co-locating keys), then a small rollup."""
-    from ray.data.aggregate import Sum
+    """J2-style large-large join as ONE fused bucket exchange: both
+    sides pad into the same hash(key) buckets (lineitem already
+    reduced to per-batch (orderkey, rev) partials — the combiner), and
+    the per-bucket reduce finishes the revenue aggregation, the inner
+    join AND the per-priority partial rollup in one task, returning ≤
+    |priorities| rows per bucket for a tiny driver fold. Round-3 perf
+    rework: the previous shape paid THREE sort shuffles (pre-agg
+    groupby, join groupby, rollup groupby) for the same answer; the
+    join being key-partitioned already co-locates everything the other
+    two shuffles co-located."""
+    from ..stages.joins import _bucket_of
 
-    from ..stages.joins import hash_join
-
+    n_buckets = 64
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas()
-        ep, disc = df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy()
-        df = df.assign(rev=np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64))
-        return df.groupby("l_orderkey", as_index=False)["rev"].sum()
-
-    from ..stages.agg import bucketed_group_agg
-
-    rev = bucketed_group_agg(
-        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
-        ["l_orderkey"],
-        lambda g: g.groupby("l_orderkey", as_index=False)["rev"].sum(),
-    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "rev"]), batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(orders, rev, "o_orderkey", ["o_orderpriority"], ["rev"])
-
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-                "n_orders": np.int64(len(g)),
-                "revenue_cents": np.int64(g["rev"].sum()),
-            }
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        # combiner (A/B-measured: shipping raw rows costs more in the sort
+        # shuffle than this per-batch reduce saves), arrow-native groupby
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = pa.array(np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64))
+        agg = (
+            pa.table({"key": t.column("l_orderkey"), "rev": rev})
+            .group_by("key")
+            .aggregate([("rev", "sum")])
         )
+        g = pd.DataFrame(
+            {"key": agg.column("key").to_numpy(), "rev": agg.column("rev_sum").to_numpy()}
+        )
+        g["o_orderpriority"] = ""
+        g["__side"] = "l"
+        g["__bucket"] = _bucket_of(g["key"], n_buckets)
+        return g
 
-    return joined.groupby("o_orderpriority").map_groups(rollup, batch_format="pandas")
+    def orders_pad(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas().rename(columns={"o_orderkey": "key"})
+        df["rev"] = np.int64(0)
+        df["__side"] = "r"
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df[["key", "rev", "o_orderpriority", "__side", "__bucket"]]
+
+    lt = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+    rt = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        orders_pad, batch_format="pyarrow"
+    )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].groupby("key", as_index=False)["rev"].sum()
+        rg = g[g["__side"] == "r"][["key", "o_orderpriority"]]
+        m = rg.merge(lg, on="key", how="inner")
+        out = m.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("rev", "size"), revenue_cents=("rev", "sum")
+        )
+        return out.astype({"n_orders": "int64", "revenue_cents": "int64"})
+
+    part = lt.union(rt).groupby("__bucket").map_groups(
+        reduce_bucket, batch_format="pandas"
+    ).to_pandas()
+    out = part.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue_cents"]].sum()
+    return out.astype({"n_orders": "int64", "revenue_cents": "int64"})
 
 
 @register(
