@@ -5496,3 +5496,81 @@ def retention_cohorts(sf_dir: str):
     part = bucketed_group_agg(ds, ["user_id"], per_bucket).to_pandas()
     out = part.groupby(["cohort_week", "week_offset"], as_index=False)["n_active_users"].sum()
     return out.astype({"cohort_week": "int64", "week_offset": "int64", "n_active_users": "int64"})
+
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+_FUNNEL_WINDOW_US = 24 * 3600 * 10**6
+
+_FUNNEL_SQL = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.us > s1.t1
+             AND e.us <= s1.t1 + {_FUNNEL_WINDOW_US} GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             AND e.us <= s2.t2 + {_FUNNEL_WINDOW_US} GROUP BY e.user_id),
+    d AS (SELECT u.user_id,
+                 CASE WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS depth
+          FROM (SELECT DISTINCT user_id FROM e) u
+          LEFT JOIN s1 ON u.user_id = s1.user_id
+          LEFT JOIN s2 ON u.user_id = s2.user_id
+          LEFT JOIN s3 ON u.user_id = s3.user_id)
+    SELECT CAST(depth AS BIGINT) AS funnel_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY depth
+"""
+
+
+@register("funnel_user_steps", _FUNNEL_SQL)
+def funnel_user_steps(sf_dir: str):
+    """Ordered-funnel analysis (signup → click → purchase, each step
+    strictly AFTER the previous step's first completion and within a
+    24 h step window — the classic
+    sequential-pattern query that trips naive per-type joins): one
+    user-key bucketed shuffle co-locates each user's events; within the
+    bucket a per-user time-ordered scan computes the greedy earliest
+    completion time of each step, which is exactly the
+    min-over-constrained-joins semantics the oracle states relationally.
+    Partials are bounded by funnel depth, so the final fold is tiny —
+    the same single-shuffle discipline as sessionize/retention, versus
+    the oracle's THREE self-joins."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        depths = []
+        for _, gg in g.groupby("user_id", sort=False):
+            et = gg["event_type"].to_numpy()
+            us = gg["ts"].astype("int64").to_numpy()
+            depth, t_prev = 0, None
+            for step in _FUNNEL_STEPS:
+                # earliest `step` strictly after the prior step's
+                # completion time and within the step window — the
+                # greedy min-constrained-join semantics of the oracle
+                sel = et == step
+                if t_prev is not None:
+                    sel &= (us > t_prev) & (us <= t_prev + _FUNNEL_WINDOW_US)
+                idx = np.nonzero(sel)[0]
+                if not len(idx):
+                    break
+                t_prev = us[idx[0]]
+                depth += 1
+            depths.append(depth)
+        out = pd.DataFrame({"funnel_depth": depths}).groupby(
+            "funnel_depth", as_index=False
+        ).size().rename(columns={"size": "n_users"})
+        return out.astype({"funnel_depth": "int64", "n_users": "int64"})
+
+    part = bucketed_group_agg(ds, ["user_id"], per_bucket).to_pandas()
+    out = part.groupby("funnel_depth", as_index=False)["n_users"].sum()
+    return out.astype({"funnel_depth": "int64", "n_users": "int64"})
