@@ -5574,3 +5574,62 @@ def funnel_user_steps(sf_dir: str):
     part = bucketed_group_agg(ds, ["user_id"], per_bucket).to_pandas()
     out = part.groupby("funnel_depth", as_index=False)["n_users"].sum()
     return out.astype({"funnel_depth": "int64", "n_users": "int64"})
+
+
+_DAY_US = 86400 * 10**6
+
+_WAU_SQL = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+    w AS (SELECT unnest(generate_series(span.d0, span.d1)) AS win_start FROM span),
+    hits AS (SELECT DISTINCT w.win_start, e.user_id
+             FROM w JOIN e ON e.day >= w.win_start AND e.day < w.win_start + 7)
+    SELECT CAST(win_start AS BIGINT) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_users
+    FROM hits GROUP BY win_start
+"""
+
+
+@register("wau_sliding_distinct", _WAU_SQL)
+def wau_sliding_distinct(sf_dir: str):
+    """Sliding-window DISTINCT counting (weekly-active-users with a
+    daily hop) — the window family crossed with exact distinct, which
+    neither the hopping-sum nor distinct-per-group queries cover: an
+    event replicates into the ≤7 windows it falls in (vectorized
+    np.repeat, bounded fan-out — replication happens INSIDE the
+    per-batch partial and is immediately deduped to (window, user)
+    pairs, so the shuffle moves at most windows × users rows, not
+    events × 7), then one bounded groupby counts uniques per window.
+    Epoch-day integer arithmetic on both sides."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = (t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+               // _DAY_US)
+        uid = t.column("user_id").to_numpy()
+        # window starts covering day d: (d-6 .. d); clipped later vs span
+        wins = np.repeat(day, 7) - np.tile(np.arange(7, dtype=np.int64), len(day))
+        df = pd.DataFrame(
+            {"win_start": wins, "user_id": np.repeat(uid, 7),
+             "day_min": np.repeat(day, 7), "day_max": np.repeat(day, 7)}
+        ).drop_duplicates(["win_start", "user_id"])
+        return df
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["win_start"],
+        lambda g: g.groupby("win_start", as_index=False).agg(
+            n_distinct_users=("user_id", "nunique"),
+            day_min=("day_min", "min"), day_max=("day_max", "max"),
+        ),
+    ).to_pandas()
+    # clip windows to the observed day span (the oracle enumerates
+    # win_start over [min_day, max_day]); span folds from the same pass
+    d0 = int(pairs["day_min"].min())
+    d1 = int(pairs["day_max"].max())
+    out = pairs[(pairs["win_start"] >= d0) & (pairs["win_start"] <= d1)]
+    return out[["win_start", "n_distinct_users"]].astype(
+        {"win_start": "int64", "n_distinct_users": "int64"}
+    ).reset_index(drop=True)
