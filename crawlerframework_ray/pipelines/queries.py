@@ -5633,3 +5633,65 @@ def wau_sliding_distinct(sf_dir: str):
     return out[["win_start", "n_distinct_users"]].astype(
         {"win_start": "int64", "n_distinct_users": "int64"}
     ).reset_index(drop=True)
+
+
+_DIVERSITY_SQL = """
+    WITH q AS (SELECT vec_id, label,
+                      list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)) AS qe
+               FROM embeddings),
+    n2 AS (SELECT vec_id, label, qe,
+                  CAST(list_dot_product(qe, qe) AS BIGINT) AS nsq FROM q),
+    p AS (SELECT a.label,
+                 CAST(SUM(a.nsq + b.nsq - 2 * list_dot_product(a.qe, b.qe)) AS BIGINT)
+                     AS sum_pairdist
+          FROM n2 a JOIN n2 b ON a.label = b.label AND a.vec_id < b.vec_id
+          GROUP BY a.label)
+    SELECT n2.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(ANY_VALUE(p.sum_pairdist), 0) AS BIGINT) AS sum_pairdist
+    FROM n2 LEFT JOIN p ON n2.label = p.label
+    GROUP BY n2.label
+"""
+
+
+@register("embedding_diversity_by_label", _DIVERSITY_SQL)
+def embedding_diversity_by_label(sf_dir: str):
+    """Per-group embedding diversity — the total pairwise squared L2
+    distance over int8-quantized vectors — computed WITHOUT forming a
+    single pair, via the exact identity Σ_{i<j}‖xᵢ−xⱼ‖² =
+    n·Σ‖xᵢ‖² − ‖Σxᵢ‖²: one streaming pass emits per-batch partials
+    (n, Σ‖x‖², the 64-int component sums) per label, one bounded
+    groupby folds them, and the formula closes the answer. The oracle
+    computes the O(n²) brute-force pair sum — equality PROVES the
+    identity implementation, which is what makes the statistic
+    computable at 10^10 vectors where pairs are impossible. All
+    integer (quantize floor(x·127+0.5) identical on both sides)."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.similarity import quantize_int8
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        qm = quantize_int8(m).astype(np.int64)
+        df = pd.DataFrame({"label": t.column("label").to_pylist()})
+        df["n_vecs"] = np.int64(1)
+        df["sum_sq"] = (qm * qm).sum(axis=1)
+        for i in range(qm.shape[1]):
+            df[f"s{i}"] = qm[:, i]
+        return df.groupby("label", as_index=False).sum()
+
+    cols = ["n_vecs", "sum_sq"] + [f"s{i}" for i in range(64)]
+    folded = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["label"],
+        lambda g: g.groupby("label", as_index=False)[cols].sum(),
+    ).to_pandas()
+    s = folded[[f"s{i}" for i in range(64)]].to_numpy(np.int64)
+    n = folded["n_vecs"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {"label": folded["label"],
+         "n_vecs": n,
+         "sum_pairdist": n * folded["sum_sq"].to_numpy(np.int64) - (s * s).sum(axis=1)}
+    )
+    return out.astype({"n_vecs": "int64", "sum_pairdist": "int64"})
