@@ -5695,3 +5695,99 @@ def embedding_diversity_by_label(sf_dir: str):
          "sum_pairdist": n * folded["sum_sq"].to_numpy(np.int64) - (s * s).sum(axis=1)}
     )
     return out.astype({"n_vecs": "int64", "sum_pairdist": "int64"})
+
+
+@register("embedding_top_component", _golden_sql("gram_top_component"))
+def embedding_top_component(sf_dir: str):
+    """Distributed PCA direction: the corpus Gram matrix G = Σ qxqxᵀ
+    accumulates as ONE streaming pass of per-batch dims² integer
+    partials (a batched matmul per batch; the 64×64 partial is the
+    only thing that crosses the wire — the data never moves twice),
+    elementwise-summed, then the top eigenvector closes on the driver
+    by fixed-point integer power iteration
+    (stages/similarity.power_iteration_int — exact floor-division
+    normalization, so the answer is bit-identical at any partitioning).
+    The golden accumulates G one OUTER PRODUCT at a time, proving the
+    batched-matmul partials fold correctly."""
+    import ray
+
+    from ..stages.similarity import power_iteration_int, quantize_int8
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        q = quantize_int8(m).astype(np.int64)
+        G = q.T @ q  # (64, 64) int64 exact
+        return pa.table({"gram": pa.array([G.tobytes()], pa.binary())})
+
+    parts = [
+        np.frombuffer(r["gram"], dtype=np.int64).reshape(64, 64)
+        for r in ds.map_batches(gram_partial, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    ]
+    G = np.sum(np.stack(parts), axis=0)
+    v = power_iteration_int(G)
+    return pd.DataFrame(
+        {"dim": np.arange(64, dtype=np.int64), "component_milli": v}
+    ).astype({"dim": "int64", "component_milli": "int64"})
+
+
+_COOC_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks),
+    pairs AS (
+      SELECT LEAST(ts[i], ts[i+o]) AS w1, GREATEST(ts[i], ts[i+o]) AS w2
+      FROM pos, (VALUES (1), (2)) AS off(o)
+      WHERE i + o <= len(ts)),
+    c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY w1, w2),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, w1, w2) AS rn FROM c)
+    SELECT w1, w2, cnt FROM r WHERE rn <= 20
+"""
+
+
+@register("skipgram_cooccurrence", _COOC_SQL)
+def skipgram_cooccurrence(sf_dir: str):
+    """Skip-gram co-occurrence counting (the word2vec/GloVe training
+    table): unordered token pairs within a ±2 window, global counts,
+    deterministic top-20 (cnt DESC, lexicographic tiebreak so the
+    cutoff is hash-exact). Shape: one Counter per batch emits partial
+    (w1, w2, cnt) rows — the combiner bounds the shuffle by distinct
+    pairs per batch, not window positions — then a bucketed groupby
+    sums and takes per-bucket top-20 (partial top-k) before the tiny
+    driver cut. The vocabulary² pair space is the scale risk; at
+    corpus scale the df_cap/salting guards from the n-gram pair engine
+    apply (stages/dedup.py docstrings)."""
+    from collections import Counter
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            ts = txt.split(" ")
+            for o in (1, 2):
+                for i in range(len(ts) - o):
+                    a, b = ts[i], ts[i + o]
+                    c[(a, b) if a <= b else (b, a)] += 1
+        if not c:
+            return pd.DataFrame({"w1": [], "w2": [], "cnt": []}).astype({"cnt": "int64"})
+        w1, w2, cnt = zip(*[(k[0], k[1], v) for k, v in c.items()])
+        return pd.DataFrame({"w1": w1, "w2": w2, "cnt": np.asarray(cnt, np.int64)})
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        return out.sort_values(
+            ["cnt", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        ).head(20)
+
+    part = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["w1", "w2"], topk_bucket,
+    ).to_pandas()
+    out = part.sort_values(
+        ["cnt", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(20).reset_index(drop=True)
+    return out.astype({"cnt": "int64"})

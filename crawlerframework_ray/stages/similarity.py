@@ -449,3 +449,25 @@ def semdedup_int(ds, *, n_clusters: int = 8, iters: int = 4,
         )
 
     return joined.groupby("cluster").map_groups(keep_group, batch_format="pandas")
+
+
+def power_iteration_int(G: "np.ndarray", iters: int = 16, scale: int = 1000) -> "np.ndarray":
+    """Top eigenvector of a small integer Gram matrix by fixed-point
+    power iteration: v is kept as integer milli-units (L∞ norm scaled
+    to ``scale`` each step via exact integer floor division), so the
+    result is bit-identical wherever it runs — the driver-side closer
+    for the one-pass distributed Gram accumulation (G is dims², tiny;
+    the DATA never moves twice). Sign convention: the largest-|v|
+    component is made positive (first index on ties)."""
+    d = G.shape[0]
+    v = np.ones(d, dtype=np.int64) * scale
+    for _ in range(iters):
+        w = G @ v  # int64 exact (|G| bounded by n*127^2, |v| by scale)
+        m = np.abs(w).max()
+        if m == 0:
+            return np.zeros(d, dtype=np.int64)
+        v = (w * scale) // m  # exact floor division, L∞ normalized
+    i = int(np.abs(v).argmax())
+    if v[i] < 0:
+        v = -v
+    return v.astype(np.int64)

@@ -1099,11 +1099,31 @@ def norm_text(sf_dir: str) -> None:
     )
 
 
+def gram_top_component(sf_dir: str) -> None:
+    """Serial mirror of the distributed Gram + fixed-point power
+    iteration: accumulate G = sum(qx qx^T) one VECTOR at a time (outer
+    products in a Python loop — independent of the batched matmul
+    path), then the identical integer power iteration. Equality proves
+    the one-pass Gram partials fold correctly."""
+    from crawlerframework_ray.stages.similarity import quantize_int8, power_iteration_int
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    G = np.zeros((64, 64), dtype=np.int64)
+    for e in t.column("embedding").to_pylist():
+        q = quantize_int8(np.asarray(e, dtype=np.float64)).astype(np.int64)
+        G += np.outer(q, q)
+    v = power_iteration_int(G)
+    _write(
+        "gram_top_component", sf_dir,
+        pd.DataFrame({"dim": np.arange(64, dtype=np.int64), "component_milli": v}),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component]
 
 
 def main() -> None:
