@@ -143,3 +143,64 @@ def test_jaccard_permille_formula_bounds(inter, extra):
     exact = fractions.Fraction(1000 * inter, union)
     # round-half-up identity: p is the unique int with p - 1/2 <= exact < p + 1/2
     assert p - fractions.Fraction(1, 2) <= exact < p + fractions.Fraction(1, 2)
+
+
+# ------------------------------------------- round-3 third-session leaves
+
+@SET
+@given(st.text(max_size=200))
+def test_normalize_text_idempotent_and_clean(s):
+    """normalize_text is idempotent, produces no doubled spaces, no
+    leading/trailing whitespace, and no uppercase letters."""
+    from crawlerframework_ray.functions.textstats import normalize_text
+
+    n = normalize_text(s)
+    assert normalize_text(n) == n
+    assert "  " not in n and n == n.strip()
+    assert n == n.casefold()  # casefold fixpoint
+
+
+@SET
+@given(st.lists(st.text(min_size=1, max_size=40), max_size=40),
+       st.lists(st.text(min_size=1, max_size=40), max_size=20))
+def test_bloom_no_false_negatives(members, probes):
+    """Every inserted text probes True, whatever else is in the filter;
+    and the OR of per-chunk partials equals the one-shot build."""
+    from crawlerframework_ray.stages.sketch import bloom_merge, bloom_partial, bloom_probe
+
+    one_shot = bloom_partial(members)
+    chunked = bloom_merge(
+        [bloom_partial(members[i::3]) for i in range(3)]
+    ) if members else one_shot
+    np.testing.assert_array_equal(one_shot, chunked)
+    if members:
+        assert bloom_probe(one_shot, members).all()
+    if probes:
+        hits = bloom_probe(one_shot, probes)
+        member_set = set(members)
+        for p, h in zip(probes, hits):
+            if p in member_set:
+                assert h  # no false negatives
+
+
+@SET
+@given(st.lists(st.integers(1, 10**9), min_size=1, max_size=64),
+       st.integers(1, 10**6))
+def test_largest_remainder_quota_property(ranks, total):
+    """Hamilton apportionment: slots sum EXACTLY to the budget and each
+    allocation is within 1 of its exact proportional quota (floor(q) or
+    ceil(q) — the defining staying-in-quota property)."""
+    import fractions
+
+    r = np.asarray(ranks, dtype=np.int64)
+    R = int(r.sum())
+    base = (total * r) // R
+    rem = (total * r) % R
+    leftover = total - int(base.sum())
+    order = np.lexsort((np.arange(len(r)), -rem))
+    slots = base.copy()
+    slots[order[:leftover]] += 1
+    assert int(slots.sum()) == total
+    for ri, si in zip(r.tolist(), slots.tolist()):
+        q = fractions.Fraction(total * ri, R)
+        assert q.__floor__() <= si <= -((-q).__floor__())  # floor(q) <= s <= ceil(q)
