@@ -5791,3 +5791,199 @@ def skipgram_cooccurrence(sf_dir: str):
         ["cnt", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
     ).head(20).reset_index(drop=True)
     return out.astype({"cnt": "int64"})
+
+
+_ANALYZE_SQL = """
+    SELECT 'o_custkey' AS col,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_v,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_v,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents', CAST(MIN(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT)
+    FROM orders
+"""
+
+
+@register("table_stats_orders", _ANALYZE_SQL)
+def table_stats_orders(sf_dir: str):
+    """Table ANALYZE — the planner-statistics collection every engine
+    runs before optimizing: per-column min / max / null count / exact
+    NDV in ONE streaming pass. min/max/nulls fold as trivial partials;
+    exact NDV uses the same bounded trick as the quantile family — the
+    per-batch partial emits each column's DISTINCT values with counts
+    folded away, so the shuffle is bounded by the value domain (for
+    genuinely unbounded columns the HLL register sketch,
+    stages/sketch.py, is the documented fallback — approx_distinct
+    already gates it). Output one row per column, long format."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["o_totalprice_cents"] = np.floor(
+            df.pop("o_totalprice").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        rows = []
+        for col in ("o_custkey", "o_orderkey", "o_totalprice_cents"):
+            s = df[col]
+            for v in s.dropna().unique():
+                rows.append((col, int(v), 0))
+            n_null = int(s.isna().sum())
+            if n_null:  # carrier row; n_nulls > 0 keeps it out of the value set
+                rows.append((col, 0, n_null))
+        out = pd.DataFrame(rows, columns=["col", "v", "n_nulls"])
+        # one row per (col, v) + one null carrier per col per batch
+        return out.astype({"v": "int64", "n_nulls": "int64"})
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for col, gg in g.groupby("col", sort=False):
+            vals = gg.loc[gg["n_nulls"] == 0, "v"]
+            out.append(
+                (col, int(vals.min()), int(vals.max()),
+                 int(gg["n_nulls"].sum()), int(vals.nunique()))
+            )
+        return pd.DataFrame(out, columns=["col", "min_v", "max_v", "n_nulls", "ndv"])
+
+    res = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536), ["col"], reduce
+    ).to_pandas()
+    return res.astype({"min_v": "int64", "max_v": "int64", "n_nulls": "int64", "ndv": "int64"})
+
+
+_IVM_SQL = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value*1000+0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+    FROM events GROUP BY event_type
+"""
+
+
+@register("incremental_rollup_maintenance", _IVM_SQL)
+def incremental_rollup_maintenance(sf_dir: str):
+    """Incremental view maintenance: a standing per-type rollup (the
+    "materialized view", built from the base slice event_id % 5 != 0)
+    is updated by folding in ONLY the delta slice (event_id % 5 == 0) —
+    the base data is never rescanned, which is the property that makes
+    a 100 TB rollup maintainable under daily ingest. Both the base
+    build and the delta fold reuse the same partial-aggregate shape
+    (counts and integer sums are self-commutative deltas; MIN/MAX or
+    DISTINCT would need the retraction-aware forms). The oracle is the
+    FULL recomputation over all events — equality proves maintained ==
+    recomputed. Reference analogue: crawler_metrics counters updated
+    per crawl rather than recounted (baseconnector.py:767-774)."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import bucketed_group_agg
+
+    def rollup_of(pred):
+        def partial(t: pa.Table) -> pd.DataFrame:
+            ids = t.column("event_id").to_numpy()
+            t = t.filter(pa.array(pred(ids)))
+            df = t.to_pandas()
+            if df.empty:
+                return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                     "n_events": pd.Series([], dtype="int64"),
+                                     "sum_value_milli": pd.Series([], dtype="int64")})
+            df["vm"] = np.floor(df["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+            g = df.groupby("event_type", as_index=False).agg(
+                n_events=("vm", "size"), sum_value_milli=("vm", "sum")
+            )
+            return g.astype({"n_events": "int64", "sum_value_milli": "int64"})
+
+        ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        return bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["event_type"],
+            lambda g: g.groupby("event_type", as_index=False)[
+                ["n_events", "sum_value_milli"]
+            ].sum(),
+        ).to_pandas()
+
+    base = rollup_of(lambda ids: ids % 5 != 0)      # the standing view
+    delta = rollup_of(lambda ids: ids % 5 == 0)     # today's ingest
+    # maintenance = one tiny fold of view-sized frames, no base rescan
+    out = (
+        pd.concat([base, delta], ignore_index=True)
+        .groupby("event_type", as_index=False)[["n_events", "sum_value_milli"]]
+        .sum()
+    )
+    return out.astype({"n_events": "int64", "sum_value_milli": "int64"})
+
+
+_ZDAY_BASE = 19723  # epoch day of 2024-01-01, the events table's origin
+
+
+def _zorder_sql() -> str:
+    x = "(user_id & 65535)"
+    y = f"(((epoch_us(ts) // {_DAY_US}) - {_ZDAY_BASE}) & 65535)"
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(16)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(16)]
+    z = " + ".join(terms)
+    return f"""
+    WITH z AS (SELECT user_id, epoch_us(ts) // {_DAY_US} - {_ZDAY_BASE} AS day,
+                      {z} AS zkey FROM events)
+    SELECT CAST(zkey >> 8 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user, CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(MIN(day) AS BIGINT) AS min_day, CAST(MAX(day) AS BIGINT) AS max_day
+    FROM z GROUP BY zbucket
+    """
+
+
+@register("zorder_layout_events")
+def zorder_layout_events(sf_dir: str):
+    """Z-order (Morton) clustering key — the multi-dimensional data
+    LAYOUT primitive (Delta/Iceberg OPTIMIZE ZORDER): interleave the
+    bits of (user_id, day) so rows near in BOTH dimensions land in the
+    same key range, then report per-z-range occupancy with min/max of
+    each dimension — the bounded spans per bucket are exactly the
+    locality a z-ordered file layout gives range-pruned scans. The
+    interleave is one vectorized numpy shift/or cascade per batch; the
+    oracle's bit expression is GENERATED from the same spec so both
+    sides share one definition."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        day = (t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+               // _DAY_US) - _ZDAY_BASE
+        x = (uid & 65535).astype(np.int64)
+        y = (day & 65535).astype(np.int64)
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        df = pd.DataFrame({"zbucket": z >> 8, "user_id": uid, "day": day})
+        g = df.groupby("zbucket", as_index=False).agg(
+            n_events=("user_id", "size"),
+            min_user=("user_id", "min"), max_user=("user_id", "max"),
+            min_day=("day", "min"), max_day=("day", "max"),
+        )
+        return g.astype({c: "int64" for c in g.columns})
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["zbucket"],
+        lambda g: g.groupby("zbucket", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_user=("min_user", "min"), max_user=("max_user", "max"),
+            min_day=("min_day", "min"), max_day=("max_day", "max"),
+        ),
+    ).to_pandas()
+    return out.astype({c: "int64" for c in out.columns})
+
+
+ORACLE_SQL["zorder_layout_events"] = _zorder_sql()
