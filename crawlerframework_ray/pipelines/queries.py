@@ -5987,3 +5987,74 @@ def zorder_layout_events(sf_dir: str):
 
 
 ORACLE_SQL["zorder_layout_events"] = _zorder_sql()
+
+
+_PURGE_SQL = """
+    WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 3)
+    SELECT 'events' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_purged,
+           CAST((SELECT COUNT(*) FROM events) - COUNT(*) AS BIGINT) AS n_kept
+    FROM events WHERE user_id IN (SELECT user_id FROM del)
+    UNION ALL
+    SELECT 'customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) - COUNT(*) AS BIGINT)
+    FROM customer WHERE c_custkey IN (SELECT user_id FROM del)
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) - COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey IN (SELECT user_id FROM del)
+"""
+
+
+@register("delete_propagation_audit", _PURGE_SQL)
+def delete_propagation_audit(sf_dir: str):
+    """Right-to-be-forgotten propagation: one deletion list (users with
+    user_id % 7 == 3 — the deterministic stand-in for a GDPR request
+    table) is applied across EVERY table that references the subject
+    (events by user_id, customer by c_custkey, orders by o_custkey),
+    and the audit reports purged/kept counts per table — the
+    reconciliation a compliance pipeline must produce. The deletion
+    list is broadcast once (ray.put; requests ≪ corpus — beyond
+    broadcastable it becomes the bucketed anti_join, stages/joins.py)
+    and each table is ONE streaming membership-filter pass; the actual
+    purged rewrite is the same pass writing the kept rows
+    (partitioned, resumable) instead of counting them."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def del_partial(t: pa.Table) -> pd.DataFrame:
+        u = np.unique(t.column("user_id").to_numpy())
+        return pd.DataFrame({"user_id": u[u % 7 == 3]})
+
+    del_df = bucketed_group_agg(
+        ev.map_batches(del_partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"],
+        lambda g: g.drop_duplicates(),
+    ).to_pandas()
+    del_ref = ray.put(set(int(x) for x in del_df["user_id"]))
+
+    def audit(table: str, key: str) -> tuple[int, int]:
+        ds = _read(sf_dir, table, [key])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            dels = ray.get(del_ref)
+            k = t.column(key).to_numpy()
+            hit = np.fromiter((int(x) in dels for x in k), bool, len(k))
+            return pd.DataFrame({"n_purged": [int(hit.sum())],
+                                 "n_kept": [int((~hit).sum())]})
+
+        df = ds.map_batches(part, batch_format="pyarrow", batch_size=65536).to_pandas()
+        return int(df["n_purged"].sum()), int(df["n_kept"].sum())
+
+    rows = []
+    for tbl, key in (("events", "user_id"), ("customer", "c_custkey"), ("orders", "o_custkey")):
+        p, k = audit(tbl, key)
+        rows.append((tbl, p, k))
+    return pd.DataFrame(rows, columns=["tbl", "n_purged", "n_kept"]).astype(
+        {"n_purged": "int64", "n_kept": "int64"}
+    )
