@@ -6058,3 +6058,87 @@ def delete_propagation_audit(sf_dir: str):
     return pd.DataFrame(rows, columns=["tbl", "n_purged", "n_kept"]).astype(
         {"n_purged": "int64", "n_kept": "int64"}
     )
+
+
+_FASTSS_SQL = """
+    WITH base AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS t FROM documents),
+    aug AS (SELECT t FROM base
+            UNION
+            SELECT t || substr(t, length(t), 1) FROM base WHERE length(t) % 3 = 0),
+    p AS (SELECT a.t AS t_a, b.t AS t_b FROM aug a JOIN aug b
+          ON a.t < b.t AND levenshtein(a.t, b.t) <= 1)
+    SELECT t_a, t_b FROM p
+"""
+
+
+def _ed1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check (lengths within 1, single scan)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion: advance past the single mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+@register("fuzzy_term_pairs", _FASTSS_SQL)
+def fuzzy_term_pairs(sf_dir: str):
+    """Fuzzy string matching (spell-correction / entity-resolution
+    blocking): all vocabulary pairs within edit distance 1 via FastSS
+    deletion-neighborhood blocking (Bocek et al. 2007) — each term
+    emits itself plus its single-deletion variants as block keys;
+    ed(a,b) ≤ 1 GUARANTEES a shared key (substitution ⇒ same deletion
+    at that position; indel ⇒ one term IS a deletion of the other), so
+    blocking has perfect recall and the exact ‖·‖≤1 verify runs only
+    inside blocks — |t|+1 keys per term instead of an O(V²) cross
+    join. Typos are planted (doubled last char on length%3==0 terms,
+    identically on both sides) so pairs provably exist. Shape: distinct
+    vocab (bounded groupby) → key flat-map → bucketed block groupby →
+    in-block verify → pair dedup."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def vocab_partial(t: pa.Table) -> pd.DataFrame:
+        vs = set()
+        for txt in t.column("text").to_pylist():
+            vs.update(txt.split(" "))
+        return pd.DataFrame({"t": sorted(vs)})
+
+    vocab = bucketed_group_agg(
+        ds.map_batches(vocab_partial, batch_format="pyarrow", batch_size=8192),
+        ["t"],
+        lambda g: g.drop_duplicates(),
+    )
+
+    def augment_and_keys(t: pa.Table) -> pd.DataFrame:
+        terms = set(t.column("t").to_pylist())
+        terms |= {x + x[-1] for x in terms if x and len(x) % 3 == 0}
+        rows = []
+        for x in terms:
+            keys = {x} | {x[:i] + x[i + 1 :] for i in range(len(x))}
+            rows.extend((k, x) for k in keys)
+        return pd.DataFrame(rows, columns=["key", "t"])
+
+    keyed = vocab.map_batches(augment_and_keys, batch_format="pyarrow", batch_size=65536)
+
+    def block_verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for _, gg in g.groupby("key", sort=False):
+            ts = sorted(set(gg["t"]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    if _ed1(ts[i], ts[j]):
+                        out.add((ts[i], ts[j]))
+        return pd.DataFrame(sorted(out), columns=["t_a", "t_b"])
+
+    pairs = bucketed_group_agg(keyed, ["key"], block_verify).to_pandas()
+    return pairs.drop_duplicates().sort_values(["t_a", "t_b"]).reset_index(drop=True)
