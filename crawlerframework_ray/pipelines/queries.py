@@ -6142,3 +6142,100 @@ def fuzzy_term_pairs(sf_dir: str):
 
     pairs = bucketed_group_agg(keyed, ["key"], block_verify).to_pandas()
     return pairs.drop_duplicates().sort_values(["t_a", "t_b"]).reset_index(drop=True)
+
+
+_HOUR_US = 3600 * 10**6
+_EMIT_BATCH_ROWS = 50
+_LATE_SHIFT_US = 3 * _HOUR_US
+
+_EMIT_SQL = f"""
+    WITH a AS (SELECT event_id, event_type,
+                      epoch_us(ts) - CASE WHEN event_id % 37 = 5
+                                          THEN {_LATE_SHIFT_US} ELSE 0 END AS us,
+                      ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+               FROM events),
+    b AS (SELECT *, CAST((rn + {_EMIT_BATCH_ROWS - 1}) // {_EMIT_BATCH_ROWS} AS BIGINT) AS batch,
+                 (us // {_HOUR_US}) * {_HOUR_US} AS win FROM a),
+    wm AS (SELECT batch, MAX(MAX(us)) OVER (ORDER BY batch) AS wm_k FROM b GROUP BY batch),
+    e AS (SELECT w.win, CAST(MIN(wm.batch) AS BIGINT) AS emit_batch
+          FROM (SELECT DISTINCT win FROM b) w
+          JOIN wm ON wm.wm_k >= w.win + {_HOUR_US} GROUP BY w.win),
+    f AS (SELECT b.*, COALESCE(e.emit_batch, -1) AS eb FROM b LEFT JOIN e ON b.win = e.win)
+    SELECT CAST(win AS BIGINT) AS win_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events, CAST(eb AS BIGINT) AS emit_batch
+    FROM f WHERE eb = -1 OR eb >= batch GROUP BY win, event_type, eb
+    UNION ALL
+    SELECT -1, '__late_dropped__', CAST(COUNT(*) AS BIGINT), -1
+    FROM f WHERE eb != -1 AND eb < batch HAVING COUNT(*) > 0
+"""
+
+
+@register("stream_window_emit", _EMIT_SQL)
+def stream_window_emit(sf_dir: str):
+    """Incremental EMIT for streaming windows — the §2.9 semantics the
+    chain==batch gate doesn't cover: tumbling 1 h event-time windows
+    over the micro-batch chain FINALIZE the moment the carried
+    watermark (running max event time) passes their end, the emitting
+    batch index is part of the output (the emission SCHEDULE is
+    checked, not just final counts), events arriving after their
+    window emitted are dropped and accounted, and still-open windows
+    flush at stream end with emit_batch = -1. Late arrivals are
+    planted (event time shifted −3 h on event_id % 37 == 5, identically
+    on both sides) so the drop path provably fires. Per-batch order of
+    operations: fold, advance watermark, emit — the oracle states the
+    same schedule relationally (running-max per batch + min-batch per
+    window). Source: the same queue actor as stream_microbatch_counts
+    (one row group in memory, no driver table read)."""
+    import ray
+
+    from .streaming import MicroBatchSource
+
+    source = MicroBatchSource.remote(
+        f"{sf_dir}/events.parquet", _EMIT_BATCH_ROWS, ["event_id", "ts", "event_type"]
+    )
+    open_w: dict = {}      # win -> {event_type: n}
+    emitted: list = []     # (win, event_type, n, emit_batch)
+    n_late = 0
+    watermark = -1
+    batch_idx = 0
+    last_id = -1
+    pending = source.next_batch.remote()
+    while True:
+        chunk = ray.get(pending)
+        if chunk is None:
+            break
+        pending = source.next_batch.remote()
+        batch_idx += 1
+        ids = chunk.column("event_id").to_numpy()
+        assert len(ids) == 0 or (int(ids[0]) > last_id and (np.diff(ids) > 0).all()), (
+            "queue must serve arrival order == event_id order"
+        )
+        if len(ids):
+            last_id = int(ids[-1])
+        us = chunk.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        us = us - np.where(ids % 37 == 5, _LATE_SHIFT_US, 0)
+        wins = (us // _HOUR_US) * _HOUR_US
+        types = chunk.column("event_type").to_pylist()
+        # 1) fold — an event is LATE iff the watermark had already
+        # passed its window's end BEFORE this batch (covers both
+        # emitted windows and windows that were never populated)
+        for w, et in zip(wins, types):
+            w = int(w)
+            if w + _HOUR_US <= watermark:
+                n_late += 1
+                continue
+            open_w.setdefault(w, {})
+            open_w[w][et] = open_w[w].get(et, 0) + 1
+        # 2) advance watermark  3) emit closed windows
+        if len(us):
+            watermark = max(watermark, int(us.max()))
+        for w in sorted(k for k in open_w if k + _HOUR_US <= watermark):
+            for et, n in open_w.pop(w).items():
+                emitted.append((w, et, n, batch_idx))
+    for w in sorted(open_w):  # flush still-open windows at stream end
+        for et, n in open_w[w].items():
+            emitted.append((w, et, n, -1))
+    rows = emitted + ([(-1, "__late_dropped__", n_late, -1)] if n_late else [])
+    return pd.DataFrame(
+        rows, columns=["win_start_us", "event_type", "n_events", "emit_batch"]
+    ).astype({"win_start_us": "int64", "n_events": "int64", "emit_batch": "int64"})
