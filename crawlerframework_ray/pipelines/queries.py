@@ -6239,3 +6239,56 @@ def stream_window_emit(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["win_start_us", "event_type", "n_events", "emit_batch"]
     ).astype({"win_start_us": "int64", "n_events": "int64", "emit_batch": "int64"})
+
+
+_REGR_SQL = f"""
+    WITH a AS (SELECT event_type,
+                      epoch_us(ts) // {_DAY_US} - {_ZDAY_BASE} AS x,
+                      CAST(FLOOR(value*1000+0.5) AS BIGINT) AS y
+               FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+           CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+    FROM a GROUP BY event_type
+"""
+
+
+@register("regression_value_by_type", _REGR_SQL)
+def regression_value_by_type(sf_dir: str):
+    """Grouped OLS trend fitting (is each event type's value drifting
+    over time?) as ONE streaming pass: the normal-equation sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) fold as per-batch integer
+    partials — the classic mergeable-moments shape — and the slope is
+    returned as the EXACT integer fraction (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²), numerator and denominator separately, because the
+    quotient is the one thing floats would make engine-dependent.
+    x = epoch-day offset (rebased so x² stays far from int64),
+    y = value in millis."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = (t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+             // _DAY_US) - _ZDAY_BASE
+        y = np.floor(t.column("value").to_numpy() * 1000 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pylist(),
+             "n": np.int64(1), "sx": x, "sy": y, "sxy": x * y, "sxx": x * x}
+        )
+        return df.groupby("event_type", as_index=False).sum()
+
+    cols = ["n", "sx", "sy", "sxy", "sxx"]
+    f = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"],
+        lambda g: g.groupby("event_type", as_index=False)[cols].sum(),
+    ).to_pandas()
+    out = pd.DataFrame(
+        {"event_type": f["event_type"],
+         "n": f["n"],
+         "slope_num": f["n"] * f["sxy"] - f["sx"] * f["sy"],
+         "slope_den": f["n"] * f["sxx"] - f["sx"] * f["sx"]}
+    )
+    return out.astype({"n": "int64", "slope_num": "int64", "slope_den": "int64"})
