@@ -6292,3 +6292,94 @@ def regression_value_by_type(sf_dir: str):
          "slope_den": f["n"] * f["sxx"] - f["sx"] * f["sx"]}
     )
     return out.astype({"n": "int64", "slope_num": "int64", "slope_den": "int64"})
+
+
+@register("term_canonicalization", _golden_sql("term_canon"))
+def term_canonicalization(sf_dir: str):
+    """Entity-resolution capstone: corpus term counts are folded onto
+    CANONICAL terms, where canonical = the min term of each edit-
+    distance-1 connected component (typo normalization before counting
+    — the reason search/dedup pipelines canonicalize before any
+    frequency cut). Distributed shape: (1) corpus term counts with
+    planted typo occurrences (doc_id % 13 == 5 appends doubled-last-
+    char variants, identically in the golden) — per-batch Counter
+    combiner, one bounded groupby; (2) candidate pairs via the FastSS
+    deletion-neighborhood blocks (perfect recall for ed ≤ 1,
+    fuzzy_term_pairs machinery); (3) components + remap close on the
+    driver over VOCABULARY-sized state (terms ≪ corpus — the same
+    bounded-driver-state rule as the scan's prefix offsets; at an
+    unbounded vocab this step is label_propagation_clusters,
+    stages/dedup.py, already gated by simhash_dup_clusters). Golden:
+    brute-force all-pairs levenshtein + serial union-find — independent
+    of the blocking AND the fold."""
+    from collections import Counter
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for d, txt in zip(t.column("doc_id").to_numpy(), t.column("text").to_pylist()):
+            toks = txt.split(" ")
+            if int(d) % 13 == 5:
+                toks = toks + [w + w[-1] for w in toks[:3] if w and len(w) % 3 == 0]
+            c.update(toks)
+        return pd.DataFrame(
+            {"term": list(c.keys()), "n": np.fromiter(c.values(), np.int64, len(c))}
+        )
+
+    counts = bucketed_group_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=8192),
+        ["term"],
+        lambda g: g.groupby("term", as_index=False)["n"].sum(),
+    ).to_pandas()
+
+    # FastSS blocks over the counted vocabulary → verified ed<=1 pairs
+    import ray.data
+
+    vocab_ds = ray.data.from_pandas(counts[["term"]].rename(columns={"term": "t"}))
+
+    def keys_of(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for x in t.column("t").to_pylist():
+            ks = {x} | {x[:i] + x[i + 1 :] for i in range(len(x))}
+            rows.extend((k, x) for k in ks)
+        return pd.DataFrame(rows, columns=["key", "t"])
+
+    def block_verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for _, gg in g.groupby("key", sort=False):
+            ts = sorted(set(gg["t"]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    if _ed1(ts[i], ts[j]):
+                        out.add((ts[i], ts[j]))
+        return pd.DataFrame(sorted(out), columns=["t_a", "t_b"])
+
+    pairs = bucketed_group_agg(
+        vocab_ds.map_batches(keys_of, batch_format="pyarrow", batch_size=65536),
+        ["key"], block_verify,
+    ).to_pandas().drop_duplicates()
+
+    # components + remap on vocabulary-sized state
+    parent = {t: t for t in counts["term"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["t_a"], pairs["t_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    counts["canon_term"] = [find(t) for t in counts["term"]]
+    out = counts.groupby("canon_term", as_index=False)["n"].sum().rename(
+        columns={"n": "n_occurrences"}
+    )
+    return out.sort_values("canon_term").reset_index(drop=True).astype(
+        {"n_occurrences": "int64"}
+    )

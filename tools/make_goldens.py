@@ -1119,11 +1119,67 @@ def gram_top_component(sf_dir: str) -> None:
     )
 
 
+def term_canon(sf_dir: str) -> None:
+    """Serial mirror of term canonicalization: brute-force all-pairs
+    levenshtein(<=1) over the typo-augmented vocabulary + serial
+    union-find with min-term labels, then corpus term counts folded
+    onto the canonical term. Independent of the FastSS blocking AND of
+    the distributed min-label propagation. Strong oracle."""
+    from collections import Counter
+
+    def ed1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts: Counter = Counter()
+    for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = txt.split(" ")
+        if int(d) % 13 == 5:  # planted typo occurrences in the CORPUS
+            toks = toks + [w + w[-1] for w in toks[:3] if w and len(w) % 3 == 0]
+        counts.update(toks)
+    vocab = sorted(counts)
+    parent = {v: v for v in vocab}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(vocab)):
+        for j in range(i + 1, len(vocab)):
+            if ed1(vocab[i], vocab[j]):
+                ra, rb = find(vocab[i]), find(vocab[j])
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    canon: Counter = Counter()
+    for v, n in counts.items():
+        canon[find(v)] += n
+    rows = sorted((k, int(v)) for k, v in canon.items())
+    _write(
+        "term_canon", sf_dir,
+        pd.DataFrame(rows, columns=["canon_term", "n_occurrences"]).astype(
+            {"canon_term": "string", "n_occurrences": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon]
 
 
 def main() -> None:
