@@ -6383,3 +6383,300 @@ def term_canonicalization(sf_dir: str):
     return out.sort_values("canon_term").reset_index(drop=True).astype(
         {"n_occurrences": "int64"}
     )
+
+
+# =====================================================================
+# Round-3 additions: graph reachability (components + seeded BFS over
+# the host link graph) and ranked retrieval (BM25, matryoshka
+# truncated-dim eval, RRF hybrid fusion)
+# =====================================================================
+
+# Block-partitioned host edges: every edge stays inside its 8-host
+# block, so components/BFS have non-trivial exact answers (see
+# stages/graph.block_host_edges — identical derivation).
+_BLOCK_EDGES_SQL = """
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 64 AS src,
+               (doc_id % 64) // 8 * 8 + (doc_id * 5 + doc_id // 64 + 1) % 8 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 64,
+               (doc_id % 64) // 8 * 8 + (doc_id * 11 + 3) % 8
+        FROM documents)
+      WHERE src != dst
+"""
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE edges AS ({_BLOCK_EDGES_SQL}),
+    ue AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+    nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM ue UNION SELECT dst FROM ue)),
+    reach(h, m) AS (
+      SELECT h, h FROM nodes
+      UNION
+      SELECT e.dst AS h, r.m FROM reach r JOIN ue e ON e.src = r.h)
+    SELECT CAST(h AS BIGINT) AS host, CAST(MIN(m) AS BIGINT) AS component
+    FROM reach GROUP BY h
+"""
+
+
+@register("host_connected_components", _COMPONENTS_SQL)
+def host_connected_components(sf_dir: str):
+    """Weakly-connected components of the host link graph by
+    synchronous min-label propagation (stages/graph.
+    min_label_components) — the crawl-domain clustering op (which
+    hosts form one linked cluster?; the reference's frontier IS this
+    graph, crawler/connectors/baseconnector.py outlink expansion).
+    Min-label is idempotent under duplicate edges, so the undirected
+    closure streams WITHOUT a dedup shuffle; each sweep is one
+    edge-streamed propagate (labels broadcast, edges never move) and
+    the fixpoint is exact — component id = min reachable host id,
+    partition-invariant, equal to the SQL transitive closure."""
+    from ..stages.graph import block_host_edges, min_label_components, undirected_closure
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return min_label_components(undirected_closure(block_host_edges(ds, n_hosts=64, block=8)))
+
+
+def _bfs_iter_sql(k: int) -> str:
+    return f"""
+    it{k} AS (
+      SELECT n.h, LEAST(p.d, COALESCE(s.md, 999), 999) AS d
+      FROM nodes n JOIN it{k - 1} p ON p.h = n.h
+      LEFT JOIN (SELECT e.dst AS h, MIN(p.d + 1) AS md
+                 FROM ue e JOIN it{k - 1} p ON e.src = p.h GROUP BY e.dst) s
+      ON s.h = n.h)"""
+
+
+_BFS_SQL = f"""
+    WITH edges AS ({_BLOCK_EDGES_SQL}),
+    ue AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+    nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM ue UNION SELECT dst FROM ue)),
+    it0 AS (SELECT h, CASE WHEN h IN (0, 1, 2) THEN 0 ELSE 999 END AS d FROM nodes),
+    {",".join(_bfs_iter_sql(k) for k in (1, 2, 3, 4, 5, 6))}
+    SELECT CAST(h AS BIGINT) AS host,
+           CAST(CASE WHEN d >= 999 THEN -1 ELSE d END AS BIGINT) AS hops
+    FROM it6
+"""
+
+
+@register("seed_hop_distance", _BFS_SQL)
+def seed_hop_distance(sf_dir: str):
+    """Bounded BFS hop distance from the seed hosts {0,1,2} over the
+    undirected host graph (6 synchronous sweeps) — crawl-depth
+    analysis: how many link hops from the seeds each host sits, -1
+    where unreached within the bound. The block-partitioned edge set
+    makes unreachability REAL (only the seeds' own 8-host block is
+    reachable; the other 56 hosts must come back -1), so the sentinel
+    path is exercised, not just the relaxation. Integer distances +
+    min-relaxation are exactly associative — bit-identical to the
+    unrolled SQL regardless of partitioning (stages/graph.
+    bfs_hops_int)."""
+    from ..stages.graph import bfs_hops_int, block_host_edges, undirected_closure
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = undirected_closure(block_host_edges(ds, n_hosts=64, block=8))
+    return bfs_hops_int(edges, seeds=np.array([0, 1, 2], dtype=np.int64), iters=6)
+
+
+# --- ranked retrieval -------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, ["dup", "merge"]),           # rare + common term (idf contrast)
+    (1, ["vector", "hash", "join"]),
+    (2, ["slow", "query", "scan"]),
+]
+
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+_BM25_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+    qt(query_id, term) AS (VALUES {_BM25_QT_VALUES}),
+    df AS (SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS df
+           FROM toks t JOIN (SELECT DISTINCT term FROM qt) q ON q.term = t.term
+           GROUP BY t.term),
+    tf AS (SELECT q.query_id, t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks t JOIN qt q ON q.term = t.term GROUP BY 1, 2, 3),
+    scores AS (SELECT tf.query_id, tf.doc_id,
+                      CAST(SUM((((s.n - df.df) * 1000000 // (df.df + 1)) * 22 * s.total * tf.tf)
+                               // (10 * s.total * tf.tf + 3 * s.total + 9 * dl.dl * s.n)) AS BIGINT) AS score
+               FROM tf
+               JOIN df ON df.term = tf.term
+               JOIN dl ON dl.doc_id = tf.doc_id
+               CROSS JOIN stats s
+               GROUP BY 1, 2)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scores)
+    WHERE rank <= 10
+"""
+
+
+@register("bm25_search_topk", _BM25_SQL)
+def bm25_search_topk(sf_dir: str):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) in EXACT integer
+    arithmetic — the scoring half of the reference's Solr sink (K3,
+    crawler/utils/solrinterface.py ships docs out for Solr to rank;
+    here ranking is the distributed operator itself). Rational idf
+    surrogate + one floor division per (doc, term) make the score
+    partition-invariant and bit-equal to the SQL oracle (stages/
+    retrieval.py module docstring derives the integerization). Shape:
+    corpus stats fold as per-batch partials, scoring emits per-batch
+    partial top-k, one bounded final merge — the ANN top-k shape over
+    a lexical kernel."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
+def _quant_ann_sql(dims: int | None, k: int) -> str:
+    emb = f"embedding[1:{dims}]" if dims is not None else "embedding"
+    return f"""
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform({emb}, x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS qq
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id,
+                 list_transform({emb}, x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS cq
+          FROM embeddings)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(qq, cq) DESC, c.vec_id) AS BIGINT) AS rank
+      FROM q, c WHERE c.vec_id != q.qid)
+    WHERE rank <= {k}
+"""
+
+
+_MATRYOSHKA_DIMS = 16
+
+_MATRYOSHKA_RECALL_SQL = f"""
+    WITH f AS ({_quant_ann_sql(None, 5)}), t AS ({_quant_ann_sql(_MATRYOSHKA_DIMS, 5)}),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+    hits AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM f JOIN t USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_permille
+    FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
+"""
+
+
+@register("matryoshka_recall_eval", _MATRYOSHKA_RECALL_SQL)
+def matryoshka_recall_eval(sf_dir: str):
+    """Matryoshka (truncated-prefix) retrieval evaluation: recall@5 of
+    the 16-dim-prefix quantized retriever against the full-64-dim
+    quantized truth, per query — the standard cost/quality knob for
+    embedding search at scale (prefix dims cut corpus bytes 4× again
+    on top of int8). Both retrievers run distributed (broadcast query
+    matrix, per-batch integer-dot partial top-k, stages/similarity.
+    QuantizedTopK dims=); outputs are k·|Q| rows, so the intersection
+    count is the sanctioned bounded driver-side merge
+    (ann_recall_eval's rule)."""
+    from ..stages.similarity import ann_quantized
+
+    qids, qvecs = _query_vectors(sf_dir)
+    full = (
+        ann_quantized(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), qids, qvecs, k=5)
+        .to_pandas()[["query_id", "neighbor_id"]]
+    )
+    trunc = (
+        ann_quantized(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), qids, qvecs,
+                      k=5, dims=_MATRYOSHKA_DIMS)
+        .to_pandas()[["query_id", "neighbor_id"]]
+    )
+    hits = full.merge(trunc, on=["query_id", "neighbor_id"]).groupby("query_id").size()
+    n_hits = pd.Series(qids, name="query_id").map(hits).fillna(0).astype("int64")
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(qids, dtype="int64"),
+            "n_hits": n_hits.to_numpy(),
+            "recall_permille": (n_hits.to_numpy() * 1000) // 5,
+        }
+    ).sort_values("query_id").reset_index(drop=True)
+
+
+_RRF_SQL = f"""
+    WITH f AS ({_quant_ann_sql(None, 20)}), t AS ({_quant_ann_sql(_MATRYOSHKA_DIMS, 20)}),
+    u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS rrf_score FROM f
+          UNION ALL
+          SELECT query_id, neighbor_id, 1000000 // (60 + rank) FROM t),
+    fused AS (SELECT query_id, neighbor_id, CAST(SUM(rrf_score) AS BIGINT) AS rrf_score
+              FROM u GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rrf_score, rank FROM (
+      SELECT query_id, neighbor_id, rrf_score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS rank
+      FROM fused)
+    WHERE rank <= 5
+"""
+
+
+@register("rrf_hybrid_search", _RRF_SQL)
+def rrf_hybrid_search(sf_dir: str):
+    """Reciprocal Rank Fusion of two retrievers over the same corpus
+    (full-dim int8 retriever + 16-dim matryoshka prefix retriever,
+    top-20 each) — the multi-retriever hybrid-search shape (Cormack et
+    al. 2009), with the fusion weight 1/(60+rank) integerized as
+    1000000 // (60+rank) so fused scores are exact and associative.
+    Each retriever is the distributed partial-top-k pipeline; the fuse
+    itself runs over 2·20·|Q| bounded rows (stages/retrieval.rrf_fuse,
+    the sanctioned driver-side merge)."""
+    from ..stages.retrieval import rrf_fuse
+    from ..stages.similarity import ann_quantized
+
+    qids, qvecs = _query_vectors(sf_dir)
+    full = ann_quantized(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qids, qvecs, k=20
+    ).to_pandas()
+    trunc = ann_quantized(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qids, qvecs,
+        k=20, dims=_MATRYOSHKA_DIMS,
+    ).to_pandas()
+    return rrf_fuse([full, trunc], k=5)
+
+
+def _hits_iter_sql(k: int) -> str:
+    return f"""
+    a{k} AS (SELECT n.h, COALESCE(x.s, 0) AS s FROM nodes n LEFT JOIN (
+       SELECT e.dst AS h, SUM(p.s) AS s FROM edges e JOIN h{k - 1} p ON e.src = p.h
+       GROUP BY e.dst) x ON x.h = n.h),
+    h{k} AS (SELECT n.h, COALESCE(x.s, 0) AS s FROM nodes n LEFT JOIN (
+       SELECT e.src AS h, SUM(p.s) AS s FROM edges e JOIN a{k} p ON e.dst = p.h
+       GROUP BY e.src) x ON x.h = n.h)"""
+
+
+_HITS_SQL = f"""
+    WITH edges AS ({_PAGERANK_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+    h0 AS (SELECT h, CAST(1 AS BIGINT) AS s FROM nodes),
+    {",".join(_hits_iter_sql(k) for k in (1, 2, 3))}
+    SELECT CAST(n.h AS BIGINT) AS host,
+           CAST(h3.s AS BIGINT) AS hub,
+           CAST(a3.s AS BIGINT) AS authority
+    FROM nodes n JOIN h3 ON h3.h = n.h JOIN a3 ON a3.h = n.h
+"""
+
+
+@register("hits_hosts", _HITS_SQL)
+def hits_hosts(sf_dir: str):
+    """HITS hubs/authorities over the directed host graph (3
+    synchronous sweeps, unnormalized exact int64 — the L2 norm is the
+    one transcendental step of Kleinberg's formulation, so it is
+    dropped and the iteration count bounded instead; rankings are
+    norm-invariant). Completes the link-analysis family next to
+    pagerank_hosts: same broadcast-vector / streamed-edges kernel
+    (stages/graph._propagate_sum), sum-propagation instead of
+    min/weighted — and, because sums are not idempotent, this is the
+    query that REQUIRES the deduplicated edge set (distinct_edges),
+    documenting that contract."""
+    from ..stages.graph import distinct_edges, hits_int, host_edges
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hits_int(distinct_edges(host_edges(ds, n_hosts=64)), iters=3)

@@ -248,3 +248,209 @@ def triangle_counts(edges_ds, n_hosts: int) -> pd.DataFrame:
         lambda g: g.groupby("host", as_index=False).agg(n_triangles=("host", "size")),
     ).to_pandas()
     return out.astype({"host": "int64", "n_triangles": "int64"})
+
+
+def block_host_edges(ds, n_hosts: int = 64, block: int = 8):
+    """Deterministic BLOCK-partitioned host edge list: every edge stays
+    inside its host's block of ``block`` hosts, so the graph decomposes
+    into n_hosts/block disjoint clusters by construction — the shape
+    connected-components and seeded-BFS need to produce non-trivial
+    answers (a single dense component would make both queries
+    constant). Same per-doc derivation discipline as host_edges."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        src = ids % n_hosts
+        base = (src // block) * block
+        da = base + (ids * 5 + ids // n_hosts + 1) % block
+        db = base + (ids * 11 + 3) % block
+        s = np.concatenate([src, src])
+        d = np.concatenate([da, db])
+        keep = s != d
+        e = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        return pa.table(
+            {
+                "src": pa.array(e[:, 0], pa.int64()),
+                "dst": pa.array(e[:, 1], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def undirected_closure(edges):
+    """Edge set plus its reverse (the undirected form min-label
+    components require) — one map_batches, dedup is the caller's
+    distinct_edges."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def _graph_nodes(edges) -> np.ndarray:
+    """Sorted distinct vertex ids of a (src, dst) edge Dataset — one
+    bounded shuffle (same pattern as pagerank_int's node derivation)."""
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        h = np.unique(
+            np.concatenate([t.column("src").to_numpy(), t.column("dst").to_numpy()])
+        )
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    return np.sort(
+        bucketed_group_agg(
+            edges.map_batches(node_partial, batch_format="pyarrow"),
+            ["h"],
+            lambda g: g.drop_duplicates(ignore_index=True),
+        )
+        .to_pandas()["h"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+
+def _propagate_min(edges, nodes: np.ndarray, state: np.ndarray) -> np.ndarray:
+    """One synchronous min-propagation sweep: every edge (s, d) offers
+    ``state[s]`` to d; returns the per-node minimum offer (np.iinfo max
+    where no edge arrives). Edge blocks stream; the (nodes, state)
+    vector ships once per sweep via ray.put and is resolved zero-copy
+    in every batch — the 10^8-vertex form keeps state as a Dataset and
+    swaps the broadcast for a bucketed hash-join attach, identical
+    sweep semantics (stages/graph.py module docstring)."""
+    import ray
+
+    ref = ray.put((nodes, state))
+
+    def sweep(t: pa.Table) -> pa.Table:
+        nds, st = ray.get(ref)  # zero-copy views
+        si = np.searchsorted(nds, t.column("src").to_numpy())
+        offer = st[si]
+        d = t.column("dst").to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        acc = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(acc, inv, offer)
+        return pa.table(
+            {"dst": pa.array(u, pa.int64()), "m": pa.array(acc, pa.int64())}
+        )
+
+    got = bucketed_group_agg(
+        edges.map_batches(sweep, batch_format="pyarrow"),
+        ["dst"],
+        lambda g: g.groupby("dst", as_index=False)["m"].min(),
+    ).to_pandas()
+    incoming = np.full(len(nodes), np.iinfo(np.int64).max, np.int64)
+    incoming[np.searchsorted(nodes, got["dst"].to_numpy())] = got["m"].to_numpy()
+    return incoming
+
+
+def _propagate_sum(edges, nodes: np.ndarray, state: np.ndarray,
+                   reverse: bool = False) -> np.ndarray:
+    """One synchronous sum-propagation sweep: every edge (s, d) adds
+    ``state[s]`` into d (or, with ``reverse``, ``state[d]`` into s) —
+    the kernel HITS shares with pagerank_int. Integer ``np.add.at``
+    accumulation, so cross-partition sums are exactly associative;
+    same broadcast-vector / streamed-edges shape as _propagate_min."""
+    import ray
+
+    ref = ray.put((nodes, state))
+    src_col, dst_col = ("dst", "src") if reverse else ("src", "dst")
+
+    def sweep(t: pa.Table) -> pa.Table:
+        nds, st = ray.get(ref)
+        si = np.searchsorted(nds, t.column(src_col).to_numpy())
+        offer = st[si]
+        d = t.column(dst_col).to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, offer)
+        return pa.table(
+            {"dst": pa.array(u, pa.int64()), "m": pa.array(acc, pa.int64())}
+        )
+
+    got = bucketed_group_agg(
+        edges.map_batches(sweep, batch_format="pyarrow"),
+        ["dst"],
+        lambda g: g.groupby("dst", as_index=False)["m"].sum(),
+    ).to_pandas()
+    incoming = np.zeros(len(nodes), np.int64)
+    incoming[np.searchsorted(nodes, got["dst"].to_numpy())] = got["m"].to_numpy()
+    return incoming
+
+
+def hits_int(edges_ds, iters: int = 3) -> pd.DataFrame:
+    """HITS hubs/authorities in UNNORMALIZED exact int64 (Kleinberg
+    1999 without the per-iteration L2 normalization — the norm is the
+    one transcendental step, so it is not taken and the iteration
+    count is bounded instead; scores grow ~(principal eigenvalue)^iters,
+    safe in int64 for small iters × bounded degree, asserted).
+    ``a_t(v) = Σ_{(u,v)} h_{t-1}(u)``, ``h_t(u) = Σ_{(u,v)} a_t(v)``
+    from h_0 = 1. The caller must supply a DEDUPLICATED edge set
+    (sum, unlike min, is not idempotent under duplicate edges).
+    Partition-invariant, bit-equal to the unrolled SQL."""
+    edges = edges_ds.materialize()
+    nodes = _graph_nodes(edges)
+    hub = np.ones(len(nodes), np.int64)
+    auth = np.zeros(len(nodes), np.int64)
+    for _ in range(iters):
+        auth = _propagate_sum(edges, nodes, hub)
+        hub = _propagate_sum(edges, nodes, auth, reverse=True)
+        assert max(int(hub.max()), int(auth.max())) < 2**53, "HITS int64 headroom"
+    return pd.DataFrame(
+        {"host": nodes, "hub": hub.astype(np.int64), "authority": auth.astype(np.int64)}
+    )
+
+
+def min_label_components(edges_ds) -> pd.DataFrame:
+    """Weakly-connected components by synchronous min-label
+    propagation (label(v) starts as v; each sweep takes the min over
+    neighbors; fixpoint = component id = min vertex id reachable).
+    The caller must supply the edge set with BOTH directions present
+    (undirected closure). Converges in graph-diameter sweeps; the
+    driver sees one changed-count per sweep, never the labels of more
+    than one vector (Dataset-resident at 10^8-vertex scale, see
+    _propagate_min). Returns (host, component), exact — label ids are
+    integers, min is associative, so the result is partition-invariant
+    and matches a serial/SQL transitive-closure evaluation bit for bit.
+    """
+    edges = edges_ds.materialize()
+    nodes = _graph_nodes(edges)
+    label = nodes.copy()
+    while True:
+        incoming = _propagate_min(edges, nodes, label)
+        new = np.minimum(label, incoming)
+        if (new != label).sum() == 0:
+            break
+        label = new
+    return pd.DataFrame({"host": nodes, "component": label.astype(np.int64)})
+
+
+def bfs_hops_int(edges_ds, seeds: np.ndarray, iters: int, inf: int = 999) -> pd.DataFrame:
+    """Bounded breadth-first hop distance from a seed set over a
+    directed edge Dataset (supply both directions for undirected
+    semantics) — the crawl-depth analysis: how many link hops from the
+    seed hosts each host sits. Exactly ``iters`` synchronous sweeps of
+    ``d(v) = min(d(v), min_{(u,v) in E} d(u) + 1)`` in int64 with
+    ``inf`` as the not-yet-reached sentinel, so the result is the
+    ≤ iters-hop distance (-1 where unreached) and matches an unrolled
+    SQL evaluation exactly. Same broadcast-vector / streamed-edges
+    shape as pagerank_int."""
+    edges = edges_ds.materialize()
+    nodes = _graph_nodes(edges)
+    dist = np.where(np.isin(nodes, seeds), 0, inf).astype(np.int64)
+    for _ in range(iters):
+        incoming = _propagate_min(edges, nodes, dist + 1)
+        # dist+1 may push the sentinel past inf; LEAST against the old
+        # dist (<= inf) restores the cap, matching the SQL's LEAST
+        dist = np.minimum(dist, incoming)
+        dist = np.minimum(dist, inf)
+    hops = np.where(dist >= inf, -1, dist).astype(np.int64)
+    return pd.DataFrame({"host": nodes, "hops": hops})

@@ -224,16 +224,24 @@ class QuantizedTopK:
     hash-checkable against SQL — unlike float cosine, which only
     rank-matches. Emits per-batch partial top-k rows."""
 
-    def __init__(self, queries_ref, id_column: str, vec_column: str, k: int):
+    def __init__(self, queries_ref, id_column: str, vec_column: str, k: int,
+                 dims: int | None = None):
         q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
         self.query_ids, qmat = q
-        self.qmat = quantize_int8(np.asarray(qmat, dtype=np.float64)).astype(np.int32).T
+        qmat = np.asarray(qmat, dtype=np.float64)
+        if dims is not None:
+            qmat = qmat[:, :dims]  # matryoshka prefix truncation
+        self.qmat = quantize_int8(qmat).astype(np.int32).T
         self.id_column, self.vec_column = id_column, vec_column
         self.k = k
+        self.dims = dims
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_column).to_pylist(), dtype=np.int64)
-        vq = quantize_int8(batch_vectors(batch, self.vec_column)).astype(np.int32)
+        vecs = batch_vectors(batch, self.vec_column)
+        if self.dims is not None:
+            vecs = vecs[:, : self.dims]
+        vq = quantize_int8(vecs).astype(np.int32)
         dots = (vq @ self.qmat).astype(np.int64)  # (batch, nq) exact ints
         out_q, out_n, out_d = [], [], []
         for qi, qid in enumerate(self.query_ids):
@@ -260,13 +268,13 @@ class QuantizedTopK:
 
 def ann_quantized(ds, query_ids: list[int], query_vecs: np.ndarray, *,
                   id_column: str = "vec_id", vec_column: str = "embedding",
-                  k: int = 5, batch_size: int = 4096):
+                  k: int = 5, batch_size: int = 4096, dims: int | None = None):
     ref = ray.put((query_ids, query_vecs))
     partial = ds.map_batches(
         QuantizedTopK,
         fn_constructor_kwargs={
             "queries_ref": ref, "id_column": id_column,
-            "vec_column": vec_column, "k": k,
+            "vec_column": vec_column, "k": k, "dims": dims,
         },
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=2, num_cpus=0.5,

@@ -72,3 +72,84 @@ def test_kmeans_assign_ties_to_smallest():
     x = np.array([[0, 0]], dtype=np.int64)
     cents = np.array([[1, 0], [-1, 0], [0, 1]], dtype=np.int64)  # all dist 1
     assert kmeans_assign_int(x, cents)[0] == 0
+
+
+def _components(blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import (
+        block_host_edges,
+        min_label_components,
+        undirected_closure,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id"], override_num_blocks=blocks
+    )
+    return (
+        min_label_components(undirected_closure(block_host_edges(ds, n_hosts=64, block=8)))
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def test_components_partition_independent(ray_session):
+    a = _components(1)
+    b = _components(8)
+    assert a.equals(b)
+    # the block construction must yield >1 component (non-trivial fixpoint)
+    assert a["component"].nunique() > 1
+    # component id is the min host id of the component — every member >= it
+    assert (a["host"] >= a["component"]).all()
+
+
+def _hops(blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import (
+        bfs_hops_int,
+        block_host_edges,
+        undirected_closure,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id"], override_num_blocks=blocks
+    )
+    edges = undirected_closure(block_host_edges(ds, n_hosts=64, block=8))
+    return (
+        bfs_hops_int(edges, seeds=np.array([0, 1, 2], dtype=np.int64), iters=6)
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def test_bfs_partition_independent(ray_session):
+    a = _hops(1)
+    b = _hops(8)
+    assert a.equals(b)
+    # seeds are at distance 0; hosts outside the seed block unreached
+    assert (a.set_index("host").loc[[0, 1, 2], "hops"] == 0).all()
+    assert (a[a["host"] >= 8]["hops"] == -1).all()
+    assert (a["hops"] > 0).any()  # and some non-seed host IS reached
+
+
+def _hits(blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import distinct_edges, hits_int, host_edges
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id"], override_num_blocks=blocks
+    )
+    return (
+        hits_int(distinct_edges(host_edges(ds, n_hosts=64)), iters=3)
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def test_hits_partition_independent(ray_session):
+    a = _hits(1)
+    b = _hits(8)
+    assert a.equals(b)
+    assert a["hub"].nunique() > 16 and a["authority"].nunique() > 16
