@@ -436,3 +436,97 @@ def bpe_encode_documents(docs_ds, merges_df: pd.DataFrame) -> "ray.data.Dataset"
         )
 
     return docs_ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+
+
+def _doc_segment_rows(t: pa.Table, k: int) -> pa.Table:
+    """(doc_id, seg_idx, seg, seg_toks): the document cut into
+    NON-overlapping k-token segments (last segment may be short) — the
+    paragraph-dedup unit. Unlike the rolling windows above, segments
+    partition the document, so kept-segment counts reassemble into a
+    deduplicated corpus size."""
+    ids = t.column("doc_id").to_numpy()
+    doc_out: list = []
+    idx_out: list = []
+    seg_out: list = []
+    tok_out: list = []
+    for doc_id, txt in zip(ids, t.column("text").to_pylist()):
+        toks = _tokens(txt)
+        for j in range(0, (len(toks) + k - 1) // k):
+            part = toks[j * k : (j + 1) * k]
+            doc_out.append(int(doc_id))
+            idx_out.append(j)
+            seg_out.append(" ".join(part))
+            tok_out.append(len(part))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "seg_idx": pa.array(idx_out, pa.int64()),
+            "seg": pa.array(seg_out, pa.string()),
+            "seg_toks": pa.array(tok_out, pa.int64()),
+        }
+    )
+
+
+def segment_dedup_stats(docs_factory, k: int = 8) -> "ray.data.Dataset":
+    """(doc_id, n_segs, kept_segs, kept_tokens): CCNet-style
+    segment-level exact deduplication with reassembly accounting
+    (Wenzek et al. 2020 dedupe by paragraph hash; the synthetic corpus
+    has no newlines, so the 'paragraph' is a non-overlapping k-token
+    segment). A segment instance is KEPT iff it is the corpus-first
+    occurrence of its content under the total order (doc_id, seg_idx);
+    every other instance is dropped. Per document we report how many
+    segments it had, how many survive, and how many tokens survive —
+    i.e. the doc's size in the deduplicated corpus.
+
+    Scale shape (no joins, no driver state):
+    1. winner pass: segment rows → ONE bounded groupby(hash(seg))
+       shuffle; inside each co-located group the winner is the
+       lexicographic (doc_id, seg_idx) minimum. Keyed by the segment
+       STRING (bucketed by its hash), so results are exact — no
+       fingerprint-collision caveat.
+    2. reassembly: winner rows (one per DISTINCT segment) union'd with
+       per-doc totals (computed batch-locally — a document never spans
+       rows) → one bounded groupby(doc_id) sum.
+    """
+
+    def totals(t: pa.Table) -> pa.Table:
+        s = _doc_segment_rows(t, k)
+        df = (
+            s.to_pandas()
+            .groupby("doc_id", as_index=False)
+            .agg(n_segs=("seg_idx", "size"))
+        )
+        df["kept_segs"] = np.int64(0)
+        df["kept_tokens"] = np.int64(0)
+        return pa.Table.from_pandas(df.astype("int64"), preserve_index=False)
+
+    def pick_first(g: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            g.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+            .groupby("seg", as_index=False)
+            .first()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": w["doc_id"].astype("int64"),
+                "n_segs": np.int64(0),
+                "kept_segs": np.int64(1),
+                "kept_tokens": w["seg_toks"].astype("int64"),
+            }
+        )
+
+    winners = bucketed_group_agg(
+        docs_factory().map_batches(
+            lambda t: _doc_segment_rows(t, k), batch_format="pyarrow", batch_size=4096
+        ),
+        ["seg"],
+        pick_first,
+    )
+    both = docs_factory().map_batches(totals, batch_format="pyarrow", batch_size=4096).union(winners)
+    return bucketed_group_agg(
+        both,
+        ["doc_id"],
+        lambda g: g.groupby("doc_id", as_index=False)[
+            ["n_segs", "kept_segs", "kept_tokens"]
+        ].sum(),
+    )

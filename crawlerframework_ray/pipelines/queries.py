@@ -3648,6 +3648,47 @@ def dup_window_stats_documents(sf_dir: str):
     )
 
 
+_SEG_DEDUP_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS seg_idx,
+             array_to_string(ts[j*8+1 : LEAST((j+1)*8, len(ts))], ' ') AS seg,
+             CAST(LEAST((j+1)*8, len(ts)) - j*8 AS BIGINT) AS seg_toks
+      FROM toks, LATERAL (SELECT unnest(range((len(ts)+7)//8)) AS j) u
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN seg_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM ranked GROUP BY doc_id
+"""
+
+
+@register("segment_dedup_documents", _SEG_DEDUP_SQL)
+def segment_dedup_documents(sf_dir: str):
+    """CCNet-style paragraph/segment-level exact dedup with reassembly
+    accounting (Wenzek et al. 2020 — dedupe by paragraph hash, here
+    non-overlapping 8-token segments since the synthetic corpus has no
+    newlines): a segment instance survives iff it is the corpus-FIRST
+    occurrence of its content under (doc_id, seg_idx); per document we
+    report total segments, surviving segments, and surviving tokens —
+    the doc's size in the deduplicated corpus. Complements
+    exact_dedup_documents (whole-doc) and dup_window_stats (overlapping
+    spans, stats only): this one partitions the text, so its kept
+    counts reassemble into output. One bounded groupby(seg) shuffle
+    picks winners, one bounded groupby(doc) sum reassembles — no joins,
+    no driver state (functions/ngrams.segment_dedup_stats)."""
+    from ..functions.ngrams import segment_dedup_stats
+
+    return segment_dedup_stats(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]), k=8
+    )
+
+
 _VOCAB_ENCODE_SQL = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS term
