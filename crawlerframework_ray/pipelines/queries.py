@@ -3648,6 +3648,95 @@ def dup_window_stats_documents(sf_dir: str):
     )
 
 
+_SMALL_LOT_SQL = """
+    WITH ps AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN ps ON l.l_partkey = ps.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * ps.cnt < ps.sum_qty
+    GROUP BY p.p_brand
+"""
+
+
+@register("small_lot_revenue", _SMALL_LOT_SQL)
+def small_lot_revenue(sf_dir: str):
+    """TPC-H-Q17-style correlated-average filter: revenue from
+    lineitems whose quantity is below 20% of their part's corpus-wide
+    average, rolled up per brand. The avg comparison is exact integer
+    cross-multiplication (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg — no
+    float avg on either side). Scale shape: ONE fused bucket exchange
+    on hash(partkey) — because the exchange co-locates every lineitem
+    of a part, the per-part aggregate, the row-vs-avg filter, the
+    brand attach AND the per-brand partial rollup all happen inside
+    the bucket task; only ≤|brands| rows per bucket reach the driver
+    fold. (The naive plan pays three shuffles: groupby(part), join,
+    groupby(brand).)"""
+    from ..stages.joins import _bucket_of
+
+    n_buckets = 64
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def pad_li(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "key": t.column("l_partkey").to_numpy(),
+                "qty": t.column("l_quantity").to_numpy().astype(np.int64),
+                "rev": _cents(t.column("l_extendedprice").to_numpy()),
+            }
+        )
+        df["p_brand"] = ""
+        df["__side"] = "l"
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df
+
+    def pad_pt(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "key": t.column("p_partkey").to_numpy(),
+                "qty": np.int64(0),
+                "rev": np.int64(0),
+                "p_brand": t.column("p_brand").to_pylist(),
+            }
+        )
+        df["__side"] = "r"
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"]
+        rg = g[g["__side"] == "r"][["key", "p_brand"]]
+        stats = lg.groupby("key")["qty"].agg(sum_qty="sum", cnt="size")
+        lg = lg.join(stats, on="key")
+        keep = lg[5 * lg["qty"] * lg["cnt"] < lg["sum_qty"]][["key", "rev"]]
+        out = keep.merge(rg, on="key", how="inner")
+        return out.groupby("p_brand", as_index=False).agg(
+            revenue_cents=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    parts = (
+        li.map_batches(pad_li, batch_format="pyarrow", batch_size=65536)
+        .union(pt.map_batches(pad_pt, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.groupby("p_brand", as_index=False)[["revenue_cents", "n_items"]]
+        .sum()
+        .astype({"revenue_cents": "int64", "n_items": "int64"})
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+
+
 _SEG_DEDUP_SQL = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     segs AS (
@@ -6476,6 +6565,69 @@ def host_connected_components(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     return min_label_components(undirected_closure(block_host_edges(ds, n_hosts=64, block=8)))
+
+
+def _kcore_iter_sql(n: int, k: int) -> str:
+    return f"""
+    it{n} AS (
+      SELECT nd.h, CASE WHEN p.a = 1 AND COALESCE(d.deg, 0) >= {k} THEN 1 ELSE 0 END AS a
+      FROM nodes nd JOIN it{n - 1} p ON p.h = nd.h
+      LEFT JOIN (SELECT e.dst AS h, CAST(SUM(q.a) AS BIGINT) AS deg
+                 FROM ue e JOIN it{n - 1} q ON q.h = e.src GROUP BY e.dst) d
+      ON d.h = nd.h)"""
+
+
+# Degree-tiered host edges: dense 16-host core + binary-tree
+# periphery, so the k=3 peel cascades (leaves -> inner tree -> stable
+# core) instead of trivially keeping the whole near-clique block graph
+# (see stages/graph.tiered_host_edges — identical derivation).
+_TIERED_EDGES_SQL = """
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 64 AS src,
+               (doc_id % 64 + 1 + doc_id % 15) % 16 AS dst
+        FROM documents WHERE doc_id % 64 < 16
+        UNION ALL
+        SELECT doc_id % 64, (doc_id % 64) // 2
+        FROM documents WHERE doc_id % 64 >= 16)
+      WHERE src != dst
+"""
+
+_KCORE_SQL = f"""
+    WITH edges AS ({_TIERED_EDGES_SQL}),
+    ue AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+    nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM ue UNION SELECT dst FROM ue)),
+    it0 AS (SELECT h, 1 AS a FROM nodes),
+    {",".join(_kcore_iter_sql(n, 3) for n in (1, 2, 3, 4, 5, 6, 7, 8))}
+    SELECT CAST(nd.h AS BIGINT) AS host,
+           CAST(p.a AS BIGINT) AS in_core,
+           CAST(COALESCE(d.deg, 0) * p.a AS BIGINT) AS core_degree
+    FROM nodes nd JOIN it8 p ON p.h = nd.h
+    LEFT JOIN (SELECT e.dst AS h, CAST(SUM(q.a) AS BIGINT) AS deg
+               FROM ue e JOIN it8 q ON q.h = e.src GROUP BY e.dst) d
+    ON d.h = nd.h
+"""
+
+
+@register("kcore_hosts", _KCORE_SQL)
+def kcore_hosts(sf_dir: str):
+    """k-core decomposition (k=3) of the undirected host link graph —
+    the link-spam / crawl-frontier-prioritization densest-region
+    classic (Seidman 1983): peel hosts with fewer than 3 surviving
+    neighbors until stable, 8 synchronous bulk sweeps. Each sweep is
+    ONE integer 0/1-vector propagation over streamed edge blocks
+    (stages/graph.kcore_int — same broadcast-vector shape as
+    PageRank/BFS), so the distributed result is bit-identical to the
+    unrolled-CTE oracle regardless of partitioning. Runs over the
+    degree-TIERED graph (dense core + tree periphery) so the peel
+    genuinely cascades: tree leaves drop in sweep 1, their parents in
+    sweep 2, and only the dense core survives. Requires the
+    DEDUPLICATED undirected closure (sum is not idempotent under
+    duplicate edges — same discipline as hits_hosts)."""
+    from ..stages.graph import distinct_edges, kcore_int, tiered_host_edges, undirected_closure
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(undirected_closure(tiered_host_edges(ds, n_hosts=64, core=16)))
+    return kcore_int(edges, k=3, iters=8)
 
 
 def _bfs_iter_sql(k: int) -> str:

@@ -278,6 +278,37 @@ def block_host_edges(ds, n_hosts: int = 64, block: int = 8):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def tiered_host_edges(ds, n_hosts: int = 64, core: int = 16):
+    """Deterministic degree-TIERED host edge list: hosts below
+    ``core`` form a dense near-clique (per-doc edge to another core
+    host), hosts at/above ``core`` hang off a binary tree
+    (edge h -> h // 2). Under k-core peeling this cascades — the tree
+    leaves peel in sweep 1, their parents in sweep 2, and only the
+    dense core survives — the shape kcore needs for a non-trivial
+    answer (block_host_edges is a near-clique where nothing peels).
+    Same per-doc derivation discipline as host_edges."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        src = ids % n_hosts
+        in_core = src < core
+        dst = np.where(
+            in_core,
+            (src + 1 + ids % (core - 1)) % core,
+            src // 2,
+        )
+        keep = src != dst
+        e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+        return pa.table(
+            {
+                "src": pa.array(e[:, 0], pa.int64()),
+                "dst": pa.array(e[:, 1], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def undirected_closure(edges):
     """Edge set plus its reverse (the undirected form min-label
     components require) — one map_batches, dedup is the caller's
@@ -454,3 +485,33 @@ def bfs_hops_int(edges_ds, seeds: np.ndarray, iters: int, inf: int = 999) -> pd.
         dist = np.minimum(dist, inf)
     hops = np.where(dist >= inf, -1, dist).astype(np.int64)
     return pd.DataFrame({"host": nodes, "hops": hops})
+
+
+def kcore_int(edges_ds, k: int = 3, iters: int = 8) -> pd.DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983;
+    Batagelj–Zaveršnik's bulk variant): exactly ``iters`` sweeps of
+    "drop every node whose degree among still-active nodes is < k",
+    all nodes dropped in a sweep simultaneously, then the surviving
+    subgraph's degrees. Synchronous bulk peeling is deterministic and
+    partition-invariant (each sweep is one integer _propagate_sum of
+    the 0/1 active vector over streamed edge blocks), so the result is
+    bit-identical to the unrolled SQL evaluation; with iters ≥ the
+    peel depth the fixpoint is reached and the survivors are the exact
+    k-core. The caller must supply the DEDUPLICATED undirected edge
+    set (sum, unlike min, is not idempotent under duplicates).
+    Returns (host, in_core, core_degree) — core_degree is the degree
+    inside the surviving subgraph, 0 for peeled hosts."""
+    edges = edges_ds.materialize()
+    nodes = _graph_nodes(edges)
+    active = np.ones(len(nodes), np.int64)
+    for _ in range(iters):
+        deg = _propagate_sum(edges, nodes, active)
+        active = active * (deg >= k).astype(np.int64)
+    core_deg = _propagate_sum(edges, nodes, active) * active
+    return pd.DataFrame(
+        {
+            "host": nodes,
+            "in_core": active.astype(np.int64),
+            "core_degree": core_deg.astype(np.int64),
+        }
+    )

@@ -153,3 +153,31 @@ def test_hits_partition_independent(ray_session):
     b = _hits(8)
     assert a.equals(b)
     assert a["hub"].nunique() > 16 and a["authority"].nunique() > 16
+
+
+def _kcore(blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import (
+        distinct_edges,
+        kcore_int,
+        tiered_host_edges,
+        undirected_closure,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id"], override_num_blocks=blocks
+    )
+    edges = distinct_edges(undirected_closure(tiered_host_edges(ds, n_hosts=64, core=16)))
+    return kcore_int(edges, k=3, iters=8).sort_values("host").reset_index(drop=True)
+
+
+def test_kcore_partition_independent(ray_session):
+    a = _kcore(1)
+    b = _kcore(8)
+    assert a.equals(b)
+    # the peel must actually discriminate: some hosts in-core, some out
+    assert 0 < a["in_core"].sum() < len(a)
+    # every survivor keeps >= k neighbors inside the core; peeled hosts report 0
+    assert (a.loc[a["in_core"] == 1, "core_degree"] >= 3).all()
+    assert (a.loc[a["in_core"] == 0, "core_degree"] == 0).all()
