@@ -29,6 +29,12 @@ def _block_mean_gray(img: np.ndarray, n: int = 8) -> np.ndarray:
     """Grayscale + block-mean downsample to n×n. Requires h,w divisible
     by n (the synthetic generator only emits power-of-two sizes ≥ 8)."""
     h, w, _ = img.shape
+    if h < n or w < n:
+        # nearest-neighbor upsample so every n×n cell is non-empty
+        # (augmentation crops can go below 8px; power-of-two dims make
+        # the repeat land exactly on a multiple of n)
+        img = img.repeat(-(-n // h), axis=0).repeat(-(-n // w), axis=1)
+        h, w = img.shape[0], img.shape[1]
     if h % n or w % n:
         # crop to the largest multiple — keeps the kernel total
         h2, w2 = (h // n) * n, (w // n) * n

@@ -6873,3 +6873,143 @@ def hits_hosts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     return hits_int(distinct_edges(host_edges(ds, n_hosts=64)), iters=3)
+
+
+# =====================================================================
+# Round-3 continuation: set operators, grouped mode, image augmentation
+# =====================================================================
+
+
+_STREAM_MEMBERSHIP_SQL = """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)
+    SELECT CAST(user_id AS BIGINT) AS user_id, 'both' AS membership
+    FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    UNION ALL
+    SELECT CAST(user_id AS BIGINT), 'a_only'
+    FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+    UNION ALL
+    SELECT CAST(user_id AS BIGINT), 'b_only'
+    FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)
+"""
+
+
+@register("intersect_except_users", _STREAM_MEMBERSHIP_SQL)
+def intersect_except_users(sf_dir: str):
+    """INTERSECT / EXCEPT as distributed set reconciliation: users seen
+    in both halves of a sharded event stream (even vs odd event ids)
+    vs only one — the ingestion-reconciliation form of the set
+    operators (completes the family next to `union_event_order_ids`).
+    Scale shape: per-batch DISTINCT (user, in_a, in_b) partials shrink
+    each block to its unique users BEFORE the exchange, then one
+    bounded bucketed shuffle ORs the flags per user — never a
+    row-level INTERSECT of the full streams (the naive plan shuffles
+    every event twice)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy().astype(np.int64),
+                "in_a": (t.column("event_id").to_numpy() % 2 == 0).astype(np.int64),
+            }
+        )
+        df["in_b"] = 1 - df["in_a"]
+        return df.groupby("user_id", as_index=False)[["in_a", "in_b"]].max()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False)[["in_a", "in_b"]].max()
+        label = np.where(
+            (m["in_a"] == 1) & (m["in_b"] == 1),
+            "both",
+            np.where(m["in_a"] == 1, "a_only", "b_only"),
+        )
+        return pd.DataFrame({"user_id": m["user_id"].astype("int64"), "membership": label})
+
+    from ..stages.agg import bucketed_group_agg
+
+    return bucketed_group_agg(
+        ev.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    )
+
+
+_DOMINANT_EVENT_SQL = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY n_events DESC, event_type
+      ) AS rk FROM c
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type, n_events
+    FROM r WHERE rk = 1
+"""
+
+
+@register("dominant_event_type_per_user", _DOMINANT_EVENT_SQL)
+def dominant_event_type_per_user(sf_dir: str):
+    """Grouped MODE (most frequent value per group) with a
+    deterministic tiebreak (higher count wins, then lexicographically
+    smaller type) — the statistical aggregate the A6/A7 count family
+    lacks. Scale shape: per-batch (user, type) partial counts shrink
+    each block to its distinct pairs before ONE bounded bucketed
+    shuffle on user; the argmax runs inside the bucket task, so only
+    one row per user leaves it."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy().astype(np.int64),
+                "event_type": t.column("event_type").to_pylist(),
+            }
+        )
+        out = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return out.rename(columns={"size": "n_events"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False)["n_events"].sum()
+        m = m.sort_values(
+            ["user_id", "n_events", "event_type"], ascending=[True, False, True]
+        )
+        top = m.drop_duplicates("user_id", keep="first")
+        return top.astype({"user_id": "int64", "n_events": "int64"}).reset_index(drop=True)
+
+    from ..stages.agg import bucketed_group_agg
+
+    return bucketed_group_agg(
+        ev.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    )
+
+
+@register("image_augment_stats", _golden_sql("image_augment"))
+def image_augment_stats(sf_dir: str):
+    """Deterministic augmentation fan-out (hflip + center-crop per
+    image) with integer stats on the augmented pixels — the
+    training-time image-augmentation stage as a first-class pipeline
+    (stages/multimodal.ImageAugmentStage). Golden is an independent
+    explicit numpy loop (tools/make_goldens.image_augment); the
+    hflip rows double as a whole-pipeline invariant (mirror preserves
+    sum_luma exactly). Actor pool, decoders in __init__, fan-out 2×
+    inside map_batches — payload bytes never leave Arrow."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import ImageAugmentStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        ImageAugmentStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )

@@ -118,6 +118,67 @@ class ImageResizeStage:
         return batch
 
 
+class ImageAugmentStage:
+    """Deterministic training-time augmentation fan-out: each input
+    image row emits one row per augmentation — ``hflip`` (mirror) and
+    ``ccrop`` (center crop to half dims) — with integer stats computed
+    on the augmented pixels. Deterministic (no RNG) so the distributed
+    result is a pure function of the input and oracle-checkable; a
+    seeded-random variant would only change the index arithmetic, not
+    the stage shape. Decoders built once per actor; flip/crop are
+    numpy views (zero-copy until the stat reduction).
+
+    Output schema: image_id:string, aug:string, w:int32, h:int32,
+    sum_luma:int64 (exact whole-array channel sum — hflip provably
+    preserves it, ccrop provably shrinks it), phash_calc:int64.
+    """
+
+    AUGS = ("hflip", "ccrop")
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def _augment(self, img: np.ndarray, aug: str) -> np.ndarray:
+        if aug == "hflip":
+            return img[:, ::-1]
+        h, w = img.shape[0], img.shape[1]
+        return img[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out: dict[str, list] = {k: [] for k in ("image_id", "aug", "w", "h", "sum_luma", "phash_calc")}
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data)
+            for aug in self.AUGS:
+                a = self._augment(img, aug)
+                out["image_id"].append(i)
+                out["aug"].append(aug)
+                out["h"].append(a.shape[0])
+                out["w"].append(a.shape[1])
+                out["sum_luma"].append(int(a.sum(dtype=np.int64)))
+                out["phash_calc"].append(average_hash(np.ascontiguousarray(a)))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "aug": pa.array(out["aug"], pa.string()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "sum_luma": pa.array(out["sum_luma"], pa.int64()),
+                "phash_calc": pa.array(out["phash_calc"], pa.int64()),
+            }
+        )
+
+
 class PatchStatsStage:
     """ViT-style patch extraction: decode → non-overlapping p×p patches
     → integer per-patch luma sums (sum of all channel values), reduced

@@ -1175,11 +1175,59 @@ def term_canon(sf_dir: str) -> None:
     )
 
 
+def image_augment(sf_dir: str) -> None:
+    """Independent explicit-loop mirror of image_augment_stats: decode
+    via the codec leaf, then numpy fliplr / center-crop slicing written
+    out longhand (no ImageAugmentStage code path). average_hash is the
+    shared leaf (regression-pin tier, like phash_sigs); sum_luma is an
+    independent whole-array sum."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        h, w = img.shape[0], img.shape[1]
+        flipped = np.fliplr(img)
+        cropped = img[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+        for aug, a in (("hflip", flipped), ("ccrop", cropped)):
+            rows.append(
+                (
+                    rec["image_id"],
+                    aug,
+                    a.shape[1],
+                    a.shape[0],
+                    int(a.sum(dtype=np.int64)),
+                    average_hash(np.ascontiguousarray(a)),
+                )
+            )
+    _write(
+        "image_augment", sf_dir,
+        pd.DataFrame(
+            rows, columns=["image_id", "aug", "w", "h", "sum_luma", "phash_calc"]
+        ).astype(
+            {
+                "image_id": "string",
+                "aug": "string",
+                "w": "int32",
+                "h": "int32",
+                "sum_luma": "int64",
+                "phash_calc": "int64",
+            }
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment]
 
 
 def main() -> None:
