@@ -7013,3 +7013,199 @@ def image_augment_stats(sf_dir: str):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
         ImageAugmentStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
     )
+
+
+_DECAY_SQL = """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(1048576 >> CAST(LEAST(
+             (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts)) // 86400000000,
+             40) AS BIGINT)) AS BIGINT) AS decay_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+"""
+
+
+@register("time_decay_user_scores", _DECAY_SQL)
+def time_decay_user_scores(sf_dir: str):
+    """Exponentially time-decayed activity score per key — the recency
+    weighting every recrawl scheduler / trending ranker needs (the
+    TaskManager frequency heuristic's continuous cousin,
+    crawler/utils/taskmanager.py:156-163). Exact across engines by
+    integer construction: age_days = floor-div of the µs delta from a
+    fixed anchor, weight = 2^20 >> min(age, 40) — a bit shift, so no
+    float pow anywhere and the per-row weights are integers that sum
+    order-independently. Scale shape: weights are computed vectorized
+    per batch and partially summed per user BEFORE the one bounded
+    bucketed shuffle — the exchange moves one (user, partial, count)
+    row per user per batch, never raw events."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    anchor_us = int(pd.Timestamp("2024-02-01 00:00:00").value // 1000)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        age = np.minimum((anchor_us - ts_us) // 86_400_000_000, 40)
+        w = (1 << 20) >> age.astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy().astype(np.int64),
+                "decay_score": w,
+                "n_events": np.int64(1),
+            }
+        )
+        return df.groupby("user_id", as_index=False).sum()
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        lambda g: g.groupby("user_id", as_index=False)[["decay_score", "n_events"]]
+        .sum()
+        .astype("int64"),
+    )
+
+
+_TIER_SQL = """
+    WITH agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, sum_chars,
+           CAST(NTILE(4) OVER (ORDER BY sum_chars DESC, source) AS BIGINT) AS tier,
+           CAST(1 << (2 * (4 - NTILE(4) OVER (ORDER BY sum_chars DESC, source)))
+                AS BIGINT) AS crawl_budget
+    FROM agg
+"""
+
+
+@register("source_tier_budgets", _TIER_SQL)
+def source_tier_budgets(sf_dir: str):
+    """Tiered-crawl assignment: rank hosts (sources) by aggregate
+    content volume, cut the ranking into NTILE(4) tiers (first
+    n mod 4 tiles get the extra row, SQL NTILE semantics), and give
+    each tier a geometric fetch budget (tier 1 → 64 slots/wave,
+    tier 4 → 1) — the host-prioritization step of a tiered frontier.
+    Scale shape: the distributed work is the per-host aggregate (one
+    bounded bucketed shuffle; partials shrink each block to its
+    distinct hosts); the NTILE itself runs on the host-aggregate
+    table, which is orders of magnitude smaller than the corpus by
+    construction (same small-side contract as budget_apportion_hosts
+    — at 100 TB hosts number millions while docs number billions;
+    a host-aggregate sort is the standard cheap step)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pylist(),
+                "sum_chars": t.column("n_chars").to_numpy().astype(np.int64),
+                "n_docs": np.int64(1),
+            }
+        )
+        return df.groupby("source", as_index=False).sum()
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)[["sum_chars", "n_docs"]].sum(),
+    ).to_pandas()
+
+    agg = agg.sort_values(
+        ["sum_chars", "source"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    n = len(agg)
+    base, extra = divmod(n, 4)
+    sizes = [base + (1 if i < extra else 0) for i in range(4)]
+    tiers = np.repeat(np.arange(1, 5), sizes)
+    agg["tier"] = tiers.astype(np.int64)
+    agg["crawl_budget"] = (1 << (2 * (4 - tiers))).astype(np.int64)
+    return agg[["source", "n_docs", "sum_chars", "tier", "crawl_budget"]].astype(
+        {"n_docs": "int64", "sum_chars": "int64"}
+    )
+
+
+_UNPIVOT_SQL = """
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+    GROUP BY user_id, event_type
+"""
+
+
+@register("unpivot_roundtrip_counts", _UNPIVOT_SQL)
+def unpivot_roundtrip_counts(sf_dir: str):
+    """Unpivot/melt (wide → long), gated as an exact round trip: the
+    pipeline builds the wide per-user crosstab (same distributed
+    partial-crosstab + bounded shuffle as pivot_user_event_counts),
+    then MELTS it back to (user, type, count) long rows inside
+    map_batches, dropping the zero fill the pivot introduced — and
+    the oracle is the plain long-form count, so the gate proves
+    unpivot(pivot(x)) == x exactly. The melt is a per-batch reshape
+    (numpy repeat/tile, no shuffle — unpivot at scale is embarrassingly
+    parallel; only the pivot's one exchange moves data)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        wide = pd.crosstab(df["user_id"], df["event_type"]).reindex(
+            columns=_PIVOT_TYPES, fill_value=0
+        )
+        wide.columns = cols
+        return wide.astype("int64").reset_index()
+
+    wide = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["user_id"],
+        lambda g: g.groupby("user_id", as_index=False)[cols].sum(),
+    )
+
+    def melt(g: pd.DataFrame) -> pd.DataFrame:
+        k = len(_PIVOT_TYPES)
+        users = np.repeat(g["user_id"].to_numpy().astype(np.int64), k)
+        types = np.tile(np.array(_PIVOT_TYPES, dtype=object), len(g))
+        counts = g[cols].to_numpy().astype(np.int64).reshape(-1)
+        keep = counts > 0
+        return pd.DataFrame(
+            {"user_id": users[keep], "event_type": types[keep], "n_events": counts[keep]}
+        )
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
+@register("image_quality_filter", _golden_sql("image_quality"))
+def image_quality_filter(sf_dir: str):
+    """Quality gating over the image corpus with labeled drop reasons
+    (flat / low_contrast / keep, checked in that order) — the
+    filter-with-audit-trail step of a multimodal training pipeline
+    (stages/multimodal.ImageQualityStage). Golden is an independent
+    explicit loop with the thresholds restated literally
+    (tools/make_goldens.image_quality), so a silent constant drift in
+    the stage fails the gate. Actor pool, decoders in __init__,
+    integer metrics (max−min contrast, distinct-value count) — one
+    numpy reduction each, no Python pixel loops."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import ImageQualityStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        ImageQualityStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )

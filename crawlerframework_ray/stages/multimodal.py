@@ -179,6 +179,63 @@ class ImageAugmentStage:
         )
 
 
+class ImageQualityStage:
+    """Image quality gating — the aesthetic/quality filter step of a
+    multimodal training-data pipeline, with labeled drop reasons so
+    downstream accounting can audit what was removed (LAION-style
+    filter-with-reason, not silent drop). Integer metrics only:
+    ``contrast`` = max − min over all channel values, ``n_distinct`` =
+    count of distinct channel values; gates are checked in order
+    (flat → low_contrast → keep). Decoders built once per actor;
+    metrics are single numpy reductions per image.
+
+    Output schema: image_id:string, contrast:int32, n_distinct:int32,
+    label:string.
+    """
+
+    FLAT_DISTINCT = 100
+    MIN_CONTRAST = 253
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out: dict[str, list] = {k: [] for k in ("image_id", "contrast", "n_distinct", "label")}
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data)
+            contrast = int(img.max()) - int(img.min())
+            n_distinct = int(np.unique(img).size)
+            if n_distinct < self.FLAT_DISTINCT:
+                label = "flat"
+            elif contrast < self.MIN_CONTRAST:
+                label = "low_contrast"
+            else:
+                label = "keep"
+            out["image_id"].append(i)
+            out["contrast"].append(contrast)
+            out["n_distinct"].append(n_distinct)
+            out["label"].append(label)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "contrast": pa.array(out["contrast"], pa.int32()),
+                "n_distinct": pa.array(out["n_distinct"], pa.int32()),
+                "label": pa.array(out["label"], pa.string()),
+            }
+        )
+
+
 class PatchStatsStage:
     """ViT-style patch extraction: decode → non-overlapping p×p patches
     → integer per-patch luma sums (sum of all channel values), reduced

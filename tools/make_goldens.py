@@ -1223,11 +1223,44 @@ def image_augment(sf_dir: str) -> None:
     )
 
 
+def image_quality(sf_dir: str) -> None:
+    """Independent explicit-loop mirror of image_quality_filter: decode
+    via the codec leaf, then the max/min/unique reductions and the
+    ordered gate cascade written out longhand (no ImageQualityStage
+    code path; thresholds restated literally so a stage-side constant
+    drift fails the gate)."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        contrast = int(img.max()) - int(img.min())
+        n_distinct = int(np.unique(img).size)
+        if n_distinct < 100:
+            label = "flat"
+        elif contrast < 253:
+            label = "low_contrast"
+        else:
+            label = "keep"
+        rows.append((rec["image_id"], contrast, n_distinct, label))
+    _write(
+        "image_quality", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "contrast", "n_distinct", "label"]).astype(
+            {"image_id": "string", "contrast": "int32", "n_distinct": "int32", "label": "string"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality]
 
 
 def main() -> None:
