@@ -7209,3 +7209,220 @@ def image_quality_filter(sf_dir: str):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
         ImageQualityStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
     )
+
+
+_LATE_SHIP_SQL = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 5184000000000
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("orders_with_late_shipments", _LATE_SHIP_SQL)
+def orders_with_late_shipments(sf_dir: str):
+    """Correlated EXISTS (TPC-H Q4 shape): count orders per priority
+    having at least one lineitem shipped more than 60 days after the
+    order date. The correlation compares a lineitem column to an order
+    column, so unlike a plain semi-join the predicate can't be pushed
+    to either side alone — but EXISTS(ship > odate+60d) ⟺
+    max(ship) > odate+60d, so the lineitem side reduces to ONE
+    (orderkey, max_ship) row per key per batch before the exchange.
+    One fused bucket exchange on hash(orderkey) co-locates the max
+    with the order row; only ≤|priorities| rows per bucket reach the
+    driver fold. Day arithmetic is integer µs on both sides."""
+    from ..stages.joins import _bucket_of
+
+    n_buckets = 64
+    delta_us = 60 * 86_400_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def pad_li(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "key": t.column("l_orderkey").to_numpy(),
+                "ship_us": t.column("l_shipdate").cast(pa.int64()).to_numpy(),
+            }
+        )
+        out = df.groupby("key", as_index=False)["ship_us"].max()
+        out["odate_us"] = np.int64(0)
+        out["o_orderpriority"] = ""
+        out["__side"] = "l"
+        out["__bucket"] = _bucket_of(out["key"], n_buckets)
+        return out
+
+    def pad_od(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "key": t.column("o_orderkey").to_numpy(),
+                "ship_us": np.int64(0),
+                "odate_us": t.column("o_orderdate").cast(pa.int64()).to_numpy(),
+                "o_orderpriority": t.column("o_orderpriority").to_pylist(),
+            }
+        )
+        df["__side"] = "o"
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g[g["__side"] == "l"].groupby("key")["ship_us"].max()
+        og = g[g["__side"] == "o"][["key", "odate_us", "o_orderpriority"]]
+        og = og.join(mx.rename("max_ship"), on="key")
+        late = og[og["max_ship"].notna() & (og["max_ship"] > og["odate_us"] + delta_us)]
+        return late.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("key", "size")
+        )
+
+    parts = (
+        li.map_batches(pad_li, batch_format="pyarrow", batch_size=65536)
+        .union(od.map_batches(pad_od, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.groupby("o_orderpriority", as_index=False)["n_orders"]
+        .sum()
+        .astype({"n_orders": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+_CUSTDIST_SQL = """
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+"""
+
+
+@register("custdist_order_counts", _CUSTDIST_SQL)
+def custdist_order_counts(sf_dir: str):
+    """Aggregate-of-aggregate distribution (TPC-H Q13 shape): how many
+    customers placed exactly N orders, INCLUDING the zero bucket via
+    left-join semantics (customers with no orders count at N=0). One
+    fused bucket exchange on hash(custkey): order-side partial counts
+    shrink each block to its distinct custkeys, the customer side
+    contributes membership, the per-bucket fold produces a partial
+    (c_count → custdist) HISTOGRAM — so the second aggregation level
+    costs no second shuffle (histogram domain ≤ max orders/customer,
+    constant-ish at any scale); the driver folds tiny histograms."""
+    from ..stages.joins import _bucket_of
+
+    n_buckets = 64
+    od = _read(sf_dir, "orders", ["o_custkey"])
+    cu = _read(sf_dir, "customer", ["c_custkey"])
+
+    def pad_od(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"key": t.column("o_custkey").to_numpy()})
+        out = df.groupby("key", as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        out["__side"] = "o"
+        out["__bucket"] = _bucket_of(out["key"], n_buckets)
+        return out
+
+    def pad_cu(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"key": t.column("c_custkey").to_numpy()})
+        df["n"] = np.int64(0)
+        df["__side"] = "c"
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g[g["__side"] == "o"].groupby("key")["n"].sum()
+        cust = g[g["__side"] == "c"][["key"]]
+        cust = cust.join(counts.rename("c_count"), on="key")
+        cust["c_count"] = cust["c_count"].fillna(0).astype(np.int64)
+        return cust.groupby("c_count", as_index=False).agg(custdist=("key", "size"))
+
+    parts = (
+        od.map_batches(pad_od, batch_format="pyarrow", batch_size=65536)
+        .union(cu.map_batches(pad_cu, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.groupby("c_count", as_index=False)["custdist"]
+        .sum()
+        .astype({"c_count": "int64", "custdist": "int64"})
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+
+
+_DENSE_TOPK_SQL = """
+    WITH r AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value*100+0.5) AS BIGINT) AS value_cents,
+             DENSE_RANK() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(FLOOR(value*100+0.5) AS BIGINT) DESC
+             ) AS rk
+      FROM events
+    )
+    SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+"""
+
+
+@register("top_value_events_with_ties", _DENSE_TOPK_SQL)
+def top_value_events_with_ties(sf_dir: str):
+    """Grouped top-k WITH TIES (DENSE_RANK ≤ 3): every event whose
+    value is among its type's top-3 DISTINCT values — the
+    keep-all-ties semantics row_number top-k (top_orders_per_customer)
+    cannot express. Scale shape: the per-batch partial emits each
+    type's top-3 distinct values only (sound: a globally top-3
+    distinct value is top-3 distinct in every batch containing it), so
+    the threshold table reaching the driver is ≤ 3×types×batches tiny
+    rows; the merged type→{value: rank} map is broadcast into a second
+    embarrassingly-parallel filter pass — ties never funnel through a
+    single task no matter how many rows share the winning values."""
+    ev = lambda: _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pylist(),
+                "v": _cents(t.column("value").to_numpy()),
+            }
+        )
+        return (
+            df.drop_duplicates()
+            .sort_values(["event_type", "v"], ascending=[True, False])
+            .groupby("event_type", as_index=False)
+            .head(3)
+        )
+
+    cand = ev().map_batches(partial, batch_format="pyarrow").to_pandas()
+    thresholds: dict[str, dict[int, int]] = {}
+    for et, g in cand.groupby("event_type"):
+        top = sorted(set(g["v"].tolist()), reverse=True)[:3]
+        thresholds[str(et)] = {int(v): rk + 1 for rk, v in enumerate(top)}
+
+    def flt(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pylist(),
+                "event_id": t.column("event_id").to_numpy().astype(np.int64),
+                "value_cents": _cents(t.column("value").to_numpy()),
+            }
+        )
+        rk = np.array(
+            [thresholds.get(et, {}).get(int(v), 0) for et, v in zip(df["event_type"], df["value_cents"])],
+            dtype=np.int64,
+        )
+        df["rk"] = rk
+        return df[df["rk"] > 0]
+
+    return ev().map_batches(flt, batch_format="pyarrow")
