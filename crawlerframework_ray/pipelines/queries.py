@@ -7426,3 +7426,166 @@ def top_value_events_with_ties(sf_dir: str):
         return df[df["rk"] > 0]
 
     return ev().map_batches(flt, batch_format="pyarrow")
+
+
+_DIM_STATS_SQL = """
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    u AS (
+      SELECT dim, CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sv
+      FROM e
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(sv) AS BIGINT) AS sum_scaled,
+           CAST(MIN(sv) AS BIGINT) AS min_scaled,
+           CAST(MAX(sv) AS BIGINT) AS max_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM u GROUP BY dim
+"""
+
+
+@register("embedding_dim_stats", _DIM_STATS_SQL)
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension statistics over a tensor column (list<float>) —
+    the embedding-QA pass that catches dead/saturated dimensions
+    before training. Exact by per-element integerization
+    (floor(v·10⁶+0.5) in float64, the same IEEE expression DuckDB's
+    float→double promotion evaluates). Scale shape: each batch stacks
+    to a matrix and reduces along axis 0 in ONE vectorized pass
+    (sum/min/max per dim) — the partial crossing the wire is dims×4
+    ints per batch, the vectors themselves never move; the driver
+    folds ≤ dims×batches tiny rows. The unnest-per-element plan the
+    SQL oracle runs would shuffle n_vecs×dims rows."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        s = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, s.shape[1] + 1, dtype=np.int64),
+                "sum_scaled": s.sum(axis=0),
+                "min_scaled": s.min(axis=0),
+                "max_scaled": s.max(axis=0),
+                "n": np.int64(s.shape[0]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return (
+        parts.groupby("dim", as_index=False)
+        .agg(
+            sum_scaled=("sum_scaled", "sum"),
+            min_scaled=("min_scaled", "min"),
+            max_scaled=("max_scaled", "max"),
+            n=("n", "sum"),
+        )
+        .astype("int64")
+    )
+
+
+_SEQ_PATTERN_SQL = """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(len(regexp_extract_all(seq, 'v+cp')) AS BIGINT) AS n_matches,
+           CAST(len(seq) AS BIGINT) AS seq_len
+    FROM s
+"""
+
+
+@register("event_pattern_matches", _SEQ_PATTERN_SQL)
+def event_pattern_matches(sf_dir: str):
+    """Ordered sequence-pattern matching (MATCH_RECOGNIZE-lite): per
+    user, count non-overlapping occurrences of the funnel regex
+    ``v+cp`` (≥1 view, then click, then purchase, CONTIGUOUS — the
+    stricter cousin of funnel_user_steps' subsequence semantics) over
+    the (ts, event_id)-ordered event-initial string. Leftmost greedy
+    non-overlapping matching is identical between Python re.findall
+    and DuckDB regexp_extract_all, so the gate is exact. Scale shape:
+    one bounded bucketed shuffle on user co-locates each user's
+    events; sequence build + regex run inside the bucket task, one
+    row per user leaves it."""
+    import re
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    pat = re.compile(r"v+cp")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["ini"] = g["event_type"].str[0]
+        out = g.groupby("user_id")["ini"].agg("".join).reset_index(name="seq")
+        out["n_matches"] = [len(pat.findall(s)) for s in out["seq"]]
+        out["seq_len"] = out["seq"].str.len()
+        return out[["user_id", "n_matches", "seq_len"]].astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], fold)
+
+
+@register("mirror_phash_dup_pairs", _golden_sql("mirror_dup_pairs"))
+def mirror_phash_dup_pairs(sf_dir: str):
+    """Mirror-invariant exact dedup: canonicalize each image to
+    min-as-uint64 of (average_hash, average_hash-of-horizontal-flip)
+    so mirrored reposts — which plain phash grouping misses entirely —
+    collide on one key (stages/multimodal.MirrorCanonStage), then emit
+    all same-canon pairs. Planted mirrored twins (every doc_id % 16 ==
+    0 gets a fliplr copy, id-suffixed ``~m``) guarantee recall is
+    measured, not assumed; the golden recomputes canon + quadratic
+    all-pairs longhand. Scale shape: canon is computed in the decode
+    actor pool, ONE bounded bucketed shuffle on canon_hash co-locates
+    colliders (groups are tiny — true dup cliques), pairs expand
+    inside the bucket task."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..data import codecs as _codecs
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.multimodal import MirrorCanonStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids_, bytes_, fmts_ = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            ids_.append(rec["image_id"]); bytes_.append(rec["bytes"]); fmts_.append(rec["fmt"])
+            if d % 16 == 0:
+                img = _codecs.decode(rec["bytes"], rec["fmt"])
+                ids_.append(rec["image_id"] + "~m")
+                bytes_.append(_codecs.encode_raw(np.ascontiguousarray(np.fliplr(img))))
+                fmts_.append("raw")
+        return pa.table(
+            {
+                "image_id": pa.array(ids_, pa.string()),
+                "bytes": pa.array(bytes_, pa.binary()),
+                "fmt": pa.array(fmts_, pa.string()),
+            }
+        )
+
+    hashed = ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        MirrorCanonStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for canon, grp in g.groupby("canon_hash"):
+            ids_ = sorted(grp["image_id"].tolist())
+            if len(ids_) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids_), k=1)
+            for i, j in zip(ii, jj):
+                rows.append((ids_[i], ids_[j], canon))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "canon_hash"]).astype(
+            {"id_a": "string", "id_b": "string", "canon_hash": "int64"}
+        )
+
+    out = bucketed_group_agg(hashed, ["canon_hash"], pairs).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

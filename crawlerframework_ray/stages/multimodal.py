@@ -236,6 +236,48 @@ class ImageQualityStage:
         )
 
 
+class MirrorCanonStage:
+    """Mirror-invariant canonical image hash: canon = min (as uint64
+    bit pattern) of average_hash(img) and average_hash(fliplr(img)) —
+    so an image and its horizontal mirror land on the SAME key, the
+    canonicalize-then-exact-match trick for catching mirrored reposts
+    that plain phash grouping misses. Decoders built once per actor.
+
+    Output schema: image_id:string, canon_hash:int64.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out_ids: list[str] = []
+        out_canon: list[int] = []
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data)
+            h1 = average_hash(img) & 0xFFFFFFFFFFFFFFFF
+            h2 = average_hash(img[:, ::-1]) & 0xFFFFFFFFFFFFFFFF
+            canon = int(np.uint64(min(h1, h2)).astype(np.int64))
+            out_ids.append(i)
+            out_canon.append(canon)
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "canon_hash": pa.array(out_canon, pa.int64()),
+            }
+        )
+
+
 class PatchStatsStage:
     """ViT-style patch extraction: decode → non-overlapping p×p patches
     → integer per-patch luma sums (sum of all channel values), reduced

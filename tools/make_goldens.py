@@ -1256,11 +1256,52 @@ def image_quality(sf_dir: str) -> None:
     )
 
 
+def mirror_dup_pairs(sf_dir: str) -> None:
+    """Independent explicit-loop mirror of mirror_phash_dup_pairs:
+    regenerate the same corpus + planted mirrored twins, compute
+    canon = min-as-uint64 of (hash, hash-of-flip) longhand, then
+    all-pairs within equal canon by a quadratic loop (no grouping
+    machinery). average_hash is the shared leaf (regression-pin
+    tier)."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    imgs = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        imgs.append((rec["image_id"], img))
+        if d % 16 == 0:
+            imgs.append((rec["image_id"] + "~m", np.ascontiguousarray(np.fliplr(img))))
+    canon = []
+    for iid, img in imgs:
+        h1 = average_hash(img) & 0xFFFFFFFFFFFFFFFF
+        h2 = average_hash(np.ascontiguousarray(np.fliplr(img))) & 0xFFFFFFFFFFFFFFFF
+        canon.append((iid, int(np.uint64(min(h1, h2)).astype(np.int64))))
+    rows = []
+    for i in range(len(canon)):
+        for j in range(i + 1, len(canon)):
+            if canon[i][1] == canon[j][1]:
+                a, b = sorted((canon[i][0], canon[j][0]))
+                rows.append((a, b, canon[i][1]))
+    rows.sort()
+    _write(
+        "mirror_dup_pairs", sf_dir,
+        pd.DataFrame(rows, columns=["id_a", "id_b", "canon_hash"]).astype(
+            {"id_a": "string", "id_b": "string", "canon_hash": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs]
 
 
 def main() -> None:
