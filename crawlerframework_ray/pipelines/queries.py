@@ -7589,3 +7589,139 @@ def mirror_phash_dup_pairs(sf_dir: str):
 
     out = bucketed_group_agg(hashed, ["canon_hash"], pairs).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_EQUIDEPTH_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+    FROM documents
+"""
+
+
+@register("equi_depth_doc_buckets", _EQUIDEPTH_SQL)
+def equi_depth_doc_buckets(sf_dir: str):
+    """Exact distributed NTILE over ROWS (not a small aggregate):
+    every document gets its equi-depth quartile by (n_chars, doc_id)
+    order — the equi-depth binning ANALYZE histograms and length-
+    balanced shard assignment need — WITHOUT a global sort. Three
+    cheap passes: (1) a bounded (value, count) histogram (combiner
+    per batch, domain = distinct lengths, independent of row count)
+    locates each NTILE boundary's value and within-value offset;
+    (2) a pruned pass over ONLY the ≤3 boundary values resolves the
+    doc_id tiebreak at each boundary (ties at one specific value —
+    tiny vs corpus); (3) an embarrassingly-parallel pass assigns
+    bucket = 1 + #{boundary pairs < (value, id)} from the 3
+    broadcast pairs. Exactly SQL NTILE semantics (first n mod 4
+    tiles take the extra row), exact at any partitioning."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    ds = lambda: _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(t.column("n_chars").to_pylist())
+        return pa.table(
+            {
+                "v": pa.array([int(k) for k in c], pa.int64()),
+                "cnt": pa.array([int(x) for x in c.values()], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds().map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+        .groupby("v")["cnt"].sum().sort_index()
+    )
+    vals = hist.index.to_numpy()
+    cum = hist.cumsum().to_numpy()
+    n = int(cum[-1])
+    base, extra = divmod(n, 4)
+    bounds = np.cumsum([base + (1 if i < extra else 0) for i in range(4)])[:3]
+
+    # boundary value + within-value offset for each NTILE edge
+    edges = []  # (value, offset) — offset-th smallest doc_id within value
+    for b in bounds:
+        i = int(np.searchsorted(cum, b))
+        r0 = int(cum[i - 1]) if i > 0 else 0
+        edges.append((int(vals[i]), int(b - r0)))
+    edge_vals = sorted({v for v, _ in edges})
+
+    def tie_rows(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("n_chars"), value_set=pa.array(edge_vals, pa.int64()))
+        return t.filter(mask)
+
+    ties = ds().map_batches(tie_rows, batch_format="pyarrow").to_pandas()
+    pairs = []  # lexicographic boundary pairs (value, doc_id)
+    for v, off in edges:
+        ids = np.sort(ties.loc[ties["n_chars"] == v, "doc_id"].to_numpy())
+        pairs.append((v, int(ids[off - 1])))
+
+    bv = np.array([p[0] for p in pairs], dtype=np.int64)
+    bi = np.array([p[1] for p in pairs], dtype=np.int64)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        v = t.column("n_chars").to_numpy().astype(np.int64)
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        # (v,d) > (bv,bi) lexicographically, summed over the 3 edges
+        gt = (v[:, None] > bv[None, :]) | ((v[:, None] == bv[None, :]) & (d[:, None] > bi[None, :]))
+        return pd.DataFrame(
+            {"doc_id": d, "n_chars": v, "bucket": 1 + gt.sum(axis=1).astype(np.int64)}
+        )
+
+    return ds().map_batches(assign, batch_format="pyarrow")
+
+
+_CUBE_SQL = """
+    SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
+@register("cube_lang_source", _CUBE_SQL)
+def cube_lang_source(sf_dir: str):
+    """Full CUBE (all four grouping sets of (lang, source)) — the
+    rollup_lang_source pattern completed with the cross margin
+    (ALL, source). Same one-pass contract: the distributed work is
+    the leaf (lang, source) aggregate via the bounded bucketed
+    shuffle; every margin — (lang, ALL), (ALL, source), (ALL, ALL) —
+    derives from the langs×sources-row leaf table, never from a
+    second scan (additive aggregates make every CUBE level a fold of
+    the leaf)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pylist(),
+                "source": t.column("source").to_pylist(),
+                "sum_chars": t.column("n_chars").to_numpy().astype(np.int64),
+                "n_docs": np.int64(1),
+            }
+        )
+        return df.groupby(["lang", "source"], as_index=False).sum()
+
+    leaf = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"],
+        lambda g: g.groupby(["lang", "source"], as_index=False)[["sum_chars", "n_docs"]].sum(),
+    ).to_pandas()
+
+    def margin(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            m = leaf.groupby(keys, as_index=False)[["sum_chars", "n_docs"]].sum()
+        else:
+            m = leaf[["sum_chars", "n_docs"]].sum().to_frame().T
+        for k in ("lang", "source"):
+            if k not in keys:
+                m[k] = "ALL"
+        return m[["lang", "source", "n_docs", "sum_chars"]]
+
+    out = pd.concat(
+        [margin(["lang", "source"]), margin(["lang"]), margin(["source"]), margin([])],
+        ignore_index=True,
+    )
+    return out.astype({"n_docs": "int64", "sum_chars": "int64"})
