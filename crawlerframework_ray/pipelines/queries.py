@@ -7725,3 +7725,114 @@ def cube_lang_source(sf_dir: str):
         ignore_index=True,
     )
     return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+
+_HHI_SQL = """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(n * n) AS BIGINT) AS hhi_num,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs
+    FROM c GROUP BY source
+"""
+
+
+@register("lang_concentration_hhi", _HHI_SQL)
+def lang_concentration_hhi(sf_dir: str):
+    """Concentration index per group (Herfindahl–Hirschman): how
+    lang-concentrated each source's corpus is — the diversity audit a
+    training-mix curator runs per provider. Reported as the exact
+    integer numerator Σn² (HHI = Σ(n/N)² = hhi_num/n_docs² — the
+    ratio is derivable, the integers are order-independent). Scale
+    shape: per-batch (source, lang) partial counts shrink each block
+    before ONE source-bucketed shuffle; the squared fold runs after
+    per-(source,lang) counts merge inside the bucket (squaring
+    partials would be wrong — (a+b)² ≠ a²+b² — which is exactly what
+    the oracle gate would catch)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"source": t.column("source").to_pylist(), "lang": t.column("lang").to_pylist()}
+        )
+        out = df.groupby(["source", "lang"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["source", "lang"], as_index=False)["n"].sum()
+        return (
+            m.assign(n2=m["n"] * m["n"])
+            .groupby("source", as_index=False)
+            .agg(hhi_num=("n2", "sum"), n_docs=("n", "sum"), n_langs=("n", "size"))
+            .astype({"hhi_num": "int64", "n_docs": "int64", "n_langs": "int64"})
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source"], fold
+    )
+
+
+_UNCONVERTED_SQL = """
+    SELECT CAST(v.user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_unconverted_views
+    FROM events v
+    WHERE v.event_type = 'view' AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) > epoch_us(v.ts)
+        AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+    )
+    GROUP BY v.user_id
+"""
+
+
+@register("views_without_purchase_1h", _UNCONVERTED_SQL)
+def views_without_purchase_1h(sf_dir: str):
+    """Absence-of-followup within a time window (windowed NOT EXISTS
+    self-anti-join): views NOT followed by a purchase from the same
+    user within one hour — the conversion-window complement of
+    range_join_prior_events' presence semantics. Scale shape: one
+    bounded bucketed shuffle on user co-locates each user's events;
+    inside the bucket a vectorized searchsorted probes each view's
+    (t, t+1h] window against the user's sorted purchase timestamps —
+    no pairwise expansion anywhere, cost O(V log P) per user. Only
+    users with ≥1 unconverted view appear (WHERE-before-GROUP-BY
+    semantics)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    hour_us = 3_600_000_000
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["view", "purchase"], pa.string())
+        )
+        return t.filter(mask)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        ts_us = g["ts"].astype("int64")
+        g = g.assign(ts_us=ts_us)
+        for uid, gg in g.groupby("user_id", sort=False):
+            vt = gg.loc[gg["event_type"] == "view", "ts_us"].to_numpy()
+            pt = np.sort(gg.loc[gg["event_type"] == "purchase", "ts_us"].to_numpy())
+            if len(vt) == 0:
+                continue
+            # a purchase exists in (t, t+1h] iff the insertion points differ
+            lo = np.searchsorted(pt, vt, side="right")
+            hi = np.searchsorted(pt, vt + hour_us, side="right")
+            n_unconv = int((lo == hi).sum())
+            if n_unconv:
+                out.append((int(uid), n_unconv))
+        return pd.DataFrame(out, columns=["user_id", "n_unconverted_views"]).astype("int64")
+
+    return bucketed_group_agg(
+        ds.map_batches(prefilter, batch_format="pyarrow"), ["user_id"], fold
+    )
