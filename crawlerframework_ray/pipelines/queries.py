@@ -7836,3 +7836,69 @@ def views_without_purchase_1h(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(prefilter, batch_format="pyarrow"), ["user_id"], fold
     )
+
+
+_ROWNUM_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+    FROM documents
+"""
+
+
+@register("global_row_numbers_docs", _ROWNUM_SQL)
+def global_row_numbers_docs(sf_dir: str):
+    """Global ROW_NUMBER over every row WITHOUT a global sort — the
+    zipWithIndex/dense-ranking primitive: rank by (n_chars, doc_id)
+    computed as base + offset. Pass 1 builds the bounded (value,
+    count) histogram (combiner per batch; domain = distinct lengths,
+    independent of row count) whose exclusive cumulative sum gives
+    each VALUE's base rank, broadcast as a tiny map. Pass 2 buckets
+    rows BY VALUE: every row of one value co-locates, sorts by the
+    doc_id tiebreak, and takes rank = base[value] + local position.
+    Total cost: two bounded exchanges, the second keyed by value
+    (skew = max ties per value — documents sharing one exact length —
+    structurally far below corpus scale; a global sort-shuffle moves
+    every row through a range exchange instead)."""
+    from collections import Counter
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = lambda: _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(t.column("n_chars").to_pylist())
+        return pa.table(
+            {
+                "v": pa.array([int(k) for k in c], pa.int64()),
+                "cnt": pa.array([int(x) for x in c.values()], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds().map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+        .groupby("v")["cnt"].sum().sort_index()
+    )
+    base = dict(
+        zip(
+            (int(v) for v in hist.index),
+            (int(x) for x in np.concatenate([[0], hist.cumsum().to_numpy()[:-1]])),
+        )
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for v, gg in g.groupby("n_chars", sort=False):
+            ids = np.sort(gg["doc_id"].to_numpy().astype(np.int64))
+            b = base[int(v)]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_chars": np.int64(v),
+                        "rn": b + 1 + np.arange(len(ids), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(ds(), ["n_chars"], fold)
