@@ -7902,3 +7902,152 @@ def global_row_numbers_docs(sf_dir: str):
         return pd.concat(out, ignore_index=True)
 
     return bucketed_group_agg(ds(), ["n_chars"], fold)
+
+
+_PAIR_SUPPORT_SQL = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+
+@register("event_type_pair_support", _PAIR_SUPPORT_SQL)
+def event_type_pair_support(sf_dir: str):
+    """Frequent-itemset support at level 2 (the Apriori inner step):
+    for every unordered pair of event types, how many users exhibit
+    both. Scale shape: per-batch DISTINCT (user, type) partials shrink
+    each block; ONE user-bucketed shuffle co-locates each user's type
+    set (≤ |types|, a constant); pairs expand inside the bucket task
+    into a partial pair-count table of ≤ C(|types|,2) rows per bucket
+    — so the driver folds tiny histograms and nothing pairwise ever
+    crosses the wire (the naive SQL self-join shuffles D×D)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy().astype(np.int64),
+                "event_type": t.column("event_type").to_pylist(),
+            }
+        )
+        return df.drop_duplicates()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        rows: dict[tuple, int] = {}
+        for _, gg in g.groupby("user_id", sort=False):
+            ts = sorted(gg["event_type"].tolist())
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    rows[(ts[i], ts[j])] = rows.get((ts[i], ts[j]), 0) + 1
+        return pd.DataFrame(
+            [(a, b, n) for (a, b), n in rows.items()],
+            columns=["type_a", "type_b", "support"],
+        ).astype({"support": "int64"})
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    return (
+        parts.groupby(["type_a", "type_b"], as_index=False)["support"]
+        .sum()
+        .astype({"support": "int64"})
+    )
+
+
+_BLOOM_JOIN_SQL = """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("bloom_semi_join_orders", _BLOOM_JOIN_SQL)
+def bloom_semi_join_orders(sf_dir: str):
+    """Bloom-pushdown semi-join with EXACT results: revenue of orders
+    whose customer has a negative balance. The build side (filtered
+    at the parquet read) folds into a 8 KB packed-bit bloom via
+    OR-merged per-batch partials, broadcast once (ray.put); the probe
+    pass drops the vast majority of orders BEFORE any exchange (the
+    pushdown every distributed optimizer wants), and the survivors —
+    true matches plus bloom false positives — are verified exactly
+    against the true key set inside one bucketed exchange, so FPs
+    never reach the output. Runtime-filter join optimization as a
+    first-class, oracle-gated operator."""
+    import ray
+
+    from ..stages.joins import _bucket_of
+    from ..stages.sketch import bloom_merge, bloom_partial, bloom_probe
+
+    n_buckets = 32
+    cu = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def neg_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = t.filter(pc.less(t.column("c_acctbal"), 0.0)).column("c_custkey")
+        return pa.table({"key": keys})
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        texts = [str(int(k)) for k in t.column("key").to_pylist()]
+        return pa.table({"packed": pa.array([bloom_partial(texts).tobytes()], pa.binary())})
+
+    keys_ds = cu.map_batches(neg_keys, batch_format="pyarrow")
+    parts = [
+        np.frombuffer(r["packed"], dtype=np.uint8)
+        for r in keys_ds.map_batches(build_partial, batch_format="pyarrow").take_all()
+    ]
+    bloom_ref = ray.put(bloom_merge(parts))
+
+    def probe(t: pa.Table) -> pd.DataFrame:
+        packed = ray.get(bloom_ref)
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        hit = bloom_probe(packed, [str(int(k)) for k in ck])
+        df = pd.DataFrame(
+            {
+                "key": ck[hit],
+                "o_orderpriority": np.array(t.column("o_orderpriority").to_pylist(), dtype=object)[hit],
+                "rev": _cents(t.column("o_totalprice").to_numpy())[hit],
+            }
+        )
+        df["__side"] = "o"
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df
+
+    def pad_keys(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"key": t.column("key").to_numpy().astype(np.int64)})
+        df["o_orderpriority"] = ""
+        df["rev"] = np.int64(0)
+        df["__side"] = "k"
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        true_keys = set(g.loc[g["__side"] == "k", "key"].tolist())
+        og = g[g["__side"] == "o"]
+        og = og[og["key"].isin(true_keys)]  # kill bloom false positives
+        return og.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("rev", "size"), revenue_cents=("rev", "sum")
+        )
+
+    parts_df = (
+        od.map_batches(probe, batch_format="pyarrow", batch_size=65536)
+        .union(keys_ds.map_batches(pad_keys, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts_df.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue_cents"]]
+        .sum()
+        .astype({"n_orders": "int64", "revenue_cents": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
