@@ -8051,3 +8051,110 @@ def bloom_semi_join_orders(sf_dir: str):
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
     )
+
+
+def _wsp_iter_sql(k: int) -> str:
+    return f"""
+    wit{k} AS (
+      SELECT n.h, LEAST(p.d, COALESCE(s.md, 999999), 999999) AS d
+      FROM wnodes n JOIN wit{k - 1} p ON p.h = n.h
+      LEFT JOIN (SELECT e.dst AS h, MIN(p.d + ((e.src + e.dst) % 7 + 1)) AS md
+                 FROM wue e JOIN wit{k - 1} p ON e.src = p.h GROUP BY e.dst) s
+      ON s.h = n.h)"""
+
+
+_WSP_SQL = f"""
+    WITH wedges AS ({_BLOCK_EDGES_SQL}),
+    wue AS (SELECT src, dst FROM wedges UNION SELECT dst AS src, src AS dst FROM wedges),
+    wnodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM wue UNION SELECT dst FROM wue)),
+    wit0 AS (SELECT h, CASE WHEN h IN (0, 1, 2) THEN 0 ELSE 999999 END AS d FROM wnodes),
+    {",".join(_wsp_iter_sql(k) for k in (1, 2, 3, 4, 5, 6))}
+    SELECT CAST(h AS BIGINT) AS host,
+           CAST(CASE WHEN d >= 999999 THEN -1 ELSE d END AS BIGINT) AS cost
+    FROM wit6
+"""
+
+
+@register("weighted_hop_cost_hosts", _WSP_SQL)
+def weighted_hop_cost_hosts(sf_dir: str):
+    """Bounded WEIGHTED shortest paths (Bellman–Ford, 6 synchronous
+    relaxations) from seed hosts {0,1,2} over the undirected block
+    host graph with symmetric integer edge weights (src+dst) % 7 + 1 —
+    the crawl-cost analysis BFS hops can't express (a 3-hop path can
+    be cheaper than a 1-hop one). Unreachability is real on the
+    block-partitioned graph (non-seed blocks come back -1). Min-plus
+    relaxation over integers is associative — bit-identical to the
+    unrolled SQL at any partitioning (stages/graph.bellman_ford_int);
+    the weight must be symmetric because the undirected closure
+    reverses edges."""
+    from ..stages.graph import bellman_ford_int, block_host_edges, undirected_closure
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = undirected_closure(block_host_edges(ds, n_hosts=64, block=8))
+    return bellman_ford_int(
+        edges,
+        seeds=np.array([0, 1, 2], dtype=np.int64),
+        iters=6,
+        weight_fn=lambda s, d: (s + d) % 7 + 1,
+    )
+
+
+_ISLANDS_SQL = """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, t,
+             CASE WHEN pt IS NULL OR t - pt > 600000000 THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    ),
+    i AS (SELECT user_id, island, MAX(t) - MIN(t) AS span FROM g GROUP BY user_id, island)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span) AS BIGINT) AS covered_us
+    FROM i GROUP BY user_id
+"""
+
+
+@register("event_coverage_islands", _ISLANDS_SQL)
+def event_coverage_islands(sf_dir: str):
+    """Gaps-and-islands (interval coalescing): merge each user's
+    events into activity islands — consecutive events ≤10 min apart —
+    and report islands count + total covered span, the classic
+    lag-break-cumsum pattern (and the general form behind
+    sessionization, uptime stitching, and interval union). Scale
+    shape: one bounded bucketed shuffle on user; inside the bucket the
+    break flags, island ids and spans are all vectorized numpy
+    (diff → cumsum → reduceat-style grouping), one row per user
+    leaves. Break ties by (ts, event_id) on BOTH sides — cumsum over
+    unordered ties would make island ids partition-dependent."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap_us = 600_000_000
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(t=g["ts"].astype("int64")).sort_values(
+            ["user_id", "t", "event_id"], kind="mergesort"
+        )
+        out = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            t = gg["t"].to_numpy()
+            brk = np.ones(len(t), dtype=np.int64)
+            brk[1:] = (t[1:] - t[:-1] > gap_us).astype(np.int64)
+            island = np.cumsum(brk)
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(t)) - 1
+            covered = int((t[ends] - t[starts]).sum())
+            out.append((int(uid), int(island[-1]), covered))
+        return pd.DataFrame(out, columns=["user_id", "n_islands", "covered_us"]).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], fold)

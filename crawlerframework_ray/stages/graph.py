@@ -515,3 +515,47 @@ def kcore_int(edges_ds, k: int = 3, iters: int = 8) -> pd.DataFrame:
             "core_degree": core_deg.astype(np.int64),
         }
     )
+
+
+def bellman_ford_int(
+    edges_ds, seeds: np.ndarray, iters: int, weight_fn, inf: int = 999_999
+) -> pd.DataFrame:
+    """Bounded WEIGHTED shortest paths (synchronous Bellman–Ford):
+    exactly ``iters`` sweeps of ``d(v) = min(d(v), min_{(u,v)}
+    d(u) + w(u,v))`` with integer weights from the deterministic
+    ``weight_fn(src, dst) -> int64 array`` — the weighted sibling of
+    bfs_hops_int (crawl cost = politeness-delay-weighted hops, not
+    plain depth). For undirected semantics supply both edge
+    directions AND a symmetric weight_fn, else the reversed edges get
+    different costs. Integer min-plus relaxation is associative —
+    bit-identical to the unrolled SQL at any partitioning; same
+    broadcast-vector / streamed-edges shape as _propagate_min, with
+    the weight added edge-local inside the sweep."""
+    import ray
+
+    edges = edges_ds.materialize()
+    nodes = _graph_nodes(edges)
+    dist = np.where(np.isin(nodes, seeds), 0, inf).astype(np.int64)
+    for _ in range(iters):
+        ref = ray.put((nodes, dist))
+
+        def sweep(t: pa.Table) -> pa.Table:
+            nds, st = ray.get(ref)
+            s = t.column("src").to_numpy()
+            d = t.column("dst").to_numpy()
+            offer = st[np.searchsorted(nds, s)] + weight_fn(s, d)
+            u, inv = np.unique(d, return_inverse=True)
+            acc = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(acc, inv, offer)
+            return pa.table({"dst": pa.array(u, pa.int64()), "m": pa.array(acc, pa.int64())})
+
+        got = bucketed_group_agg(
+            edges.map_batches(sweep, batch_format="pyarrow"),
+            ["dst"],
+            lambda g: g.groupby("dst", as_index=False)["m"].min(),
+        ).to_pandas()
+        incoming = np.full(len(nodes), np.iinfo(np.int64).max, np.int64)
+        incoming[np.searchsorted(nodes, got["dst"].to_numpy())] = got["m"].to_numpy()
+        dist = np.minimum(np.minimum(dist, incoming), inf)
+    cost = np.where(dist >= inf, -1, dist).astype(np.int64)
+    return pd.DataFrame({"host": nodes, "cost": cost})
