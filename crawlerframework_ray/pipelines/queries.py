@@ -8158,3 +8158,144 @@ def event_coverage_islands(sf_dir: str):
         return pd.DataFrame(out, columns=["user_id", "n_islands", "covered_us"]).astype("int64")
 
     return bucketed_group_agg(ds, ["user_id"], fold)
+
+
+_SCD2_SQL = """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, event_type, t,
+             CASE WHEN pt IS NULL OR pt <> event_type THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, event_type, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM f
+    ),
+    runs AS (
+      SELECT user_id, run_id, MIN(t) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ANY_VALUE(event_type) AS event_type
+      FROM g GROUP BY user_id, run_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(run_id AS BIGINT) AS run_id,
+           event_type, valid_from_us,
+           COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id),
+                    9223372036854775807) AS valid_to_us,
+           n_events
+    FROM runs
+"""
+
+
+@register("scd2_user_state_intervals", _SCD2_SQL)
+def scd2_user_state_intervals(sf_dir: str):
+    """SCD Type-2 interval build / run-length encoding: collapse each
+    user's (ts, event_id)-ordered event stream into maximal runs of
+    the same event type, emitting validity intervals [valid_from,
+    valid_to) where valid_to is the next run's start (open-ended
+    sentinel int64-max on the current run) — the
+    dimension-history-table construction every warehouse upsert
+    pipeline performs, and simultaneously RLE compression of a state
+    column. Scale shape: one bounded user-bucketed shuffle; run
+    detection is a vectorized neighbor-compare + cumsum inside the
+    bucket, one row per RUN leaves (the compressed form)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    open_end = np.iinfo(np.int64).max
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(t=g["ts"].astype("int64")).sort_values(
+            ["user_id", "t", "event_id"], kind="mergesort"
+        )
+        out = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            et = gg["event_type"].to_numpy()
+            t = gg["t"].to_numpy()
+            brk = np.ones(len(et), dtype=bool)
+            brk[1:] = et[1:] != et[:-1]
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(et))
+            vfrom = t[starts]
+            vto = np.append(vfrom[1:], open_end)
+            for k in range(len(starts)):
+                out.append(
+                    (int(uid), k + 1, et[starts[k]], int(vfrom[k]), int(vto[k]),
+                     int(ends[k] - starts[k]))
+                )
+        return pd.DataFrame(
+            out,
+            columns=["user_id", "run_id", "event_type", "valid_from_us", "valid_to_us", "n_events"],
+        ).astype(
+            {"user_id": "int64", "run_id": "int64", "valid_from_us": "int64",
+             "valid_to_us": "int64", "n_events": "int64"}
+        )
+
+    return bucketed_group_agg(ds, ["user_id"], fold)
+
+
+_CONCURRENCY_SQL = """
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS x, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 600000000 AS x, -1 AS delta FROM events
+    ),
+    sw AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY x, delta
+                              ROWS UNBOUNDED PRECEDING) AS depth
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(depth) AS BIGINT) AS max_concurrent
+    FROM sw GROUP BY event_type
+"""
+
+
+@register("max_concurrent_events", _CONCURRENCY_SQL)
+def max_concurrent_events(sf_dir: str):
+    """Sweep-line maximum concurrency: treating each event as a
+    half-open 10-minute interval [t, t+10m), the peak number of
+    simultaneously open intervals per event type — the load-peak /
+    max-parallel-sessions analysis. Half-open semantics = ends sort
+    BEFORE starts at the same instant (ORDER BY x, delta — delta −1
+    first), which both sides implement identically, so ties are
+    deterministic. Scale shape: the ±1 endpoint fan-out is a per-batch
+    reshape; one bounded shuffle on event_type co-locates each type's
+    endpoints; the cumsum-max sweep is vectorized inside the bucket
+    and one row per type leaves."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    win_us = 600_000_000
+
+    def endpoints(t: pa.Table) -> pd.DataFrame:
+        et = np.array(t.column("event_type").to_pylist(), dtype=object)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": np.concatenate([et, et]),
+                "x": np.concatenate([ts_us, ts_us + win_us]),
+                "delta": np.concatenate(
+                    [np.ones(len(et), np.int64), -np.ones(len(et), np.int64)]
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values(["x", "delta"], kind="mergesort")
+            depth = gg["delta"].to_numpy().cumsum()
+            out.append((et, int(depth.max())))
+        return pd.DataFrame(out, columns=["event_type", "max_concurrent"]).astype(
+            {"max_concurrent": "int64"}
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(endpoints, batch_format="pyarrow"), ["event_type"], fold
+    )
