@@ -8299,3 +8299,168 @@ def max_concurrent_events(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(endpoints, batch_format="pyarrow"), ["event_type"], fold
     )
+
+
+_TREE_SQL = """
+    WITH hc AS (
+      SELECT doc_id % 64 AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    chain AS (
+      SELECT h, h AS a, n FROM hc
+      UNION ALL
+      SELECT h, (h - 1) // 4 AS a, n FROM hc WHERE h > 0
+      UNION ALL
+      SELECT h, ((h - 1) // 4 - 1) // 4 AS a, n FROM hc WHERE h > 0 AND (h - 1) // 4 > 0
+      UNION ALL
+      SELECT h, (((h - 1) // 4 - 1) // 4 - 1) // 4 AS a, n FROM hc
+      WHERE h > 0 AND (h - 1) // 4 > 0 AND ((h - 1) // 4 - 1) // 4 > 0
+    )
+    SELECT CAST(c.a AS BIGINT) AS host,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS direct_docs,
+           CAST(SUM(c.n) AS BIGINT) AS subtree_docs
+    FROM chain c LEFT JOIN hc d ON d.h = c.a
+    GROUP BY c.a, d.n
+"""
+
+
+@register("host_tree_subtree_counts", _TREE_SQL)
+def host_tree_subtree_counts(sf_dir: str):
+    """Hierarchical TREE rollup with variable depth (the category-tree
+    / URL-path-hierarchy aggregation GROUP BY ROLLUP cannot express):
+    hosts form a 4-ary tree (parent(h) = (h−1)//4, root 0) and every
+    node reports direct + full-subtree document counts. Scale shape:
+    direct counts via one bounded shuffle; then each host row fans out
+    to its ≤4-step ancestor-or-self CHAIN (a per-batch vectorized
+    expansion — depth is log₄|hosts|, so the fan-out is logarithmic,
+    not a join per level) and one more bounded shuffle sums per
+    ancestor. Exactly the ancestor-closure plan the SQL oracle spells
+    out as unioned CASE levels."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def direct(t: pa.Table) -> pd.DataFrame:
+        h = (t.column("doc_id").to_numpy().astype(np.int64)) % 64
+        df = pd.DataFrame({"h": h})
+        out = df.groupby("h", as_index=False).size().rename(columns={"size": "n"})
+        return out.astype({"h": "int64", "n": "int64"})
+
+    hc = bucketed_group_agg(
+        ds.map_batches(direct, batch_format="pyarrow"),
+        ["h"],
+        lambda g: g.groupby("h", as_index=False)["n"].sum(),
+    )
+
+    def fan_out(t: pa.Table) -> pd.DataFrame:
+        h = t.column("h").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        hs, ns, anc = [h], [n], h.copy()
+        cur = h
+        for _ in range(4):
+            alive = cur > 0
+            if not alive.any():
+                break
+            nxt = (cur[alive] - 1) // 4
+            hs.append(h[alive])
+            ns.append(n[alive])
+            anc = np.concatenate([anc, nxt])
+            cur = np.zeros(len(h), dtype=np.int64)
+            cur[alive] = nxt
+        return pd.DataFrame(
+            {"a": anc, "h": np.concatenate(hs), "n": np.concatenate(ns)}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.groupby("a", as_index=False)["n"].sum().rename(columns={"a": "host", "n": "subtree_docs"})
+        direct_n = g[g["a"] == g["h"]].groupby("a", as_index=False)["n"].sum().rename(
+            columns={"a": "host", "n": "direct_docs"}
+        )
+        out = sub.merge(direct_n, on="host", how="left")
+        out["direct_docs"] = out["direct_docs"].fillna(0).astype("int64")
+        return out[["host", "direct_docs", "subtree_docs"]].astype("int64")
+
+    return bucketed_group_agg(
+        hc.map_batches(fan_out, batch_format="pyarrow"), ["a"], fold
+    )
+
+
+_CDC_SQL = """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 10 AS p FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+    ),
+    merged AS (
+      SELECT o.o_orderpriority, COALESCE(u.p, o.o_totalprice) AS price
+      FROM orders o LEFT JOIN upd u USING (o_orderkey)
+      WHERE o.o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 10 = 4
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(price*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM merged GROUP BY o_orderpriority
+"""
+
+
+@register("cdc_merge_orders", _CDC_SQL)
+def cdc_merge_orders(sf_dir: str):
+    """MERGE INTO / CDC apply: a deterministic change batch (delete
+    keys ≡0 mod 10, update price +10 for ≡1,2,3, insert new rows
+    keyed +10⁹ for ≡4) applied to the orders snapshot in ONE bucketed
+    exchange — base rows and change rows co-locate by key, op
+    precedence (delete > update > base) resolves inside the bucket,
+    and only the post-merge per-priority rollup leaves it. The upsert
+    compaction every incremental warehouse sync runs, gated end to
+    end against the SQL merge plan."""
+    from ..stages.joins import _bucket_of
+
+    n_buckets = 32
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def pad(t: pa.Table) -> pd.DataFrame:
+        k = t.column("o_orderkey").to_numpy().astype(np.int64)
+        pr = np.array(t.column("o_orderpriority").to_pylist(), dtype=object)
+        p = t.column("o_totalprice").to_numpy().astype(np.float64)
+        m = k % 10
+        frames = [
+            pd.DataFrame({"key": k, "pri": pr, "price": p, "op": "base"}),
+            pd.DataFrame({"key": k[m == 0], "pri": pr[m == 0], "price": p[m == 0], "op": "delete"}),
+            pd.DataFrame(
+                {"key": k[(m >= 1) & (m <= 3)], "pri": pr[(m >= 1) & (m <= 3)],
+                 "price": p[(m >= 1) & (m <= 3)] + 10.0, "op": "update"}
+            ),
+            pd.DataFrame(
+                {"key": k[m == 4] + 1_000_000_000, "pri": pr[m == 4], "price": p[m == 4], "op": "insert"}
+            ),
+        ]
+        df = pd.concat(frames, ignore_index=True)
+        df["__bucket"] = _bucket_of(df["key"], n_buckets)
+        return df
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        dead = set(g.loc[g["op"] == "delete", "key"].tolist())
+        upd = g[g["op"] == "update"].set_index("key")["price"]
+        base = g[g["op"] == "base"]
+        base = base[~base["key"].isin(dead)]
+        mapped = base["key"].map(upd)
+        base = base.assign(price=mapped.where(mapped.notna(), base["price"]))
+        ins = g[g["op"] == "insert"]
+        allrows = pd.concat([base, ins], ignore_index=True)
+        allrows["rev"] = np.floor(allrows["price"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return allrows.groupby("pri", as_index=False).agg(
+            n_orders=("rev", "size"), revenue_cents=("rev", "sum")
+        )
+
+    parts = (
+        od.map_batches(pad, batch_format="pyarrow", batch_size=65536)
+        .groupby("__bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("pri", as_index=False)[["n_orders", "revenue_cents"]]
+        .sum()
+        .rename(columns={"pri": "o_orderpriority"})
+        .astype({"n_orders": "int64", "revenue_cents": "int64"})
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
