@@ -8464,3 +8464,159 @@ def cdc_merge_orders(sf_dir: str):
         .astype({"n_orders": "int64", "revenue_cents": "int64"})
     )
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_NEAREST_SQL = """
+    WITH j AS (
+      SELECT o.o_orderkey, o.o_custkey AS user_id, e.event_id,
+             ABS(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS delta_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY ABS(epoch_us(e.ts) - epoch_us(o.o_orderdate)), e.ts, e.event_id
+             ) AS rk
+      FROM orders o JOIN events e ON e.user_id = o.o_custkey
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id, CAST(delta_us AS BIGINT) AS delta_us
+    FROM j WHERE rk = 1
+"""
+
+
+@register("nearest_event_to_order", _NEAREST_SQL)
+def nearest_event_to_order(sf_dir: str):
+    """Temporal nearest-neighbor join (both directions — the symmetric
+    cousin of the backward-only as-of join): each order finds the same
+    user's event closest in time, tiebreak earlier ts then smaller
+    event_id. Scale shape: one bucketed exchange on user co-locates a
+    user's orders with their sorted event timeline; each order probes
+    by binary search and examines only its two flanking candidates
+    (with a run-start re-probe so duplicate-ts ties resolve to the
+    MINIMUM event_id, matching SQL) — O(O log E) per user, never the
+    O(O×E) expansion the SQL plan materializes."""
+    from ..stages.joins import _bucket_of
+
+    n_buckets = 64
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pad_od(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user": t.column("o_custkey").to_numpy().astype(np.int64),
+                "id": t.column("o_orderkey").to_numpy().astype(np.int64),
+                "t": t.column("o_orderdate").cast(pa.int64()).to_numpy(),
+            }
+        )
+        df["__side"] = "o"
+        df["__bucket"] = _bucket_of(df["user"], n_buckets)
+        return df
+
+    def pad_ev(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user": t.column("user_id").to_numpy().astype(np.int64),
+                "id": t.column("event_id").to_numpy().astype(np.int64),
+                "t": t.column("ts").cast(pa.int64()).to_numpy(),
+            }
+        )
+        df["__side"] = "e"
+        df["__bucket"] = _bucket_of(df["user"], n_buckets)
+        return df
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for user, gg in g.groupby("user", sort=False):
+            ev_g = gg[gg["__side"] == "e"].sort_values(["t", "id"], kind="mergesort")
+            od_g = gg[gg["__side"] == "o"]
+            if ev_g.empty or od_g.empty:
+                continue
+            ts = ev_g["t"].to_numpy()
+            eid = ev_g["id"].to_numpy()
+            vt = od_g["t"].to_numpy()
+            i = np.searchsorted(ts, vt, side="left")
+            has_r = i < len(ts)
+            has_l = i > 0
+            dr = np.where(has_r, ts[np.minimum(i, len(ts) - 1)] - vt, np.iinfo(np.int64).max)
+            dl = np.where(has_l, vt - ts[np.maximum(i - 1, 0)], np.iinfo(np.int64).max)
+            # ties (dl == dr) go left: the earlier ts wins per the SQL order
+            take_left = dl <= dr
+            # left candidate re-probed to its ts-run START so duplicate-ts
+            # ties resolve to the minimum event_id (events sorted by ts, id)
+            left_idx = np.searchsorted(ts, ts[np.maximum(i - 1, 0)], side="left")
+            idx = np.where(take_left, left_idx, np.minimum(i, len(ts) - 1))
+            delta = np.where(take_left, dl, dr)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": od_g["id"].to_numpy(),
+                        "user_id": np.int64(user),
+                        "event_id": eid[idx],
+                        "delta_us": delta,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["o_orderkey", "user_id", "event_id", "delta_us"]).astype("int64")
+        return pd.concat(out, ignore_index=True).astype("int64")
+
+    return (
+        od.map_batches(pad_od, batch_format="pyarrow", batch_size=65536)
+        .union(ev.map_batches(pad_ev, batch_format="pyarrow", batch_size=65536))
+        .groupby("__bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+    )
+
+
+_ABOVE_AVG_SQL = """
+    WITH t AS (
+      SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(total_cents) AS BIGINT) AS grand FROM t)
+    SELECT CAST(t.o_custkey AS BIGINT) AS o_custkey, t.total_cents
+    FROM t, g WHERE t.total_cents * g.n > g.grand
+"""
+
+
+@register("above_average_spenders", _ABOVE_AVG_SQL)
+def above_average_spenders(sf_dir: str):
+    """HAVING against a GLOBAL aggregate (groups above the mean of
+    group totals): customers whose order total exceeds the average
+    customer total. The comparison is exact integer
+    cross-multiplication (total·n > grand ⟺ total > grand/n — no
+    float average on either side). Scale shape: per-customer totals
+    via one bounded shuffle; the global (n, grand) reduces from the
+    per-bucket partials into two scalars broadcast into a final
+    parallel filter pass — the two-level aggregate never rescans the
+    raw table."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_custkey": t.column("o_custkey").to_numpy().astype(np.int64),
+                "total_cents": _cents(t.column("o_totalprice").to_numpy()),
+            }
+        )
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    totals = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        lambda g: g.groupby("o_custkey", as_index=False)["total_cents"].sum(),
+    ).materialize()  # consumed twice (global reduce + filter); one row per customer
+    n, grand = 0, 0
+    for b in totals.iter_batches(batch_format="pandas"):
+        n += len(b)
+        grand += int(b["total_cents"].sum())
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater(pc.multiply(t.column("total_cents"), pa.scalar(n, pa.int64())),
+                          pa.scalar(grand, pa.int64()))
+        return t.filter(keep)
+
+    return totals.map_batches(flt, batch_format="pyarrow")
