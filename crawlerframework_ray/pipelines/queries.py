@@ -8620,3 +8620,106 @@ def above_average_spenders(sf_dir: str):
         return t.filter(keep)
 
     return totals.map_batches(flt, batch_format="pyarrow")
+
+
+def _moments_gen(sf_dir: str):
+    """Shared image-corpus generator for the ChannelMomentsStage
+    queries (same 512-image synthesis as the other image pipelines)."""
+    from ..data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        recs = [page_record(make_url(int(d) % 8, int(d)), cfg) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+                "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+            }
+        )
+
+    from ..stages.multimodal import ChannelMomentsStage
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        ChannelMomentsStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )
+
+
+@register("image_channel_moments", _golden_sql("channel_moments"))
+def image_channel_moments(sf_dir: str):
+    """Dataset normalization constants (per-format, per-channel mean/
+    std pre-pass) kept EXACT as integer moments — n_pixels, Σv, Σv² in
+    int64, summed order-independently so the distributed fold is
+    bit-exact at any partitioning; mean/std derive downstream without
+    a second scan. The golden recomputes the moments over python ints
+    one pixel at a time (tools/make_goldens.channel_moments), proving
+    the vectorized per-channel reductions fold correctly. Actor pool,
+    decoders in __init__."""
+    import pyarrow.compute as pc
+
+    moments = _moments_gen(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "fmt": t.column("fmt").to_pylist(),
+                "channel": t.column("channel").to_numpy(),
+                "n_pixels": t.column("n_pixels").to_numpy(),
+                "sum_v": t.column("sum_v").to_numpy(),
+                "sum_sq": t.column("sum_sq").to_numpy(),
+                "n_images": np.int64(1),
+            }
+        )
+        return df.groupby(["fmt", "channel"], as_index=False).sum()
+
+    from ..stages.agg import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        moments.map_batches(partial, batch_format="pyarrow"),
+        ["fmt", "channel"],
+        lambda g: g.groupby(["fmt", "channel"], as_index=False)[
+            ["n_images", "n_pixels", "sum_v", "sum_sq"]
+        ].sum(),
+    ).to_pandas()
+    return out[["fmt", "channel", "n_images", "n_pixels", "sum_v", "sum_sq"]].astype(
+        {"channel": "int32", "n_images": "int64", "n_pixels": "int64",
+         "sum_v": "int64", "sum_sq": "int64"}
+    )
+
+
+@register("image_compression_ratio", _golden_sql("compression_ratio"))
+def image_compression_ratio(sf_dir: str):
+    """Codec compression audit per format: encoded payload bytes vs
+    raw pixel bytes (w×h×3) — the storage-planning number a 100 TB
+    image corpus lives or dies by, derived from the SAME ChannelMoments
+    pass (channel-0 rows carry the per-image byte counts; no second
+    decode). Integer sums only; golden from the independent explicit
+    loop."""
+    import pyarrow.compute as pc
+
+    moments = _moments_gen(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t.column("channel"), 0))
+        df = pd.DataFrame(
+            {
+                "fmt": t.column("fmt").to_pylist(),
+                "encoded_bytes": t.column("encoded_bytes").to_numpy(),
+                "raw_bytes": t.column("n_pixels").to_numpy() * 3,
+                "n_images": np.int64(1),
+            }
+        )
+        return df.groupby("fmt", as_index=False).sum()
+
+    from ..stages.agg import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        moments.map_batches(partial, batch_format="pyarrow"),
+        ["fmt"],
+        lambda g: g.groupby("fmt", as_index=False)[["n_images", "encoded_bytes", "raw_bytes"]].sum(),
+    ).to_pandas()
+    return out[["fmt", "n_images", "encoded_bytes", "raw_bytes"]].astype(
+        {"n_images": "int64", "encoded_bytes": "int64", "raw_bytes": "int64"}
+    )

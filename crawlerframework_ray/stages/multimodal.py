@@ -701,3 +701,59 @@ class AudioGramStage:
                 "n": pa.array(n_out, pa.int64()),
             }
         )
+
+
+class ChannelMomentsStage:
+    """Dataset normalization constants — the mean/std-per-channel
+    pre-pass every image training run needs, kept EXACT as integer
+    moments: per image and channel, pixel count, Σv and Σv² in int64
+    (mean/std derive downstream; the integers sum order-independently
+    so the distributed fold is bit-exact). Also emits the encoded
+    payload size so the same pass audits codec compression ratios.
+    Decoders built once per actor; moments are single vectorized
+    reductions per channel.
+
+    Output schema: image_id:string, fmt:string, channel:int32,
+    n_pixels:int64, sum_v:int64, sum_sq:int64, encoded_bytes:int64.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out: dict[str, list] = {
+            k: [] for k in ("image_id", "fmt", "channel", "n_pixels", "sum_v", "sum_sq", "encoded_bytes")
+        }
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data).astype(np.int64)
+            for c in range(img.shape[2]):
+                ch = img[:, :, c]
+                out["image_id"].append(i)
+                out["fmt"].append(fmt)
+                out["channel"].append(c)
+                out["n_pixels"].append(int(ch.size))
+                out["sum_v"].append(int(ch.sum()))
+                out["sum_sq"].append(int((ch * ch).sum()))
+                out["encoded_bytes"].append(len(data))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "channel": pa.array(out["channel"], pa.int32()),
+                "n_pixels": pa.array(out["n_pixels"], pa.int64()),
+                "sum_v": pa.array(out["sum_v"], pa.int64()),
+                "sum_sq": pa.array(out["sum_sq"], pa.int64()),
+                "encoded_bytes": pa.array(out["encoded_bytes"], pa.int64()),
+            }
+        )

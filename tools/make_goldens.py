@@ -1297,11 +1297,62 @@ def mirror_dup_pairs(sf_dir: str) -> None:
     )
 
 
+def channel_moments(sf_dir: str) -> None:
+    """Independent explicit-loop mirror of image_channel_moments +
+    image_compression_ratio: decode via the codec leaf, then per-channel
+    Σv / Σv² written out longhand over python ints (no numpy reduction,
+    no ChannelMomentsStage code path)."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    mom: dict[tuple, list] = {}
+    comp: dict[str, list] = {}
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        h, w = img.shape[0], img.shape[1]
+        for c in range(3):
+            sv = sum(int(v) for row in img[:, :, c] for v in row)
+            sq = sum(int(v) * int(v) for row in img[:, :, c] for v in row)
+            k = (rec["fmt"], c)
+            acc = mom.setdefault(k, [0, 0, 0, 0])
+            acc[0] += 1
+            acc[1] += h * w
+            acc[2] += sv
+            acc[3] += sq
+        ca = comp.setdefault(rec["fmt"], [0, 0, 0])
+        ca[0] += 1
+        ca[1] += len(rec["bytes"])
+        ca[2] += h * w * 3
+    _write(
+        "channel_moments", sf_dir,
+        pd.DataFrame(
+            [(f, c, *acc) for (f, c), acc in sorted(mom.items())],
+            columns=["fmt", "channel", "n_images", "n_pixels", "sum_v", "sum_sq"],
+        ).astype(
+            {"fmt": "string", "channel": "int32", "n_images": "int64",
+             "n_pixels": "int64", "sum_v": "int64", "sum_sq": "int64"}
+        ),
+    )
+    _write(
+        "compression_ratio", sf_dir,
+        pd.DataFrame(
+            [(f, *acc) for f, acc in sorted(comp.items())],
+            columns=["fmt", "n_images", "encoded_bytes", "raw_bytes"],
+        ).astype(
+            {"fmt": "string", "n_images": "int64", "encoded_bytes": "int64", "raw_bytes": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments]
 
 
 def main() -> None:
