@@ -8723,3 +8723,67 @@ def image_compression_ratio(sf_dir: str):
     return out[["fmt", "n_images", "encoded_bytes", "raw_bytes"]].astype(
         {"n_images": "int64", "encoded_bytes": "int64", "raw_bytes": "int64"}
     )
+
+
+_LOCF_SQL = """
+    WITH grid AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 01:00:00',
+                                    TIMESTAMP '2024-01-03 00:00:00',
+                                    INTERVAL 1 HOUR)) AS g
+    ),
+    e1 AS (
+      SELECT user_id, ts, CAST(FLOOR(value*100+0.5) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
+      FROM events
+    ),
+    e AS (SELECT user_id, ts, v FROM e1 WHERE rk = 1),
+    gu AS (SELECT u.user_id, grid.g FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN grid)
+    SELECT CAST(gu.user_id AS BIGINT) AS user_id,
+           epoch_us(gu.g) AS hour_us,
+           e.v AS value_cents
+    FROM gu ASOF JOIN e ON gu.user_id = e.user_id AND e.ts <= gu.g
+"""
+
+
+@register("hourly_locf_resample", _LOCF_SQL)
+def hourly_locf_resample(sf_dir: str):
+    """Time-series resampling with LOCF gap fill: each user's event
+    value sampled onto a fixed hourly grid (48 points over the first
+    two days), carrying the last observation at-or-before each grid
+    point forward — the align-to-grid step every feature-store /
+    monitoring rollup runs. Equal-timestamp duplicates are resolved to
+    the LATEST event_id before the as-of lookup on BOTH sides, so the
+    pick is deterministic. Scale shape: the grid is a tiny broadcast
+    constant; one bounded user-bucketed shuffle co-locates each user's
+    events, and the whole grid resolves with ONE vectorized
+    searchsorted per user — O(E log E + G) per user, never the
+    users×grid×events expansion the SQL cross-join plan implies;
+    grid points before a user's first event drop out (no fabricated
+    values)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    start = int(pd.Timestamp("2024-01-01 01:00:00").value // 1000)
+    grid = start + np.arange(48, dtype=np.int64) * 3_600_000_000
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            t=g["ts"].astype("int64"),
+            v=np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+        ).sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        # equal-ts dups: keep the latest event_id (last after the sort)
+        g = g.drop_duplicates(["user_id", "t"], keep="last")
+        out = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            t = gg["t"].to_numpy()
+            v = gg["v"].to_numpy()
+            idx = np.searchsorted(t, grid, side="right") - 1
+            ok = idx >= 0
+            out.append(
+                pd.DataFrame(
+                    {"user_id": np.int64(uid), "hour_us": grid[ok], "value_cents": v[idx[ok]]}
+                )
+            )
+        return pd.concat(out, ignore_index=True).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], fold)
