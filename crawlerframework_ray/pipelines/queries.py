@@ -8787,3 +8787,92 @@ def hourly_locf_resample(sf_dir: str):
         return pd.concat(out, ignore_index=True).astype("int64")
 
     return bucketed_group_agg(ds, ["user_id"], fold)
+
+
+_CMS_SQL = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    slots AS (
+      SELECT tc.term, tc.n, rows_.r,
+             CAST('0x' || substr(md5(CAST(rows_.r AS VARCHAR) || ':' || tc.term), 1, 8)
+                  AS BIGINT) % 1024 AS c
+      FROM tc CROSS JOIN rows_
+    ),
+    counters AS (SELECT r, c, CAST(SUM(n) AS BIGINT) AS cnt FROM slots GROUP BY r, c),
+    top20 AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 20)
+    SELECT t.term, t.n AS true_count,
+           CAST(MIN(co.cnt) AS BIGINT) AS cms_estimate
+    FROM top20 t
+    JOIN slots s ON s.term = t.term
+    JOIN counters co ON co.r = s.r AND co.c = s.c
+    GROUP BY t.term, t.n
+"""
+
+
+@register("cms_term_freq_estimates", _CMS_SQL)
+def cms_term_freq_estimates(sf_dir: str):
+    """Count-min sketch term frequencies with the estimates themselves
+    oracle-gated: a 4×1024 int64 CMS (md5-slotted, identical hash on
+    both sides) built as per-batch partial counter grids that sum
+    ELEMENTWISE — associative and idempotent-free like the HLL/bloom
+    partials, so one 32 KB grid per batch is all that crosses the
+    wire — then the top-20 true-frequency terms are probed and
+    min-over-rows estimates reported. Because CMS is deterministic
+    given its hash functions, the SQL oracle reproduces the exact
+    estimates (and the ≥ true-count overestimate guarantee is
+    asserted in-pipeline, not assumed). The frequency-estimation
+    sketch next to the membership (bloom) and cardinality (HLL) ones."""
+    import hashlib
+
+    from ..stages.agg import bucketed_group_agg
+
+    R, W = 4, 1024
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def slot(r: int, term: str) -> int:
+        return int(hashlib.md5(f"{r}:{term}".encode()).hexdigest()[:8], 16) % W
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(txt.split(" "))
+        grid = np.zeros((R, W), dtype=np.int64)
+        for term, n in c.items():
+            for r in range(R):
+                grid[r, slot(r, term)] += n
+        return pa.table({"grid": pa.array([grid.tobytes()], pa.binary())})
+
+    grids = [
+        np.frombuffer(row["grid"], dtype=np.int64).reshape(R, W)
+        for row in ds.map_batches(cms_partial, batch_format="pyarrow").take_all()
+    ]
+    cms = np.sum(np.stack(grids), axis=0)
+
+    def tc_partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(txt.split(" "))
+        return pd.DataFrame({"term": list(c.keys()), "n": list(c.values())})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(tc_partial, batch_format="pyarrow"),
+        ["term"],
+        lambda g: g.groupby("term", as_index=False)["n"].sum(),
+    ).to_pandas()
+    top = counts.sort_values(["n", "term"], ascending=[False, True], kind="mergesort").head(20)
+
+    est = []
+    for term, n in zip(top["term"], top["n"]):
+        e = int(min(cms[r, slot(r, term)] for r in range(R)))
+        assert e >= int(n), f"CMS under-estimated {term!r}: {e} < {n}"
+        est.append((term, int(n), e))
+    return pd.DataFrame(est, columns=["term", "true_count", "cms_estimate"]).astype(
+        {"true_count": "int64", "cms_estimate": "int64"}
+    )
