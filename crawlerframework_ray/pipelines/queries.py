@@ -8876,3 +8876,69 @@ def cms_term_freq_estimates(sf_dir: str):
     return pd.DataFrame(est, columns=["term", "true_count", "cms_estimate"]).astype(
         {"true_count": "int64", "cms_estimate": "int64"}
     )
+
+
+_SKYLINE_SQL = """
+    WITH o AS (
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) AS total_cents,
+             epoch_us(o_orderdate) AS odate_us
+      FROM orders
+    )
+    SELECT CAST(a.o_orderkey AS BIGINT) AS o_orderkey, a.total_cents, a.odate_us
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.total_cents >= a.total_cents AND b.odate_us >= a.odate_us
+        AND (b.total_cents > a.total_cents OR b.odate_us > a.odate_us)
+    )
+"""
+
+
+@register("skyline_orders", _SKYLINE_SQL)
+def skyline_orders(sf_dir: str):
+    """Skyline / Pareto frontier (multi-criteria optimality): orders
+    not strictly dominated in (price, recency) — the classic operator
+    behind best-tradeoff queries. Scale shape: each batch reduces to
+    its LOCAL skyline first (sound because domination is transitive —
+    any dominator of a locally-surviving point has a candidate
+    dominator too, so the global skyline is exactly the skyline OF the
+    candidates); local filtering is a vectorized sort-by-price +
+    running-max-of-date sweep, and only the tiny candidate set (O(log
+    n) expected for anticorrelated-free data) leaves the batches. The
+    naive SQL plan is the O(n²) NOT EXISTS self-join."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        # sorted by (price desc, date desc): a row survives iff its date
+        # equals its price group's max (in-group domination) AND beats
+        # the running max date of all strictly-higher-price groups
+        # (cross-group domination) — identical duplicate points all
+        # survive, matching SQL's strict-domination semantics
+        df = df.sort_values(["total_cents", "odate_us"], ascending=False, kind="mergesort")
+        tc = df["total_cents"].to_numpy()
+        du = df["odate_us"].to_numpy()
+        if len(df) == 0:
+            return df
+        new_grp = np.concatenate([[True], tc[1:] != tc[:-1]])
+        gid = np.cumsum(new_grp) - 1
+        gmax = du[new_grp]  # first row of each group has the group-max date
+        prev_best = np.concatenate(
+            [[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]]
+        )
+        keep = (du == gmax[gid]) & (du > prev_best[gid])
+        return df[keep]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t.column("o_orderkey").to_numpy().astype(np.int64),
+                "total_cents": _cents(t.column("o_totalprice").to_numpy()),
+                "odate_us": t.column("o_orderdate").cast(pa.int64()).to_numpy(),
+            }
+        )
+        return local_skyline(df)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return local_skyline(cand).reset_index(drop=True).astype(
+        {"o_orderkey": "int64", "total_cents": "int64", "odate_us": "int64"}
+    )
