@@ -8942,3 +8942,46 @@ def skyline_orders(sf_dir: str):
     return local_skyline(cand).reset_index(drop=True).astype(
         {"o_orderkey": "int64", "total_cents": "int64", "odate_us": "int64"}
     )
+
+
+def _trustrank_iter_sql(k: int) -> str:
+    return f"""
+    tit{k} AS (
+      SELECT n.h,
+             (CASE WHEN n.h IN (0, 1, 2) THEN sb.b ELSE 0 END)
+               + 85 * COALESCE(s.s, 0) // 100 AS r
+      FROM tnodes n CROSS JOIN sb LEFT JOIN (
+         SELECT e.dst AS h, SUM(p.r // o.od) AS s
+         FROM tedges e JOIN tit{k - 1} p ON e.src = p.h JOIN toutdeg o ON o.src = e.src
+         GROUP BY e.dst) s ON n.h = s.h)"""
+
+
+_TRUSTRANK_SQL = f"""
+    WITH tedges AS ({_PAGERANK_EDGES_SQL}),
+    tnodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM tedges UNION SELECT dst FROM tedges)),
+    toutdeg AS (SELECT src, COUNT(*) AS od FROM tedges GROUP BY src),
+    sb AS (SELECT (15 * 1000000000000 // 100) // 3 AS b),
+    tit0 AS (SELECT h, CASE WHEN h IN (0, 1, 2) THEN 1000000000000 // 3 ELSE 0 END AS r
+             FROM tnodes),
+    {",".join(_trustrank_iter_sql(k) for k in (1, 2, 3, 4))}
+    SELECT h AS host, CAST(r AS BIGINT) AS trust FROM tit4
+"""
+
+
+@register("trustrank_hosts", _TRUSTRANK_SQL)
+def trustrank_hosts(sf_dir: str):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank
+    with the teleport biased ENTIRELY onto a vetted seed set {0,1,2} —
+    the spam-demotion / crawl-prioritization ranking a frontier
+    scheduler uses to favor link neighborhoods of trusted hosts; hosts
+    unreachable from the seeds score exactly 0 (integer arithmetic, no
+    epsilon leakage). Same exact fixed-point int64 power iteration and
+    broadcast-vector / streamed-edges shape as pagerank_hosts
+    (stages/graph.pagerank_int with seeds=), bit-identical to the
+    unrolled SQL at any partitioning."""
+    from ..stages.graph import distinct_edges, host_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    out = pagerank_int(edges, iters=4, seeds=np.array([0, 1, 2], dtype=np.int64))
+    return out.rename(columns={"rank": "trust"})

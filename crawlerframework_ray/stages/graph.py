@@ -74,14 +74,25 @@ def distinct_edges(edges):
     )
 
 
-def pagerank_int(edges_ds, scale: int = PAGERANK_SCALE, iters: int = 4) -> pd.DataFrame:
+def pagerank_int(
+    edges_ds,
+    scale: int = PAGERANK_SCALE,
+    iters: int = 4,
+    seeds: np.ndarray | None = None,
+) -> pd.DataFrame:
     """Power iteration in exact integer arithmetic.
 
     Returns a frame (host, rank) with
-    ``rank_{t+1}[h] = base + (85 * sum_{(s,h) in E} (rank_t[s] // od[s])) // 100``
-    and ``base = (15 * scale // 100) // N``, ``rank_0 = scale // N``.
-    Dangling mass is not redistributed (both sides of the oracle agree).
-    """
+    ``rank_{t+1}[h] = base(h) + (85 * sum_{(s,h) in E} (rank_t[s] // od[s])) // 100``.
+    With ``seeds=None`` (classic PageRank): ``base = (15 * scale //
+    100) // N`` for every host, ``rank_0 = scale // N``. With a seed
+    array (TrustRank, Gyöngyi et al. 2004 — the biased restart that
+    propagates trust from a vetted seed set): teleport mass and the
+    initial vector concentrate ENTIRELY on the seeds — ``base =
+    (15 * scale // 100) // |S|`` on seeds and 0 elsewhere, ``rank_0 =
+    scale // |S|`` on seeds and 0 elsewhere — so unlinked hosts score
+    exactly 0. Dangling mass is not redistributed (both sides of the
+    oracle agree)."""
     import ray
 
     edges = edges_ds.materialize()
@@ -123,8 +134,13 @@ def pagerank_int(edges_ds, scale: int = PAGERANK_SCALE, iters: int = 4) -> pd.Da
     od = np.zeros(n, np.int64)
     od[np.searchsorted(nodes, od_df["src"].to_numpy())] = od_df["od"].to_numpy()
 
-    base = (15 * scale // 100) // n
-    rank = np.full(n, scale // n, np.int64)
+    if seeds is None:
+        base = np.full(n, (15 * scale // 100) // n, np.int64)
+        rank = np.full(n, scale // n, np.int64)
+    else:
+        is_seed = np.isin(nodes, seeds)
+        base = np.where(is_seed, (15 * scale // 100) // int(is_seed.sum()), 0).astype(np.int64)
+        rank = np.where(is_seed, scale // int(is_seed.sum()), 0).astype(np.int64)
 
     for _ in range(iters):
         state_ref = ray.put((nodes, rank, od))
