@@ -7045,6 +7045,10 @@ def time_decay_user_scores(sf_dir: str):
 
     def partial(t: pa.Table) -> pd.DataFrame:
         ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        if len(ts_us) and int(ts_us.max()) > anchor_us:
+            # a post-anchor event would make age negative and `>> age`
+            # undefined — fail loudly instead of shifting by garbage
+            raise ValueError("event ts after decay anchor 2024-02-01")
         age = np.minimum((anchor_us - ts_us) // 86_400_000_000, 40)
         w = (1 << 20) >> age.astype(np.int64)
         df = pd.DataFrame(
@@ -8871,7 +8875,8 @@ def cms_term_freq_estimates(sf_dir: str):
     est = []
     for term, n in zip(top["term"], top["n"]):
         e = int(min(cms[r, slot(r, term)] for r in range(R)))
-        assert e >= int(n), f"CMS under-estimated {term!r}: {e} < {n}"
+        if e < int(n):  # not an assert: must survive python -O
+            raise ValueError(f"CMS under-estimated {term!r}: {e} < {n}")
         est.append((term, int(n), e))
     return pd.DataFrame(est, columns=["term", "true_count", "cms_estimate"]).astype(
         {"true_count": "int64", "cms_estimate": "int64"}

@@ -139,8 +139,14 @@ def pagerank_int(
         rank = np.full(n, scale // n, np.int64)
     else:
         is_seed = np.isin(nodes, seeds)
-        base = np.where(is_seed, (15 * scale // 100) // int(is_seed.sum()), 0).astype(np.int64)
-        rank = np.where(is_seed, scale // int(is_seed.sum()), 0).astype(np.int64)
+        # the teleport denominator is the LITERAL seed-set size (the SQL
+        # oracle divides by it) — a seed host absent from the edge-derived
+        # node set must fail loudly, not silently shift the mass split
+        if int(is_seed.sum()) != len(seeds):
+            missing = np.setdiff1d(np.asarray(seeds, np.int64), nodes)
+            raise ValueError(f"seed hosts absent from graph: {missing.tolist()}")
+        base = np.where(is_seed, (15 * scale // 100) // len(seeds), 0).astype(np.int64)
+        rank = np.where(is_seed, scale // len(seeds), 0).astype(np.int64)
 
     for _ in range(iters):
         state_ref = ray.put((nodes, rank, od))

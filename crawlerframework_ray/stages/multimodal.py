@@ -266,7 +266,7 @@ class MirrorCanonStage:
                 continue
             img = dec(data)
             h1 = average_hash(img) & 0xFFFFFFFFFFFFFFFF
-            h2 = average_hash(img[:, ::-1]) & 0xFFFFFFFFFFFFFFFF
+            h2 = average_hash(np.ascontiguousarray(img[:, ::-1])) & 0xFFFFFFFFFFFFFFFF
             canon = int(np.uint64(min(h1, h2)).astype(np.int64))
             out_ids.append(i)
             out_canon.append(canon)
