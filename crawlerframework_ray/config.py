@@ -47,6 +47,17 @@ class CrawlConfig:
     # one bucket; the wave cut is an exact global merge of per-bucket
     # prefixes).
     n_buckets: int | None = None
+    # frontier cold-tail spill (state/frontier.py): above this many
+    # RESIDENT rows a bucket actor cuts its per-host cold tail (cap-key
+    # rank ≥ host budget × spill_slack) into an actor-owned parquet
+    # part, hard-linked into each epoch checkpoint; reload is lazy and
+    # guarded by an exact cap-safety check. Bounds actor memory by
+    # hosts-per-bucket × budget × slack instead of total frontier size
+    # (the 10^10-URL axis). NOT semantics-bearing — trace / digests /
+    # checkpoints are bit-identical with spill on or off (gated in
+    # tests/test_crawl_stress.py) — so neither knob is fingerprinted.
+    spill_max_resident: int = 1 << 20
+    spill_slack: int = 8
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing knobs — stamped into

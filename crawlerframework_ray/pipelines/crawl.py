@@ -92,6 +92,8 @@ class CrawlSummary:
     skipped_urls: int = 0
     updated_urls: int = 0
     new_urls: int = 0
+    # frontier cold-tail spill telemetry (state/frontier.py)
+    spill: dict = field(default_factory=dict)
 
 
 N_DEDUP_BUCKETS = 64
@@ -336,6 +338,8 @@ class CrawlEngine:
         self.buckets = BucketPool(
             resolve_n_buckets(cfg), self.seen.handles(), cfg.n_shards, cfg.host_budget,
             cfg.wave_size, cfg.web.seed if cfg.robots else None,
+            spill_dir=os.path.join(cfg.workdir, "spill"),
+            max_resident=cfg.spill_max_resident, spill_slack=cfg.spill_slack,
         )
         summary = CrawlSummary()
         import shutil as _shutil
@@ -586,6 +590,7 @@ class CrawlEngine:
             summary.epochs = epoch + 1
 
         summary.final_frontier = frontier_rows
+        summary.spill = self.buckets.spill_stats()
         summary.seen_total = self.seen.total_size()
         summary.shard_digests = self.seen.digests()
         summary.wall_sec = time.monotonic() - t0

@@ -29,9 +29,22 @@ frontier part name is content-addressed.
 
 At 10^10-URL scale the pool is the standard push-shuffle tradeoff:
 bucket count scales with the cluster (hundreds of actors spread across
-nodes), each holding its bucket's frontier partition in RAM and
-spilling cold rows to its checkpoint part — exactly the layout the
-per-epoch parquet checkpoint already persists.
+nodes), each holding only the HOT PREFIX of its bucket's frontier
+partition in RAM. Above ``spill_max_resident`` rows the actor spills
+the cold tail — per-host rank ≥ budget × ``spill_slack`` under the
+exact cap sort — to an actor-owned content-addressed parquet part,
+hard-linked into every epoch checkpoint (checkpoints stay complete
+without rewriting cold bytes). Reload is lazy and EXACT: a cold part
+is folded back only when it could change the politeness cap — some
+cold host's hot count fell below its budget, or the host's worst
+admitted hot row no longer outranks its best spilled row (per-host
+boundary-key check). Between reloads the cap computed from the hot
+prefix is provably identical to the resident-path cap, so the crawl
+trace is bit-identical with spill on or off (gated in
+tests/test_crawl_stress.py). Actor memory is bounded by
+hosts-per-bucket × budget × slack + wave-slice churn instead of total
+frontier size — the only structure that previously grew with the
+10^10-URL axis.
 
 Reference parity: this is the TaskMaster enqueue path
 (crawler/utils/priorityqueue.py:39-49 test-and-set + heap push) as a
@@ -132,7 +145,8 @@ class FrontierBucket:
         self.bucket_id = bucket_id
         self._reset_run(None, 0, 0, 0, None)
 
-    def _reset_run(self, shard_handles, n_shards, host_budget, wave_size, robots_seed):
+    def _reset_run(self, shard_handles, n_shards, host_budget, wave_size, robots_seed,
+                   spill_dir=None, max_resident=0, spill_slack=8):
         self.shards = shard_handles
         self.n_shards = n_shards
         self.host_budget = host_budget
@@ -144,11 +158,31 @@ class FrontierBucket:
         self.frontier: pa.Table | None = None
         self.capped: pa.Table = CANDIDATE_SCHEMA.empty_table()
         self._folded: set[bytes] = set()
+        # cold-tail spill state (module docstring): actor-owned parquet
+        # parts holding the frontier rows NOT resident in self.frontier
+        self.spill_dir = (
+            os.path.join(spill_dir, f"bucket-{self.bucket_id}") if spill_dir else None
+        )
+        self.max_resident = int(max_resident or 0)
+        self.spill_slack = int(spill_slack)
+        if self.spill_dir:
+            import shutil as _shutil
 
-    def reset(self, shard_handles, n_shards, host_budget, wave_size, robots_seed) -> int:
+            # unlink prior-run cold parts (checkpoint dirs hold hard
+            # links to the same inodes — their bytes survive)
+            _shutil.rmtree(self.spill_dir, ignore_errors=True)
+        self.cold_parts: list[str] = []
+        self.cold_counts: dict[str, int] = {}      # host -> spilled rows
+        self.cold_best: dict[str, tuple] = {}      # host -> min cap-key tuple
+        self.n_spills = 0
+        self.n_reloads = 0
+
+    def reset(self, shard_handles, n_shards, host_budget, wave_size, robots_seed,
+              spill_dir=None, max_resident=0, spill_slack=8) -> int:
         """Bind the actor to a new engine run (the pool is session-cached
         — engine runs are sequential per driver process)."""
-        self._reset_run(shard_handles, n_shards, host_budget, wave_size, robots_seed)
+        self._reset_run(shard_handles, n_shards, host_budget, wave_size, robots_seed,
+                        spill_dir, max_resident, spill_slack)
         return self.bucket_id
 
     COMPACT_EVERY = 32
@@ -305,54 +339,23 @@ class FrontierBucket:
         else:
             fresh = cand
         tbl = pa.concat_tables([fresh, res]).combine_chunks()
-        self.frontier = tbl
         _mark('frontier_concat')
-        # frontier-checkpoint side effect (content-addressed part)
-        if sink_dir is not None and tbl.num_rows:
-            import pyarrow.parquet as pq_mod
-
-            os.makedirs(sink_dir, exist_ok=True)
-            from ..pipelines.crawl import _fixed16_np
-
-            idarr = _fixed16_np(tbl.column("task_id"))
-            # bytes-lexicographic == big-endian (u8, u8) structured order
-            v = idarr.view(np.dtype([("a", ">u8"), ("b", ">u8")])).reshape(-1)
-            part_id = hashlib.md5(
-                idarr[np.argsort(v, order=("a", "b"), kind="stable")].tobytes()
-            ).hexdigest()
-            tmp = os.path.join(sink_dir, f".part-{part_id}.tmp")
-            pq_mod.write_table(tbl, tmp)
-            os.replace(tmp, os.path.join(sink_dir, f"part-{part_id}.parquet"))
+        srt, info = self._sort_rank(tbl) if tbl.num_rows else (tbl, None)
+        # lazy cold reload — EXACT safety check: fold spilled parts back
+        # only when they could change this epoch's politeness cap
+        if self.cold_parts and (info is None or self._cap_unsafe(srt, info)):
+            tbl = pa.concat_tables([srt, self._load_cold()]).combine_chunks()
+            srt, info = self._sort_rank(tbl)
+            self.n_reloads += 1
+        _mark('sort')
+        # frontier-checkpoint side effect: hot part + cold-part links
+        # (full frontier = hot ∪ cold is on disk in every epoch dir)
+        if sink_dir is not None:
+            self._write_checkpoint(srt, sink_dir)
             _mark('ckpt_write')
         # politeness cap + per-bucket partial top-k (the wave key sort)
-        if tbl.num_rows:
-            g2 = tbl.take(pc.sort_indices(
-                tbl,
-                sort_keys=[("priority", "ascending"), ("depth", "ascending"),
-                           ("score", "descending"), ("url", "ascending")],
-            )).combine_chunks()
-            henc = pc.dictionary_encode(g2.column("host").combine_chunks())
-            codes = henc.indices.to_numpy()
-            horder = np.argsort(codes, kind="stable")
-            sc = codes[horder]
-            n = len(sc)
-            starts = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
-            ranks_sorted = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
-            ranks = np.empty(n, dtype=np.int64)
-            ranks[horder] = ranks_sorted
-            if self.robots_seed is not None:
-                from ..pipelines.crawl import _robots_cache
-
-                rc = _robots_cache(self.robots_seed)
-                barr = np.array(
-                    [rc.host_budget(h, self.host_budget)
-                     for h in henc.dictionary.to_pylist()],
-                    dtype=np.int64,
-                )
-                lim = barr[codes]
-            else:
-                lim = self.host_budget
-            g2 = g2.filter(pa.array(ranks < lim))
+        if info is not None:
+            g2 = srt.filter(pa.array(info["ranks"] < info["lim"]))
             if g2.num_rows > self.wave_size:
                 g2 = g2.take(
                     pc.sort_indices(g2, sort_keys=WAVE_SORT_KEYS)
@@ -361,9 +364,205 @@ class FrontierBucket:
         else:
             self.capped = CANDIDATE_SCHEMA.empty_table()
         _mark('cap')
+        # cold-tail spill: retain only the hot prefix beyond the
+        # resident threshold (AFTER the checkpoint write — this epoch's
+        # hot part still carries the rows being spilled; they enter the
+        # linked cold part from the NEXT epoch's checkpoint on)
+        if (
+            self.max_resident
+            and self.spill_dir
+            and srt.num_rows > self.max_resident
+        ):
+            self._spill(srt, info)
+        else:
+            self.frontier = srt
+        _mark('spill')
         if _dbg:
             print(f"[bucket0] rows cand={cand.num_rows} res={res.num_rows} " + " ".join(_marks), flush=True)
         return self.capped.num_rows
+
+    # ------------------------------------------------- cold-tail spill
+    def _sort_rank(self, tbl: pa.Table):
+        """Cap-key sort + per-host rank/budget arrays (the shared
+        machinery of the politeness cap, the reload-safety check and
+        the spill cut)."""
+        srt = tbl.take(pc.sort_indices(
+            tbl,
+            sort_keys=[("priority", "ascending"), ("depth", "ascending"),
+                       ("score", "descending"), ("url", "ascending")],
+        )).combine_chunks()
+        henc = pc.dictionary_encode(srt.column("host").combine_chunks())
+        codes = henc.indices.to_numpy()
+        horder = np.argsort(codes, kind="stable")
+        sc = codes[horder]
+        n = len(sc)
+        starts = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
+        ranks_sorted = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[horder] = ranks_sorted
+        if self.robots_seed is not None:
+            from ..pipelines.crawl import _robots_cache
+
+            rc = _robots_cache(self.robots_seed)
+            barr = np.array(
+                [rc.host_budget(h, self.host_budget)
+                 for h in henc.dictionary.to_pylist()],
+                dtype=np.int64,
+            )
+            lim = barr[codes]
+        else:
+            barr = None
+            lim = self.host_budget
+        info = {
+            "henc": henc, "codes": codes, "ranks": ranks, "lim": lim,
+            "barr": barr, "horder": horder, "starts": starts, "sc": sc,
+        }
+        return srt, info
+
+    def _host_budget_of(self, host: str) -> int:
+        if self.robots_seed is not None:
+            from ..pipelines.crawl import _robots_cache
+
+            return _robots_cache(self.robots_seed).host_budget(host, self.host_budget)
+        return self.host_budget
+
+    @staticmethod
+    def _row_key(srt: pa.Table, i: int) -> tuple:
+        """Total-order cap key of row ``i`` (score negated so plain
+        tuple `<` runs the exact sort order; urls are unique per
+        (url, priority) so ties are impossible)."""
+        return (
+            srt.column("priority")[i].as_py(),
+            srt.column("depth")[i].as_py(),
+            -float(srt.column("score")[i].as_py()),
+            srt.column("url")[i].as_py(),
+        )
+
+    def _cap_unsafe(self, srt: pa.Table, info) -> bool:
+        """True iff a spilled row could enter the politeness cap: some
+        cold host has fewer hot rows than its budget, or its worst
+        admitted hot row (rank budget-1) no longer strictly outranks
+        its best spilled row. While False, cap-from-hot ≡ cap-from-full
+        (every cold row of host h is outranked by ≥ budget_h hot rows
+        of h, so it cannot be in h's top-budget)."""
+        hosts = info["henc"].dictionary.to_pylist()
+        code_of = {h: c for c, h in enumerate(hosts)}
+        starts, sc, horder = info["starts"], info["sc"], info["horder"]
+        run_codes = sc[starts] if len(sc) else np.empty(0, np.int64)
+        run_of = {int(c): r for r, c in enumerate(run_codes)}
+        counts_run = np.diff(np.r_[starts, len(sc)])
+        for h, best in self.cold_best.items():
+            c = code_of.get(h)
+            if c is None:
+                return True  # host has cold rows but no hot rows at all
+            b = self._host_budget_of(h)
+            r = run_of[int(c)]
+            if counts_run[r] < b:
+                return True  # hot can't even fill the budget
+            boundary_i = int(horder[starts[r] + b - 1])
+            if not (self._row_key(srt, boundary_i) < best):
+                return True  # a cold row would make the cap
+        return False
+
+    def _load_cold(self) -> pa.Table:
+        """Fold every cold part back into the resident frontier and
+        clear the spill state (the checkpoint links keep the bytes
+        alive for old epoch dirs)."""
+        import pyarrow.parquet as pq_mod
+
+        parts = [pq_mod.read_table(p) for p in self.cold_parts]
+        for p in self.cold_parts:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        self.cold_parts = []
+        self.cold_counts = {}
+        self.cold_best = {}
+        return pa.concat_tables(parts) if parts else CANDIDATE_SCHEMA.empty_table()
+
+    @staticmethod
+    def _part_id(t: pa.Table) -> str:
+        """Content-addressed part name: md5 over the bytes-sorted task
+        ids (row-order-insensitive)."""
+        from ..pipelines.crawl import _fixed16_np
+
+        idarr = _fixed16_np(t.column("task_id"))
+        v = idarr.view(np.dtype([("a", ">u8"), ("b", ">u8")])).reshape(-1)
+        return hashlib.md5(
+            idarr[np.argsort(v, order=("a", "b"), kind="stable")].tobytes()
+        ).hexdigest()
+
+    def _write_checkpoint(self, srt: pa.Table, sink_dir: str) -> None:
+        import pyarrow.parquet as pq_mod
+
+        if srt.num_rows:
+            os.makedirs(sink_dir, exist_ok=True)
+            part_id = self._part_id(srt)
+            tmp = os.path.join(sink_dir, f".part-{part_id}.tmp")
+            pq_mod.write_table(srt, tmp)
+            os.replace(tmp, os.path.join(sink_dir, f"part-{part_id}.parquet"))
+        if self.cold_parts:
+            os.makedirs(sink_dir, exist_ok=True)
+        for p in self.cold_parts:
+            dst = os.path.join(sink_dir, os.path.basename(p))
+            try:
+                os.link(p, dst)  # same-fs hard link: no byte copy
+            except FileExistsError:
+                pass
+            except OSError:
+                import shutil as _shutil
+
+                _shutil.copyfile(p, dst)  # cross-device fallback
+
+    def _spill(self, srt: pa.Table, info) -> None:
+        """Cut the cold tail (per-host rank ≥ budget × slack) out of
+        the resident frontier into a new actor-owned parquet part,
+        recording per-host spilled counts and best (minimum) cap keys
+        for the reload-safety check."""
+        import pyarrow.parquet as pq_mod
+
+        keep_per_host = (
+            info["barr"][info["codes"]] * self.spill_slack
+            if info["barr"] is not None
+            else self.host_budget * self.spill_slack
+        )
+        cold_mask = info["ranks"] >= keep_per_host
+        if not cold_mask.any():
+            self.frontier = srt  # many small hosts: nothing spillable
+            return
+        cold_new = srt.filter(pa.array(cold_mask))
+        self.frontier = srt.filter(pa.array(~cold_mask))
+        os.makedirs(self.spill_dir, exist_ok=True)
+        part_id = self._part_id(cold_new)
+        path = os.path.join(self.spill_dir, f"part-{part_id}.parquet")
+        tmp = path + ".tmp"
+        pq_mod.write_table(cold_new, tmp)
+        os.replace(tmp, path)
+        self.cold_parts.append(path)
+        self.n_spills += 1
+        # per-host bookkeeping: within a host, srt order == cap-key
+        # order, so the FIRST spilled row of each host is its best
+        hosts = info["henc"].dictionary.to_pylist()
+        sp_codes = info["codes"][cold_mask]
+        sp_rows = np.flatnonzero(cold_mask)
+        uniq, first_idx, cnts = np.unique(sp_codes, return_index=True, return_counts=True)
+        for c, fi, cnt in zip(uniq, first_idx, cnts):
+            h = hosts[int(c)]
+            key = self._row_key(srt, int(sp_rows[fi]))
+            old = self.cold_best.get(h)
+            if old is None or key < old:
+                self.cold_best[h] = key
+            self.cold_counts[h] = self.cold_counts.get(h, 0) + int(cnt)
+
+    def spill_stats(self) -> dict:
+        return {
+            "resident_rows": 0 if self.frontier is None else self.frontier.num_rows,
+            "cold_rows": sum(self.cold_counts.values()),
+            "cold_parts": len(self.cold_parts),
+            "n_spills": self.n_spills,
+            "n_reloads": self.n_reloads,
+        }
 
     def capped_table(self) -> pa.Table:
         return self.capped
@@ -429,12 +628,15 @@ class BucketPool:
     land inside every measured run."""
 
     def __init__(self, n_buckets: int, shard_handles: list, n_shards: int,
-                 host_budget: int, wave_size: int, robots_seed: int | None):
+                 host_budget: int, wave_size: int, robots_seed: int | None,
+                 spill_dir: str | None = None, max_resident: int = 0,
+                 spill_slack: int = 8):
         self.n_buckets = n_buckets
         self._capped_counts: list[int] = [0] * n_buckets
         self.buckets = self._handles(n_buckets)
         ray.get([
-            b.reset.remote(shard_handles, n_shards, host_budget, wave_size, robots_seed)
+            b.reset.remote(shard_handles, n_shards, host_budget, wave_size, robots_seed,
+                           spill_dir, max_resident, spill_slack)
             for b in self.buckets
         ])
 
@@ -469,6 +671,18 @@ class BucketPool:
 
     def capped_counts(self) -> list[int]:
         return list(self._capped_counts)
+
+    def spill_stats(self) -> dict:
+        """Pool-wide spill telemetry (sums + the max resident bucket)."""
+        per = ray.get([b.spill_stats.remote() for b in self.buckets])
+        return {
+            "resident_rows": sum(s["resident_rows"] for s in per),
+            "cold_rows": sum(s["cold_rows"] for s in per),
+            "cold_parts": sum(s["cold_parts"] for s in per),
+            "n_spills": sum(s["n_spills"] for s in per),
+            "n_reloads": sum(s["n_reloads"] for s in per),
+            "max_bucket_resident": max(s["resident_rows"] for s in per),
+        }
 
     def keys_refs(self) -> list:
         """Slim key projections of every bucket (bucket order — index

@@ -34,6 +34,103 @@ def _stress_cfg(tmp_path, **kw) -> CrawlConfig:
     return CrawlConfig(**base)
 
 
+def _spill_cfg(tmp_path, **kw) -> CrawlConfig:
+    """frontier ≫ wave: a wide synthetic web admits ~100k+ frontier
+    rows while each epoch fetches only wave_size — the shape where the
+    cold-tail spill must engage (spill_max_resident is per BUCKET)."""
+    base = dict(
+        web=SynthWebConfig(seed=31, n_hosts=64, path_space=4096, max_outlinks=6),
+        workdir=str(tmp_path / "crawl"),
+        max_depth=3,
+        wave_size=2048,
+        host_budget=16,
+        n_shards=4,
+        shard_capacity=1 << 18,
+        max_epochs=4,
+        fetch_concurrency=3,
+        fetch_batch_size=1024,
+        record_trace=True,
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+@pytest.mark.stress
+def test_spill_bit_identical_and_bounded(ray_session, tmp_path):
+    """The round-4 gate for the frontier cold-tail spill
+    (state/frontier.py): with spill forced on at a low threshold and a
+    tight slack, the crawl trace, counters and shard digests must be
+    BIT-IDENTICAL to the all-resident path, actor residency must stay
+    bounded (≤ threshold per bucket, ≪ total frontier), and no frontier
+    row may be lost (resident + cold == final_frontier)."""
+    cfg_res = _spill_cfg(tmp_path / "resident", spill_max_resident=1 << 30)
+    seeds = seeds_table(cfg_res.web, 20_000)
+    eng_res = CrawlEngine(cfg_res)
+    sa = eng_res.run(seeds=seeds)
+    assert sa.final_frontier > 10 * cfg_res.wave_size, sa.final_frontier
+    assert sa.spill["n_spills"] == 0
+
+    cfg_sp = _spill_cfg(tmp_path / "spill", spill_max_resident=2048, spill_slack=2)
+    sb = CrawlEngine(cfg_sp).run(seeds=seeds)
+
+    # bit-identity vs the resident path
+    assert sb.trace == sa.trace
+    assert sb.shard_digests == sa.shard_digests
+    assert sb.fetched_urls == sa.fetched_urls
+    assert sb.fresh_urls == sa.fresh_urls
+    assert sb.raw_outlinks == sa.raw_outlinks
+    assert sb.final_frontier == sa.final_frontier
+
+    # the spill actually engaged and bounded actor residency
+    assert sb.spill["n_spills"] > 0
+    assert sb.spill["cold_rows"] > 0
+    assert sb.spill["max_bucket_resident"] <= 2048
+    assert sb.spill["resident_rows"] < sa.spill["resident_rows"]
+    # conservation: hot ∪ cold is exactly the frontier
+    assert sb.spill["resident_rows"] + sb.spill["cold_rows"] == sb.final_frontier
+
+
+@pytest.mark.stress
+def test_spill_checkpoint_complete_and_resume(ray_session, tmp_path):
+    """Epoch checkpoints under spill carry the FULL frontier (hot part
+    + hard-linked cold parts), so a resumed run is bit-identical to an
+    uninterrupted spill run — and row counts on disk equal hot+cold."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawlerframework_ray.state import checkpoint as ckpt
+
+    def cfg_at(d, epochs):
+        return _spill_cfg(
+            tmp_path / d, workdir=str(tmp_path / d),
+            spill_max_resident=2048, spill_slack=2, max_epochs=epochs,
+        )
+
+    seeds = seeds_table(cfg_at("full", 4).web, 20_000)
+    full = CrawlEngine(cfg_at("full", 4)).run(seeds=seeds)
+    assert full.spill["n_spills"] > 0
+
+    # checkpointed frontier rows == hot + cold (nothing dropped)
+    last = ckpt.latest_epoch(str(tmp_path / "full"))
+    fdir = os.path.join(ckpt.epoch_dir(str(tmp_path / "full"), last), "frontier")
+    disk_rows = sum(
+        pq.read_metadata(os.path.join(fdir, f)).num_rows
+        for f in os.listdir(fdir) if f.endswith(".parquet")
+    )
+    assert disk_rows == full.final_frontier
+
+    half = CrawlEngine(cfg_at("half", 2)).run(seeds=seeds)
+    assert half.spill["n_spills"] > 0
+    resumed = CrawlEngine(cfg_at("half", 4)).run(resume=True)
+    assert resumed.shard_digests == full.shard_digests
+    assert resumed.fetched_urls == full.fetched_urls
+    assert resumed.fresh_urls == full.fresh_urls
+    assert resumed.final_frontier == full.final_frontier
+    tail = [t for t in full.trace if t[0] >= 2]
+    assert resumed.trace == tail
+
+
 @pytest.mark.stress
 def test_distributed_wave_identical_at_1e5_frontier(ray_session, tmp_path):
     cfg_a = _stress_cfg(tmp_path / "a")
