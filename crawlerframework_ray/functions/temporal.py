@@ -14,6 +14,18 @@ bit-for-bit:
                     frozen anchor is what makes the operator pure and
                     the oracle exact)
 
+Tier 2 (r4 — one tier further toward serendiocalendar's grammar:
+weekday-relative, ordinal-week and time-of-day anchoring,
+serendiocalendar.py's start/EOW/time constants):
+
+- weekday-relative: ``next Tuesday`` / ``last Friday`` — the first
+  matching weekday STRICTLY after/before the anchor (same-day never
+  matches: "next Thursday" from a Thursday anchor is +7)
+- ordinal weeks:    ``3rd week of June`` — day ``1 + 7*(n-1)`` of that
+  month in the anchor year
+- times of day:     ``at 17:30`` — anchored clock times (HH:MM,
+  24-hour, minute-valid), reported as the minute string
+
 Each form normalizes to an ISO ``YYYY-MM-DD`` string; per-document
 output is the per-form match count plus the MINIMUM normalized date
 (order-independent, so the oracle needs no document-order reasoning).
@@ -41,6 +53,74 @@ _MONTH_NUM = {m: i + 1 for i, m in enumerate(MONTHS)}
 ISO_RX = r"([0-9]{4})-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
 MONTHNAME_RX = r"(" + "|".join(MONTHS) + r") ([0-9]{1,2}), ([0-9]{4})"
 RELATIVE_RX = r"([0-9]{1,3}) days ago"
+
+WEEKDAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+            "Saturday", "Sunday"]
+_WD_NUM = {w: i for i, w in enumerate(WEEKDAYS)}  # Monday=0 (python weekday())
+ORDINALS = ["1st", "2nd", "3rd", "4th"]
+
+NEXT_WD_RX = r"next (" + "|".join(WEEKDAYS) + r")"
+LAST_WD_RX = r"last (" + "|".join(WEEKDAYS) + r")"
+ORDWEEK_RX = r"(1st|2nd|3rd|4th) week of (" + "|".join(MONTHS) + r")"
+TIME_RX = r"at ((?:[01][0-9]|2[0-3]):[0-5][0-9])"
+
+
+def next_weekday(target_wd: int) -> _dt.date:
+    """First ``target_wd`` STRICTLY after the anchor (0=Monday)."""
+    delta = (target_wd - ANCHOR.weekday()) % 7
+    return ANCHOR + _dt.timedelta(days=delta or 7)
+
+
+def last_weekday(target_wd: int) -> _dt.date:
+    """First ``target_wd`` STRICTLY before the anchor."""
+    delta = (ANCHOR.weekday() - target_wd) % 7
+    return ANCHOR - _dt.timedelta(days=delta or 7)
+
+
+class TemporalExtractStageV2:
+    """Tier-2 grammar (module docstring): ``text`` → ``n_weekday``
+    (next+last forms), ``n_ordweek``, ``n_time`` counts + ``min_date2``
+    (min normalized ISO date over the date-valued forms, '' when none)
+    + ``min_time`` (min HH:MM, '' when none). Patterns compiled once
+    per actor; ASCII-only so Python re and DuckDB RE2 agree."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.next_wd = re.compile(NEXT_WD_RX)
+        self.last_wd = re.compile(LAST_WD_RX)
+        self.ordweek = re.compile(ORDWEEK_RX)
+        self.time = re.compile(TIME_RX)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        n_wd, n_ow, n_tm, min_date, min_time = [], [], [], [], []
+        for t in texts:
+            dates: list[str] = []
+            nx = self.next_wd.findall(t)
+            dates.extend(next_weekday(_WD_NUM[w]).isoformat() for w in nx)
+            la = self.last_wd.findall(t)
+            dates.extend(last_weekday(_WD_NUM[w]).isoformat() for w in la)
+            ow = self.ordweek.findall(t)
+            dates.extend(
+                f"{ANCHOR.year:04d}-{_MONTH_NUM[mon]:02d}-{1 + 7 * (int(n[0]) - 1):02d}"
+                for n, mon in ow
+            )
+            tm = self.time.findall(t)
+            n_wd.append(len(nx) + len(la))
+            n_ow.append(len(ow))
+            n_tm.append(len(tm))
+            min_date.append(min(dates) if dates else "")
+            min_time.append(min(tm) if tm else "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_weekday": pa.array(n_wd, pa.int64()),
+                "n_ordweek": pa.array(n_ow, pa.int64()),
+                "n_time": pa.array(n_tm, pa.int64()),
+                "min_date2": pa.array(min_date, pa.string()),
+                "min_time": pa.array(min_time, pa.string()),
+            }
+        )
 
 
 class TemporalExtractStage:

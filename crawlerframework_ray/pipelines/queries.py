@@ -2782,6 +2782,107 @@ def temporal_extract_documents(sf_dir: str):
     )
 
 
+# ---- tier-2 temporal grammar (r4): weekday-relative, ordinal-week,
+# time-of-day — one tier further toward serendiocalendar.py's grammar
+
+_WD_SQL_LIST = "(['Monday','Tuesday','Wednesday','Thursday','Friday','Saturday','Sunday'])"
+_MONTHS_SQL_LIST = ("(['January','February','March','April','May','June','July',"
+                    "'August','September','October','November','December'])")
+_WD_ALT = "Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday"
+_MONTH_ALT = ("January|February|March|April|May|June|July|August|September|"
+              "October|November|December")
+# Monday=0 weekday numbering; anchor 2026-01-01 is a Thursday (3)
+_WD_NUM_CASE = ("CASE s " + " ".join(
+    f"WHEN '{w}' THEN {i}" for i, w in enumerate(
+        ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"])
+) + " ELSE 0 END")
+_MONTH_NUM_CASE = ("CASE regexp_extract(s, '(" + _MONTH_ALT + ")$', 1) " + " ".join(
+    f"WHEN '{m}' THEN {i + 1}" for i, m in enumerate(
+        ["January", "February", "March", "April", "May", "June", "July", "August",
+         "September", "October", "November", "December"])
+) + " ELSE 0 END")
+_NEXT_OFF = f"CASE WHEN (({_WD_NUM_CASE}) - 3 + 7) % 7 = 0 THEN 7 ELSE (({_WD_NUM_CASE}) - 3 + 7) % 7 END"
+_LAST_OFF = f"CASE WHEN (3 - ({_WD_NUM_CASE}) + 7) % 7 = 0 THEN 7 ELSE (3 - ({_WD_NUM_CASE}) + 7) % 7 END"
+
+_TEMPORAL2_AUG_SQL = f"""
+        text
+        || CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN ' see you next ' || {_WD_SQL_LIST}[CAST(1 + doc_id % 7 AS INT)]
+             WHEN 1 THEN ' due ' || (['1st','2nd','3rd','4th'])[CAST(1 + doc_id % 4 AS INT)]
+               || ' week of ' || {_MONTHS_SQL_LIST}[CAST(1 + doc_id % 12 AS INT)]
+             ELSE ' meeting at ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+           END
+        || CASE WHEN doc_id % 4 = 0
+             THEN ' call last ' || {_WD_SQL_LIST}[CAST(1 + (doc_id // 4) % 7 AS INT)]
+           ELSE '' END
+"""
+
+_TEMPORAL2_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_TEMPORAL2_AUG_SQL} AS text FROM documents),
+    norm AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(text, 'next ({_WD_ALT})', 1),
+          s -> strftime(DATE '2026-01-01' + to_days(CAST({_NEXT_OFF} AS INT)), '%Y-%m-%d')) AS nextd,
+        list_transform(regexp_extract_all(text, 'last ({_WD_ALT})', 1),
+          s -> strftime(DATE '2026-01-01' - to_days(CAST({_LAST_OFF} AS INT)), '%Y-%m-%d')) AS lastd,
+        list_transform(regexp_extract_all(text, '(1st|2nd|3rd|4th) week of ({_MONTH_ALT})', 0),
+          s -> strftime(make_date(2026, CAST({_MONTH_NUM_CASE} AS INT),
+                 CAST(1 + 7 * (CAST(substr(s, 1, 1) AS INT) - 1) AS INT)), '%Y-%m-%d')) AS ow,
+        regexp_extract_all(text, 'at ((?:[01][0-9]|2[0-3]):[0-5][0-9])', 1) AS tm
+      FROM aug)
+    SELECT doc_id,
+      CAST(length(nextd) + length(lastd) AS BIGINT) AS n_weekday,
+      CAST(length(ow) AS BIGINT) AS n_ordweek,
+      CAST(length(tm) AS BIGINT) AS n_time,
+      COALESCE(list_aggregate(nextd || lastd || ow, 'min'), '') AS min_date2,
+      COALESCE(list_aggregate(tm, 'min'), '') AS min_time
+    FROM norm
+"""
+
+
+def _plant_temporal2(t: pa.Table) -> pa.Table:
+    """Python mirror of _TEMPORAL2_AUG_SQL (token for token)."""
+    from ..functions.temporal import MONTHS, ORDINALS, WEEKDAYS
+
+    ids = t.column("doc_id").to_numpy()
+    out = []
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        i = int(i)
+        c = i % 3
+        if c == 0:
+            s = f" see you next {WEEKDAYS[i % 7]}"
+        elif c == 1:
+            s = f" due {ORDINALS[i % 4]} week of {MONTHS[i % 12]}"
+        else:
+            s = f" meeting at {i % 24:02d}:{(i * 7) % 60:02d}"
+        if i % 4 == 0:
+            s += f" call last {WEEKDAYS[(i // 4) % 7]}"
+        out.append(txt + s)
+    return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+
+@register("temporal_extract_v2", _TEMPORAL2_SQL)
+def temporal_extract_v2(sf_dir: str):
+    """T6 temporal tier 2 (VERDICT r3 'What's missing #1' — a grammar
+    tier further toward crawler/extractors/serendiocalendar.py:1-1219):
+    weekday-relative mentions ("next Tuesday" / "last Friday" — first
+    strictly-after/before match vs the frozen anchor), ordinal weeks
+    ("3rd week of June" → day 1+7·(n−1) of the anchor year's month) and
+    anchored times of day ("at 17:30"). Same planted both-sides
+    augmentation + actor-pool extraction stage shape as
+    temporal_extract_documents; all forms deterministic and
+    SQL-reproducible bit for bit."""
+    from ..functions.temporal import TemporalExtractStageV2
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_temporal2, batch_format="pyarrow").map_batches(
+        TemporalExtractStageV2,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
+
+
 _NER_PERSONS_SQL = "['Alice', 'Bob', 'Carol', 'Dave', 'Erin', 'Frank']"
 _NER_AUG_SQL = f"""
         text
@@ -5314,7 +5415,7 @@ def bloom_membership_new_docs(sf_dir: str):
     builds/probes one text at a time, proving merge associativity."""
     import ray
 
-    from ..stages.sketch import bloom_merge, bloom_partial, bloom_probe
+    from ..stages.sketch import bloom_partial, bloom_probe
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -5325,12 +5426,12 @@ def bloom_membership_new_docs(sf_dir: str):
         members += [f"dup-probe-{int(d)}" for d in ids if d % 6 == 0]
         return pa.table({"packed": pa.array([bloom_partial(members).tobytes()], pa.binary())})
 
-    parts = [
-        np.frombuffer(r["packed"], dtype=np.uint8)
-        for r in ds.map_batches(build_partial, batch_format="pyarrow", batch_size=4096)
-        .take_all()
-    ]
-    packed_ref = ray.put(bloom_merge(parts))
+    from ..stages.sketch import fold_grid_partials
+
+    packed_ref = ray.put(fold_grid_partials(
+        ds.map_batches(build_partial, batch_format="pyarrow", batch_size=4096),
+        "packed", np.uint8, "or",
+    ))
 
     def probe(t: pa.Table) -> pa.Table:
         packed = ray.get(packed_ref)
@@ -5851,12 +5952,12 @@ def embedding_top_component(sf_dir: str):
         G = q.T @ q  # (64, 64) int64 exact
         return pa.table({"gram": pa.array([G.tobytes()], pa.binary())})
 
-    parts = [
-        np.frombuffer(r["gram"], dtype=np.int64).reshape(64, 64)
-        for r in ds.map_batches(gram_partial, batch_format="pyarrow", batch_size=4096)
-        .take_all()
-    ]
-    G = np.sum(np.stack(parts), axis=0)
+    from ..stages.sketch import fold_grid_partials
+
+    G = fold_grid_partials(
+        ds.map_batches(gram_partial, batch_format="pyarrow", batch_size=4096),
+        "gram", np.int64, "sum",
+    ).reshape(64, 64)
     v = power_iteration_int(G)
     return pd.DataFrame(
         {"dim": np.arange(64, dtype=np.int64), "component_milli": v}
@@ -6435,13 +6536,14 @@ def term_canonicalization(sf_dir: str):
     char variants, identically in the golden) — per-batch Counter
     combiner, one bounded groupby; (2) candidate pairs via the FastSS
     deletion-neighborhood blocks (perfect recall for ed ≤ 1,
-    fuzzy_term_pairs machinery); (3) components + remap close on the
-    driver over VOCABULARY-sized state (terms ≪ corpus — the same
-    bounded-driver-state rule as the scan's prefix offsets; at an
-    unbounded vocab this step is label_propagation_clusters,
-    stages/dedup.py, already gated by simhash_dup_clusters). Golden:
-    brute-force all-pairs levenshtein + serial union-find — independent
-    of the blocking AND the fold."""
+    fuzzy_term_pairs machinery); (3) components via the DISTRIBUTED
+    string min-label rounds (label_propagation_clusters with
+    dtype="object" — min over lexicographic order IS the min-term
+    canonical), labels a Dataset throughout, the driver seeing only one
+    changed-count per round (r4: the vocab-sized driver union-find is
+    gone); (4) remap+fold as a left hash join + one bounded bucketed
+    sum by canon term. Golden: brute-force all-pairs levenshtein +
+    serial union-find — independent of the blocking AND the fold."""
     from collections import Counter
 
     from ..stages.agg import bucketed_group_agg
@@ -6459,16 +6561,16 @@ def term_canonicalization(sf_dir: str):
             {"term": list(c.keys()), "n": np.fromiter(c.values(), np.int64, len(c))}
         )
 
-    counts = bucketed_group_agg(
+    counts_ds = bucketed_group_agg(
         ds.map_batches(count_partial, batch_format="pyarrow", batch_size=8192),
         ["term"],
         lambda g: g.groupby("term", as_index=False)["n"].sum(),
-    ).to_pandas()
+    ).materialize()
 
     # FastSS blocks over the counted vocabulary → verified ed<=1 pairs
-    import ray.data
-
-    vocab_ds = ray.data.from_pandas(counts[["term"]].rename(columns={"term": "t"}))
+    vocab_ds = counts_ds.map_batches(
+        lambda df: df[["term"]].rename(columns={"term": "t"}), batch_format="pandas"
+    )
 
     def keys_of(t: pa.Table) -> pd.DataFrame:
         rows = []
@@ -6487,29 +6589,46 @@ def term_canonicalization(sf_dir: str):
                         out.add((ts[i], ts[j]))
         return pd.DataFrame(sorted(out), columns=["t_a", "t_b"])
 
-    pairs = bucketed_group_agg(
-        vocab_ds.map_batches(keys_of, batch_format="pyarrow", batch_size=65536),
-        ["key"], block_verify,
-    ).to_pandas().drop_duplicates()
-
-    # components + remap on vocabulary-sized state
-    parent = {t: t for t in counts["term"]}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["t_a"], pairs["t_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    counts["canon_term"] = [find(t) for t in counts["term"]]
-    out = counts.groupby("canon_term", as_index=False)["n"].sum().rename(
-        columns={"n": "n_occurrences"}
+    pairs_ds = bucketed_group_agg(
+        bucketed_group_agg(
+            vocab_ds.map_batches(keys_of, batch_format="pyarrow", batch_size=65536),
+            ["key"], block_verify,
+        ),
+        ["t_a", "t_b"],  # cross-block duplicate pairs: one bounded dedup
+        lambda g: g.drop_duplicates(ignore_index=True),
     )
+
+    # components: distributed STRING min-label rounds — labels stay a
+    # Dataset, driver sees one changed-count per round
+    from ..stages.dedup import label_propagation_clusters
+    from ..stages.joins import hash_join
+
+    comp = label_propagation_clusters(
+        pairs_ds.map_batches(
+            lambda df: df.rename(columns={"t_a": "id_a", "t_b": "id_b"}),
+            batch_format="pandas",
+        ),
+        max_rounds=64, dtype="object",
+    ).map_batches(
+        lambda df: df.rename(columns={"doc_id": "term", "cluster_id": "canon"}),
+        batch_format="pandas",
+    )
+
+    # remap + fold: left join (terms outside any pair keep themselves)
+    # then one bounded bucketed sum by canonical term
+    canoned = hash_join(
+        counts_ds, comp, key="term", left_cols=["n"], right_cols=["canon"], how="left"
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "canon_term": df["canon"].where(df["canon"].notna(), df["term"]),
+            "n_occurrences": df["n"].astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    out = bucketed_group_agg(
+        canoned, ["canon_term"],
+        lambda g: g.groupby("canon_term", as_index=False)["n_occurrences"].sum(),
+    ).to_pandas()
     return out.sort_values("canon_term").reset_index(drop=True).astype(
         {"n_occurrences": "int64"}
     )
@@ -7987,7 +8106,7 @@ def bloom_semi_join_orders(sf_dir: str):
     import ray
 
     from ..stages.joins import _bucket_of
-    from ..stages.sketch import bloom_merge, bloom_partial, bloom_probe
+    from ..stages.sketch import bloom_partial, bloom_probe
 
     n_buckets = 32
     cu = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
@@ -8003,12 +8122,14 @@ def bloom_semi_join_orders(sf_dir: str):
         texts = [str(int(k)) for k in t.column("key").to_pylist()]
         return pa.table({"packed": pa.array([bloom_partial(texts).tobytes()], pa.binary())})
 
+    from ..stages.sketch import fold_grid_partials
+
     keys_ds = cu.map_batches(neg_keys, batch_format="pyarrow")
-    parts = [
-        np.frombuffer(r["packed"], dtype=np.uint8)
-        for r in keys_ds.map_batches(build_partial, batch_format="pyarrow").take_all()
-    ]
-    bloom_ref = ray.put(bloom_merge(parts))
+    merged_bits = fold_grid_partials(
+        keys_ds.map_batches(build_partial, batch_format="pyarrow"),
+        "packed", np.uint8, "or",
+    )
+    bloom_ref = ray.put(merged_bits)
 
     def probe(t: pa.Table) -> pd.DataFrame:
         packed = ray.get(bloom_ref)
@@ -8851,11 +8972,14 @@ def cms_term_freq_estimates(sf_dir: str):
                 grid[r, slot(r, term)] += n
         return pa.table({"grid": pa.array([grid.tobytes()], pa.binary())})
 
-    grids = [
-        np.frombuffer(row["grid"], dtype=np.int64).reshape(R, W)
-        for row in ds.map_batches(cms_partial, batch_format="pyarrow").take_all()
-    ]
-    cms = np.sum(np.stack(grids), axis=0)
+    from ..stages.sketch import fold_grid_partials
+
+    # distributed elementwise-sum fold: the driver receives ONE merged
+    # 32 KB grid (r3 take_all'd one grid per input batch — O(n_batches)
+    # driver memory at 100 TB)
+    cms = fold_grid_partials(
+        ds.map_batches(cms_partial, batch_format="pyarrow"), "grid", np.int64, "sum"
+    ).reshape(R, W)
 
     def tc_partial(t: pa.Table) -> pd.DataFrame:
         from collections import Counter

@@ -512,7 +512,7 @@ def hyperplane_sketch(vecs: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
     return out
 
 
-def label_propagation_clusters(pairs, max_rounds: int = 16):
+def label_propagation_clusters(pairs, max_rounds: int = 16, dtype: str = "int64"):
     """Near-dup clusters from candidate pairs: distributed connected
     components by iterative min-label propagation.
 
@@ -524,8 +524,10 @@ def label_propagation_clusters(pairs, max_rounds: int = 16):
     needed = component diameter (near-dup families are shallow).
 
     ``pairs``: a Dataset or pandas frame with (id_a, id_b). Returns a
-    Dataset (doc_id:int64, cluster_id:int64) covering every node in a
-    pair. Per-round state is one row per CANDIDATE node — tiny relative
+    Dataset (doc_id, cluster_id) of ``dtype`` (int64 ids by default;
+    ``dtype="object"`` runs the identical rounds over STRING ids whose
+    min is lexicographic — the term-canonicalization form) covering
+    every node in a pair. Per-round state is one row per CANDIDATE node — tiny relative
     to the corpus, which is what makes clustering after LSH tractable
     at 100 TB.
     """
@@ -537,15 +539,15 @@ def label_propagation_clusters(pairs, max_rounds: int = 16):
     if isinstance(pairs, pd.DataFrame):
         if len(pairs) == 0:
             return ray.data.from_pandas(
-                pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "cluster_id": pd.Series([], dtype="int64")})
+                pd.DataFrame({"doc_id": pd.Series([], dtype=dtype),
+                              "cluster_id": pd.Series([], dtype=dtype)})
             )
-        pairs = ray.data.from_pandas(pairs[["id_a", "id_b"]].astype("int64"))
+        pairs = ray.data.from_pandas(pairs[["id_a", "id_b"]].astype(dtype))
 
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
         fwd = df.rename(columns={"id_a": "src", "id_b": "dst"})[["src", "dst"]]
         rev = df.rename(columns={"id_b": "src", "id_a": "dst"})[["src", "dst"]]
-        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates().astype("int64")
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates().astype(dtype)
 
     edges = pairs.map_batches(symmetrize, batch_format="pandas").materialize()
     labels = bucketed_group_agg(
@@ -564,8 +566,8 @@ def label_propagation_clusters(pairs, max_rounds: int = 16):
         out = agg.join(own.rename("own")).reset_index()
         return pd.DataFrame(
             {
-                "doc_id": out["doc_id"].astype("int64"),
-                "cluster_id": out["min"].astype("int64"),
+                "doc_id": out["doc_id"].astype(dtype),
+                "cluster_id": out["min"].astype(dtype),
                 "changed": (out["min"] < out["own"]).astype("int64"),
             }
         )
@@ -577,7 +579,7 @@ def label_propagation_clusters(pairs, max_rounds: int = 16):
         )
         proposals = hash_join(edges, labels_as_src, "src", ["dst"], ["label"]).map_batches(
             lambda df: pd.DataFrame(
-                {"doc_id": df["dst"].astype("int64"), "cluster_id": df["label"].astype("int64"),
+                {"doc_id": df["dst"].astype(dtype), "cluster_id": df["label"].astype(dtype),
                  "is_self": np.int8(0)}
             ),
             batch_format="pandas",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .dedup import _splitmix64
 
@@ -95,11 +96,84 @@ def hll_distinct(ds, columns: list[str]):
              "hll_estimate": np.int64(estimate(regs))}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("col")
-        .map_groups(finalize, batch_format="pandas")
+    # distributed pre-fold: the per-col terminal group receives
+    # O(n_blocks/fan^2) register rows, not one per block (r3's
+    # driver/1-task fold shape)
+    folded = prefold_grids(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "regs", "col", np.uint8, "max",
     )
+    return folded.groupby("col").map_groups(finalize, batch_format="pandas")
+
+
+# ------------------------------------------- distributed grid folds
+
+_GRID_OPS = {"sum": np.add, "max": np.maximum, "or": np.bitwise_or}
+
+
+def prefold_grids(ds, grid_col: str, key_col: str | None, dtype, op: str,
+                  fan: int = 256, levels: int = 2):
+    """Associative pre-fold of fixed-size grid partials (CMS counters,
+    HLL registers, bloom bit arrays, gram matrices): each level is one
+    ``map_batches`` pass merging up to ``fan`` grid rows (per key, if
+    ``key_col``) into one, cutting the row count ``fan``× per level —
+    so the terminal reduce receives O(n_partials / fan^levels) rows
+    instead of every per-block partial. The merge op must be
+    associative+commutative (sum / max / or — they are), making the
+    fold order-insensitive and retry-safe."""
+    merge = _GRID_OPS[op]
+
+    def fold(t: pa.Table) -> pa.Table:
+        keys = (
+            t.column(key_col).to_pylist() if key_col
+            else [0] * t.num_rows
+        )
+        acc: dict = {}
+        for k, b in zip(keys, t.column(grid_col).to_pylist()):
+            a = np.frombuffer(b, dtype=dtype)
+            cur = acc.get(k)
+            acc[k] = a.copy() if cur is None else merge(cur, a)
+        d = {}
+        if key_col:
+            d[key_col] = pa.array(list(acc.keys()))
+        d[grid_col] = pa.array([v.tobytes() for v in acc.values()], pa.binary())
+        return pa.table(d)
+
+    out = ds
+    for _ in range(levels):
+        out = out.map_batches(fold, batch_format="pyarrow", batch_size=fan)
+    return out
+
+
+def fold_grid_partials(ds, grid_col: str, dtype, op: str,
+                       fan: int = 256, levels: int = 2) -> np.ndarray:
+    """Fold ALL of ``ds``'s grid partials into ONE merged grid through
+    the distributed pre-fold + a single-key terminal reduce — the
+    driver receives exactly one row (asserted), never the per-block
+    partial list (the r3 scale-killer shape: ``take_all`` of one grid
+    per input batch)."""
+    merge = _GRID_OPS[op]
+    folded = prefold_grids(ds, grid_col, None, dtype, op, fan=fan, levels=levels)
+
+    def final(g) -> "pd.DataFrame":
+        acc = None
+        for b in g[grid_col]:
+            a = np.frombuffer(b, dtype=dtype)
+            acc = a.copy() if acc is None else merge(acc, a)
+        return pd.DataFrame({grid_col: [acc.tobytes()]})
+
+    rows = (
+        folded.map_batches(
+            lambda t: t.append_column("__k", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+        .groupby("__k")
+        .map_groups(final, batch_format="pandas")
+        .take_all()
+    )
+    if len(rows) != 1:
+        raise ValueError(f"grid fold produced {len(rows)} rows, expected 1")
+    return np.frombuffer(rows[0][grid_col], dtype=dtype)
 
 
 # ----------------------------------------- Misra-Gries heavy hitters
@@ -126,11 +200,14 @@ def heavy_hitter_terms(ds, *, k: int = 32, slots: int = MG_SLOTS):
     phase 1 moves ≤ ``slots`` rows per batch instead of the term
     universe):
 
-    1. per-batch MG summaries → driver merge (≤ slots entries live at
-       any point — constant driver state, like the HLL registers);
+    1. per-batch MG summaries → ONE bounded bucketed shuffle summing
+       weights per term (each batch ships ≤ slots+1 partial rows), then
+       a distributed partial-top-(slots+1) — the driver sees only the
+       dec total, the term count and ≤ blocks × (slots+1) candidate
+       rows, never the merged term universe;
     2. the candidate set is broadcast and EXACTLY recounted in one
-       map_batches pass (counts only candidate terms), then top-k by
-       (cnt DESC, term ASC).
+       map_batches pass (counts only candidate terms) + one bounded
+       bucketed sum, then top-k by (cnt DESC, term ASC).
 
     Exactness certificate: MG guarantees any term with true count
     > N·(decrements/N) survives; when NO decrement ever happened
@@ -157,15 +234,43 @@ def heavy_hitter_terms(ds, *, k: int = 32, slots: int = MG_SLOTS):
              "w": pa.array(list(summ.values()) + [dec], pa.int64())}
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
-    decrements = int(parts.loc[parts["term"] == "\x00dec", "w"].sum())
-    merged = parts[parts["term"] != "\x00dec"].groupby("term")["w"].sum()
-    # merged MG: re-prune to `slots` (merge of MG summaries is MG)
-    if len(merged) > slots:
-        cut = int(merged.sort_values(ascending=False).iloc[slots])
+    import pyarrow.compute as pc
+
+    from .agg import bucketed_group_agg
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    summed = bucketed_group_agg(
+        parts, ["term"], lambda g: g.groupby("term", as_index=False)["w"].sum()
+    ).materialize()
+    dec_rows = summed.map_batches(
+        lambda t: t.filter(pc.equal(t.column("term"), "\x00dec")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    decrements = int(dec_rows["w"].sum()) if len(dec_rows) else 0
+    n_terms = summed.count() - len(dec_rows)
+
+    def topk_part(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["term"] != "\x00dec"]
+        return df.sort_values(["w", "term"], ascending=[False, True],
+                              kind="mergesort").head(slots + 1)
+
+    top_cand = (
+        summed.map_batches(topk_part, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["w", "term"], ascending=[False, True], kind="mergesort")
+        .head(slots + 1)
+    )
+    # merged MG: re-prune to `slots` (merge of MG summaries is MG);
+    # every term with merged weight > cut ranks in the global top-slots,
+    # so the partial top-(slots+1) provably contains the survivors
+    if n_terms > slots:
+        cut = int(top_cand["w"].iloc[slots])
         decrements += cut
-        merged = merged[merged > cut] - cut
-    cand = sorted(merged.index.tolist())
+        surv = top_cand.head(slots)
+        cand = sorted(surv.loc[surv["w"] > cut, "term"].tolist())
+    else:
+        cand = sorted(top_cand["term"].tolist())
     ref = ray.put(set(cand))
 
     def recount(t: pa.Table) -> pa.Table:
@@ -182,9 +287,12 @@ def heavy_hitter_terms(ds, *, k: int = 32, slots: int = MG_SLOTS):
         )
 
     exact = (
-        ds.map_batches(recount, batch_format="pyarrow", batch_size=8192)
+        bucketed_group_agg(
+            ds.map_batches(recount, batch_format="pyarrow", batch_size=8192),
+            ["term"],
+            lambda g: g.groupby("term", as_index=False)["cnt"].sum(),
+        )
         .to_pandas()
-        .groupby("term", as_index=False)["cnt"].sum()
         .sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")
         .head(k)
         .reset_index(drop=True)

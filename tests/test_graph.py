@@ -181,3 +181,97 @@ def test_kcore_partition_independent(ray_session):
     # every survivor keeps >= k neighbors inside the core; peeled hosts report 0
     assert (a.loc[a["in_core"] == 1, "core_degree"] >= 3).all()
     assert (a.loc[a["in_core"] == 0, "core_degree"] == 0).all()
+
+
+# ---------------------------------------------------------------------
+# Dataset-resident node state (VERDICT r4 order #2): with the switch
+# forced, every graph algorithm must produce BIT-IDENTICAL results to
+# the broadcast-vector path — the driver never holds a node vector.
+
+
+def _edges(kind: str):
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import (
+        block_host_edges,
+        distinct_edges,
+        host_edges,
+        tiered_host_edges,
+        undirected_closure,
+    )
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    if kind == "directed":
+        return distinct_edges(host_edges(ds, n_hosts=64))
+    if kind == "blocks":
+        return undirected_closure(block_host_edges(ds, n_hosts=64, block=8))
+    return distinct_edges(undirected_closure(tiered_host_edges(ds, n_hosts=64, core=16)))
+
+
+def test_pagerank_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import pagerank_int
+
+    a = pagerank_int(_edges("directed"), iters=4, node_state="driver")
+    b = pagerank_int(_edges("directed"), iters=4, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # and the auto switch picks dataset when forced low
+    c = pagerank_int(_edges("directed"), iters=4, driver_state_max=1)
+    assert a.reset_index(drop=True).equals(c.reset_index(drop=True))
+
+
+def test_trustrank_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import pagerank_int
+
+    seeds = np.array([0, 1, 2], dtype=np.int64)
+    a = pagerank_int(_edges("directed"), iters=4, seeds=seeds, node_state="driver")
+    b = pagerank_int(_edges("directed"), iters=4, seeds=seeds, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_components_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import min_label_components
+
+    a = min_label_components(_edges("blocks"), node_state="driver")
+    b = min_label_components(_edges("blocks"), node_state="dataset")
+    assert a.reset_index(drop=True).equals(
+        b.reset_index(drop=True)[["host", "component"]]
+    )
+
+
+def test_bfs_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import bfs_hops_int
+
+    seeds = np.array([0, 1, 2], dtype=np.int64)
+    a = bfs_hops_int(_edges("blocks"), seeds=seeds, iters=3, node_state="driver")
+    b = bfs_hops_int(_edges("blocks"), seeds=seeds, iters=3, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_hits_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import hits_int
+
+    a = hits_int(_edges("directed"), iters=2, node_state="driver")
+    b = hits_int(_edges("directed"), iters=2, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_kcore_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import kcore_int
+
+    a = kcore_int(_edges("tiered"), k=3, iters=3, node_state="driver")
+    b = kcore_int(_edges("tiered"), k=3, iters=3, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_bellman_ford_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import bellman_ford_int
+
+    def w(src, dst):
+        return (src * 7 + dst * 3) % 5 + 1
+
+    seeds = np.array([0, 1, 2], dtype=np.int64)
+    a = bellman_ford_int(_edges("blocks"), seeds=seeds, iters=3, weight_fn=w,
+                         node_state="driver")
+    b = bellman_ford_int(_edges("blocks"), seeds=seeds, iters=3, weight_fn=w,
+                         node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

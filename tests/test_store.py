@@ -54,3 +54,28 @@ def test_compaction_empty_dir_roundtrip(ray_session, tmp_path):
     stats = compact_table(src, dst, target_rows_per_file=256)
     assert stats["n_rows"] == 0
     assert read_table(dst).count() == 0
+
+
+def test_lance_roundtrip_when_available(ray_session, tmp_path):
+    """The input_hint names Lance tables; the env lacks the library so
+    the branch is normally dead (store.py HAVE_LANCE). This gate lights
+    up the moment the env gains `lance`: a .lance write/read round trip
+    through the same read_table/write_table seam, column pruning
+    included. Skips (not passes) when lance is absent."""
+    pytest.importorskip("lance")
+    import pyarrow as pa
+    import ray.data
+
+    from crawlerframework_ray.sources.store import HAVE_LANCE, read_table, write_table
+
+    assert HAVE_LANCE
+    tbl = pa.table({
+        "image_id": pa.array([f"id{i}" for i in range(100)], pa.string()),
+        "w": pa.array(list(range(100)), pa.int32()),
+        "caption": pa.array([f"cap {i}" for i in range(100)], pa.string()),
+    })
+    path = str(tmp_path / "t.lance")
+    write_table(ray.data.from_arrow(tbl), path)
+    got = read_table(path, columns=["image_id", "w"]).to_pandas().sort_values("image_id")
+    assert list(got.columns) == ["image_id", "w"]
+    assert len(got) == 100
