@@ -82,6 +82,10 @@ def run_crawl(num_cpus: int) -> dict:
         # admission / wave cuts — force the distributed paths (both are
         # trace-identical to the driver forms)
         driver_topk_max=int(os.environ.get("RAY_GRAFT_TOPK_MAX", str(1 << 20))),
+        # frontier cold-tail spill threshold (rows/bucket): default is
+        # the engine default (1M — spill idle at bench frontiers);
+        # RAY_GRAFT_SPILL forces it low for spill-active series runs
+        spill_max_resident=int(os.environ.get("RAY_GRAFT_SPILL", str(1 << 20))),
     )
     # warm the worker pool (process spawn + package import in every
     # worker) so cluster cold-start isn't billed to steady-state
@@ -116,6 +120,7 @@ def run_crawl(num_cpus: int) -> dict:
         "expansions_per_sec": round(summary.raw_outlinks / wall, 1),
         "epochs": summary.epochs,
         "per_epoch": summary.per_epoch,
+        "spill": summary.spill,
     }
 
 
