@@ -9114,3 +9114,134 @@ def trustrank_hosts(sf_dir: str):
     edges = distinct_edges(host_edges(ds, n_hosts=64))
     out = pagerank_int(edges, iters=4, seeds=np.array([0, 1, 2], dtype=np.int64))
     return out.rename(columns={"rank": "trust"})
+
+
+# =====================================================================
+# Round-4 additions: the K2/K4 export sinks (job-XML + spreadsheet),
+# previously survey-sanctioned skips, now real oracle-gated round trips
+# =====================================================================
+
+_XML_EXPORT_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'doc <' || CAST(doc_id AS VARCHAR) || '> & "quoted"' AS title,
+           lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+"""
+
+
+@register("xml_export_roundtrip", _XML_EXPORT_SQL)
+def xml_export_roundtrip(sf_dir: str):
+    """K2 — the job-XML sink (baseconnector.py:1014-1102 __saveToHDFS /
+    __getJobXML) as a Ray-Data export: one content-addressed job XML
+    per batch (itb root, posts with field elements, EAV <entities> from
+    the et_/ei_ prefixed columns), written atomically into a
+    partitioned directory, then re-imported and compared against the
+    source rows — the round trip proves escaping (the planted title
+    carries <, >, & and quotes), entity typing and losslessness. The
+    oracle recomputes the same projection straight from parquet."""
+    import shutil
+    import tempfile
+
+    from ..sources.xmlsink import read_xml_parts, write_xml_parts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        title = [f'doc <{int(i)}> & "quoted"' for i in ids]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "title": pa.array(title, pa.string()),
+            "lang": t.column("lang"),
+            "et_source": t.column("source"),
+            "ei_chars": t.column("n_chars"),
+        })
+
+    out_dir = tempfile.mkdtemp(prefix="cfray-xml-", dir="/tmp")
+    try:
+        write_xml_parts(
+            ds.map_batches(plant, batch_format="pyarrow"), out_dir,
+            ["doc_id", "title", "lang"], batch_size=1024,
+        )
+        parsed = read_xml_parts(out_dir, ["doc_id", "title", "lang"]).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame({
+        "doc_id": parsed["doc_id"].astype("int64"),
+        "title": parsed["title"],
+        "lang": parsed["lang"],
+        "source": parsed["et_source"],
+        "n_chars": parsed["ei_chars"].astype("int64"),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
+_XLS_EXPORT_SQL = """
+    WITH f AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE len(list_filter(string_split(text, ' '),
+                            x -> x IN ('vector', 'spark'))) > 0
+    ), r AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM f
+    )
+    SELECT CAST(rn // 100 + 1 AS BIGINT) AS sheet_idx,
+           CAST(rn % 100 AS BIGINT) AS row_idx,
+           CAST(doc_id AS BIGINT) AS id, lang,
+           source || '|' || lang AS source_lang
+    FROM r
+"""
+
+
+@register("xls_export_posts", _XLS_EXPORT_SQL)
+def xls_export_posts(sf_dir: str):
+    """K4 — the spreadsheet exporter (utils/export_xls.py:32-224):
+    keyword gate → column mapping + multifield join → rows chunked into
+    sheets of num_rows_sheet → workbook, then PARSED BACK and compared
+    to the SQL recomputation (sheet/row indices from the row-number
+    arithmetic). The workbook codec is Excel 2003 SpreadsheetML (pure
+    XML — xlwt isn't in this env; the operator semantics are complete
+    and the artifact opens in Excel/LibreOffice). The keyword filter
+    runs distributed per batch; the qualifying set (keyword hits ≪
+    corpus, the reference's own regime — its exports were bounded Solr
+    result pages) is then rendered into the single workbook artifact;
+    shard upstream and call per partition for larger exports."""
+    from ..functions.xlsexport import (
+        apply_mapping,
+        keyword_filter,
+        parse_workbook,
+        workbook_xml,
+    )
+
+    num_rows_sheet = 100
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def gate(t: pa.Table) -> pd.DataFrame:
+        return keyword_filter(t.to_pandas(), "text", ["vector", "spark"])[
+            ["doc_id", "lang", "source"]
+        ]
+
+    hits = (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    mapped = apply_mapping(
+        hits, {"doc_id": "id", "lang": "lang"},
+        multifield={"source_lang": ["source", "lang"]}, field_sep="|",
+    )
+    sheets = [
+        (f"Sheet{i // num_rows_sheet + 1}", mapped.iloc[i : i + num_rows_sheet])
+        for i in range(0, len(mapped), num_rows_sheet)
+    ]
+    blob = workbook_xml(sheets)
+
+    rows = []
+    for name, df in parse_workbook(blob):
+        si = int(name.removeprefix("Sheet"))
+        for ri, row in enumerate(df.itertuples(index=False)):
+            rows.append((si, ri, int(row.id), row.lang, row.source_lang))
+    return pd.DataFrame(
+        rows, columns=["sheet_idx", "row_idx", "id", "lang", "source_lang"]
+    ).astype({"sheet_idx": "int64", "row_idx": "int64", "id": "int64"})

@@ -145,3 +145,29 @@ def test_distributed_wave_identical_at_1e5_frontier(ray_session, tmp_path):
     assert sa.fresh_urls == sb.fresh_urls
     assert sa.raw_outlinks == sb.raw_outlinks
     assert sa.shard_digests == sb.shard_digests
+
+
+@pytest.mark.stress
+def test_spill_bit_identical_with_robots_budgets(ray_session, tmp_path):
+    """Spill safety with PER-HOST robots budgets (the barr branch of
+    _sort_rank/_cap_unsafe/_spill): trace and digests must stay
+    bit-identical to the all-resident path when hosts carry different
+    politeness budgets from the robots cache."""
+    cfg_res = _spill_cfg(
+        tmp_path / "res", robots=True, max_epochs=3,
+        spill_max_resident=1 << 30,
+    )
+    seeds = seeds_table(cfg_res.web, 12_000)
+    sa = CrawlEngine(cfg_res).run(seeds=seeds)
+    assert sa.final_frontier > 4 * cfg_res.wave_size
+
+    cfg_sp = _spill_cfg(
+        tmp_path / "sp", robots=True, max_epochs=3,
+        spill_max_resident=1024, spill_slack=2,
+    )
+    sb = CrawlEngine(cfg_sp).run(seeds=seeds)
+    assert sb.spill["n_spills"] > 0
+    assert sb.trace == sa.trace
+    assert sb.shard_digests == sa.shard_digests
+    assert sb.fetched_urls == sa.fetched_urls
+    assert sb.final_frontier == sa.final_frontier
