@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--verify-rows", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
+    c.add_argument(
+        "--spill-max-resident", type=int, default=1 << 20,
+        help="frontier rows per bucket actor above which the cold tail "
+             "spills to disk (memory policy only — trace/resume identical)",
+    )
+    c.add_argument("--spill-slack", type=int, default=8)
 
     q = sub.add_parser("query", help="run a catalog query (or list them)")
     q.add_argument("name", nargs="?", help="query name; omit to list the catalog")
@@ -101,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         n_shards=args.shards,
         max_epochs=args.epochs,
         verify_rows=args.verify_rows,
+        spill_max_resident=args.spill_max_resident,
+        spill_slack=args.spill_slack,
     )
     engine = CrawlEngine(cfg)
     if args.resume:
@@ -117,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
                 "final_frontier": summary.final_frontier,
                 "seen_total": summary.seen_total,
                 "wall_sec": round(summary.wall_sec, 2),
+                "spill": summary.spill,
                 "workdir": cfg.workdir,
             }
         )
