@@ -71,7 +71,14 @@ def run_crawl(num_cpus: int) -> dict:
         workdir=workdir,
         max_depth=2,
         wave_size=int(os.environ.get("RAY_GRAFT_WAVE", "184320")),
-        host_budget=432 * int(os.environ.get("RAY_GRAFT_WAVE", "184320")) // 184320,
+        # politeness budget scales with the wave by default (waves can
+        # always fill); RAY_GRAFT_BUDGET overrides it for
+        # politeness-BOUND runs where per-host frontier depth exceeds
+        # budget×slack — the regime where the cold-tail spill engages
+        host_budget=int(os.environ.get(
+            "RAY_GRAFT_BUDGET",
+            str(432 * int(os.environ.get("RAY_GRAFT_WAVE", "184320")) // 184320),
+        )),
         n_shards=16,
         shard_capacity=1 << 20,
         max_epochs=2,
@@ -86,6 +93,7 @@ def run_crawl(num_cpus: int) -> dict:
         # the engine default (1M — spill idle at bench frontiers);
         # RAY_GRAFT_SPILL forces it low for spill-active series runs
         spill_max_resident=int(os.environ.get("RAY_GRAFT_SPILL", str(1 << 20))),
+        spill_slack=int(os.environ.get("RAY_GRAFT_SPILL_SLACK", "8")),
     )
     # warm the worker pool (process spawn + package import in every
     # worker) so cluster cold-start isn't billed to steady-state
