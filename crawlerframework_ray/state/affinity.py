@@ -95,13 +95,40 @@ class AffinityRouter:
         return batch.append_column("token", pa.array(tokens, pa.int64()))
 
 
-def make_token_workers(n_tokens: int, run_id: str) -> tuple[list[str], list]:
+def token_resources_available(n_tokens: int, prefix: str = "token_class_") -> bool:
+    """True iff the cluster advertises a custom resource per token
+    class (``token_class_0..n-1`` — set via ``ray start
+    --resources='{"token_class_0": 1, ...}'`` on the nodes that hold
+    that class's sessions/quota). The survey's node-label form of T3
+    (namedqueue.py:3-41): placement becomes a scheduler constraint
+    instead of only an actor-identity guarantee."""
+    have = ray.cluster_resources()
+    return all(f"{prefix}{t}" in have for t in range(n_tokens))
+
+
+def make_token_workers(n_tokens: int, run_id: str,
+                       use_resources: bool | None = None) -> tuple[list[str], list]:
     """Spawn the named token workers; returns (names, handles). The
     router ships only the names — but the CALLER must hold the handles
     for the query's lifetime (a named actor without a live handle is
     garbage-collected). Blocks until every actor is registered so the
-    router's ``ray.get_actor`` cannot race the spawn."""
+    router's ``ray.get_actor`` cannot race the spawn.
+
+    ``use_resources`` (default: auto-detect): when the cluster
+    advertises per-token-class custom resources, each worker is pinned
+    to its class's nodes via ``resources={token_class_t: 0.001}`` — the
+    node-label scheduling form on a real cluster; identical semantics
+    single-node (the actor is still the sole owner of the token's
+    state; the resource only constrains WHERE it lives)."""
+    if use_resources is None:
+        use_resources = token_resources_available(n_tokens)
     names = [f"cfray-token-{run_id}-{t}" for t in range(n_tokens)]
-    handles = [TokenWorker.options(name=name).remote(t) for t, name in enumerate(names)]
+    handles = [
+        TokenWorker.options(
+            name=name,
+            **({"resources": {f"token_class_{t}": 0.001}} if use_resources else {}),
+        ).remote(t)
+        for t, name in enumerate(names)
+    ]
     ray.get([h.report.remote() for h in handles])
     return names, handles

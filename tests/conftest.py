@@ -15,6 +15,11 @@ def ray_session():
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # advertise two token-class custom resources so the T3
+        # node-label placement path (state/affinity.py) is testable
+        # single-node — on a real cluster these come from `ray start
+        # --resources` on the nodes holding each class's sessions
+        resources={"token_class_0": 4, "token_class_1": 4},
     )
     from ray.data import DataContext
 
