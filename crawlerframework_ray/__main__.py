@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--spill-slack", type=int, default=8)
 
+    g = sub.add_parser("gc", help="reclaim old epoch checkpoints (keeps resume bit-identical)")
+    g.add_argument("--workdir", required=True)
+    g.add_argument("--keep-last", type=int, default=2)
+
     q = sub.add_parser("query", help="run a catalog query (or list them)")
     q.add_argument("name", nargs="?", help="query name; omit to list the catalog")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -49,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "gc":  # pure filesystem maintenance — no Ray session
+        from .state.checkpoint import gc_checkpoints
+
+        print(json.dumps(gc_checkpoints(args.workdir, keep_last=args.keep_last)))
+        return 0
 
     if args.cmd == "query" and args.name is None:
         from .pipelines.queries import ORACLE_SQL, QUERIES

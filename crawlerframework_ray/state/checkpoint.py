@@ -127,21 +127,117 @@ def latest_epoch(workdir: str) -> int | None:
     return best
 
 
+def _base_dir(workdir: str, epoch: int) -> str:
+    return os.path.join(epoch_dir(workdir, epoch), "base")
+
+
+def write_base_snapshot(workdir: str, epoch: int, n_shards: int) -> None:
+    """Materialize the full per-shard seen states at ``epoch`` as a
+    BASE SNAPSHOT (filter blob + sorted added ids + last seal epoch),
+    making the delta chain below ``epoch`` redundant for every load at
+    or above it. Built FROM ``load_shards`` — i.e. digest-verified
+    against the epoch's manifest before a byte is written. Per-shard
+    files land atomically; the ``complete.json`` marker lands LAST, so
+    a crashed snapshot is simply ignored by readers."""
+    shards = load_shards(workdir, epoch, n_shards)
+    d = _base_dir(workdir, epoch)
+    os.makedirs(d, exist_ok=True)
+    for i, (blob, added, seal) in enumerate(shards):
+        payload = (
+            int(seal).to_bytes(8, "big", signed=True)
+            + len(blob).to_bytes(8, "big")
+            + blob
+            + b"".join(added)  # fixed 16-byte ids, already sorted
+        )
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(d, f"shard_{i:02d}.base"))
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch, "n_shards": n_shards}, f)
+    os.replace(tmp, os.path.join(d, "complete.json"))
+
+
+def _load_base(workdir: str, epoch: int, n_shards: int):
+    """(filters, added-sets, last_seal) from a complete base snapshot
+    at ``epoch``, or None."""
+    from .cuckoo import CuckooFilter
+
+    d = _base_dir(workdir, epoch)
+    if not os.path.exists(os.path.join(d, "complete.json")):
+        return None
+    filters, added, last_seal = [], [], []
+    for i in range(n_shards):
+        with open(os.path.join(d, f"shard_{i:02d}.base"), "rb") as f:
+            data = f.read()
+        seal = int.from_bytes(data[:8], "big", signed=True)
+        blen = int.from_bytes(data[8:16], "big")
+        blob = data[16 : 16 + blen]
+        ids_blob = data[16 + blen :]
+        filters.append(CuckooFilter.deserialize(blob))
+        added.append({ids_blob[j : j + 16] for j in range(0, len(ids_blob), 16)})
+        last_seal.append(seal)
+    return filters, added, last_seal
+
+
+def gc_checkpoints(workdir: str, keep_last: int = 1) -> dict:
+    """Checkpoint retention: write a base snapshot at the retention
+    floor (latest - keep_last + 1), then delete every older epoch's
+    checkpoint dir — each holds a FULL frontier copy plus its delta
+    files, the structure whose disk footprint grows with epochs ×
+    frontier at a 10^10-URL crawl. Results partitions (the crawl
+    OUTPUT, under ``results/``) are never touched. Resume and replay
+    from any kept epoch are bit-identical: the base is digest-verified
+    at write time and every later load still passes the manifest
+    digest check (gated in tests/test_checkpoint.py). Idempotent and
+    crash-safe at any point (marker-last snapshot; re-running finishes
+    the deletions)."""
+    import shutil
+
+    latest = latest_epoch(workdir)
+    if latest is None:
+        return {"floor": None, "removed_epochs": 0}
+    floor = latest - keep_last + 1
+    if floor <= 0:
+        return {"floor": 0, "removed_epochs": 0}
+    manifest = load_manifest(workdir, floor)
+    if manifest is None:
+        raise FileNotFoundError(f"retention floor epoch {floor} has no complete manifest")
+    write_base_snapshot(workdir, floor, manifest["n_shards"])
+    removed = 0
+    for e in range(floor):
+        d = epoch_dir(workdir, e)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed += 1
+    return {"floor": floor, "removed_epochs": removed}
+
+
 def load_shards(workdir: str, epoch: int, n_shards: int) -> list[tuple[bytes, list[bytes], int]]:
     """Reconstruct full shard states at ``epoch`` by replaying the delta
-    chain 0..epoch (canonical sorted inserts ⇒ bit-identical filters).
-    Returns (filter_blob, sorted added ids, last seal epoch) per shard —
-    the same tuple ``SeenShard.restore`` consumes."""
+    chain 0..epoch (canonical sorted inserts ⇒ bit-identical filters),
+    starting from the newest complete BASE SNAPSHOT at or below
+    ``epoch`` when one exists (post-GC layout). Returns (filter_blob,
+    sorted added ids, last seal epoch) per shard — the same tuple
+    ``SeenShard.restore`` consumes."""
     from .cuckoo import CuckooFilter
 
     manifest = load_manifest(workdir, epoch)
     if manifest is None:
         raise FileNotFoundError(f"no complete manifest for epoch {epoch}")
     capacity = manifest["shard_capacity"]
+    start = 0
     filters = [CuckooFilter(capacity) for _ in range(n_shards)]
     added: list[set[bytes]] = [set() for _ in range(n_shards)]
     last_seal = [-1] * n_shards
-    for e in range(epoch + 1):
+    for e in range(epoch, -1, -1):
+        base = _load_base(workdir, e, n_shards)
+        if base is not None:
+            filters, added, last_seal = base
+            start = e + 1
+            break
+    for e in range(start, epoch + 1):
         delta_d = os.path.join(epoch_dir(workdir, e), "deltas")
         for i in range(n_shards):
             with open(os.path.join(delta_d, f"shard_{i:02d}.bin"), "rb") as f:

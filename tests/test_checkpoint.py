@@ -126,3 +126,44 @@ def test_replay_detects_corrupted_delta(ray_session, tmp_path):
         f.write(b"".join(out))
     with pytest.raises(ValueError, match="replay mismatch"):
         ckpt.load_shards(d, 1, 4)
+
+
+def test_gc_checkpoints_resume_bit_identical(ray_session, tmp_path):
+    """Checkpoint GC (base snapshot at the retention floor + old epoch
+    dirs deleted): resume AFTER gc must be bit-identical to the
+    uninterrupted run, load_shards through the base must reproduce the
+    exact manifest digests, and the crawl OUTPUT (results/) must be
+    untouched."""
+    import os
+
+    from crawlerframework_ray.state.checkpoint import gc_checkpoints
+
+    seeds = seeds_table(_cfg(str(tmp_path / "x"), 4).web, 20)
+    full = CrawlEngine(_cfg(str(tmp_path / "full"), 4)).run(seeds=seeds)
+
+    half_dir = str(tmp_path / "half")
+    CrawlEngine(_cfg(half_dir, 2)).run(seeds=seeds)
+    pre = ckpt.load_shards(half_dir, 1, 4)
+
+    out = gc_checkpoints(half_dir, keep_last=1)
+    assert out["floor"] == 1 and out["removed_epochs"] == 1
+    assert not os.path.isdir(ckpt.epoch_dir(half_dir, 0))
+    assert os.path.isdir(os.path.join(half_dir, "results", "epoch=0000"))  # output kept
+
+    # replay through the base == replay through the full chain
+    post = ckpt.load_shards(half_dir, 1, 4)
+    assert [(b, a, e) for b, a, e in post] == [(b, a, e) for b, a, e in pre]
+
+    resumed = CrawlEngine(_cfg(half_dir, 4)).run(resume=True)
+    assert resumed.shard_digests == full.shard_digests
+    assert resumed.fetched_urls == full.fetched_urls
+    assert resumed.final_frontier == full.final_frontier
+    tail = [t for t in full.trace if t[0] >= 2]
+    assert resumed.trace == tail
+
+    # gc is idempotent and re-runnable after more epochs
+    out2 = gc_checkpoints(half_dir, keep_last=1)
+    assert out2["floor"] == 3 and out2["removed_epochs"] == 2
+    post2 = ckpt.load_shards(half_dir, 3, 4)
+    fa = ckpt.load_shards(str(tmp_path / "full"), 3, 4)
+    assert [sorted(a) for _, a, _ in post2] == [sorted(a) for _, a, _ in fa]
