@@ -4329,6 +4329,22 @@ def pagerank_hosts(sf_dir: str):
     return pagerank_int(edges, iters=4)
 
 
+@register("pagerank_hosts_dsstate", _PAGERANK_SQL)
+def pagerank_hosts_dsstate(sf_dir: str):
+    """pagerank_hosts through the DATASET-RESIDENT node-state path
+    (node_state="dataset" forced — the 10^7+-node form where per-node
+    state never touches the driver; stages/graph._propagate_ds /
+    _apply_state_ds, two bounded bucketed shuffles per sweep). Same
+    unrolled-CTE oracle as pagerank_hosts: the driver's correctness
+    gate verifies the scale path's bit-identity directly, not only the
+    in-repo forced-switch test."""
+    from ..stages.graph import distinct_edges, host_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    return pagerank_int(edges, iters=4, node_state="dataset")
+
+
 _REPETITION_SQL = """
     WITH aug AS (
       SELECT doc_id,
@@ -9113,6 +9129,20 @@ def trustrank_hosts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     edges = distinct_edges(host_edges(ds, n_hosts=64))
     out = pagerank_int(edges, iters=4, seeds=np.array([0, 1, 2], dtype=np.int64))
+    return out.rename(columns={"rank": "trust"})
+
+
+@register("trustrank_hosts_dsstate", _TRUSTRANK_SQL)
+def trustrank_hosts_dsstate(sf_dir: str):
+    """trustrank_hosts through the DATASET-RESIDENT node-state path
+    (node_state="dataset" forced) — the seeded-teleport variant of the
+    scale path, oracle-gated directly against the same unrolled SQL."""
+    from ..stages.graph import distinct_edges, host_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    out = pagerank_int(edges, iters=4, seeds=np.array([0, 1, 2], dtype=np.int64),
+                       node_state="dataset")
     return out.rename(columns={"rank": "trust"})
 
 
