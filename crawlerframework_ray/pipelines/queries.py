@@ -9275,3 +9275,71 @@ def xls_export_posts(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["sheet_idx", "row_idx", "id", "lang", "source_lang"]
     ).astype({"sheet_idx": "int64", "row_idx": "int64", "id": "int64"})
+
+
+# =====================================================================
+# Round-4: K3 Solr sink — the last sanctioned skip, closed. The index
+# COMMIT is the sink; queries read back from the committed artifact.
+# =====================================================================
+
+_SOLR_BOOL_TERMS = ["dup", "merge"]
+
+_SOLR_BOOL_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x = 'dup')) > 0
+      AND len(list_filter(string_split(text, ' '), x -> x = 'merge')) > 0
+"""
+
+
+@register("solr_index_search_topk", _BM25_SQL)
+def solr_index_search_topk(sf_dir: str):
+    """K3 — the Solr sink (baseconnector.py:566-581 ``saveToSolr``)
+    closed end-to-end: COMMIT a term-hash-bucketed inverted index +
+    dictionary + doc store to a directory (manifest-last, so a crashed
+    build never looks committed), then answer the _BM25_QUERIES from
+    the INDEX — a partition-pruned read of only the buckets the query
+    terms hash into, exact-integer BM25 contributions per posting row
+    (dl norm denormalized into the posting), one bucketed reduce with
+    per-bucket partial top-k. Oracle: the SAME _BM25_SQL as the
+    scan-path bm25_search_topk — the round trip through the sink must
+    reproduce the direct-scan scores bit for bit."""
+    import shutil
+    import tempfile
+
+    from ..sources.solrsink import commit_index, search_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="cfray-solr-", dir="/tmp")
+    try:
+        commit_index(ds, idx, n_buckets=16)
+        return search_topk(idx, _BM25_QUERIES, k=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+@register("solr_index_boolean_and", _SOLR_BOOL_SQL)
+def solr_index_boolean_and(sf_dir: str):
+    """K3 — Solr's filter-query form from the committed index: docs
+    containing ALL query terms via the pruned postings read + a
+    bucketed per-doc distinct-term count, stored fields (lang, source)
+    fetched from the doc store through a partitioned hash join — the
+    matched-id set never lands on the driver. Oracle recomputes the
+    token-level AND directly over the documents table."""
+    import shutil
+    import tempfile
+
+    from ..sources.solrsink import boolean_and, commit_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    idx = tempfile.mkdtemp(prefix="cfray-solr-", dir="/tmp")
+    try:
+        commit_index(
+            ds, idx, n_buckets=16, stored_columns=("lang", "source")
+        )
+        out = boolean_and(idx, _SOLR_BOOL_TERMS, ["lang", "source"]).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True).astype(
+        {"doc_id": "int64"}
+    )

@@ -1,0 +1,132 @@
+"""K3 Solr-sink analogue: index commit / pruned query / boolean
+filter. The pruning test is the load-bearing one — it PROVES the
+query touches only the buckets its terms hash into, by corrupting
+every other bucket and requiring the query to still succeed."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+import ray.data
+
+from crawlerframework_ray.sources.solrsink import (
+    DICT_DIR,
+    POSTINGS_DIR,
+    boolean_and,
+    commit_index,
+    load_manifest,
+    search_topk,
+    term_bucket,
+    term_dfs,
+)
+
+SF = "/root/testdata/sf0.001"
+QUERIES = [(0, ["dup", "merge"]), (1, ["vector", "hash", "join"])]
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("solr-idx"))
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    commit_index(ds, out, n_buckets=8, stored_columns=("lang", "source"))
+    return out
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(os.path.join(SF, "documents.parquet"))
+
+
+def test_manifest_counts(index_dir):
+    man = load_manifest(index_dir)
+    docs = _docs()
+    assert man["n_docs"] == len(docs)
+    assert man["total_len"] == int(docs["text"].str.split(" ").str.len().sum())
+
+
+def test_uncommitted_index_refused(tmp_path):
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        load_manifest(str(tmp_path))
+
+
+def test_dictionary_df_exact(index_dir):
+    docs = _docs()
+    terms = ["dup", "merge", "vector", "zzz-not-a-term"]
+    want = {
+        t: int(docs["text"].str.split(" ").map(lambda xs, t=t: t in xs).sum())
+        for t in terms
+    }
+    assert term_dfs(index_dir, terms) == want
+
+
+def test_search_matches_scan_path(ray_session, index_dir):
+    from crawlerframework_ray.stages.retrieval import bm25_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    scan = bm25_topk(ds, QUERIES, k=10).reset_index(drop=True)
+    idx = search_topk(index_dir, QUERIES, k=10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(scan, idx)
+
+
+def test_query_reads_only_needed_buckets(index_dir):
+    """Corrupt every postings/dictionary bucket the query terms do NOT
+    hash into; the query must still answer (bit-identically). If the
+    engine read a corrupted bucket, parquet decode would raise."""
+    man = load_manifest(index_dir)
+    needed = {term_bucket(t, man["n_buckets"]) for _, ts in QUERIES for t in ts}
+    assert len(needed) < man["n_buckets"], "test needs at least one unqueried bucket"
+    before = search_topk(index_dir, QUERIES, k=10)
+    corrupted = 0
+    for sub in (POSTINGS_DIR, DICT_DIR):
+        for b in range(man["n_buckets"]):
+            if b in needed:
+                continue
+            for f in glob.glob(os.path.join(index_dir, sub, f"bucket={b}", "*.parquet")):
+                with open(f, "wb") as fh:
+                    fh.write(b"\x00not parquet\x00")
+                corrupted += 1
+    assert corrupted > 0
+    after = search_topk(index_dir, QUERIES, k=10)
+    pd.testing.assert_frame_equal(before, after)
+    # and reading a corrupted bucket's term DOES fail — the corruption is real
+    bad_bucket = next(b for b in range(man["n_buckets"]) if b not in needed)
+    bad_term = next(
+        f"t{i}" for i in range(10_000)
+        if term_bucket(f"t{i}", man["n_buckets"]) == bad_bucket
+    )
+    with pytest.raises(Exception):
+        term_dfs(index_dir, [bad_term])
+
+
+def test_boolean_and_matches_pandas(ray_session, tmp_path):
+    # fresh index (the shared one is corrupted by the pruning test)
+    out = str(tmp_path / "idx")
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    commit_index(ds, out, n_buckets=8, stored_columns=("lang", "source"))
+    got = (
+        boolean_and(out, ["dup", "merge"], ["lang", "source"])
+        .to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+    docs = _docs()
+    toks = docs["text"].str.split(" ").map(set)
+    mask = toks.map(lambda s: "dup" in s and "merge" in s)
+    want = (
+        docs.loc[mask, ["doc_id", "lang", "source"]]
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["doc_id", "lang", "source"]], want)
