@@ -26,6 +26,17 @@ serendiocalendar.py's start/EOW/time constants):
 - times of day:     ``at 17:30`` — anchored clock times (HH:MM,
   24-hour, minute-valid), reported as the minute string
 
+Tier 3 (r4 — the remaining high-frequency serendiocalendar forms):
+
+- bare relatives:   ``today`` / ``tomorrow`` / ``yesterday`` —
+  anchor +0 / +1 / −1
+- counted futures:  ``in 3 days`` / ``in 2 weeks`` — anchor + n·1/7
+- year-less dates:  ``June 3rd`` (month + ordinal day, no year) —
+  resolved into the anchor year
+- month ends:       ``end of June`` — the month's last day in the
+  anchor year (2026 is not a leap year: Feb 28)
+- named times:      ``at noon`` / ``at midnight`` — 12:00 / 00:00
+
 Each form normalizes to an ISO ``YYYY-MM-DD`` string; per-document
 output is the per-form match count plus the MINIMUM normalized date
 (order-independent, so the oracle needs no document-order reasoning).
@@ -119,6 +130,86 @@ class TemporalExtractStageV2:
                 "n_time": pa.array(n_tm, pa.int64()),
                 "min_date2": pa.array(min_date, pa.string()),
                 "min_time": pa.array(min_time, pa.string()),
+            }
+        )
+
+
+MONTH_LEN = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]  # anchor year 2026: not a leap year
+
+BARE_RX = r"(today|tomorrow|yesterday)"
+INREL_RX = r"in ([0-9]{1,2}) (days|weeks)"
+MONTHDAY_RX = r"(" + "|".join(MONTHS) + r") ([0-9]{1,2})(?:st|nd|rd|th)"
+EOM_RX = r"end of (" + "|".join(MONTHS) + r")"
+NAMEDTIME_RX = r"at (noon|midnight)"
+
+_BARE_OFF = {"today": 0, "tomorrow": 1, "yesterday": -1}
+_NAMED_TIME = {"noon": "12:00", "midnight": "00:00"}
+
+
+def ordinal_suffix(d: int) -> str:
+    """English ordinal suffix (1st/2nd/3rd/4th..., 11th-13th)."""
+    if d % 100 in (11, 12, 13):
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(d % 10, "th")
+
+
+class TemporalExtractStageV3:
+    """Tier-3 grammar (module docstring): ``text`` → ``n_bare``,
+    ``n_inrel``, ``n_monthday``, ``n_eom``, ``n_namedtime`` counts +
+    ``min_date3`` (min normalized ISO date over the date-valued forms,
+    '' when none) + ``min_time3`` (min of the named clock times, ''
+    when none)."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.bare = re.compile(BARE_RX)
+        self.inrel = re.compile(INREL_RX)
+        self.monthday = re.compile(MONTHDAY_RX)
+        self.eom = re.compile(EOM_RX)
+        self.namedtime = re.compile(NAMEDTIME_RX)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        n_ba, n_ir, n_md, n_eo, n_nt, min_date, min_time = [], [], [], [], [], [], []
+        for t in texts:
+            dates: list[str] = []
+            ba = self.bare.findall(t)
+            dates.extend(
+                (ANCHOR + _dt.timedelta(days=_BARE_OFF[w])).isoformat() for w in ba
+            )
+            ir = self.inrel.findall(t)
+            dates.extend(
+                (ANCHOR + _dt.timedelta(days=int(n) * (7 if u == "weeks" else 1))).isoformat()
+                for n, u in ir
+            )
+            md = self.monthday.findall(t)
+            dates.extend(
+                f"{ANCHOR.year:04d}-{_MONTH_NUM[mon]:02d}-{int(d):02d}" for mon, d in md
+            )
+            eo = self.eom.findall(t)
+            dates.extend(
+                f"{ANCHOR.year:04d}-{_MONTH_NUM[mon]:02d}-{MONTH_LEN[_MONTH_NUM[mon] - 1]:02d}"
+                for mon in eo
+            )
+            nt = self.namedtime.findall(t)
+            times = [_NAMED_TIME[w] for w in nt]
+            n_ba.append(len(ba))
+            n_ir.append(len(ir))
+            n_md.append(len(md))
+            n_eo.append(len(eo))
+            n_nt.append(len(nt))
+            min_date.append(min(dates) if dates else "")
+            min_time.append(min(times) if times else "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bare": pa.array(n_ba, pa.int64()),
+                "n_inrel": pa.array(n_ir, pa.int64()),
+                "n_monthday": pa.array(n_md, pa.int64()),
+                "n_eom": pa.array(n_eo, pa.int64()),
+                "n_namedtime": pa.array(n_nt, pa.int64()),
+                "min_date3": pa.array(min_date, pa.string()),
+                "min_time3": pa.array(min_time, pa.string()),
             }
         )
 

@@ -2883,6 +2883,117 @@ def temporal_extract_v2(sf_dir: str):
     )
 
 
+# ---- tier-3 temporal grammar (r4): bare relatives, counted futures,
+# year-less month-day ordinals, month ends, named times
+
+
+def _month_case(expr: str) -> str:
+    return ("CASE " + expr + " " + " ".join(
+        f"WHEN '{m}' THEN {i + 1}" for i, m in enumerate(
+            ["January", "February", "March", "April", "May", "June", "July",
+             "August", "September", "October", "November", "December"])
+    ) + " ELSE 0 END")
+
+
+_T3_DAY = "(1 + doc_id % 28)"
+_T3_SUFFIX = f"""CASE WHEN {_T3_DAY} IN (11, 12, 13) THEN 'th'
+             WHEN {_T3_DAY} % 10 = 1 THEN 'st'
+             WHEN {_T3_DAY} % 10 = 2 THEN 'nd'
+             WHEN {_T3_DAY} % 10 = 3 THEN 'rd'
+             ELSE 'th' END"""
+
+_TEMPORAL3_AUG_SQL = f"""
+        text
+        || CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN ' returning ' || (['today','tomorrow','yesterday'])[CAST(1 + doc_id % 3 AS INT)]
+             WHEN 1 THEN ' reply in ' || CAST(1 + doc_id % 9 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN ' days' ELSE ' weeks' END
+             WHEN 2 THEN ' due ' || {_MONTHS_SQL_LIST}[CAST(1 + doc_id % 12 AS INT)]
+               || ' ' || CAST({_T3_DAY} AS VARCHAR) || {_T3_SUFFIX}
+             ELSE ' close by end of ' || {_MONTHS_SQL_LIST}[CAST(1 + doc_id % 12 AS INT)]
+           END
+        || CASE WHEN doc_id % 5 = 0
+             THEN ' wrap at ' || CASE WHEN (doc_id // 5) % 2 = 0 THEN 'noon' ELSE 'midnight' END
+           ELSE '' END
+"""
+
+_TEMPORAL3_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_TEMPORAL3_AUG_SQL} AS text FROM documents),
+    norm AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(text, '(today|tomorrow|yesterday)', 1),
+          s -> strftime(DATE '2026-01-01' + to_days(CAST(
+                 CASE s WHEN 'tomorrow' THEN 1 WHEN 'yesterday' THEN -1 ELSE 0 END AS INT)), '%Y-%m-%d')) AS bare,
+        list_transform(regexp_extract_all(text, 'in ([0-9]{{1,2}}) (days|weeks)', 0),
+          s -> strftime(DATE '2026-01-01' + to_days(CAST(
+                 CAST(regexp_extract(s, '([0-9]+)', 1) AS INT)
+                 * CASE WHEN s LIKE '%weeks' THEN 7 ELSE 1 END AS INT)), '%Y-%m-%d')) AS inrel,
+        list_transform(regexp_extract_all(text, '({_MONTH_ALT}) [0-9]{{1,2}}(st|nd|rd|th)', 0),
+          s -> strftime(make_date(2026,
+                 CAST({_month_case("regexp_extract(s, '^(" + _MONTH_ALT + ")', 1)")} AS INT),
+                 CAST(regexp_extract(s, ' ([0-9]+)', 1) AS INT)), '%Y-%m-%d')) AS md,
+        list_transform(regexp_extract_all(text, 'end of ({_MONTH_ALT})', 1),
+          s -> strftime(last_day(make_date(2026, CAST({_month_case("s")} AS INT), 1)), '%Y-%m-%d')) AS eom,
+        list_transform(regexp_extract_all(text, 'at (noon|midnight)', 1),
+          s -> CASE s WHEN 'noon' THEN '12:00' ELSE '00:00' END) AS nt
+      FROM aug)
+    SELECT doc_id,
+      CAST(length(bare) AS BIGINT) AS n_bare,
+      CAST(length(inrel) AS BIGINT) AS n_inrel,
+      CAST(length(md) AS BIGINT) AS n_monthday,
+      CAST(length(eom) AS BIGINT) AS n_eom,
+      CAST(length(nt) AS BIGINT) AS n_namedtime,
+      COALESCE(list_aggregate(bare || inrel || md || eom, 'min'), '') AS min_date3,
+      COALESCE(list_aggregate(nt, 'min'), '') AS min_time3
+    FROM norm
+"""
+
+
+def _plant_temporal3(t: pa.Table) -> pa.Table:
+    """Python mirror of _TEMPORAL3_AUG_SQL (token for token)."""
+    from ..functions.temporal import MONTHS, ordinal_suffix
+
+    ids = t.column("doc_id").to_numpy()
+    out = []
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        i = int(i)
+        c = i % 4
+        if c == 0:
+            s = " returning " + ["today", "tomorrow", "yesterday"][i % 3]
+        elif c == 1:
+            s = f" reply in {1 + i % 9}" + (" days" if i % 2 == 0 else " weeks")
+        elif c == 2:
+            d = 1 + i % 28
+            s = f" due {MONTHS[i % 12]} {d}{ordinal_suffix(d)}"
+        else:
+            s = f" close by end of {MONTHS[i % 12]}"
+        if i % 5 == 0:
+            s += " wrap at " + ("noon" if (i // 5) % 2 == 0 else "midnight")
+        out.append(txt + s)
+    return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+
+@register("temporal_extract_v3", _TEMPORAL3_SQL)
+def temporal_extract_v3(sf_dir: str):
+    """T6 temporal tier 3 (VERDICT r3 'What's missing #1', one tier
+    past v2 toward crawler/extractors/serendiocalendar.py:1-1219):
+    bare relatives ("tomorrow" — anchor ±1), counted futures ("in 3
+    weeks" — anchor + 7n), year-less month-day ordinals ("June 3rd" —
+    resolved into the anchor year), month ends ("end of June" — the
+    anchor year's last day, non-leap Feb 28) and named clock times
+    ("at noon"/"at midnight" — 12:00/00:00). Same planted both-sides
+    augmentation + actor-pool stage shape as tiers 1-2; every form
+    deterministic and SQL-reproducible bit for bit."""
+    from ..functions.temporal import TemporalExtractStageV3
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_temporal3, batch_format="pyarrow").map_batches(
+        TemporalExtractStageV3,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
+
+
 _NER_PERSONS_SQL = "['Alice', 'Bob', 'Carol', 'Dave', 'Erin', 'Frank']"
 _NER_AUG_SQL = f"""
         text
