@@ -79,10 +79,19 @@ def commit_index(
     id_column: str = "doc_id",
     text_column: str = "text",
     stored_columns: tuple[str, ...] = (),
+    coalesce: bool = False,
+    batch_size: int = 2048,
 ) -> dict:
     """Build and atomically commit the index under ``out_dir``.
     Returns the manifest. ``ds`` must carry ``id_column``,
-    ``text_column`` and every ``stored_columns`` column."""
+    ``text_column`` and every ``stored_columns`` column.
+
+    ``coalesce=False`` (default) streams postings straight into the
+    partitioned write — shuffle-free, but each input block contributes
+    one file per bucket it touches (fine up to ~10^3 blocks). For a
+    large corpus pass ``coalesce=True``: one bucketed shuffle
+    co-locates each bucket's postings so the write emits ~one file per
+    bucket instead of blocks×buckets small files."""
     os.makedirs(out_dir, exist_ok=True)
     stored = list(stored_columns)
 
@@ -108,9 +117,12 @@ def commit_index(
             "bucket": pa.array(bucket, pa.int64()),
         })
 
-    ds.map_batches(postings_batch, batch_format="pyarrow", batch_size=2048).write_parquet(
-        os.path.join(out_dir, POSTINGS_DIR), partition_cols=["bucket"]
-    )
+    post = ds.map_batches(postings_batch, batch_format="pyarrow", batch_size=batch_size)
+    if coalesce:
+        post = post.groupby("bucket").map_groups(
+            lambda g: g, batch_format="pandas"
+        )
+    post.write_parquet(os.path.join(out_dir, POSTINGS_DIR), partition_cols=["bucket"])
 
     # Dictionary: exact df per term — a column-pruned read of the
     # postings just written (term only; one row per (term, doc) by

@@ -105,6 +105,23 @@ def test_query_reads_only_needed_buckets(index_dir):
         term_dfs(index_dir, [bad_term])
 
 
+def test_coalesced_commit_identical_and_fewer_files(ray_session, tmp_path):
+    """coalesce=True must change only the FILE LAYOUT (≈1 file per
+    bucket instead of blocks×buckets), never the query answers."""
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    ).repartition(6)
+    plain, packed = str(tmp_path / "plain"), str(tmp_path / "packed")
+    commit_index(ds, plain, n_buckets=8, batch_size=100)
+    commit_index(ds, packed, n_buckets=8, coalesce=True, batch_size=100)
+    pd.testing.assert_frame_equal(
+        search_topk(plain, QUERIES, k=10), search_topk(packed, QUERIES, k=10)
+    )
+    n_plain = len(glob.glob(os.path.join(plain, POSTINGS_DIR, "**", "*.parquet")))
+    n_packed = len(glob.glob(os.path.join(packed, POSTINGS_DIR, "**", "*.parquet")))
+    assert n_packed <= 8 < n_plain, (n_packed, n_plain)
+
+
 def test_boolean_and_matches_pandas(ray_session, tmp_path):
     # fresh index (the shared one is corrupted by the pruning test)
     out = str(tmp_path / "idx")
