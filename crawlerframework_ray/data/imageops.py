@@ -63,3 +63,13 @@ def hamming64(a: int, b: int) -> int:
     """Hamming distance between two 64-bit hashes stored as int64."""
     x = (int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF
     return bin(x).count("1")
+
+
+def block_mean_pool(img: np.ndarray, k: int) -> np.ndarray:
+    """k×k block-mean blur at constant size: floor-mean each k×k block,
+    then nearest-neighbor re-expand — the deterministic integer blur
+    used to PLANT focus levels for the sharpness gate (dims must be
+    multiples of k; synthetic sizes are powers of two)."""
+    h, w, c = img.shape
+    blk = img.astype(np.int64).reshape(h // k, k, w // k, k, c).sum(axis=(1, 3)) // (k * k)
+    return np.repeat(np.repeat(blk, k, axis=0), k, axis=1).astype(np.uint8)

@@ -59,6 +59,37 @@ def synth_video(seed: int, w: int = 32, h: int = 32, n_frames: int = 16) -> np.n
     return frames
 
 
+def scene_lengths(seed: int) -> list[int]:
+    """Planted scene structure of :func:`synth_scene_video` — the
+    number of scenes and each scene's frame count as a pure function of
+    the seed, restated by the golden generator so the scene-cut
+    DETECTOR is gated against construction arithmetic it never sees."""
+    seed = int(seed) & 0x7FFFFFFF
+    n_scenes = 2 + seed % 3
+    return [4 + ((seed >> 8) + 5 * j) % 3 for j in range(n_scenes)]
+
+
+def synth_scene_video(seed: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic multi-scene clip with HARD cuts: each scene is an
+    independent seed-keyed noise plane brightness-stepped +3 per frame
+    (within-scene adjacent-frame mean |diff| ≈ 6/pixel incl. mod-256
+    wraps), while scene boundaries jump to an independent plane
+    (mean |diff| ≈ 85/pixel) — a >10× separation for threshold-based
+    scene-cut detection. Pixels are pure integer functions of
+    (seed, scene, y, x, c); scene count/lengths come from
+    :func:`scene_lengths`."""
+    seed = int(seed) & 0x7FFFFFFF
+    frames: list[np.ndarray] = []
+    for j, n_f in enumerate(scene_lengths(seed)):
+        rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + j * 7_777_777))
+        base = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+        for f in range(n_f):
+            plane = (base + f * 3) % 256
+            for_c = [(plane + c * 85) % 256 for c in range(3)]
+            frames.append(np.stack(for_c, axis=2).astype(np.uint8))
+    return np.stack(frames)
+
+
 def synth_audio(seed: int, n_samples: int = 8192, sample_rate: int = 8000) -> np.ndarray:
     """Deterministic int16 mono PCM: a seed-keyed triangle wave plus
     LCG "noise", all integer arithmetic (exactly reproducible)."""

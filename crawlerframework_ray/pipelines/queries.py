@@ -7461,6 +7461,144 @@ def image_quality_filter(sf_dir: str):
     )
 
 
+@register("image_sharpness_gate", _golden_sql("image_sharpness"))
+def image_sharpness_gate(sf_dir: str):
+    """Focus/blur gating over the image corpus — the Laplacian-variance
+    sharpness filter of an image-curation pipeline
+    (stages/multimodal.ImageSharpnessStage), with blur levels PLANTED
+    deterministically (doc_id % 3 → raw / one 2×2 block-mean pass / one
+    4×4 pass via data/imageops.block_mean_pool) so all three labels
+    occur and the thresholds are exercised from both sides. Golden is
+    an independent explicit loop with the Laplacian and both thresholds
+    restated longhand (tools/make_goldens.image_sharpness) — a silent
+    constant or kernel drift in the stage fails the gate. Actor pool,
+    decoders in __init__, one vectorized shifted-slice reduction per
+    image; binary payloads stay in Arrow end-to-end.
+
+    Reference analogue: the per-payload extract/score phase of the
+    connector fetch loop (crawler/connectors/baseconnector.py:1140-1251)
+    — this is its image-quality scorer form (T6 slot)."""
+    from ..data import codecs as _codecs
+    from ..data.imageops import block_mean_pool
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import ImageSharpnessStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        blobs: list[bytes] = []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _codecs.decode(rec["bytes"], rec["fmt"])
+            if d % 3:
+                img = block_mean_pool(img, 2 * (d % 3))
+            ids.append(rec["image_id"])
+            blobs.append(_codecs.encode_raw(img))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        ImageSharpnessStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )
+
+
+@register("image_border_stats", _golden_sql("image_borders"))
+def image_border_stats(sf_dir: str):
+    """Letterbox / constant-border detection — the crop-before-train
+    audit of an image-curation pipeline
+    (stages/multimodal.ImageBorderStage). Constant-color bars of height
+    (doc_id % 4) × 2 are PLANTED top and bottom (fill value doc_id-keyed)
+    around the synthetic noise content; the golden derives every
+    expected row from the PLANT arithmetic alone — border heights from
+    doc_id, content rows from the page_record dims — never running the
+    detector, so a detector that over- or under-runs a bar fails the
+    gate (the strong construction-derived golden form, like the planted
+    ANN twins). Actor pool, one vectorized equality reduction per side.
+
+    Reference analogue: junk-removal's structural trim step
+    (crawler/utils/extractors: boilerplate/junk family) applied to the
+    pixel domain."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import ImageBorderStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        blobs: list[bytes] = []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _codecs.decode(rec["bytes"], rec["fmt"])
+            hb = (d % 4) * 2
+            if hb:
+                bar = np.full((hb, img.shape[1], 3), (d * 37) % 256, dtype=np.uint8)
+                img = np.concatenate([bar, img, bar], axis=0)
+            ids.append(rec["image_id"])
+            blobs.append(_codecs.encode_raw(img))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        ImageBorderStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )
+
+
+@register("video_scene_cuts", _golden_sql("video_scene_cuts"))
+def video_scene_cuts(sf_dir: str):
+    """Scene-cut detection over the video corpus — the shot-boundary
+    pre-pass of a video-curation pipeline (frame-sampling per shot,
+    per-shot dedup) as a threshold content detector
+    (stages/multimodal.VideoSceneCutStage). Clips are composites of 2–4
+    independent-noise scenes with planted HARD cuts
+    (data/media.synth_scene_video); the golden restates the scene
+    count/length arithmetic (media.scene_lengths) and NEVER runs the
+    detector — expected n_cuts = scenes − 1, expected n_frames = the
+    planted lengths' sum — so a missed or spurious cut fails the gate.
+    Within-scene vs cross-scene mean |diff| separates ≈6 vs ≈85 per
+    pixel against the 30/pixel threshold (≥2.8× margin each side).
+    Actor pool; the whole clip's diffs are one vectorized np.diff.
+
+    Reference analogue: pagination stitching's boundary detection
+    (M7) transplanted to the frame axis."""
+    from ..data.media import encode_qvd, synth_scene_video
+    from ..stages.multimodal import VideoSceneCutStage
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(96)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [int(d) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "video_id": pa.array([f"v{d}" for d in ids], pa.string()),
+                "bytes": pa.array(
+                    [encode_qvd(synth_scene_video(d, w=32, h=32), fps=10) for d in ids],
+                    pa.binary(),
+                ),
+                "fmt": pa.array(["qvd"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=32).map_batches(
+        VideoSceneCutStage, batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=0.5
+    )
+
+
 _LATE_SHIP_SQL = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o

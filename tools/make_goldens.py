@@ -1256,6 +1256,91 @@ def image_quality(sf_dir: str) -> None:
     )
 
 
+def image_sharpness(sf_dir: str) -> None:
+    """Independent explicit-loop mirror of image_sharpness_gate: the
+    PLANT (doc_id % 3 blur level via block_mean_pool) is shared with
+    the query by design, but the MEASURE — gray conversion, the
+    4c−N−S−E−W Laplacian, the milli normalization and both thresholds
+    — is restated longhand here with the constants literal, so a
+    stage-side kernel or threshold drift fails the gate."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import block_mean_pool
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        if d % 3:
+            img = block_mean_pool(img, 2 * (d % 3))
+        g = img.astype(np.int64).sum(axis=2) // 3
+        lap_sum = 0
+        n = 0
+        for y in range(1, g.shape[0] - 1):
+            for x in range(1, g.shape[1] - 1):
+                lap_sum += abs(
+                    4 * g[y, x] - g[y - 1, x] - g[y + 1, x] - g[y, x - 1] - g[y, x + 1]
+                )
+                n += 1
+        milli = int(lap_sum) * 1000 // n
+        label = "sharp" if milli >= 75_000 else "soft" if milli >= 20_000 else "blurry"
+        rows.append((rec["image_id"], milli, label))
+    _write(
+        "image_sharpness", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "lap_milli", "label"]).astype(
+            {"image_id": "string", "lap_milli": "int64", "label": "string"}
+        ),
+    )
+
+
+def image_borders(sf_dir: str) -> None:
+    """Construction-derived golden for image_border_stats: expected
+    borders come from the plant arithmetic ((doc_id % 4) × 2) and
+    content rows from the page_record dims — the detector is NEVER run
+    here, so over/under-running a bar (or a false border inside the
+    noise content) fails the gate."""
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        hb = (d % 4) * 2
+        rows.append((rec["image_id"], hb, hb, int(rec["h"])))
+    _write(
+        "image_borders", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "top_border", "bottom_border", "content_rows"]).astype(
+            {"image_id": "string", "top_border": "int32", "bottom_border": "int32", "content_rows": "int32"}
+        ),
+    )
+
+
+def video_scene_cuts_golden(sf_dir: str) -> None:
+    """Construction-derived golden for video_scene_cuts: expected cuts
+    and frame counts come from media.scene_lengths (the plant
+    arithmetic the composite generator uses) — the detector is NEVER
+    run, so a missed or spurious cut fails the gate."""
+    from crawlerframework_ray.data.media import scene_lengths
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:96]
+    rows = []
+    for d in ids:
+        lens = scene_lengths(d)
+        rows.append((f"v{d}", sum(lens), len(lens) - 1))
+    _write(
+        "video_scene_cuts", sf_dir,
+        pd.DataFrame(rows, columns=["video_id", "n_frames", "n_cuts"]).astype(
+            {"video_id": "string", "n_frames": "int32", "n_cuts": "int32"}
+        ),
+    )
+
+
 def mirror_dup_pairs(sf_dir: str) -> None:
     """Independent explicit-loop mirror of mirror_phash_dup_pairs:
     regenerate the same corpus + planted mirrored twins, compute
@@ -1351,6 +1436,7 @@ def channel_moments(sf_dir: str) -> None:
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
+       image_sharpness, image_borders, video_scene_cuts_golden,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
        video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments]
 
