@@ -90,6 +90,37 @@ def synth_scene_video(seed: int, w: int = 32, h: int = 32) -> np.ndarray:
     return np.stack(frames)
 
 
+def plant_audio_defects(seed: int) -> tuple[list[int], int]:
+    """Planted defect layout for the audio-quality gate, as pure seed
+    arithmetic (restated by the golden generator, never by the
+    detector): over the default 8-window layout (8192 samples / 1024),
+    ``seed % 3`` silent windows on even indices and — when
+    ``(seed >> 2) % 2`` — one hard-clipped window on an odd index
+    (disjoint from the silent ones by parity). Returns
+    (silent_window_indices, clipped_window_index_or_-1)."""
+    seed = int(seed) & 0x7FFFFFFF
+    sil = [2 * ((seed + j) % 4) for j in range(seed % 3)]
+    clip = 2 * ((seed * 3) % 4) + 1 if (seed >> 2) % 2 else -1
+    return sil, clip
+
+
+def synth_defective_audio(seed: int, window: int = 1024) -> np.ndarray:
+    """:func:`synth_audio` with :func:`plant_audio_defects` applied —
+    silent windows zeroed, the clipped window forced to signed int16
+    full scale (the clean waveform never exceeds ~11,250, so every
+    full-scale sample is planted)."""
+    pcm = synth_audio(seed)
+    sil, clip = plant_audio_defects(seed)
+    for wi in sil:
+        pcm[wi * window : (wi + 1) * window] = 0
+    if clip >= 0:
+        span = pcm[clip * window : (clip + 1) * window]
+        pcm[clip * window : (clip + 1) * window] = np.where(span >= 0, 32767, -32767).astype(
+            np.int16
+        )
+    return pcm
+
+
 def synth_audio(seed: int, n_samples: int = 8192, sample_rate: int = 8000) -> np.ndarray:
     """Deterministic int16 mono PCM: a seed-keyed triangle wave plus
     LCG "noise", all integer arithmetic (exactly reproducible)."""

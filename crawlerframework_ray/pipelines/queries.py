@@ -7599,6 +7599,46 @@ def video_scene_cuts(sf_dir: str):
     )
 
 
+@register("audio_quality_audit", _golden_sql("audio_quality"))
+def audio_quality_audit(sf_dir: str):
+    """Silence / clipping audit over the audio corpus — the audio-side
+    quality gate of a speech training pipeline
+    (stages/multimodal.AudioQualityStage): per track, windows below the
+    exact-integer silence RMS threshold, samples at int16 full scale,
+    and an ordered label (clipped → has_silence → clean). Defects are
+    PLANTED by pure seed arithmetic (data/media.plant_audio_defects:
+    zeroed even-index windows, one full-scale odd-index window); the
+    golden restates that arithmetic and NEVER runs the detector, so a
+    missed or spurious silent window / clip count fails the gate.
+    Clean-signal margins: non-silent windows read rms ≥ ~2.3M milli vs
+    the 100k threshold; the clean waveform peaks ≈11,250 so no
+    un-planted sample can read as clipped. Actor pool; one vectorized
+    comparison + one reshape-sum per track.
+
+    Reference analogue: the per-payload validity scoring of the fetch
+    loop (crawler/connectors/baseconnector.py:1140-1251), audio form."""
+    from ..data.media import encode_qau, synth_defective_audio
+    from ..stages.multimodal import AudioQualityStage
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(128)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [int(d) for d in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "audio_id": pa.array([f"a{d}" for d in ids], pa.string()),
+                "bytes": pa.array(
+                    [encode_qau(synth_defective_audio(d)) for d in ids], pa.binary()
+                ),
+                "fmt": pa.array(["qau"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=64).map_batches(
+        AudioQualityStage, batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=0.5
+    )
+
+
 _LATE_SHIP_SQL = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o

@@ -925,3 +925,67 @@ class VideoSceneCutStage:
                 "n_cuts": pa.array(out_cuts, pa.int32()),
             }
         )
+
+
+class AudioQualityStage:
+    """Audio curation audit — the silence / clipping gate of a speech
+    or audio training pipeline, per track: ``n_silent`` = windows whose
+    exact integer rms_milli (media.window_energies) falls below the
+    silence threshold, ``n_clipped_samples`` = samples at int16
+    full-scale (|s| == 32767), and an ordered label
+    (``clipped`` → ``has_silence`` → ``clean``). Real for the in-repo
+    ``qau`` container; external containers stay stubbed like
+    AudioFeatureStage. Decoder bound once per actor; the clip count is
+    one vectorized comparison, the energies one reshape-sum.
+
+    Output schema: audio_id:string, n_windows:int32, n_silent:int32,
+    n_clipped_samples:int64, label:string.
+    """
+
+    SIL_RMS_MILLI = 100_000
+
+    def __init__(self, window: int = 1024, strict: bool = True):
+        from ..data import media
+
+        self.window = int(window)
+        self.strict = strict
+        self._decode = media.decode_qau
+        self._energies = media.window_energies
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            k: [] for k in ("audio_id", "n_windows", "n_silent", "n_clipped_samples", "label")
+        }
+        for aid, fmt, data in zip(
+            batch.column("audio_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            if fmt != "qau":
+                if fmt in EXTERNAL_AUDIO_FMTS:
+                    if self.strict:
+                        raise NotImplementedError(
+                            f"decode for external audio container {fmt!r} requires "
+                            "soundfile/librosa; plug a decoder into AudioQualityStage"
+                        )
+                    continue
+                raise ValueError(f"unknown audio format {fmt!r}")
+            pcm, _rate = self._decode(bytes(data))
+            feats = self._energies(pcm, self.window)
+            n_silent = sum(1 for _, _, rms in feats if rms < self.SIL_RMS_MILLI)
+            n_clipped = int((np.abs(pcm.astype(np.int64)) == 32767).sum())
+            label = "clipped" if n_clipped else "has_silence" if n_silent else "clean"
+            out["audio_id"].append(aid)
+            out["n_windows"].append(len(feats))
+            out["n_silent"].append(n_silent)
+            out["n_clipped_samples"].append(n_clipped)
+            out["label"].append(label)
+        return pa.table(
+            {
+                "audio_id": pa.array(out["audio_id"], pa.string()),
+                "n_windows": pa.array(out["n_windows"], pa.int32()),
+                "n_silent": pa.array(out["n_silent"], pa.int32()),
+                "n_clipped_samples": pa.array(out["n_clipped_samples"], pa.int64()),
+                "label": pa.array(out["label"], pa.string()),
+            }
+        )

@@ -100,3 +100,44 @@ def test_scene_cut_strict_stub_on_external_container():
     with pytest.raises(NotImplementedError):
         VideoSceneCutStage()(_vid_batch(synth_video(1, 16, 16, 4), fmt="mp4"))
     assert len(VideoSceneCutStage(strict=False)(_vid_batch(synth_video(1, 16, 16, 4), fmt="mp4"))) == 0
+
+
+def _aud_batch(pcm, fmt: str = "qau") -> pa.Table:
+    from crawlerframework_ray.data.media import encode_qau
+
+    return pa.table(
+        {
+            "audio_id": pa.array(["a"], pa.string()),
+            "bytes": pa.array([encode_qau(pcm) if fmt == "qau" else b""], pa.binary()),
+            "fmt": pa.array([fmt], pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5, 6, 123])
+def test_audio_quality_matches_plant_arithmetic(seed):
+    from crawlerframework_ray.data.media import plant_audio_defects, synth_defective_audio
+    from crawlerframework_ray.stages.multimodal import AudioQualityStage
+
+    sil, clip = plant_audio_defects(seed)
+    t = AudioQualityStage()(_aud_batch(synth_defective_audio(seed)))
+    assert t.column("n_windows").to_pylist() == [8]
+    assert t.column("n_silent").to_pylist() == [len(sil)]
+    assert t.column("n_clipped_samples").to_pylist() == [1024 if clip >= 0 else 0]
+
+
+def test_audio_quality_clean_track():
+    from crawlerframework_ray.data.media import synth_audio
+    from crawlerframework_ray.stages.multimodal import AudioQualityStage
+
+    t = AudioQualityStage()(_aud_batch(synth_audio(4)))  # seed 4: no planted defects
+    assert t.column("label").to_pylist() == ["clean"]
+
+
+def test_audio_quality_strict_stub_on_external_container():
+    from crawlerframework_ray.data.media import synth_audio
+    from crawlerframework_ray.stages.multimodal import AudioQualityStage
+
+    with pytest.raises(NotImplementedError):
+        AudioQualityStage()(_aud_batch(synth_audio(1), fmt="mp3"))
+    assert len(AudioQualityStage(strict=False)(_aud_batch(synth_audio(1), fmt="mp3"))) == 0

@@ -1341,6 +1341,33 @@ def video_scene_cuts_golden(sf_dir: str) -> None:
     )
 
 
+def audio_quality(sf_dir: str) -> None:
+    """Construction-derived golden for audio_quality_audit: expected
+    silent-window and clip counts come from media.plant_audio_defects
+    (the arithmetic the defective-audio generator uses) — the detector
+    is NEVER run, so a missed/spurious silent window or clip count
+    fails the gate. Label cascade restated literally."""
+    from crawlerframework_ray.data.media import plant_audio_defects
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:128]
+    rows = []
+    for d in ids:
+        sil, clip = plant_audio_defects(d)
+        n_clipped = 1024 if clip >= 0 else 0
+        label = "clipped" if n_clipped else "has_silence" if sil else "clean"
+        rows.append((f"a{d}", 8, len(sil), n_clipped, label))
+    _write(
+        "audio_quality", sf_dir,
+        pd.DataFrame(
+            rows, columns=["audio_id", "n_windows", "n_silent", "n_clipped_samples", "label"]
+        ).astype(
+            {"audio_id": "string", "n_windows": "int32", "n_silent": "int32",
+             "n_clipped_samples": "int64", "label": "string"}
+        ),
+    )
+
+
 def mirror_dup_pairs(sf_dir: str) -> None:
     """Independent explicit-loop mirror of mirror_phash_dup_pairs:
     regenerate the same corpus + planted mirrored twins, compute
@@ -1436,7 +1463,7 @@ def channel_moments(sf_dir: str) -> None:
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
-       image_sharpness, image_borders, video_scene_cuts_golden,
+       image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
        video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments]
 
