@@ -2994,6 +2994,108 @@ def temporal_extract_v3(sf_dir: str):
     )
 
 
+_TEMPORAL4_AUG_SQL = f"""
+        text
+        || CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN ' fiscal Q' || CAST(1 + doc_id % 4 AS VARCHAR) || ' 2026'
+             WHEN 1 THEN ' sprint week ' || CAST(1 + doc_id % 52 AS VARCHAR)
+             WHEN 2 THEN ' ship ' || (['early','mid','late'])[CAST(1 + doc_id % 3 AS INT)]
+               || ' ' || {_MONTHS_SQL_LIST}[CAST(1 + doc_id % 12 AS INT)]
+             WHEN 3 THEN ' back the day '
+               || CASE WHEN doc_id % 2 = 0 THEN 'after tomorrow' ELSE 'before yesterday' END
+             ELSE ' meet ' || CASE WHEN doc_id % 2 = 0 THEN 'this' ELSE 'last' END || ' weekend'
+           END
+        || CASE WHEN doc_id % 6 = 0
+             THEN ' review Q' || CAST(1 + (doc_id // 6) % 4 AS VARCHAR) || ' 2026'
+           ELSE '' END
+"""
+
+_TEMPORAL4_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_TEMPORAL4_AUG_SQL} AS text FROM documents),
+    norm AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(text, 'Q([1-4]) ([0-9]{{4}})', 0),
+          s -> strftime(make_date(
+                 CAST(regexp_extract(s, ' ([0-9]{{4}})', 1) AS INT),
+                 3 * (CAST(regexp_extract(s, 'Q([1-4])', 1) AS INT) - 1) + 1, 1),
+               '%Y-%m-%d')) AS q,
+        list_transform(regexp_extract_all(text, 'week ([0-9]{{1,2}})', 1),
+          s -> strftime(DATE '2026-01-01' + to_days(7 * (CAST(s AS INT) - 1)),
+               '%Y-%m-%d')) AS w,
+        list_transform(regexp_extract_all(text, '(early|mid|late) ({_MONTH_ALT})', 0),
+          s -> strftime(CASE
+                 WHEN s LIKE 'late%' THEN last_day(make_date(2026,
+                   CAST({_month_case("regexp_extract(s, '(early|mid|late) (" + _MONTH_ALT + ")', 2)")} AS INT), 1))
+                 ELSE make_date(2026,
+                   CAST({_month_case("regexp_extract(s, '(early|mid|late) (" + _MONTH_ALT + ")', 2)")} AS INT),
+                   CASE WHEN s LIKE 'early%' THEN 1 ELSE 15 END)
+               END, '%Y-%m-%d')) AS p,
+        list_transform(regexp_extract_all(text, 'day (after tomorrow|before yesterday)', 1),
+          s -> strftime(DATE '2026-01-01'
+                 + to_days(CASE WHEN s = 'after tomorrow' THEN 2 ELSE -2 END),
+               '%Y-%m-%d')) AS d,
+        list_transform(regexp_extract_all(text, '(this|last) weekend', 1),
+          s -> CASE WHEN s = 'this' THEN '2026-01-03' ELSE '2025-12-27' END) AS we
+      FROM aug)
+    SELECT doc_id,
+      CAST(length(q) AS BIGINT) AS n_quarter,
+      CAST(length(w) AS BIGINT) AS n_weeknum,
+      CAST(length(p) AS BIGINT) AS n_phase,
+      CAST(length(d) AS BIGINT) AS n_dayrel,
+      CAST(length(we) AS BIGINT) AS n_weekend,
+      COALESCE(list_aggregate(q || w || p || d || we, 'min'), '') AS min_date4
+    FROM norm
+"""
+
+
+def _plant_temporal4(t: pa.Table) -> pa.Table:
+    """Python mirror of _TEMPORAL4_AUG_SQL (token for token)."""
+    from ..functions.temporal import MONTHS
+
+    ids = t.column("doc_id").to_numpy()
+    out = []
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        i = int(i)
+        c = i % 5
+        if c == 0:
+            s = f" fiscal Q{1 + i % 4} 2026"
+        elif c == 1:
+            s = f" sprint week {1 + i % 52}"
+        elif c == 2:
+            s = f" ship {['early', 'mid', 'late'][i % 3]} {MONTHS[i % 12]}"
+        elif c == 3:
+            s = " back the day " + ("after tomorrow" if i % 2 == 0 else "before yesterday")
+        else:
+            s = " meet " + ("this" if i % 2 == 0 else "last") + " weekend"
+        if i % 6 == 0:
+            s += f" review Q{1 + (i // 6) % 4} 2026"
+        out.append(txt + s)
+    return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+
+@register("temporal_extract_v4", _TEMPORAL4_SQL)
+def temporal_extract_v4(sf_dir: str):
+    """T6 temporal tier 4 (continuing VERDICT r3 'What's missing #1'
+    toward crawler/extractors/serendiocalendar.py:1-1219): quarters
+    ("Q2 2026" → the quarter's first day), simple week numbers
+    ("week 23" → anchor + 7·(n−1); plain offset, NOT ISO weeks —
+    documented in the stage), month phases ("early/mid/late June" →
+    day 1 / 15 / last), two-day relatives ("day after tomorrow" /
+    "day before yesterday" → anchor ±2) and weekends ("this/last
+    weekend" → the Saturday strictly after/before the Thu 2026-01-01
+    anchor: 2026-01-03 / 2025-12-27). Same planted both-sides
+    augmentation + actor-pool stage shape as tiers 1-3; every form
+    deterministic and SQL-reproducible bit for bit."""
+    from ..functions.temporal import TemporalExtractStageV4
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_temporal4, batch_format="pyarrow").map_batches(
+        TemporalExtractStageV4,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
+
+
 _NER_PERSONS_SQL = "['Alice', 'Bob', 'Carol', 'Dave', 'Erin', 'Frank']"
 _NER_AUG_SQL = f"""
         text
