@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "image_decode_stats",
     # round-3 continuation: the exact (no-LSH) dedup family's heaviest op
     "ngram_jaccard_pairs",
+    # round-4 addition: the K3 sink — full inverted-index build over the
+    # documents table + pruned-read BM25 search (the retrieval family's
+    # heaviest end-to-end op; ~7 s at sf0.1 / 16 cpus)
+    "solr_index_search_topk",
 ]
 
 

@@ -204,3 +204,98 @@ def test_largest_remainder_quota_property(ranks, total):
     for ri, si in zip(r.tolist(), slots.tolist()):
         q = fractions.Fraction(total * ri, R)
         assert q.__floor__() <= si <= -((-q).__floor__())  # floor(q) <= s <= ceil(q)
+
+
+# ------------------------------------------- round-4 curation stages
+
+
+@SET
+@given(st.integers(0, 7), st.integers(0, 7), st.integers(0, 255),
+       st.integers(0, 2**31 - 1))
+def test_border_detection_exact_on_arbitrary_planted_bars(top, bottom, fill, seed):
+    """ImageBorderStage must report EXACTLY the planted bar heights for
+    any bar sizes/fill value around random noise content (the catalog
+    query only exercises symmetric even-height bars)."""
+    import pyarrow as pa
+
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.stages.multimodal import ImageBorderStage
+
+    rng = np.random.default_rng(seed)
+    content = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    # forbid accidental uniform edge rows matching the fill (would
+    # legitimately extend the detected run)
+    content[0, 0, 0] = (int(fill) + 1) % 256
+    content[-1, 0, 0] = (int(fill) + 1) % 256
+    content[0, 1, 0] = (content[0, 0, 0] + 1) % 256
+    content[-1, 1, 0] = (content[-1, 0, 0] + 1) % 256
+    parts = []
+    if top:
+        parts.append(np.full((top, 5, 3), fill, np.uint8))
+    parts.append(content)
+    if bottom:
+        parts.append(np.full((bottom, 5, 3), fill, np.uint8))
+    img = np.concatenate(parts, axis=0)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["x"], pa.string()),
+            "bytes": pa.array([codecs.encode_raw(img)], pa.binary()),
+            "fmt": pa.array(["raw"], pa.string()),
+        }
+    )
+    t = ImageBorderStage()(batch)
+    assert t.column("top_border").to_pylist() == [top]
+    assert t.column("bottom_border").to_pylist() == [bottom]
+    assert t.column("content_rows").to_pylist() == [6]
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_scene_cut_count_matches_plant_for_any_seed(seed):
+    """VideoSceneCutStage must find exactly scenes−1 cuts on any
+    synth_scene_video composite (threshold separation is a property of
+    the generator, not of the fixture doc_ids)."""
+    import pyarrow as pa
+
+    from crawlerframework_ray.data.media import encode_qvd, scene_lengths, synth_scene_video
+    from crawlerframework_ray.stages.multimodal import VideoSceneCutStage
+
+    lens = scene_lengths(seed)
+    batch = pa.table(
+        {
+            "video_id": pa.array(["v"], pa.string()),
+            "bytes": pa.array([encode_qvd(synth_scene_video(seed, w=16, h=16))], pa.binary()),
+            "fmt": pa.array(["qvd"], pa.string()),
+        }
+    )
+    t = VideoSceneCutStage()(batch)
+    assert t.column("n_cuts").to_pylist() == [len(lens) - 1]
+    assert t.column("n_frames").to_pylist() == [sum(lens)]
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_audio_quality_matches_plant_for_any_seed(seed):
+    """AudioQualityStage counts must equal the plant arithmetic for any
+    seed (silence threshold margin is a property of the waveform
+    family: amp ≥ 4000 → rms ≥ ~2.3M milli vs the 100k threshold)."""
+    import pyarrow as pa
+
+    from crawlerframework_ray.data.media import (
+        encode_qau,
+        plant_audio_defects,
+        synth_defective_audio,
+    )
+    from crawlerframework_ray.stages.multimodal import AudioQualityStage
+
+    sil, clip = plant_audio_defects(seed)
+    batch = pa.table(
+        {
+            "audio_id": pa.array(["a"], pa.string()),
+            "bytes": pa.array([encode_qau(synth_defective_audio(seed))], pa.binary()),
+            "fmt": pa.array(["qau"], pa.string()),
+        }
+    )
+    t = AudioQualityStage()(batch)
+    assert t.column("n_silent").to_pylist() == [len(sil)]
+    assert t.column("n_clipped_samples").to_pylist() == [1024 if clip >= 0 else 0]
