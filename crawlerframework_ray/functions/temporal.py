@@ -37,6 +37,9 @@ Tier 3 (r4 — the remaining high-frequency serendiocalendar forms):
   anchor year (2026 is not a leap year: Feb 28)
 - named times:      ``at noon`` / ``at midnight`` — 12:00 / 00:00
 
+Tier 5 (r4 — holidays, seasons, halves, fortnights, dayparts): see
+``TemporalExtractStageV5``.
+
 Each form normalizes to an ISO ``YYYY-MM-DD`` string; per-document
 output is the per-form match count plus the MINIMUM normalized date
 (order-independent, so the oracle needs no document-order reasoning).
@@ -326,5 +329,86 @@ class TemporalExtractStageV4:
                 "n_dayrel": pa.array(n_d, pa.int64()),
                 "n_weekend": pa.array(n_we, pa.int64()),
                 "min_date4": pa.array(min_date, pa.string()),
+            }
+        )
+
+HOLIDAYS = {
+    "Christmas": "12-25", "Halloween": "10-31", "Independence Day": "07-04",
+    "Boxing Day": "12-26", "May Day": "05-01",
+}
+SEASONS = {"spring": 3, "summer": 6, "autumn": 9, "winter": 12}
+DAYPARTS = {"morning": "09:00", "afternoon": "15:00",
+            "evening": "19:00", "night": "23:00"}
+
+HOLIDAY_RX = r"(" + "|".join(HOLIDAYS) + r")"
+SEASON_RX = r"(" + "|".join(SEASONS) + r") ([0-9]{4})"
+HALF_RX = r"H([12]) ([0-9]{4})"
+FORTNIGHT_RX = r"(in a fortnight|a fortnight ago)"
+DAYPART_RX = (
+    r"(" + "|".join(WEEKDAYS) + r") (" + "|".join(DAYPARTS) + r")"
+)
+
+
+class TemporalExtractStageV5:
+    """Tier-5 grammar (continuing the VERDICT-r3 'What's missing #1'
+    ladder toward serendiocalendar.py): fixed-date holidays
+    (``Christmas`` → the anchor year's 12-25), meteorological seasons
+    (``summer 2026`` → that year's 06-01; spring/autumn/winter =
+    03/09/12-01), half-years (``H2 2026`` → 07-01), fortnight
+    relatives (``in a fortnight`` / ``a fortnight ago`` → anchor ±14)
+    and weekday dayparts (``Saturday night`` → the weekday STRICTLY
+    after the Thu 2026-01-01 anchor, plus the daypart's named clock
+    time 09:00/15:00/19:00/23:00). Output: per-form counts +
+    ``min_date5`` (min normalized ISO date, '' when none) +
+    ``min_time5`` (min daypart time, '' when none). Patterns compiled
+    once per actor; ASCII-only so Python re and DuckDB RE2 agree."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.holiday = re.compile(HOLIDAY_RX)
+        self.season = re.compile(SEASON_RX)
+        self.half = re.compile(HALF_RX)
+        self.fortnight = re.compile(FORTNIGHT_RX)
+        self.daypart = re.compile(DAYPART_RX)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        n_ho, n_se, n_ha, n_fn, n_dp, min_date, min_time = [], [], [], [], [], [], []
+        for t in texts:
+            dates: list[str] = []
+            ho = self.holiday.findall(t)
+            dates.extend(f"{ANCHOR.year:04d}-{HOLIDAYS[h]}" for h in ho)
+            se = self.season.findall(t)
+            dates.extend(f"{int(y):04d}-{SEASONS[s]:02d}-01" for s, y in se)
+            ha = self.half.findall(t)
+            dates.extend(
+                f"{int(y):04d}-{'01' if h == '1' else '07'}-01" for h, y in ha
+            )
+            fn = self.fortnight.findall(t)
+            dates.extend(
+                (ANCHOR + _dt.timedelta(days=14 if f == "in a fortnight" else -14)
+                 ).isoformat()
+                for f in fn
+            )
+            dp = self.daypart.findall(t)
+            dates.extend(next_weekday(_WD_NUM[w]).isoformat() for w, _ in dp)
+            times = [DAYPARTS[p] for _, p in dp]
+            n_ho.append(len(ho))
+            n_se.append(len(se))
+            n_ha.append(len(ha))
+            n_fn.append(len(fn))
+            n_dp.append(len(dp))
+            min_date.append(min(dates) if dates else "")
+            min_time.append(min(times) if times else "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_holiday": pa.array(n_ho, pa.int64()),
+                "n_season": pa.array(n_se, pa.int64()),
+                "n_half": pa.array(n_ha, pa.int64()),
+                "n_fortnight": pa.array(n_fn, pa.int64()),
+                "n_daypart": pa.array(n_dp, pa.int64()),
+                "min_date5": pa.array(min_date, pa.string()),
+                "min_time5": pa.array(min_time, pa.string()),
             }
         )

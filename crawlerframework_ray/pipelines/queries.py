@@ -9734,3 +9734,315 @@ def solr_index_boolean_and(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True).astype(
         {"doc_id": "int64"}
     )
+
+
+# =====================================================================
+# Round-4: redirect-chain resolution (pointer doubling) and the
+# inbound anchor-text index — two crawler-core ops the catalog lacked
+# (reference: baseconnector.py follows HTTP 301/302 chains via
+# urllib's redirect handler; anchor aggregation is the Solr index's
+# inbound-text field, baseconnector.py:566-581).
+# =====================================================================
+
+# Deterministic redirect graph over the documents table: URLs are
+# doc_ids; inside each 16-id block the offset-o URL redirects one
+# step (odd o) or two steps (even o) toward the block base, which is
+# the terminal — chains up to 8 hops, so pointer doubling resolves in
+# ceil(log2(8)) + 1 = 4 rounds.
+_REDIRECT_SQL = """
+    WITH RECURSIVE redir AS (
+      SELECT doc_id AS u,
+             CASE WHEN doc_id % 16 = 0 THEN doc_id
+                  WHEN doc_id % 2 = 1 THEN doc_id - 1
+                  ELSE doc_id - 2 END AS nxt
+      FROM documents),
+    walk(u, cur, hops) AS (
+      SELECT u, u, 0 FROM redir
+      UNION ALL
+      SELECT w.u, r.nxt, w.hops + 1
+      FROM walk w JOIN redir r ON r.u = w.cur
+      WHERE r.nxt != w.cur)
+    SELECT CAST(w.u AS BIGINT) AS url_id,
+           CAST(w.cur AS BIGINT) AS terminal_id,
+           CAST(w.hops AS BIGINT) AS hops
+    FROM walk w
+    JOIN (SELECT u, MAX(hops) AS mh FROM walk GROUP BY u) m
+      ON m.u = w.u AND m.mh = w.hops
+"""
+
+
+@register("redirect_chain_resolution", _REDIRECT_SQL)
+def redirect_chain_resolution(sf_dir: str):
+    """Resolve every URL's redirect chain to its terminal URL + hop
+    count by DISTRIBUTED POINTER DOUBLING: the successor table is a
+    Dataset of (u, nxt, hops, done); each round hash-joins the active
+    rows against the full table on nxt=u, squaring the step length
+    (succ <- succ(succ), hops additive), so an L-hop chain resolves in
+    ceil(log2 L)+1 bounded shuffles — never L sequential lookups and
+    never a driver-resident successor map. The driver sees one
+    remaining-active count per round. At 10^10 URLs each round is one
+    partitioned hash join; state never leaves the cluster.
+    Reference semantics: the redirect-following fetch loop in
+    crawler/connectors/baseconnector.py (urllib HTTPRedirectHandler).
+    """
+    from ..stages.joins import hash_join
+
+    def seed(t: pa.Table) -> pd.DataFrame:
+        u = t.column("doc_id").to_numpy()
+        o = u % 16
+        nxt = np.where(o == 0, u, np.where(u % 2 == 1, u - 1, u - 2))
+        done = (nxt % 16 == 0) | (o == 0)
+        return pd.DataFrame({
+            "u": u.astype(np.int64),
+            "nxt": nxt.astype(np.int64),
+            "hops": (o != 0).astype(np.int64),
+            "done": done,
+        })
+
+    state = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        seed, batch_format="pyarrow"
+    ).materialize()
+
+    for _ in range(8):  # 2^8 = 256-hop ceiling; chains here are <= 8
+        active = state.map_batches(
+            lambda df: df[~df["done"]], batch_format="pandas"
+        )
+        n_active = active.count()  # ONE scalar to the driver per round
+        if n_active == 0:
+            break
+        finished = state.map_batches(
+            lambda df: df[df["done"]], batch_format="pandas"
+        )
+        lookup = state.map_batches(
+            lambda df: df.rename(columns={
+                "u": "nxt", "nxt": "nxt2", "hops": "hops2", "done": "done2"
+            }),
+            batch_format="pandas",
+        )
+        advanced = hash_join(
+            active, lookup, key="nxt",
+            left_cols=["u", "hops"], right_cols=["nxt2", "hops2", "done2"],
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "u": df["u"].astype("int64"),
+                "nxt": df["nxt2"].astype("int64"),
+                "hops": (df["hops"] + df["hops2"]).astype("int64"),
+                "done": df["done2"].astype(bool),
+            }),
+            batch_format="pandas",
+        )
+        # materialize per round: bounds lineage depth and block count
+        # (the graph-family lesson — block growth doubles sweep time)
+        state = finished.union(advanced).repartition(8, shuffle=False).materialize()
+
+    out = state.to_pandas()
+    assert bool(out["done"].all()), "unresolved redirect chains after doubling"
+    return (
+        out.rename(columns={"u": "url_id", "nxt": "terminal_id"})
+        [["url_id", "terminal_id", "hops"]]
+        .sort_values("url_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"url_id": "int64", "terminal_id": "int64", "hops": "int64"})
+    )
+
+
+# Inbound anchor-text index: two deterministic outlinks per document
+# (target host + which token window is the anchor), aggregated into
+# the classic "what the web calls this host" field.
+_ANCHOR_SQL = """
+    WITH links AS (
+      SELECT (doc_id * 7 + 3) % 64 AS host,
+             list_slice(string_split(text, ' '), 1, 3) AS terms
+      FROM documents
+      UNION ALL
+      SELECT (doc_id * 13 + 5) % 64,
+             list_slice(string_split(text, ' '), 4, 6)
+      FROM documents),
+    t AS (SELECT host, unnest(terms) AS term FROM links),
+    counts AS (
+      SELECT host, term, COUNT(*) AS n FROM t WHERE term != ''
+      GROUP BY host, term),
+    ranked AS (
+      SELECT host, term, n,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY n DESC, term) AS rk
+      FROM counts)
+    SELECT CAST(host AS BIGINT) AS host, term,
+           CAST(n AS BIGINT) AS n_mentions, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@register("anchor_text_index", _ANCHOR_SQL)
+def anchor_text_index(sf_dir: str):
+    """Top-3 inbound anchor terms per target host — the search-index
+    field built from what OTHER pages' links say about a host. Each
+    doc emits two (host, anchor-window) links; terms explode inside
+    map_batches (vectorized split + repeat, no row loop), counts fold
+    through ONE bucketed groupby on (host, term), and the per-host
+    top-3 is a second small bucketed reduce keyed by host — the
+    grouped-top-k shape (O2) applied to link text. At crawl scale the
+    (host, term) partials pre-aggregate per batch before the shuffle,
+    so the exchange carries distinct keys, not link instances."""
+    from ..stages.agg import bucketed_group_agg
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        toks = [s.split(" ") for s in t.column("text").to_pylist()]
+        ids = t.column("doc_id").to_numpy()
+        hosts, terms = [], []
+        for i, tk in zip(ids, toks):
+            w1, w2 = tk[0:3], tk[3:6]
+            hosts.extend([(int(i) * 7 + 3) % 64] * len(w1))
+            terms.extend(w1)
+            hosts.extend([(int(i) * 13 + 5) % 64] * len(w2))
+            terms.extend(w2)
+        df = pd.DataFrame({"host": np.asarray(hosts, dtype=np.int64), "term": terms})
+        df = df[df["term"] != ""]
+        # per-batch partial count: the shuffle carries (host, term)
+        # keys, not raw link mentions
+        return df.groupby(["host", "term"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = bucketed_group_agg(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        ["host", "term"],
+        lambda g: g.groupby(["host", "term"], as_index=False)["n"].sum(),
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "n", "term"], ascending=[True, False, True],
+                          kind="mergesort")
+        g["rank"] = g.groupby("host").cumcount() + 1
+        return g[g["rank"] <= 3]
+
+    out = bucketed_group_agg(counts, ["host"], topk).to_pandas()
+    return (
+        out.rename(columns={"n": "n_mentions"})
+        [["host", "term", "n_mentions", "rank"]]
+        .sort_values(["host", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"host": "int64", "n_mentions": "int64", "rank": "int64"})
+    )
+
+
+_TEMPORAL5_AUG_SQL = """
+        text
+        || CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN ' party on ' || (['Christmas','Halloween','Independence Day','Boxing Day','May Day'])[CAST(1 + doc_id % 5 AS INT)]
+             WHEN 1 THEN ' launch ' || (['spring','summer','autumn','winter'])[CAST(1 + doc_id % 4 AS INT)] || ' 2026'
+             WHEN 2 THEN ' targets H' || CAST(1 + doc_id % 2 AS VARCHAR) || ' 2026'
+             WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN ' due in a fortnight' ELSE ' seen a fortnight ago' END
+             ELSE ' sync ' || (['Monday','Tuesday','Wednesday','Thursday','Friday','Saturday','Sunday'])[CAST(1 + doc_id % 7 AS INT)]
+                  || ' ' || (['morning','afternoon','evening','night'])[CAST(1 + doc_id % 4 AS INT)]
+           END
+        || CASE WHEN doc_id % 7 = 0 THEN ' recap winter 2025' ELSE '' END
+"""
+
+_DAYPART_RX_SQL = (
+    "(Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday)"
+    " (morning|afternoon|evening|night)"
+)
+
+_TEMPORAL5_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_TEMPORAL5_AUG_SQL} AS text FROM documents),
+    norm AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(text,
+            '(Christmas|Halloween|Independence Day|Boxing Day|May Day)', 1),
+          s -> CASE s WHEN 'Christmas' THEN '2026-12-25'
+                      WHEN 'Halloween' THEN '2026-10-31'
+                      WHEN 'Independence Day' THEN '2026-07-04'
+                      WHEN 'Boxing Day' THEN '2026-12-26'
+                      ELSE '2026-05-01' END) AS hol,
+        list_transform(regexp_extract_all(text,
+            '(spring|summer|autumn|winter) ([0-9]{{4}})', 0),
+          s -> regexp_extract(s, '([0-9]{{4}})', 1) || '-'
+               || CASE WHEN s LIKE 'spring%' THEN '03'
+                       WHEN s LIKE 'summer%' THEN '06'
+                       WHEN s LIKE 'autumn%' THEN '09'
+                       ELSE '12' END || '-01') AS sea,
+        list_transform(regexp_extract_all(text, 'H([12]) ([0-9]{{4}})', 0),
+          s -> regexp_extract(s, '([0-9]{{4}})', 1)
+               || CASE WHEN s LIKE 'H1%' THEN '-01-01' ELSE '-07-01' END) AS hf,
+        list_transform(regexp_extract_all(text,
+            '(in a fortnight|a fortnight ago)', 1),
+          s -> CASE WHEN s = 'in a fortnight'
+                    THEN '2026-01-15' ELSE '2025-12-18' END) AS fn,
+        list_transform(regexp_extract_all(text, '{_DAYPART_RX_SQL}', 0),
+          s -> CASE WHEN s LIKE 'Monday%' THEN '2026-01-05'
+                    WHEN s LIKE 'Tuesday%' THEN '2026-01-06'
+                    WHEN s LIKE 'Wednesday%' THEN '2026-01-07'
+                    WHEN s LIKE 'Thursday%' THEN '2026-01-08'
+                    WHEN s LIKE 'Friday%' THEN '2026-01-02'
+                    WHEN s LIKE 'Saturday%' THEN '2026-01-03'
+                    ELSE '2026-01-04' END) AS dpd,
+        list_transform(regexp_extract_all(text, '{_DAYPART_RX_SQL}', 0),
+          s -> CASE WHEN s LIKE '%morning' THEN '09:00'
+                    WHEN s LIKE '%afternoon' THEN '15:00'
+                    WHEN s LIKE '%evening' THEN '19:00'
+                    ELSE '23:00' END) AS dpt
+      FROM aug)
+    SELECT doc_id,
+      CAST(length(hol) AS BIGINT) AS n_holiday,
+      CAST(length(sea) AS BIGINT) AS n_season,
+      CAST(length(hf) AS BIGINT) AS n_half,
+      CAST(length(fn) AS BIGINT) AS n_fortnight,
+      CAST(length(dpd) AS BIGINT) AS n_daypart,
+      COALESCE(list_aggregate(hol || sea || hf || fn || dpd, 'min'), '') AS min_date5,
+      COALESCE(list_aggregate(dpt, 'min'), '') AS min_time5
+    FROM norm
+"""
+
+
+def _plant_temporal5(t: pa.Table) -> pa.Table:
+    """Python mirror of _TEMPORAL5_AUG_SQL (token for token)."""
+    from ..functions.temporal import MONTHS  # noqa: F401  (family convention)
+
+    ids = t.column("doc_id").to_numpy()
+    hols = ["Christmas", "Halloween", "Independence Day", "Boxing Day", "May Day"]
+    seasons = ["spring", "summer", "autumn", "winter"]
+    wds = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
+    parts = ["morning", "afternoon", "evening", "night"]
+    out = []
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        i = int(i)
+        c = i % 5
+        if c == 0:
+            s = " party on " + hols[i % 5]
+        elif c == 1:
+            s = " launch " + seasons[i % 4] + " 2026"
+        elif c == 2:
+            s = f" targets H{1 + i % 2} 2026"
+        elif c == 3:
+            s = " due in a fortnight" if i % 2 == 0 else " seen a fortnight ago"
+        else:
+            s = " sync " + wds[i % 7] + " " + parts[i % 4]
+        if i % 7 == 0:
+            s += " recap winter 2025"
+        out.append(txt + s)
+    return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+
+@register("temporal_extract_v5", _TEMPORAL5_SQL)
+def temporal_extract_v5(sf_dir: str):
+    """T6 temporal tier 5 (continuing the VERDICT-r3 'What's missing
+    #1' grammar ladder toward crawler/extractors/serendiocalendar.py:
+    1-1219): fixed-date holidays ("Christmas" → the anchor year's
+    12-25; Halloween/Independence Day/Boxing Day/May Day), seasons
+    ("summer 2026" → the named year's meteorological start 06-01),
+    half-years ("H2 2026" → 07-01), fortnight relatives ("in a
+    fortnight"/"a fortnight ago" → Thu 2026-01-01 anchor ±14) and
+    weekday dayparts ("Saturday night" → the weekday strictly after
+    the anchor + the daypart's named clock time). Same planted
+    both-sides augmentation + actor-pool stage shape as tiers 1-4;
+    every form deterministic and SQL-reproducible bit for bit."""
+    from ..functions.temporal import TemporalExtractStageV5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_temporal5, batch_format="pyarrow").map_batches(
+        TemporalExtractStageV5,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
