@@ -10046,3 +10046,37 @@ def temporal_extract_v5(sf_dir: str):
         fn_constructor_kwargs={"text_column": "text"},
         batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
     )
+
+
+@register("solr_index_merge_search", _BM25_SQL)
+def solr_index_merge_search(sf_dir: str):
+    """K3 lifecycle completed: two index SEGMENTS built over disjoint
+    halves of the corpus (doc_id < 250 / >= 250), merged by
+    ``merge_indexes`` (Lucene-style segment merge: postings
+    re-coalesced per term bucket, dictionary dfs term-summed, doc
+    stores unioned under a co-located duplicate-id check, manifest
+    last), then the _BM25_QUERIES answered FROM THE MERGED INDEX.
+    Oracle: the same _BM25_SQL over the whole documents table — the
+    split → merge → search round trip must reproduce the single-build
+    scan-path scores bit for bit (df/dl/corpus stats all re-derived
+    through the merge arithmetic)."""
+    import shutil
+    import tempfile
+
+    from ..sources.solrsink import commit_index, merge_indexes, search_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lo = ds.map_batches(
+        lambda df: df[df["doc_id"] < 250], batch_format="pandas"
+    )
+    hi = ds.map_batches(
+        lambda df: df[df["doc_id"] >= 250], batch_format="pandas"
+    )
+    base = tempfile.mkdtemp(prefix="cfray-solrmerge-", dir="/tmp")
+    try:
+        commit_index(lo, f"{base}/seg_lo", n_buckets=16)
+        commit_index(hi, f"{base}/seg_hi", n_buckets=16)
+        merge_indexes([f"{base}/seg_lo", f"{base}/seg_hi"], f"{base}/merged")
+        return search_topk(f"{base}/merged", _BM25_QUERIES, k=10)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

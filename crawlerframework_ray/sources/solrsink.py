@@ -307,3 +307,106 @@ def boolean_and(out_dir: str, terms: list[str],
     store_files = _bucket_files(out_dir, DOCSTORE_DIR, list(range(n_b)))
     store = ray.data.read_parquet(store_files, columns=["doc_id"] + columns)
     return hash_join(matched, store, "doc_id", ["doc_id"], columns)
+
+
+def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
+    """Lucene-style SEGMENT MERGE: combine N committed indexes over
+    disjoint doc-id sets into one committed index, entirely as
+    streaming Ray Data passes over the segments' artifacts — postings
+    re-coalesce per term bucket (one bucketed shuffle), dictionary
+    document frequencies fold by term sum, doc stores union with a
+    per-bucket duplicate-id check (doc stores are id-bucketed, so a
+    cross-segment duplicate ALWAYS co-locates and is caught without a
+    global distinct). Manifest written last, same commit semantics as
+    ``commit_index``. The reference delegated this lifecycle to Solr's
+    own segment merging (baseconnector.py:566-581 saveToSolr +
+    commit); here it is a first-class distributed op.
+
+    All segments must share ``n_buckets`` and ``stored_columns``;
+    raises ``ValueError`` on mismatch or on duplicate doc ids."""
+    mans = [load_manifest(s) for s in src_dirs]
+    n_b = mans[0]["n_buckets"]
+    stored = mans[0]["stored_columns"]
+    for m, s in zip(mans, src_dirs):
+        if m["n_buckets"] != n_b or m["stored_columns"] != stored:
+            raise ValueError(f"segment {s} layout mismatch: {m}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Postings: one read over every segment's posting files, term
+    # bucket recomputed (the hive bucket column does not survive an
+    # explicit-file read), coalesced so the merged index has ~one
+    # file per bucket regardless of segment count.
+    post_files = [
+        f for s in src_dirs for f in _bucket_files(s, POSTINGS_DIR, list(range(n_b)))
+    ]
+
+    def rebucket_terms(t: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (zlib.crc32(s.encode()) % n_b for s in t.column("term").to_pylist()),
+            dtype=np.int64, count=len(t),
+        )
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    (
+        ray.data.read_parquet(post_files, columns=["term", "doc_id", "tf", "dl"])
+        .map_batches(rebucket_terms, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: g, batch_format="pandas")
+        .write_parquet(os.path.join(out_dir, POSTINGS_DIR), partition_cols=["bucket"])
+    )
+
+    # Dictionary: df is additive across disjoint segments — one
+    # bucketed term-sum fold over every segment's dictionary rows.
+    dict_files = [
+        f for s in src_dirs for f in _bucket_files(s, DICT_DIR, list(range(n_b)))
+    ]
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)["df"].sum()
+        out["bucket"] = np.fromiter(
+            (zlib.crc32(s.encode()) % n_b for s in out["term"]),
+            dtype=np.int64, count=len(out),
+        )
+        return out.astype({"df": "int64"})
+
+    bucketed_group_agg(
+        ray.data.read_parquet(dict_files, columns=["term", "df"]), ["term"], df_fold
+    ).write_parquet(os.path.join(out_dir, DICT_DIR), partition_cols=["bucket"])
+
+    # Doc store: union with the co-located duplicate check.
+    store_files = [
+        f for s in src_dirs for f in _bucket_files(s, DOCSTORE_DIR, list(range(n_b)))
+    ]
+
+    def check_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g["doc_id"].duplicated().any():
+            dup = int(g.loc[g["doc_id"].duplicated(), "doc_id"].iloc[0])
+            raise ValueError(f"duplicate doc_id {dup} across merged segments")
+        return g
+
+    def rebucket_ids(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(ids % n_b, pa.int64())
+        )
+
+    (
+        ray.data.read_parquet(store_files, columns=["doc_id", "dl"] + stored)
+        .map_batches(rebucket_ids, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(check_bucket, batch_format="pandas")
+        .write_parquet(os.path.join(out_dir, DOCSTORE_DIR), partition_cols=["bucket"])
+    )
+
+    manifest = {
+        "version": 1,
+        "n_buckets": n_b,
+        "n_docs": int(sum(m["n_docs"] for m in mans)),
+        "total_len": int(sum(m["total_len"] for m in mans)),
+        "stored_columns": stored,
+    }
+    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))  # commit point
+    return manifest

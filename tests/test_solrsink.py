@@ -147,3 +147,48 @@ def test_boolean_and_matches_pandas(ray_session, tmp_path):
         .astype({"doc_id": "int64"})
     )
     pd.testing.assert_frame_equal(got[["doc_id", "lang", "source"]], want)
+
+
+def test_merge_matches_single_build(ray_session, index_dir, tmp_path):
+    """Split → per-half commit → merge must reproduce the single-build
+    index exactly: identical manifests, identical dictionary dfs,
+    identical search results."""
+    from crawlerframework_ray.sources.solrsink import merge_indexes
+
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    lo = ds.map_batches(lambda df: df[df["doc_id"] < 250], batch_format="pandas")
+    hi = ds.map_batches(lambda df: df[df["doc_id"] >= 250], batch_format="pandas")
+    commit_index(lo, str(tmp_path / "lo"), n_buckets=8, stored_columns=("lang", "source"))
+    commit_index(hi, str(tmp_path / "hi"), n_buckets=8, stored_columns=("lang", "source"))
+    man = merge_indexes([str(tmp_path / "lo"), str(tmp_path / "hi")], str(tmp_path / "m"))
+
+    assert man == load_manifest(index_dir)
+    terms = ["dup", "merge", "vector", "hash", "join"]
+    assert term_dfs(str(tmp_path / "m"), terms) == term_dfs(index_dir, terms)
+    merged = search_topk(str(tmp_path / "m"), QUERIES, k=10)
+    single = search_topk(index_dir, QUERIES, k=10)
+    pd.testing.assert_frame_equal(merged, single)
+
+
+def test_merge_rejects_duplicate_doc_ids(ray_session, index_dir, tmp_path):
+    """Overlapping doc-id sets must fail loudly at merge time (the
+    id-bucketed doc store co-locates any cross-segment duplicate)."""
+    from crawlerframework_ray.sources.solrsink import merge_indexes
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        merge_indexes([index_dir, index_dir], str(tmp_path / "bad"))
+
+
+def test_merge_rejects_layout_mismatch(ray_session, index_dir, tmp_path):
+    """Different n_buckets across segments is a layout error."""
+    from crawlerframework_ray.sources.solrsink import merge_indexes
+
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    commit_index(ds, str(tmp_path / "other"), n_buckets=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_indexes([index_dir, str(tmp_path / "other")], str(tmp_path / "bad"))
