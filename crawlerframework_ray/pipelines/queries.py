@@ -9886,16 +9886,20 @@ def anchor_text_index(sf_dir: str):
     from ..stages.agg import bucketed_group_agg
 
     def explode(t: pa.Table) -> pd.DataFrame:
-        toks = [s.split(" ") for s in t.column("text").to_pylist()]
-        ids = t.column("doc_id").to_numpy()
-        hosts, terms = [], []
-        for i, tk in zip(ids, toks):
-            w1, w2 = tk[0:3], tk[3:6]
-            hosts.extend([(int(i) * 7 + 3) % 64] * len(w1))
-            terms.extend(w1)
-            hosts.extend([(int(i) * 13 + 5) % 64] * len(w2))
-            terms.extend(w2)
-        df = pd.DataFrame({"host": np.asarray(hosts, dtype=np.int64), "term": terms})
+        toks = pd.Series(t.column("text").to_pylist()).str.split(" ")
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        w1 = toks.str[0:3]
+        w2 = toks.str[3:6]
+        df = pd.DataFrame({
+            "host": np.concatenate([
+                np.repeat((ids * 7 + 3) % 64, w1.str.len().to_numpy(np.int64)),
+                np.repeat((ids * 13 + 5) % 64, w2.str.len().to_numpy(np.int64)),
+            ]),
+            "term": np.concatenate([
+                np.concatenate([np.asarray(x, dtype=object) for x in w1]),
+                np.concatenate([np.asarray(x, dtype=object) for x in w2]),
+            ]),
+        })
         df = df[df["term"] != ""]
         # per-batch partial count: the shuffle carries (host, term)
         # keys, not raw link mentions
@@ -10080,3 +10084,41 @@ def solr_index_merge_search(sf_dir: str):
         return search_topk(f"{base}/merged", _BM25_QUERIES, k=10)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_PPS_STEP = 2048
+
+_PPS_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((excl + n_chars) // {_PPS_STEP} - excl // {_PPS_STEP} AS BIGINT) AS n_hits
+    FROM w
+    WHERE (excl + n_chars) // {_PPS_STEP} > excl // {_PPS_STEP}
+"""
+
+
+@register("pps_systematic_sample", _PPS_SQL)
+def pps_systematic_sample(sf_dir: str):
+    """Weighted corpus sampling by SYSTEMATIC PPS (Madow): documents
+    selected with probability proportional to n_chars by walking the
+    cumulative-weight line in doc_id order and taking every row whose
+    weight interval crosses a multiple of the step — exact sample size
+    total_weight//step, zero RNG, identical output at any cluster
+    size/retry schedule. The global exclusive prefix sum runs as the
+    same two-phase distributed scan as sequence packing
+    (stages/scan.py): per-range totals → driver offsets (one tiny row
+    per range) → per-range parallel cumsum. The weighted-mixture
+    construction move (upsample_mixture's sampling dual)."""
+    from ..stages.scan import pps_systematic
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = pps_systematic(ds, "doc_id", "n_chars", _PPS_STEP).to_pandas()
+    return (
+        out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars": "int64", "n_hits": "int64"})
+    )

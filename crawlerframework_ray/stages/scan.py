@@ -76,3 +76,49 @@ def packed_bins(ds, key: str, weight: str, budget: int, range_width: int = 4096,
         return out
 
     return ranged.groupby("__range").map_groups(within_range, batch_format="pandas")
+
+
+def pps_systematic(ds, key: str, weight: str, step: int, range_width: int = 4096):
+    """Madow's SYSTEMATIC PPS SAMPLING (probability proportional to
+    size): lay the rows out on the cumulative-weight line in canonical
+    ``key`` order and select every row whose interval
+    ``[excl_prefix, excl_prefix + weight)`` contains a multiple of
+    ``step`` — each row is drawn with probability ∝ its weight, the
+    sample size is ``total_weight // step`` exactly, and the draw is
+    RNG-free (retry/partition invariant). Same two-phase distributed
+    scan as ``packed_bins``; returns the SELECTED rows as
+    (key, weight, n_hits) where ``n_hits`` ≥ 2 flags rows heavier than
+    ``step`` (they would be sampled with multiplicity — the standard
+    PPS certainty-unit signal)."""
+
+    def add_range(t: pa.Table) -> pa.Table:
+        rid = pa.compute.cast(
+            pa.compute.divide(t.column(key), range_width), pa.int64()
+        )
+        return t.append_column("__range", rid)
+
+    ranged = ds.map_batches(add_range, batch_format="pyarrow")
+
+    def partial_totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"__range": t.column("__range").to_numpy(), "total": t.column(weight).to_numpy()}
+        ).groupby("__range", as_index=False)["total"].sum()
+        return pa.table(
+            {"__range": pa.array(df["__range"], pa.int64()),
+             "total": pa.array(df["total"].astype("int64"), pa.int64())}
+        )
+
+    totals = ranged.map_batches(partial_totals, batch_format="pyarrow").to_pandas()
+    per_range = totals.groupby("__range")["total"].sum().sort_index()
+    offsets = per_range.cumsum().shift(fill_value=0).to_dict()  # exclusive
+
+    def within_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key)
+        excl = (g[weight].cumsum().shift(fill_value=0)
+                + offsets[int(g["__range"].iloc[0])]).astype("int64")
+        hits = ((excl + g[weight]) // step - excl // step).astype("int64")
+        out = g[[key, weight]].copy()
+        out["n_hits"] = hits
+        return out[out["n_hits"] > 0]
+
+    return ranged.groupby("__range").map_groups(within_range, batch_format="pandas")

@@ -110,3 +110,35 @@ def test_fold_grid_partials_matches_serial(ray_session):
     got_max = fold_grid_partials(ray.data.from_arrow(tb).repartition(8),
                                  "grid", np.uint8, "max", fan=4, levels=2)
     np.testing.assert_array_equal(got_max, np.max(np.stack(bits), axis=0))
+
+
+def test_pps_systematic_matches_serial_and_sizes(ray_session):
+    """Distributed systematic PPS sampling == the serial walk of the
+    cumulative-weight line; exact sample multiplicity total//step;
+    heavy rows (weight > step) appear with n_hits >= 2."""
+    import pandas as pd
+    import ray.data
+
+    from crawlerframework_ray.stages.scan import pps_systematic
+
+    rng = np.random.default_rng(7)
+    keys = np.sort(rng.choice(100_000, size=3_000, replace=False))
+    w = rng.integers(1, 700, size=3_000)
+    w[100] = 5_000  # a certainty unit heavier than the step
+    df = pd.DataFrame({"k": keys.astype("int64"), "w": w.astype("int64")})
+    ds = ray.data.from_pandas(df).repartition(13)
+
+    step = 1500
+    got = (
+        pps_systematic(ds, "k", "w", step, range_width=1024)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    serial = df.sort_values("k").reset_index(drop=True)
+    excl = serial["w"].cumsum().shift(fill_value=0).astype("int64")
+    hits = ((excl + serial["w"]) // step - excl // step).astype("int64")
+    want = serial[hits > 0].assign(n_hits=hits[hits > 0]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False
+    )
+    assert got["n_hits"].sum() == int(serial["w"].sum()) // step
+    assert int(got.loc[got["k"] == keys[100], "n_hits"].iloc[0]) >= 2
