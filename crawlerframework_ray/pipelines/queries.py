@@ -10122,3 +10122,74 @@ def pps_systematic_sample(sf_dir: str):
         out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
         .astype({"doc_id": "int64", "n_chars": "int64", "n_hits": "int64"})
     )
+
+
+_ER_SQL = """
+    WITH recs AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+             c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             replace(c_name, 'Customer', 'Custmoer'),
+             c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0),
+    b AS (SELECT id, nation, seg,
+                 regexp_extract(name, '([0-9]+)', 1) AS digits
+          FROM recs)
+    SELECT CAST(a.id AS BIGINT) AS id_a,
+           CAST(bb.id AS BIGINT) AS id_b,
+           CAST(a.nation AS BIGINT) AS nation
+    FROM b a JOIN b bb
+      ON a.nation = bb.nation
+     AND right(a.digits, 1) = right(bb.digits, 1)
+     AND a.id < bb.id
+    WHERE a.digits = bb.digits AND a.seg = bb.seg
+"""
+
+
+@register("entity_resolution_customers", _ER_SQL)
+def entity_resolution_customers(sf_dir: str):
+    """Record linkage / entity resolution with BLOCKING — the classic
+    two-stage shape (Fellegi-Sunter lineage): records fan into small
+    candidate blocks on a cheap key (nation, last digit of the name's
+    numeric id — every planted duplicate lands in its original's
+    block), then the exact multi-field match (name digits equal +
+    market segment equal — robust to the planted 'Customer'→'Custmoer'
+    transposition typo) runs QUADRATICALLY ONLY WITHIN A BLOCK. The
+    planted-both-sides augmentation doubles every 7th customer with a
+    typo'd name under a shifted id, so matched pairs are exactly the
+    plants while blocks still carry ~6 records each (candidate pairs
+    >> matches — the realistic ER funnel). One bounded shuffle on the
+    block key; block size is the documented skew bound (a hot block
+    would need the same salting as hash_join's n_salts)."""
+    from ..stages.agg import bucketed_group_agg
+
+    def aug(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "id": t.column("c_custkey").to_numpy().astype("int64"),
+            "name": t.column("c_name").to_pylist(),
+            "nation": t.column("c_nationkey").to_numpy().astype("int64"),
+            "seg": t.column("c_mktsegment").to_pylist(),
+        })
+        dup = df[df["id"] % 7 == 0].copy()
+        dup["id"] = dup["id"] + 1000000
+        dup["name"] = dup["name"].str.replace("Customer", "Custmoer", regex=False)
+        out = pd.concat([df, dup], ignore_index=True)
+        out["digits"] = out["name"].str.extract(r"([0-9]+)", expand=False)
+        out["blk"] = out["digits"].str[-1]
+        return out
+
+    def match_block(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["nation", "blk", "digits", "seg"], suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        return m[["id_a", "id_b", "nation"]].astype("int64")
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+    out = bucketed_group_agg(
+        ds.map_batches(aug, batch_format="pyarrow"), ["nation", "blk"], match_block
+    ).to_pandas()
+    return (
+        out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+        .astype({"id_a": "int64", "id_b": "int64", "nation": "int64"})
+    )
