@@ -10193,3 +10193,193 @@ def entity_resolution_customers(sf_dir: str):
         out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
         .astype({"id_a": "int64", "id_b": "int64", "nation": "int64"})
     )
+
+
+@register("image_tile_crop_dups", _golden_sql("tile_crop_pairs"))
+def image_tile_crop_dups(sf_dir: str):
+    """Crop-robust image near-dup via tiled perceptual hashes — the
+    repost detector that whole-image phash grouping misses: a margin
+    crop shifts every 8x8 phash cell and flips most bits, but a crop
+    that removes whole tile bands keeps the surviving fixed-grid tiles
+    bit-identical (stages/multimodal.TilePhashStage). Cropped twins are
+    PLANTED (every doc_id % 12 == 0 gets an img[16:, 16:] copy,
+    id-suffixed ``~c``) so recall is measured, not assumed: each
+    planted pair must surface with shared_tiles equal to the full
+    overlap grid (h/16 - 1) * (w/16 - 1) derived from the page dims.
+    The golden recomputes per-image tile-hash sets + quadratic
+    all-pairs intersections longhand (tools/make_goldens.tile_crop_pairs;
+    average_hash is the shared regression-pinned leaf), so a spurious
+    pair OR a missed plant fails the gate.
+
+    Scale shape: signature explode in the decode actor pool, then the
+    same two bounded bucketed shuffles as the exact-Jaccard pair engine
+    (co-locate by tile_hash -> emit distinct pairs; co-locate by pair
+    key -> count shared tiles). A hot degenerate hash (>64 images)
+    raises rather than silently exploding the pair expansion.
+
+    Reference analogue: the phash dedup slot of the connector fetch
+    loop (crawler/connectors/baseconnector.py:1140-1251), hardened to
+    the crop-repost case."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.multimodal import TilePhashStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20, size_shift=2)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(384)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids_, bytes_, fmts_ = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            ids_.append(rec["image_id"]); bytes_.append(rec["bytes"]); fmts_.append(rec["fmt"])
+            if d % 12 == 0:
+                img = _codecs.decode(rec["bytes"], rec["fmt"])
+                ids_.append(rec["image_id"] + "~c")
+                bytes_.append(_codecs.encode_raw(np.ascontiguousarray(img[16:, 16:])))
+                fmts_.append("raw")
+        return pa.table(
+            {
+                "image_id": pa.array(ids_, pa.string()),
+                "bytes": pa.array(bytes_, pa.binary()),
+                "fmt": pa.array(fmts_, pa.string()),
+            }
+        )
+
+    tiles = ds.map_batches(gen, batch_format="pyarrow", batch_size=128).map_batches(
+        TilePhashStage, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("tile_hash"):
+            ids_ = sorted(grp["image_id"].tolist())
+            if len(ids_) < 2:
+                continue
+            if len(ids_) > 64:
+                raise ValueError(
+                    f"degenerate tile hash shared by {len(ids_)} images — raise the guard deliberately"
+                )
+            ii, jj = np.triu_indices(len(ids_), k=1)
+            for i, j in zip(ii, jj):
+                rows.append((ids_[i], ids_[j]))
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype(
+            {"id_a": "string", "id_b": "string"}
+        )
+
+    cand = bucketed_group_agg(tiles, ["tile_hash"], pairs)
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], as_index=False).size()
+        out = out.rename(columns={"size": "shared_tiles"})
+        return out.astype({"id_a": "string", "id_b": "string", "shared_tiles": "int64"})
+
+    out = bucketed_group_agg(cand, ["id_a", "id_b"], count_shared).to_pandas()
+    return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+
+
+@register("image_dominant_color", _golden_sql("dominant_colors"))
+def image_dominant_color(sf_dir: str):
+    """Dominant-color / flat-image audit over the image corpus — the
+    palette gate of an image-curation pipeline (solid banners, flat
+    renders and screenshots skew a vision corpus; share-of-dominant-
+    color is the standard cheap filter). Flat regions are PLANTED: every
+    doc_id % 5 == 0 image gets a doc_id-keyed solid rectangle over its
+    top HALF (-> ``flat``), every doc_id % 5 == 1 over its top QUARTER
+    (-> ``accent``), the rest stay pure noise (-> ``textured``, share
+    ~1 milli on 4096 bins) — all three labels occur with >=100-milli
+    margins on both sides of each threshold. The golden restates the
+    4-bit quantization, bincount argmax and both thresholds longhand
+    (tools/make_goldens.dominant_colors) — a bin-packing or threshold
+    drift in the stage fails the gate. Actor pool, decoders in
+    __init__, one vectorized np.bincount per image.
+
+    Reference analogue: the image-scorer slot of the connector fetch
+    loop (crawler/connectors/baseconnector.py:1140-1251), T6 family."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import DominantColorStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20, size_shift=2)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(384)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids_, bytes_, fmts_ = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _codecs.decode(rec["bytes"], rec["fmt"])
+            color = np.array([(d * 53) % 256, (d * 97) % 256, (d * 29) % 256], dtype=np.uint8)
+            if d % 5 == 0:
+                img = img.copy(); img[: img.shape[0] // 2, :, :] = color
+            elif d % 5 == 1:
+                img = img.copy(); img[: img.shape[0] // 4, :, :] = color
+            ids_.append(rec["image_id"])
+            bytes_.append(_codecs.encode_raw(img))
+            fmts_.append("raw")
+        return pa.table(
+            {
+                "image_id": pa.array(ids_, pa.string()),
+                "bytes": pa.array(bytes_, pa.binary()),
+                "fmt": pa.array(fmts_, pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=128).map_batches(
+        DominantColorStage, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5
+    )
+
+
+@register("image_ssim_quality_pairs", _golden_sql("ssim_pairs"))
+def image_ssim_quality_pairs(sf_dir: str):
+    """Full-reference image-quality scoring (integer SSIM) — the
+    degradation ranker of an image-curation pipeline: every corpus
+    image is paired with a 2x2 AND a 4x4 block-mean-blurred variant
+    (data/imageops.block_mean_pool — the same deterministic degrader
+    the sharpness gate uses) and scored with the arbitrary-precision
+    integer SSIM of stages/multimodal.SsimRefStage, so the scores are
+    platform-exact. The k=2 score must strictly exceed the k=4 score
+    for EVERY image (monotonicity is asserted in the unit test); the
+    golden restates the gray conversion, the five sums and the
+    num/den formula longhand with the constants literal
+    (tools/make_goldens.ssim_pairs), so a formula or constant drift
+    fails the gate. Actor pool, decoders in __init__, five vectorized
+    np.sum reductions per pair.
+
+    Reference analogue: the PSNR verify slot of the fetch loop's
+    per-row invariant (SURVEY.md §2.8 image functions), upgraded to a
+    structural metric."""
+    from ..data import codecs as _codecs
+    from ..data.imageops import block_mean_pool
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import SsimRefStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20, size_shift=2)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(256)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids_, ks_, a_, b_ = [], [], [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _codecs.decode(rec["bytes"], rec["fmt"])
+            raw = _codecs.encode_raw(img)
+            for k in (2, 4):
+                ids_.append(rec["image_id"])
+                ks_.append(k)
+                a_.append(raw)
+                b_.append(_codecs.encode_raw(block_mean_pool(img, k)))
+        return pa.table(
+            {
+                "image_id": pa.array(ids_, pa.string()),
+                "blur_k": pa.array(ks_, pa.int32()),
+                "bytes_a": pa.array(a_, pa.binary()),
+                "bytes_b": pa.array(b_, pa.binary()),
+                "fmt": pa.array(["raw"] * len(ids_), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=128).map_batches(
+        SsimRefStage, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5
+    )

@@ -989,3 +989,207 @@ class AudioQualityStage:
                 "label": pa.array(out["label"], pa.string()),
             }
         )
+
+
+class TilePhashStage:
+    """Crop-robust near-dup signatures — the tiled-perceptual-hash form
+    of image dedup that survives margin crops, which whole-image phash
+    grouping misses entirely (a crop shifts every 8x8 cell, flipping
+    most bits). Fixed-grid TILE x TILE pixel tiles, top-left aligned
+    with the remainder cropped, one 64-bit ``average_hash`` per tile;
+    hashes are DISTINCT per image (a repeated tile counts once). A crop
+    that removes whole tile bands keeps every surviving tile
+    bit-identical, so cropped reposts share the full overlap grid of
+    tile hashes while unrelated noise images share none (64-bit hashes
+    over independent noise: collision odds are birthday-negligible).
+
+    Scale shape: explode rows are (image_id, tile_hash) — at most
+    (w/TILE)*(h/TILE) per image — and downstream pairing is two bounded
+    bucketed shuffles (on tile_hash, then on the pair key); nothing is
+    driver-resident. Decoders built once per actor.
+
+    Output schema (exploded): image_id:string, tile_hash:int64.
+
+    Reference analogue: the phash dedup slot of the connector fetch
+    loop (crawler/connectors/baseconnector.py:1140-1251), hardened to
+    the crop-repost case.
+    """
+
+    TILE = 16
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        T = self.TILE
+        out_ids: list[str] = []
+        out_hash: list[int] = []
+        for iid, fmt, data in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data)
+            h, w = img.shape[0], img.shape[1]
+            hashes: set[int] = set()
+            for ty in range(h // T):
+                for tx in range(w // T):
+                    tile = img[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+                    hashes.add(average_hash(tile))
+            for hv in sorted(hashes):
+                out_ids.append(iid)
+                out_hash.append(hv)
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "tile_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+
+class DominantColorStage:
+    """Dominant-color extraction — the palette/flat-image audit of an
+    image-curation pipeline (flat renders, solid banners and
+    screenshots skew a training corpus; share-of-dominant-color is the
+    standard cheap gate). Pixels are quantized to 4 bits/channel
+    (4096 bins: bin = (r>>4)<<8 | (g>>4)<<4 | (b>>4)); the dominant bin
+    is the argmax of one vectorized ``np.bincount`` per image (lowest
+    bin wins ties), and its share is integer milli-units
+    ``count * 1000 // n_pixels``. Labels: ``flat`` >= 400 milli,
+    ``accent`` >= 150, else ``textured``. Decoders built once per
+    actor; no floats anywhere.
+
+    Output schema: image_id:string, dom_bin:int32, dom_milli:int64,
+    label:string.
+
+    Reference analogue: the image-scorer slot (T6) of the connector
+    fetch loop (crawler/connectors/baseconnector.py:1140-1251).
+    """
+
+    FLAT_MILLI = 400
+    ACCENT_MILLI = 150
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in ("image_id", "dom_bin", "dom_milli", "label")}
+        for iid, fmt, data in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data)
+            q = img.astype(np.int64) >> 4
+            bins = (q[:, :, 0] << 8) | (q[:, :, 1] << 4) | q[:, :, 2]
+            counts = np.bincount(bins.ravel(), minlength=4096)
+            dom = int(np.argmax(counts))
+            milli = int(counts[dom]) * 1000 // bins.size
+            label = (
+                "flat" if milli >= self.FLAT_MILLI
+                else "accent" if milli >= self.ACCENT_MILLI
+                else "textured"
+            )
+            out["image_id"].append(iid)
+            out["dom_bin"].append(dom)
+            out["dom_milli"].append(milli)
+            out["label"].append(label)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "dom_bin": pa.array(out["dom_bin"], pa.int32()),
+                "dom_milli": pa.array(out["dom_milli"], pa.int64()),
+                "label": pa.array(out["label"], pa.string()),
+            }
+        )
+
+
+class SsimRefStage:
+    """Full-reference image quality (integer SSIM) — the
+    degradation-scoring step of an image-curation pipeline: given
+    (reference, candidate) payload pairs, score structural similarity
+    so re-encodes/blurs can be ranked against their source. Global
+    single-window SSIM kept EXACT in integers: with Python-int sums
+    Sx, Sy, Sxx, Syy, Sxy over the gray images (gray = channel sum
+    // 3) and n pixels,
+
+        num = (2*Sx*Sy + C1*n^2) * (2*(n*Sxy - Sx*Sy) + C2*n^2)
+        den = (Sx^2 + Sy^2 + C1*n^2) * ((n*Sxx - Sx^2) + (n*Syy - Sy^2) + C2*n^2)
+        ssim_milli = num * 1000 // den
+
+    C1=7, C2=59 are the classic (0.01*255)^2 / (0.03*255)^2 constants
+    rounded to integers (this is a deterministic engine metric, not a
+    calibrated IQA score). Arbitrary-precision ints make the result
+    platform-exact; the per-image reductions are single vectorized
+    ``np.sum`` kernels. Decoders built once per actor.
+
+    Input: image_id, blur_k:int32, bytes_a, bytes_b, fmt (both payloads
+    share one fmt). Output: image_id:string, blur_k:int32,
+    ssim_milli:int64.
+    """
+
+    C1 = 7
+    C2 = 59
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    @classmethod
+    def ssim_milli(cls, a: np.ndarray, b: np.ndarray) -> int:
+        ga = a.astype(np.int64).sum(axis=2) // 3
+        gb = b.astype(np.int64).sum(axis=2) // 3
+        n = int(ga.size)
+        sx = int(ga.sum()); sy = int(gb.sum())
+        sxx = int((ga * ga).sum()); syy = int((gb * gb).sum())
+        sxy = int((ga * gb).sum())
+        c1n = cls.C1 * n * n
+        c2n = cls.C2 * n * n
+        num = (2 * sx * sy + c1n) * (2 * (n * sxy - sx * sy) + c2n)
+        den = (sx * sx + sy * sy + c1n) * ((n * sxx - sx * sx) + (n * syy - sy * sy) + c2n)
+        return num * 1000 // den
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids: list[str] = []
+        out_k: list[int] = []
+        out_s: list[int] = []
+        for iid, k, fmt, da, db in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("blur_k").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes_a").to_pylist(),
+            batch.column("bytes_b").to_pylist(),
+        ):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            out_ids.append(iid)
+            out_k.append(int(k))
+            out_s.append(self.ssim_milli(dec(da), dec(db)))
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "blur_k": pa.array(out_k, pa.int32()),
+                "ssim_milli": pa.array(out_s, pa.int64()),
+            }
+        )

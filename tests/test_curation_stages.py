@@ -141,3 +141,105 @@ def test_audio_quality_strict_stub_on_external_container():
     with pytest.raises(NotImplementedError):
         AudioQualityStage()(_aud_batch(synth_audio(1), fmt="mp3"))
     assert len(AudioQualityStage(strict=False)(_aud_batch(synth_audio(1), fmt="mp3"))) == 0
+
+
+# ---- round-4 session-8 stages: tile-phash / dominant-color / SSIM ----
+
+
+def test_tile_phash_crop_shares_full_overlap_grid():
+    from crawlerframework_ray.stages.multimodal import TilePhashStage
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(64, 96, 3), dtype=np.uint8)
+    crop = np.ascontiguousarray(img[16:, 16:])
+    t = pa.table(
+        {
+            "image_id": pa.array(["orig", "crop"], pa.string()),
+            "bytes": pa.array([codecs.encode_raw(img), codecs.encode_raw(crop)], pa.binary()),
+            "fmt": pa.array(["raw", "raw"], pa.string()),
+        }
+    )
+    out = TilePhashStage()(t).to_pandas()
+    orig = set(out[out.image_id == "orig"].tile_hash)
+    cr = set(out[out.image_id == "crop"].tile_hash)
+    # 64x96 -> 4x6 grid; crop removes one tile band each side -> 3x5 overlap
+    assert len(orig) == 24 and len(cr) == 15
+    assert len(orig & cr) == 15  # every crop tile is an original tile
+
+
+def test_tile_phash_unaligned_crop_shares_nothing():
+    from crawlerframework_ray.stages.multimodal import TilePhashStage
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    crop = np.ascontiguousarray(img[7:, 5:])  # not tile-aligned
+    t = pa.table(
+        {
+            "image_id": pa.array(["orig", "crop"], pa.string()),
+            "bytes": pa.array([codecs.encode_raw(img), codecs.encode_raw(crop)], pa.binary()),
+            "fmt": pa.array(["raw", "raw"], pa.string()),
+        }
+    )
+    out = TilePhashStage()(t).to_pandas()
+    orig = set(out[out.image_id == "orig"].tile_hash)
+    cr = set(out[out.image_id == "crop"].tile_hash)
+    assert not (orig & cr)
+
+
+def test_tile_phash_strict_stub_on_external_format():
+    from crawlerframework_ray.stages.multimodal import TilePhashStage
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        TilePhashStage()(_img_batch(img, fmt="jpeg"))
+    assert len(TilePhashStage(strict=False)(_img_batch(img, fmt="jpeg"))) == 0
+
+
+def test_dominant_color_planted_rectangle_and_thresholds():
+    from crawlerframework_ray.stages.multimodal import DominantColorStage
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    img[:32, :, :] = (200, 100, 50)  # top half solid -> bin (12,6,3)
+    out = DominantColorStage()(_img_batch(img)).to_pandas()
+    assert out.dom_bin[0] == 12 * 256 + 6 * 16 + 3
+    assert out.dom_milli[0] >= 500 and out.label[0] == "flat"
+
+    noise = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    out2 = DominantColorStage()(_img_batch(noise)).to_pandas()
+    assert out2.label[0] == "textured" and out2.dom_milli[0] < 150
+
+
+def test_dominant_color_tie_breaks_to_lowest_bin():
+    from crawlerframework_ray.stages.multimodal import DominantColorStage
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = (16, 0, 0)   # bin 256
+    img[0, 1] = (16, 0, 0)   # bin 256
+    img[1, 0] = (0, 16, 0)   # bin 16
+    img[1, 1] = (0, 16, 0)   # bin 16  -> tie 2-2, argmax picks lowest (16)
+    out = DominantColorStage()(_img_batch(img)).to_pandas()
+    assert out.dom_bin[0] == 16 and out.dom_milli[0] == 500
+
+
+def test_ssim_identity_and_blur_monotonicity():
+    from crawlerframework_ray.stages.multimodal import SsimRefStage
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert SsimRefStage.ssim_milli(img, img) == 1000
+    s2 = SsimRefStage.ssim_milli(img, block_mean_pool(img, 2))
+    s4 = SsimRefStage.ssim_milli(img, block_mean_pool(img, 4))
+    assert 0 < s4 < s2 < 1000
+
+
+def test_ssim_flat_shift_penalizes_luminance_only():
+    from crawlerframework_ray.stages.multimodal import SsimRefStage
+
+    a = np.full((16, 16, 3), 100, dtype=np.uint8)
+    b = np.full((16, 16, 3), 110, dtype=np.uint8)
+    # zero variance both sides: structure term = C2/C2 = 1; luminance
+    # term = (2*100*110*n^2 + 7n^2)/((100^2+110^2)n^2 + 7n^2)
+    n = 256
+    expect = (2 * 100 * n * 110 * n + 7 * n * n) * 1000 // ((100 * 100 + 110 * 110 + 7) * n * n)
+    assert SsimRefStage.ssim_milli(a, b) == expect

@@ -1460,12 +1460,131 @@ def channel_moments(sf_dir: str) -> None:
     )
 
 
+def tile_crop_pairs(sf_dir: str) -> None:
+    """Independent explicit-loop mirror of image_tile_crop_dups:
+    regenerate the same corpus + planted img[16:,16:] crops, build each
+    image's DISTINCT 16x16-tile hash set by a longhand double loop
+    (average_hash is the shared regression-pinned leaf), then count
+    shared hashes for ALL pairs quadratically — no grouping machinery,
+    no shuffle — keeping pairs with >= 1 shared tile."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20, size_shift=2)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:384]
+    sets = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        variants = [(rec["image_id"], img)]
+        if d % 12 == 0:
+            variants.append((rec["image_id"] + "~c", img[16:, 16:]))
+        for iid, im in variants:
+            hs = set()
+            for ty in range(im.shape[0] // 16):
+                for tx in range(im.shape[1] // 16):
+                    hs.add(average_hash(im[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]))
+            sets.append((iid, hs))
+    rows = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            shared = len(sets[i][1] & sets[j][1])
+            if shared:
+                a, b = sorted((sets[i][0], sets[j][0]))
+                rows.append((a, b, shared))
+    rows.sort()
+    _write(
+        "tile_crop_pairs", sf_dir,
+        pd.DataFrame(rows, columns=["id_a", "id_b", "shared_tiles"]).astype(
+            {"id_a": "string", "id_b": "string", "shared_tiles": "int64"}
+        ),
+    )
+
+
+def dominant_colors(sf_dir: str) -> None:
+    """Explicit-loop mirror of image_dominant_color: the PLANT (solid
+    doc_id-keyed rectangle over the top half / quarter) is shared with
+    the query by design, but the MEASURE — the 4-bit/channel bin
+    arithmetic, the bincount argmax tie rule and both label thresholds
+    — is restated longhand with the constants literal."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20, size_shift=2)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:384]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        color = np.array([(d * 53) % 256, (d * 97) % 256, (d * 29) % 256], dtype=np.uint8)
+        if d % 5 == 0:
+            img = img.copy(); img[: img.shape[0] // 2, :, :] = color
+        elif d % 5 == 1:
+            img = img.copy(); img[: img.shape[0] // 4, :, :] = color
+        counts = [0] * 4096
+        for y in range(img.shape[0]):
+            for x in range(img.shape[1]):
+                r, g, b = int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2])
+                counts[(r // 16) * 256 + (g // 16) * 16 + (b // 16)] += 1
+        dom = max(range(4096), key=lambda i: (counts[i], -i))
+        milli = counts[dom] * 1000 // (img.shape[0] * img.shape[1])
+        label = "flat" if milli >= 400 else "accent" if milli >= 150 else "textured"
+        rows.append((rec["image_id"], dom, milli, label))
+    _write(
+        "dominant_colors", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "dom_bin", "dom_milli", "label"]).astype(
+            {"image_id": "string", "dom_bin": "int32", "dom_milli": "int64", "label": "string"}
+        ),
+    )
+
+
+def ssim_pairs(sf_dir: str) -> None:
+    """Explicit mirror of image_ssim_quality_pairs: the PLANT
+    (block_mean_pool k=2/k=4 degradations) is shared, the MEASURE — the
+    gray conversion, the five sums and the integer SSIM num/den formula
+    with C1=7, C2=59 literal — is restated longhand on Python ints."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import block_mean_pool
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20, size_shift=2)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:256]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        for k in (2, 4):
+            blur = block_mean_pool(img, k)
+            ga = img.astype(np.int64).sum(axis=2) // 3
+            gb = blur.astype(np.int64).sum(axis=2) // 3
+            n = int(ga.size)
+            sx = int(ga.sum()); sy = int(gb.sum())
+            sxx = int((ga * ga).sum()); syy = int((gb * gb).sum())
+            sxy = int((ga * gb).sum())
+            num = (2 * sx * sy + 7 * n * n) * (2 * (n * sxy - sx * sy) + 59 * n * n)
+            den = (sx * sx + sy * sy + 7 * n * n) * (
+                (n * sxx - sx * sx) + (n * syy - sy * sy) + 59 * n * n
+            )
+            rows.append((rec["image_id"], k, num * 1000 // den))
+    _write(
+        "ssim_pairs", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "blur_k", "ssim_milli"]).astype(
+            {"image_id": "string", "blur_k": "int32", "ssim_milli": "int64"}
+        ),
+    )
+
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs]
 
 
 def main() -> None:
