@@ -10383,3 +10383,180 @@ def image_ssim_quality_pairs(sf_dir: str):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=128).map_batches(
         SsimRefStage, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5
     )
+
+
+@register(
+    "sitemap_seed_extract",
+    """
+    SELECT 'h' || CAST(o_orderkey % 16 AS VARCHAR) || '.example.test' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_lastmod,
+           CAST(SUM((o_orderkey % 10 + 1) * 100) AS BIGINT) AS sum_priority_milli,
+           CAST(SUM(CASE WHEN (o_orderkey // 16) % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_daily
+    FROM orders GROUP BY 1
+    """,
+)
+def sitemap_seed_extract(sf_dir: str):
+    """Sitemap-protocol seeding (S-family source): per-host sitemaps.org
+    urlset documents are BUILT from the url inventory (one ``map_groups``
+    per host key — the XML is born co-located, never driver-resident),
+    then PARSED back into seed rows by an embarrassingly-parallel
+    ``map_batches`` (sources/sitemap.py), and the recrawl planner's
+    per-host rollup (url count, newest lastmod, total priority mass,
+    daily-changefreq count) comes off the parsed rows. The oracle
+    recomputes the rollup straight from the orders table the inventory
+    derives from, so a serialization OR parse drift (a dropped entry, a
+    mangled priority, a lastmod format change) breaks the hash gate —
+    the XML round-trip is load-bearing. priority strings are parsed to
+    exact integer milli by string splitting, never float().
+
+    Scale shape: one bounded shuffle on host (the group key), then two
+    narrow map_batches; a 10^6-host sweep is 10^6 small XML rows
+    streaming through the same stages.
+
+    Reference analogue: RSSConnector.fetch — XML feed documents parsed
+    into crawl-task links (crawler/connectors/rssconnector.py:27-94);
+    sitemaps are the crawl-protocol form with recrawl hints."""
+    from ..sources.sitemap import CHANGEFREQS, build_sitemap_xml, parse_sitemap
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def entries(t: pa.Table) -> pd.DataFrame:
+        k = t.column("o_orderkey").to_numpy().astype("int64")
+        dates = pd.to_datetime(t.column("o_orderdate").to_pandas()).dt.strftime("%Y-%m-%d")
+        hid = k % 16
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hid).map(lambda h: f"h{h}.example.test").astype("string"),
+                "loc": [f"http://h{h}.example.test/p/{kk}" for h, kk in zip(hid, k)],
+                "lastmod": dates.astype("string"),
+                "changefreq": pd.Series(k // 16 % 4).map(lambda i: CHANGEFREQS[i]).astype("string"),
+                "priority": pd.Series(k % 10 + 1).map(
+                    lambda p: f"{p // 10}.{p % 10}" if p == 10 else f"0.{p}"
+                ).astype("string"),
+            }
+        )
+
+    def to_xml(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        xml = build_sitemap_xml(host, g[["loc", "lastmod", "changefreq", "priority"]].to_dict("records"))
+        return pd.DataFrame({"host": [host], "xml": [xml]})
+
+    sitemaps = bucketed_group_agg(
+        ds.map_batches(entries, batch_format="pyarrow"), ["host"], 
+        lambda g: pd.concat([to_xml(grp) for _, grp in g.groupby("host")], ignore_index=True),
+    )
+
+    def parse(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for host, xml in zip(t.column("host").to_pylist(), t.column("xml").to_pylist()):
+            for e in parse_sitemap(xml):
+                rows.append((host, e["loc"], e["lastmod"], e["changefreq"], e["priority_milli"]))
+        return pd.DataFrame(
+            rows, columns=["host", "loc", "lastmod", "changefreq", "priority_milli"]
+        ).astype({"host": "string", "loc": "string", "lastmod": "string",
+                  "changefreq": "string", "priority_milli": "int64"})
+
+    seeds = sitemaps.map_batches(parse, batch_format="pyarrow")
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", as_index=False).agg(
+            n_urls=("loc", "size"),
+            max_lastmod=("lastmod", "max"),
+            sum_priority_milli=("priority_milli", "sum"),
+            n_daily=("changefreq", lambda c: int((c == "daily").sum())),
+        )
+        return out.astype(
+            {"host": "string", "n_urls": "int64", "max_lastmod": "string",
+             "sum_priority_milli": "int64", "n_daily": "int64"}
+        )
+
+    out = bucketed_group_agg(seeds, ["host"], rollup).to_pandas()
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "crawl_trap_hosts",
+    r"""
+    WITH u AS (
+      SELECT 'h' || CAST(user_id % 8 AS VARCHAR) || '.example.test' AS host,
+             CASE WHEN user_id % 8 < 2
+                  THEN '/c/' || event_type || '?sid=' || CAST(event_id AS VARCHAR)
+                  ELSE '/c/' || event_type || '/' || CAST(event_id % 16 AS VARCHAR) END AS path
+      FROM events)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_distinct_raw,
+           CAST(COUNT(DISTINCT regexp_replace(path, '\?.*$', '')) AS BIGINT) AS n_distinct_stripped,
+           CAST(CASE WHEN COUNT(DISTINCT path) >
+                          8 * COUNT(DISTINCT regexp_replace(path, '\?.*$', ''))
+                THEN 1 ELSE 0 END AS INT) AS is_trap
+    FROM u GROUP BY host
+    """,
+)
+def crawl_trap_hosts(sf_dir: str):
+    """Crawl-trap detection (O4 guard family): hosts whose url space
+    explodes through superfluous query parameters (session ids,
+    trackers, calendar pages) are flagged by comparing the DISTINCT raw
+    path count against the DISTINCT query-stripped path count — a trap
+    host mints a fresh url per visit while its real page inventory
+    stays tiny. The synthetic url log derives from events (session-id
+    params planted on hosts h0/h1, clean bounded paths elsewhere); the
+    gate is the exact cross-multiplied integer rule
+    ``n_distinct_raw > 8 * n_distinct_stripped`` — no float ratios.
+
+    Scale shape: per-batch drop_duplicates partials (with partial
+    counts) shrink rows BEFORE the single host-bucketed shuffle; the
+    per-host exact distinct runs vectorized inside the bucket task.
+    Distinct paths per host are bounded by the site's true inventory —
+    the trap host's raw-path set is what a production run would bound
+    with a per-host HLL sketch (stages/sketch.py) once it exceeds the
+    politeness budget anyway.
+
+    Reference analogue: per-site crawl caps and url-pattern guards
+    (crawler.cfg:26-185 per-site limits; baseconnector's max-pages
+    guard, crawler/connectors/baseconnector.py:1255-1401)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def urls(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype("int64")
+        uid = t.column("user_id").to_numpy().astype("int64")
+        et = pd.Series(t.column("event_type").to_pylist(), dtype="string")
+        hid = uid % 8
+        host = pd.Series(hid).map(lambda h: f"h{h}.example.test").astype("string")
+        trap = hid < 2
+        path = pd.Series(
+            np.where(
+                trap,
+                "/c/" + et + "?sid=" + pd.Series(eid).astype(str),
+                "/c/" + et + "/" + pd.Series(eid % 16).astype(str),
+            ),
+            dtype="string",
+        )
+        stripped = path.str.replace(r"\?.*$", "", regex=True)
+        df = pd.DataFrame({"host": host, "path": path, "stripped": stripped})
+        # per-batch partial: one row per distinct (host, path), carrying
+        # its in-batch multiplicity so the shuffle moves partials
+        return df.groupby(["host", "path", "stripped"], as_index=False).agg(
+            cnt=("path", "size")
+        )
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", as_index=False).agg(
+            n_urls=("cnt", "sum"),
+            n_distinct_raw=("path", "nunique"),
+            n_distinct_stripped=("stripped", "nunique"),
+        )
+        out["is_trap"] = (out["n_distinct_raw"] > 8 * out["n_distinct_stripped"]).astype("int32")
+        return out.astype(
+            {"host": "string", "n_urls": "int64", "n_distinct_raw": "int64",
+             "n_distinct_stripped": "int64", "is_trap": "int32"}
+        )
+
+    out = bucketed_group_agg(
+        ds.map_batches(urls, batch_format="pyarrow"), ["host"], per_host
+    ).to_pandas()
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)

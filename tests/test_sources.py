@@ -158,3 +158,48 @@ def test_search_seeds_feed_the_engine(ray_session, tmp_path):
     )
     s = CrawlEngine(cfg).run(seeds=seeds.drop_columns(["queryterm"]))
     assert s.fetched_urls > 0
+
+
+def test_sitemap_build_parse_roundtrip():
+    from crawlerframework_ray.sources.sitemap import build_sitemap_xml, parse_sitemap
+
+    entries = [
+        {"loc": "http://h3.example.test/p/7", "lastmod": "2024-01-05",
+         "changefreq": "daily", "priority": "0.7"},
+        {"loc": "http://h3.example.test/p/9", "lastmod": "2023-12-31",
+         "changefreq": "yearly", "priority": "1.0"},
+    ]
+    xml = build_sitemap_xml("h3.example.test", entries)
+    assert "http://www.sitemaps.org/schemas/sitemap/0.9" in xml
+    out = parse_sitemap(xml)
+    assert [e["loc"] for e in out] == [e["loc"] for e in entries]
+    assert [e["lastmod"] for e in out] == ["2024-01-05", "2023-12-31"]
+    assert [e["priority_milli"] for e in out] == [700, 1000]
+    assert [e["changefreq"] for e in out] == ["daily", "yearly"]
+
+
+def test_sitemap_priority_parse_is_exact_string_math():
+    from crawlerframework_ray.sources.sitemap import build_sitemap_xml, parse_sitemap
+
+    for d in range(1, 11):
+        p = "1.0" if d == 10 else f"0.{d}"
+        xml = build_sitemap_xml(
+            "h0.example.test",
+            [{"loc": "http://h0.example.test/p/1", "lastmod": "2024-01-01",
+              "changefreq": "daily", "priority": p}],
+        )
+        assert parse_sitemap(xml)[0]["priority_milli"] == d * 100
+
+
+def test_sitemap_parse_rejects_malformed_priority():
+    import pytest as _pytest
+
+    from crawlerframework_ray.sources.sitemap import build_sitemap_xml, parse_sitemap
+
+    xml = build_sitemap_xml(
+        "h0.example.test",
+        [{"loc": "http://h0.example.test/p/1", "lastmod": "2024-01-01",
+          "changefreq": "daily", "priority": "0.55"}],
+    )
+    with _pytest.raises(ValueError):
+        parse_sitemap(xml)
