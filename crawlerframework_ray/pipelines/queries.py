@@ -10560,3 +10560,426 @@ def crawl_trap_hosts(sf_dir: str):
         ds.map_batches(urls, batch_format="pyarrow"), ["host"], per_host
     ).to_pandas()
     return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "url_template_mining",
+    r"""
+    WITH u AS (
+      SELECT 'h' || CAST(user_id % 8 AS VARCHAR) || '.example.test' AS host,
+             CASE WHEN event_id % 3 = 0
+                  THEN '/p/' || CAST(event_id AS VARCHAR) || '/rev'
+                       || CAST(event_id % 7 AS VARCHAR)
+                  ELSE '/' || event_type || '/item-' || CAST(event_id AS VARCHAR) END AS path
+      FROM events),
+    t AS (
+      SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+             CAST(COUNT(*) AS BIGINT) AS n_urls,
+             CAST(COUNT(DISTINCT path) AS BIGINT) AS n_distinct
+      FROM u GROUP BY host, template)
+    SELECT host, template, n_urls, n_distinct,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                   ORDER BY n_urls DESC, template) AS BIGINT) AS rnk
+    FROM t
+    QUALIFY rnk <= 3
+    """,
+)
+def url_template_mining(sf_dir: str):
+    """URL template mining (M6/O4 family): collapse every crawled path
+    into its structural template (digit runs -> ``{n}``) and keep the
+    top-3 templates per host by URL count. Template inventories are how
+    a production frontier spots pagination families, calendar traps and
+    parameterized listing pages without storing per-URL state — the
+    reference hard-codes per-site URL patterns in each connector
+    (crawler/connectors/*.py regex tables; url_filter in
+    crawler/utils/taskmanager.py:315-333); here the patterns are *mined*
+    from the URL log itself.
+
+    Scale shape: the digit->``{n}`` collapse and the first count run as
+    vectorized per-batch partials (template cardinality is tiny next to
+    URL count, so partial rows shrink the shuffle), then ONE
+    host-bucketed shuffle co-locates each host's templates for the exact
+    distinct count and the per-host top-3 cut. No global sort — ranking
+    happens inside each host group.
+    """
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def templ(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype("int64")
+        uid = t.column("user_id").to_numpy().astype("int64")
+        et = pd.Series(t.column("event_type").to_pylist(), dtype="string")
+        host = pd.Series(uid % 8).map(lambda h: f"h{h}.example.test").astype("string")
+        path = pd.Series(
+            np.where(
+                eid % 3 == 0,
+                "/p/" + pd.Series(eid).astype(str) + "/rev" + pd.Series(eid % 7).astype(str),
+                "/" + et + "/item-" + pd.Series(eid).astype(str),
+            ),
+            dtype="string",
+        )
+        template = path.str.replace(r"[0-9]+", "{n}", regex=True)
+        df = pd.DataFrame({"host": host, "template": template, "path": path})
+        # partial: one row per distinct (host, template, path) with its
+        # multiplicity — the shuffle moves the (small) distinct set
+        return df.groupby(["host", "template", "path"], as_index=False).agg(
+            cnt=("path", "size")
+        )
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["host", "template"], as_index=False).agg(
+            n_urls=("cnt", "sum"), n_distinct=("path", "nunique")
+        )
+        agg = agg.sort_values(
+            ["host", "n_urls", "template"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        agg["rnk"] = agg.groupby("host").cumcount() + 1
+        agg = agg[agg["rnk"] <= 3]
+        return agg.astype(
+            {"host": "string", "template": "string", "n_urls": "int64",
+             "n_distinct": "int64", "rnk": "int64"}
+        )
+
+    out = bucketed_group_agg(
+        ds.map_batches(templ, batch_format="pyarrow"), ["host"], per_host
+    ).to_pandas()
+    return out.sort_values(["host", "rnk"], kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "mirror_host_pairs",
+    r"""
+    WITH u AS (
+      SELECT DISTINCT
+             'h' || CAST(user_id % 12 AS VARCHAR) || '.example.test' AS host,
+             CASE WHEN user_id % 12 < 2 THEN event_id % 400
+                  WHEN user_id % 12 IN (2, 3) AND event_id % 3 = 0
+                       THEN 1000 + event_id % 300
+                  ELSE (user_id % 12) * 100000 + event_id % 300 END AS content_id
+      FROM events),
+    ht AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY host),
+    p AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM u a JOIN u b ON a.content_id = b.content_id AND a.host < b.host
+      GROUP BY a.host, b.host)
+    SELECT p.host_a, p.host_b, p.shared,
+           ha.n AS n_a, hb.n AS n_b,
+           CAST(CASE WHEN 3 * p.shared >= 2 * LEAST(ha.n, hb.n)
+                THEN 1 ELSE 0 END AS INT) AS is_mirror
+    FROM p
+    JOIN ht ha ON p.host_a = ha.host
+    JOIN ht hb ON p.host_b = hb.host
+    WHERE p.shared >= 20
+    """,
+)
+def mirror_host_pairs(sf_dir: str):
+    """Mirror-site detection (D4/J7 family): host pairs that serve the
+    same content under different URLs. The synthetic URL log plants a
+    full mirror (hosts h0/h1 share one content pool), a partial mirror
+    (h2/h3 share a third of their inventory) and disjoint controls; a
+    pair is flagged when its shared distinct-content count covers >= 2/3
+    of the smaller host's inventory — the exact cross-multiplied integer
+    gate ``3*shared >= 2*min(n_a, n_b)``, no float Jaccard.
+
+    Scale shape: per-batch (host, content) dedup partials shrink the
+    stream, ONE content-bucketed shuffle co-locates each content id's
+    host set (bounded by the host count, the classic DUST/mirror
+    assumption), pairs are emitted vectorized inside the bucket via a
+    per-content self-merge, and pair counts + per-host inventories fold
+    through a second tiny shuffle. The pair table is quadratic only in
+    HOSTS, never in URLs.
+
+    Reference analogue: duplicate-site suppression via task_identifier
+    dedup (crawler/utils/taskmanager.py:363-383) — which misses mirrors
+    because the URL differs; content-keyed pairing is the fix.
+    """
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pairs_partial(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype("int64")
+        uid = t.column("user_id").to_numpy().astype("int64")
+        hid = uid % 12
+        content = np.where(
+            hid < 2,
+            eid % 400,
+            np.where(
+                ((hid == 2) | (hid == 3)) & (eid % 3 == 0),
+                1000 + eid % 300,
+                hid * 100000 + eid % 300,
+            ),
+        ).astype("int64")
+        host = pd.Series(hid).map(lambda h: f"h{h}.example.test").astype("string")
+        df = pd.DataFrame({"host": host, "content_id": content})
+        return df.drop_duplicates(ignore_index=True)
+
+    def per_content(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["host", "content_id"])
+        m = u.merge(u, on="content_id", suffixes=("_a", "_b"))
+        m = m[m["host_a"] < m["host_b"]]
+        pair_cnt = m.groupby(["host_a", "host_b"], as_index=False).agg(
+            shared=("content_id", "size")
+        )
+        host_cnt = u.groupby("host", as_index=False).agg(n=("content_id", "size"))
+        pair_cnt["host"] = pd.array([pd.NA] * len(pair_cnt), dtype="string")
+        pair_cnt["n"] = 0
+        host_cnt["host_a"] = pd.array([pd.NA] * len(host_cnt), dtype="string")
+        host_cnt["host_b"] = pd.array([pd.NA] * len(host_cnt), dtype="string")
+        host_cnt["shared"] = 0
+        cols = ["host_a", "host_b", "shared", "host", "n"]
+        out = pd.concat([pair_cnt[cols], host_cnt[cols]], ignore_index=True)
+        return out.astype(
+            {"host_a": "string", "host_b": "string", "shared": "int64",
+             "host": "string", "n": "int64"}
+        )
+
+    partial = bucketed_group_agg(
+        ds.map_batches(pairs_partial, batch_format="pyarrow"),
+        ["content_id"],
+        per_content,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g[g["host_a"].notna()].groupby(["host_a", "host_b"], as_index=False).agg(
+            shared=("shared", "sum")
+        )
+        host = g[g["host"].notna()].groupby("host", as_index=False).agg(n=("n", "sum"))
+        pair["host"] = pd.array([pd.NA] * len(pair), dtype="string")
+        pair["n"] = 0
+        host["host_a"] = pd.array([pd.NA] * len(host), dtype="string")
+        host["host_b"] = pd.array([pd.NA] * len(host), dtype="string")
+        host["shared"] = 0
+        cols = ["host_a", "host_b", "shared", "host", "n"]
+        out = pd.concat([pair[cols], host[cols]], ignore_index=True)
+        return out.astype(
+            {"host_a": "string", "host_b": "string", "shared": "int64",
+             "host": "string", "n": "int64"}
+        )
+
+    # second fold: pair partials bucket by host_a, host totals by host —
+    # a single combined key keeps it one shuffle
+    def key_col(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__k"] = df["host_a"].fillna(df["host"])
+        return df
+
+    import ray.data  # noqa: F401  (ds already imported via _read)
+
+    folded = bucketed_group_agg(
+        partial.map_batches(key_col, batch_format="pandas"), ["__k"],
+        lambda g: fold(g.drop(columns="__k")),
+    ).to_pandas()
+
+    pairs = folded[folded["host_a"].notna()][["host_a", "host_b", "shared"]]
+    pairs = pairs.groupby(["host_a", "host_b"], as_index=False).agg(shared=("shared", "sum"))
+    hosts = folded[folded["host"].notna()][["host", "n"]]
+    hosts = hosts.groupby("host", as_index=False).agg(n=("n", "sum"))
+    out = pairs.merge(
+        hosts.rename(columns={"host": "host_a", "n": "n_a"}), on="host_a"
+    ).merge(hosts.rename(columns={"host": "host_b", "n": "n_b"}), on="host_b")
+    out = out[out["shared"] >= 20]
+    out["is_mirror"] = (
+        3 * out["shared"] >= 2 * np.minimum(out["n_a"], out["n_b"])
+    ).astype("int32")
+    out = out.astype(
+        {"host_a": "string", "host_b": "string", "shared": "int64",
+         "n_a": "int64", "n_b": "int64", "is_mirror": "int32"}
+    )
+    return out.sort_values(["host_a", "host_b"], kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "fair_budget_waterfill",
+    r"""
+    WITH d AS (
+      SELECT ((event_id % 1024) * (event_id % 1024)) // 32768 AS host,
+             CAST(COUNT(*) AS BIGINT) AS demand
+      FROM events GROUP BY 1),
+    tot AS (SELECT (SUM(demand) * 5) // 8 AS cap, COUNT(*) AS n FROM d),
+    o AS (
+      SELECT host, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, host) AS k,
+             COALESCE(SUM(demand) OVER (ORDER BY demand, host
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      FROM d),
+    lvl AS (
+      SELECT (cap - pfx) // (n - k + 1) AS theta
+      FROM o, tot WHERE demand * (n - k + 1) > cap - pfx
+      ORDER BY k LIMIT 1),
+    theta AS (SELECT COALESCE((SELECT theta FROM lvl),
+                              (SELECT MAX(demand) FROM d)) AS theta)
+    SELECT o.host, o.demand,
+           CAST(LEAST(o.demand, t.theta) AS BIGINT) AS alloc,
+           CAST(CASE WHEN o.demand > t.theta THEN 1 ELSE 0 END AS INT) AS saturated,
+           CAST(t.theta AS BIGINT) AS level
+    FROM o, theta t
+    """,
+)
+def fair_budget_waterfill(sf_dir: str):
+    """Max-min fair fetch-budget allocation (water-filling): given
+    per-host demand and a global capacity of 5/8 of total demand, every
+    host receives min(demand, θ) where the water level θ is the exact
+    integer found by the ascending-demand scan — the FIRST host whose
+    demand exceeds the even split of what remains fixes
+    θ = (cap − satisfied_prefix) // remaining_hosts. Pure integers
+    end-to-end (unsat rows are provably a suffix of the ascending
+    order, and θ's floor keeps every satisfied host whole), unlike
+    float water-filling which never sums exactly. Complements
+    budget_apportion_hosts (proportional/Hamilton) and
+    source_tier_budgets (NTILE): this is the demand-capped FAIRNESS
+    allocator — a rate-limited crawler's answer to one host demanding
+    half the wave. The skewed demand curve comes from the quadratic
+    host mapping ((event_id%1024)² // 32768 ∈ 0..31), so several hosts
+    saturate and the rest are made whole.
+
+    Scale shape: the distributed work is the per-host demand count
+    (per-batch partials → one bounded host-bucketed shuffle); the
+    water-fill scan runs on the host-aggregate table, orders of
+    magnitude smaller than the event log (the repo's standard
+    bounded-driver-state rule, as budget_apportion_hosts documents).
+
+    Reference analogue: static per-site crawl caps (crawler.cfg per-site
+    limits) — which starve nothing but also cap nothing fairly."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def demand_partial(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype("int64")
+        host = ((eid % 1024) * (eid % 1024)) // 32768
+        df = pd.DataFrame({"host": host})
+        return df.groupby("host", as_index=False).agg(demand=("host", "size"))
+
+    d = bucketed_group_agg(
+        ds.map_batches(demand_partial, batch_format="pyarrow"), ["host"],
+        lambda g: g.groupby("host", as_index=False).agg(demand=("demand", "sum")),
+    ).to_pandas()
+
+    d = d.sort_values(["demand", "host"], kind="mergesort").reset_index(drop=True)
+    n = len(d)
+    cap = int(d["demand"].sum()) * 5 // 8
+    dem = d["demand"].to_numpy().astype("int64")
+    pfx = np.concatenate([[0], np.cumsum(dem)[:-1]])
+    m = n - np.arange(n)
+    unsat = dem * m > cap - pfx
+    if unsat.any():
+        k = int(np.argmax(unsat))
+        theta = int((cap - pfx[k]) // m[k])
+    else:
+        theta = int(dem.max())
+    out = pd.DataFrame(
+        {
+            "host": d["host"].astype("int64"),
+            "demand": d["demand"].astype("int64"),
+            "alloc": np.minimum(dem, theta).astype("int64"),
+            "saturated": (dem > theta).astype("int32"),
+            "level": np.full(n, theta, dtype="int64"),
+        }
+    )
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "link_farm_hosts",
+    r"""
+    WITH edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 90 AS src,
+               (doc_id * 7 + doc_id // 96 + 1) % 96 AS dst
+        FROM documents
+        UNION ALL
+        SELECT 90 + a.range AS src, 90 + b.range AS dst
+        FROM range(6) a, range(6) b
+        WHERE a.range != b.range
+          AND EXISTS (SELECT 1 FROM documents WHERE doc_id % 50 = 0))
+      WHERE src != dst),
+    r AS (
+      SELECT e.src, COUNT(*) AS out_deg,
+             SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END) AS recip
+      FROM edges e LEFT JOIN edges b ON b.src = e.dst AND b.dst = e.src
+      GROUP BY e.src)
+    SELECT src AS host, CAST(out_deg AS BIGINT) AS out_deg,
+           CAST(recip AS BIGINT) AS recip,
+           CAST(CASE WHEN 5 * recip >= 4 * out_deg AND out_deg >= 3
+                THEN 1 ELSE 0 END AS INT) AS is_farm
+    FROM r
+    """,
+)
+def link_farm_hosts(sf_dir: str):
+    """Link-farm (web-spam) detection by reciprocal-edge density: a
+    host most of whose distinct out-links are reciprocated is trading
+    links, not citing — the classic link-farm signature (Gyongyi &
+    Garcia-Molina, "Web Spam Taxonomy", AIRWeb 2005). A 6-host mutual
+    clique is PLANTED on hosts 90-95 (outside the organic src range % 90,
+    so farm out-links are purely traded) (any batch holding a doc_id % 50 == 0
+    witness emits the full mutual clique; global dedup makes repeats
+    harmless, so the edge set is batching-independent), while organic edges use the standard
+    host-graph arithmetic, so farm and non-farm hosts both occur and
+    the integer gate (5*recip >= 4*out_deg AND out_deg >= 3 —
+    cross-multiplied, no float ratio) is exercised from both sides.
+
+    Scale shape: per-batch edge emission with batch-level dedup, global
+    dedup + reciprocity test through ONE bucketed shuffle on the
+    UNORDERED pair key (min,max) — both orientations of a pair land in
+    the same group, so reciprocity is decided locally — then per-host
+    counts fold through a second host-keyed bucketed shuffle. The pair
+    table is linear in |E|; no self-join materialization.
+
+    Reference analogue: per-site allow/deny regex tables
+    (crawler/utils/taskmanager.py url_filter) are the reference's only
+    spam defence; this mines the farm from the graph itself."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edge_partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("doc_id").to_numpy().astype("int64")
+        src = d % 90
+        dst = (d * 7 + d // 96 + 1) % 96
+        if (d % 50 == 0).any():
+            fi, fj = np.where(~np.eye(6, dtype=bool))
+            fa, fb = 90 + fi, 90 + fj
+        else:
+            fa = fb = np.empty(0, dtype="int64")
+        s = np.concatenate([src, fa])
+        t_ = np.concatenate([dst, fb])
+        keep = s != t_
+        e = np.unique(np.stack([s[keep], t_[keep]], axis=1), axis=0)
+        df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+        df["lo"] = np.minimum(df["src"], df["dst"])
+        df["hi"] = np.maximum(df["src"], df["dst"])
+        return df
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["src", "dst"])
+        # both orientations of (lo, hi) in one group: an edge is
+        # reciprocated iff the group holds 2 distinct orientations
+        n_orient = u.groupby(["lo", "hi"])["src"].transform("size")
+        return pd.DataFrame(
+            {
+                "host": u["src"].astype("int64"),
+                "out": np.ones(len(u), dtype="int64"),
+                "rec": (n_orient == 2).astype("int64").to_numpy(),
+            }
+        )
+
+    per_edge = bucketed_group_agg(
+        ds.map_batches(edge_partial, batch_format="pyarrow"), ["lo", "hi"], per_pair
+    )
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("host", as_index=False).agg(
+            out_deg=("out", "sum"), recip=("rec", "sum")
+        )
+        a["is_farm"] = (
+            (5 * a["recip"] >= 4 * a["out_deg"]) & (a["out_deg"] >= 3)
+        ).astype("int32")
+        return a.astype({"host": "int64", "out_deg": "int64", "recip": "int64"})
+
+    out = bucketed_group_agg(per_edge, ["host"], per_host).to_pandas()
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)

@@ -920,3 +920,191 @@ def bellman_ford_int(
         dist = np.minimum(np.minimum(dist, incoming), inf)
     cost = np.where(dist >= inf, -1, dist).astype(np.int64)
     return pd.DataFrame({"host": nodes, "cost": cost})
+
+
+def scc_fb_trim(edges_ds, max_rounds: int = 64) -> pd.DataFrame:
+    """Strongly connected components of a directed edge Dataset by
+    trim + forward-coloring + backward-reachability (the FB/coloring
+    family: Fleischer et al. 2000's divide-and-conquer made iterative;
+    the Trim + coloring "MultiStep" form of Slota, Rajamanickam &
+    Madduri, IPDPS 2014). Per outer round:
+
+    1. TRIM to fixpoint: any active node with zero active in-edges or
+       zero active out-edges is its own (trivial) SCC — peeled first so
+       chains/tendrils never enter the expensive phases.
+    2. FORWARD COLORING to fixpoint: color(v) = min active vertex id
+       that reaches v (synchronous min-propagation, one distributed
+       sweep per iteration). Each color class's root r (color(r) == r)
+       is provably the minimum member of its SCC.
+    3. BACKWARD within color: v joins SCC(r) iff v reaches r through
+       edges whose BOTH endpoints carry color r (max/any-propagation
+       along reversed edges from the roots). The identified SCCs are
+       retired; remaining nodes go round again.
+
+    Exact and partition-invariant: every propagated value is an int64
+    min/max/any over a deterministic edge set, so the result matches a
+    serial Tarjan evaluation bit for bit (the golden oracle's tier).
+    SCC id = minimum member id.
+
+    Scale shape: edge blocks STREAM through every sweep; per-node
+    state (active/color/reached vectors) is driver-resident and ships
+    once per sweep via ``ray.put`` — the same broadcast-vector form as
+    :func:`pagerank_int`, bounded by ``GRAPH_DRIVER_STATE_MAX`` nodes;
+    beyond that the state columns move to the Dataset-resident
+    ``_propagate_ds``/``_apply_state_ds`` path exactly as
+    :func:`min_label_components` does (backward's both-endpoint color
+    gate then rides the edge-color co-location join). Sweep counts are
+    workload-bounded: trim retires tendrils at one hop per iteration,
+    coloring/backward converge in the active subgraph's diameter, and
+    real web graphs finish in a handful of outer rounds (the giant SCC
+    plus one round for each surviving small-SCC layer).
+
+    Reference analogue: the reference has no link-graph analysis at
+    all (its frontier is a flat priority queue, priorityqueue.py) —
+    this is the crawl-structure operator (Broder et al. bow-tie) its
+    users would need at web scale.
+    """
+    import ray
+
+    edges = edges_ds.materialize()
+    nodes = _graph_nodes(edges)
+    n = len(nodes)
+    assert n <= GRAPH_DRIVER_STATE_MAX, "dataset-state SCC path not yet needed"
+    INF = np.iinfo(np.int64).max
+    scc = np.full(n, -1, np.int64)
+    active = np.ones(n, bool)
+
+    def _fold(kind: str, color=None, reached=None) -> pd.DataFrame:
+        ref = ray.put((nodes, active.copy(), color, reached))
+
+        def sweep(t: pa.Table) -> pa.Table:
+            nds, act, col, rch = ray.get(ref)
+            s = np.searchsorted(nds, t.column("src").to_numpy())
+            d = np.searchsorted(nds, t.column("dst").to_numpy())
+            both = act[s] & act[d]
+            if kind == "deg":
+                o = np.zeros(len(nds), np.int64)
+                i = np.zeros(len(nds), np.int64)
+                np.add.at(o, s[both], 1)
+                np.add.at(i, d[both], 1)
+                idx = np.nonzero(o | i)[0]
+                return pa.table(
+                    {"h": pa.array(nds[idx], pa.int64()),
+                     "o": pa.array(o[idx], pa.int64()),
+                     "i": pa.array(i[idx], pa.int64())}
+                )
+            if kind == "color":
+                acc = np.full(len(nds), INF, np.int64)
+                np.minimum.at(acc, d[both], col[s[both]])
+                idx = np.nonzero(acc != INF)[0]
+                return pa.table(
+                    {"h": pa.array(nds[idx], pa.int64()),
+                     "m": pa.array(acc[idx], pa.int64())}
+                )
+            # kind == "back": u gains reached if an edge (u -> v) has
+            # v reached and color(u) == color(v) (both active)
+            hit = both & rch[d] & (col[s] == col[d])
+            idx = np.unique(s[hit])
+            return pa.table(
+                {"h": pa.array(nds[idx], pa.int64()),
+                 "m": pa.array(np.ones(len(idx), np.int64), pa.int64())}
+            )
+
+        if kind == "deg":
+            agg = lambda g: g.groupby("h", as_index=False).agg(
+                o=("o", "sum"), i=("i", "sum"))
+        elif kind == "color":
+            agg = lambda g: g.groupby("h", as_index=False).agg(m=("m", "min"))
+        else:
+            agg = lambda g: g.groupby("h", as_index=False).agg(m=("m", "max"))
+        return bucketed_group_agg(
+            edges.map_batches(sweep, batch_format="pyarrow"), ["h"], agg
+        ).to_pandas()
+
+    for _ in range(max_rounds):
+        if not active.any():
+            break
+        # 1. trim to fixpoint
+        while active.any():
+            deg = _fold("deg")
+            o = np.zeros(n, np.int64)
+            i = np.zeros(n, np.int64)
+            if len(deg):
+                at = np.searchsorted(nodes, deg["h"].to_numpy())
+                o[at] = deg["o"].to_numpy()
+                i[at] = deg["i"].to_numpy()
+            triv = active & ((o == 0) | (i == 0))
+            if not triv.any():
+                break
+            scc[triv] = nodes[triv]
+            active[triv] = False
+        if not active.any():
+            break
+        # 2. forward min-coloring to fixpoint
+        color = np.where(active, nodes, INF)
+        while True:
+            got = _fold("color", color=color)
+            inc = np.full(n, INF, np.int64)
+            if len(got):
+                inc[np.searchsorted(nodes, got["h"].to_numpy())] = got["m"].to_numpy()
+            new = np.where(active, np.minimum(color, inc), color)
+            if (new == color).all():
+                break
+            color = new
+        # 3. backward reachability from roots within color
+        reached = active & (color == nodes)
+        while True:
+            got = _fold("back", color=color, reached=reached)
+            hit = np.zeros(n, bool)
+            if len(got):
+                hit[np.searchsorted(nodes, got["h"].to_numpy())] = True
+            new = reached | (hit & active)
+            if (new == reached).all():
+                break
+            reached = new
+        scc[reached] = color[reached]
+        active[reached] = False
+    assert not active.any(), "scc_fb_trim: max_rounds exhausted"
+    return pd.DataFrame({"host": nodes, "scc_id": scc})
+
+
+def bowtie_host_edges(ds):
+    """Deterministic doc-id-derived directed host graph with a planted
+    Broder-et-al bow-tie: an 8-host chorded core cycle (the giant SCC),
+    an IN tier (16-23) pointing into the core, an OUT tier (32-39) the
+    core points at, four 3-cycles (48-59) fed FROM the core (small
+    SCCs on the OUT side), and a one-way 7-host chain (60-66)
+    disconnected from the core (trim fodder). Batch-level dedup here,
+    global dedup via the caller's ``distinct_edges`` — the edge set is
+    a pure function of the doc_id set, batching-independent."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        srcs = [d % 8, (d[d % 4 == 0]) % 8]
+        dsts = [(d + 1) % 8, (d[d % 4 == 0] * 3 + 5) % 8]
+        m = d[d % 3 == 0]
+        srcs.append(16 + m % 8)
+        dsts.append((m * 7) % 8)
+        m = d[d % 3 == 1]
+        srcs.append((m * 5) % 8)
+        dsts.append(32 + m % 8)
+        m = d[d % 5 == 0]
+        base = 48 + 3 * (m % 4)
+        srcs += [base, base + 1, base + 2]
+        dsts += [base + 1, base + 2, base]
+        m = d[d % 7 == 0]
+        srcs.append(m % 8)
+        dsts.append(48 + 3 * (m % 4))
+        m = d[d % 2 == 0]
+        srcs.append(60 + m % 6)
+        dsts.append(61 + m % 6)
+        s = np.concatenate(srcs)
+        t_ = np.concatenate(dsts)
+        keep = s != t_
+        e = np.unique(np.stack([s[keep], t_[keep]], axis=1), axis=0)
+        return pa.table(
+            {"src": pa.array(e[:, 0], pa.int64()),
+             "dst": pa.array(e[:, 1], pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
