@@ -10983,3 +10983,86 @@ def link_farm_hosts(sf_dir: str):
 
     out = bucketed_group_agg(per_edge, ["host"], per_host).to_pandas()
     return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+# Bow-tie host edges (see stages/graph.bowtie_host_edges — identical
+# arithmetic): chorded 8-host core cycle (giant SCC), IN tier 16-23,
+# OUT tier 32-39, four fed 3-cycles 48-59, one-way chain 60-66.
+_BOWTIE_EDGES_SQL = """
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 8 AS src, (doc_id + 1) % 8 AS dst FROM documents
+        UNION ALL SELECT doc_id % 8, (doc_id * 3 + 5) % 8
+          FROM documents WHERE doc_id % 4 = 0
+        UNION ALL SELECT 16 + doc_id % 8, (doc_id * 7) % 8
+          FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT (doc_id * 5) % 8, 32 + doc_id % 8
+          FROM documents WHERE doc_id % 3 = 1
+        UNION ALL SELECT 48 + 3 * (doc_id % 4), 49 + 3 * (doc_id % 4)
+          FROM documents WHERE doc_id % 5 = 0
+        UNION ALL SELECT 49 + 3 * (doc_id % 4), 50 + 3 * (doc_id % 4)
+          FROM documents WHERE doc_id % 5 = 0
+        UNION ALL SELECT 50 + 3 * (doc_id % 4), 48 + 3 * (doc_id % 4)
+          FROM documents WHERE doc_id % 5 = 0
+        UNION ALL SELECT doc_id % 8, 48 + 3 * (doc_id % 4)
+          FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT 60 + doc_id % 6, 61 + doc_id % 6
+          FROM documents WHERE doc_id % 2 = 0)
+      WHERE src != dst
+"""
+
+
+@register(
+    "scc_bowtie_hosts",
+    f"""
+    WITH RECURSIVE edges AS ({_BOWTIE_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT h FROM
+      (SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+    mutual AS (
+      SELECT r1.a AS h, r1.b AS m
+      FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+    SELECT CAST(n.h AS BIGINT) AS host,
+           CAST(LEAST(n.h, COALESCE(MIN(mu.m), n.h)) AS BIGINT) AS scc_id
+    FROM nodes n LEFT JOIN mutual mu ON mu.h = n.h
+    GROUP BY n.h
+    """,
+)
+def scc_bowtie_hosts(sf_dir: str):
+    """Strongly connected components of the directed host graph —
+    Broder et al.'s bow-tie decomposition is THE structural map of a
+    web crawl (giant SCC core vs IN/OUT tiers vs tendrils), and SCC
+    membership is what separates "this host cluster recirculates
+    PageRank" from "this is a one-way feed". Runs stages/graph.
+    scc_fb_trim: trim peels tendrils/feeds (zero active in- or
+    out-degree) to fixpoint, forward min-coloring partitions the
+    survivors by min reaching vertex, backward reachability inside
+    each color certifies the SCC (the Trim+coloring MultiStep form of
+    Slota, Rajamanickam & Madduri, IPDPS 2014 / Fleischer et al.'s FB
+    made iterative). The planted bow-tie exercises every phase: the
+    chain + IN/OUT tiers die in trim, the chorded core cycle is the
+    giant SCC, the four fed 3-cycles survive round 1 as small SCCs.
+    Every propagated value is an int64 min/max over a deterministic
+    edge set, so the distributed result equals the serial transitive
+    closure bit for bit; scc_id = minimum member id, matching the
+    oracle's mutual-reachability MIN.
+
+    Scale shape: edge blocks STREAM through every trim/color/backward
+    sweep (the edge set is materialized once, globally deduplicated by
+    a bounded bucketed shuffle); per-node state is the pagerank-family
+    broadcast vector below GRAPH_DRIVER_STATE_MAX and the documented
+    _propagate_ds Dataset path above it. Sweeps are diameter-bounded
+    within the active subgraph; real web graphs retire in a few outer
+    rounds (giant SCC + one per surviving small-SCC layer).
+
+    Reference analogue: none — the reference's frontier is a flat
+    priority queue (crawler/utils/priorityqueue.py); graph structure
+    is one of the beyond-the-reference crawl-analysis ops."""
+    from ..stages.graph import bowtie_host_edges, distinct_edges, scc_fb_trim
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = scc_fb_trim(distinct_edges(bowtie_host_edges(ds)))
+    out = out.astype({"host": "int64", "scc_id": "int64"})
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)

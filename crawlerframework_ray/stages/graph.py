@@ -949,11 +949,14 @@ def scc_fb_trim(edges_ds, max_rounds: int = 64) -> pd.DataFrame:
     Scale shape: edge blocks STREAM through every sweep; per-node
     state (active/color/reached vectors) is driver-resident and ships
     once per sweep via ``ray.put`` — the same broadcast-vector form as
-    :func:`pagerank_int`, bounded by ``GRAPH_DRIVER_STATE_MAX`` nodes;
-    beyond that the state columns move to the Dataset-resident
-    ``_propagate_ds``/``_apply_state_ds`` path exactly as
-    :func:`min_label_components` does (backward's both-endpoint color
-    gate then rides the edge-color co-location join). Sweep counts are
+    :func:`pagerank_int`, bounded by ``GRAPH_DRIVER_STATE_MAX`` nodes.
+    Beyond the switch this function raises loudly (the guard below)
+    rather than silently eating driver RAM; the documented extension —
+    NOT yet built — is the Dataset-resident
+    ``_propagate_ds``/``_apply_state_ds`` form that
+    :func:`min_label_components` already uses (backward's
+    both-endpoint color gate rides the edge-color co-location join).
+    Sweep counts are
     workload-bounded: trim retires tendrils at one hop per iteration,
     coloring/backward converge in the active subgraph's diameter, and
     real web graphs finish in a handful of outer rounds (the giant SCC
@@ -969,7 +972,12 @@ def scc_fb_trim(edges_ds, max_rounds: int = 64) -> pd.DataFrame:
     edges = edges_ds.materialize()
     nodes = _graph_nodes(edges)
     n = len(nodes)
-    assert n <= GRAPH_DRIVER_STATE_MAX, "dataset-state SCC path not yet needed"
+    if n > GRAPH_DRIVER_STATE_MAX:
+        raise NotImplementedError(
+            f"scc_fb_trim: {n} nodes exceeds the driver-state switch "
+            f"({GRAPH_DRIVER_STATE_MAX}); the Dataset-resident state path "
+            "is documented but not built — see docstring"
+        )
     INF = np.iinfo(np.int64).max
     scc = np.full(n, -1, np.int64)
     active = np.ones(n, bool)

@@ -275,3 +275,105 @@ def test_bellman_ford_dataset_state_identical(ray_session):
     b = bellman_ford_int(_edges("blocks"), seeds=seeds, iters=3, weight_fn=w,
                          node_state="dataset")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def _scc(blocks: int) -> pd.DataFrame:
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import (
+        bowtie_host_edges,
+        distinct_edges,
+        scc_fb_trim,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id"], override_num_blocks=blocks
+    )
+    return (
+        scc_fb_trim(distinct_edges(bowtie_host_edges(ds)))
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def _tarjan(edges: pd.DataFrame) -> dict[int, int]:
+    """Serial iterative Tarjan — the independent oracle tier (no shared
+    arithmetic with the distributed trim/color/backward kernel)."""
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+        nodes.add(int(s))
+        nodes.add(int(d))
+    for v in adj.values():
+        v.sort()
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recursed = False
+            succ = adj.get(v, [])
+            for i in range(pi, len(succ)):
+                w = succ[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return comp
+
+
+def test_scc_matches_serial_tarjan(ray_session):
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import bowtie_host_edges, distinct_edges
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    edges = distinct_edges(bowtie_host_edges(ds)).to_pandas()
+    want = _tarjan(edges)
+    got = _scc(1)
+    assert dict(zip(got["host"], got["scc_id"])) == want
+    # the planted bow-tie exercises every phase: a giant SCC (the
+    # chorded core), >=4 small 3-cycle SCCs, and trimmed singletons
+    sizes = got.groupby("scc_id").size()
+    assert sizes.max() == 8            # core
+    assert (sizes == 3).sum() == 4     # fed 3-cycles
+    assert (sizes == 1).sum() > 10     # IN/OUT tiers + chain singletons
+
+
+def test_scc_partition_independent(ray_session):
+    a = _scc(1)
+    b = _scc(8)
+    assert a.equals(b)
