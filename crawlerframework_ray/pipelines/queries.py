@@ -11066,3 +11066,225 @@ def scc_bowtie_hosts(sf_dir: str):
     out = scc_fb_trim(distinct_edges(bowtie_host_edges(ds)))
     out = out.astype({"host": "int64", "scc_id": "int64"})
     return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "recrawl_change_rate",
+    r"""
+    WITH v AS (
+      SELECT event_id % 128 AS page_id, ts, event_id,
+             (event_id // 128) % (1 + (event_id % 128) % 4) AS version
+      FROM events),
+    c AS (
+      SELECT page_id, ts, version,
+             LAG(version) OVER (PARTITION BY page_id
+                                ORDER BY ts, event_id) AS pv
+      FROM v),
+    s AS (
+      SELECT page_id,
+             CAST(COUNT(*) AS BIGINT) AS n_visits,
+             CAST(SUM(CASE WHEN pv IS NOT NULL AND version != pv
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             MAX(ts) AS last_ts
+      FROM c GROUP BY page_id)
+    SELECT page_id, n_visits, n_changes,
+           CAST((n_changes * 10000) // (n_visits - 1)
+                + GREATEST(0, (epoch_us(TIMESTAMP '2024-02-01')
+                               - epoch_us(last_ts)) // 3600000000)
+                AS BIGINT) AS recrawl_score
+    FROM s WHERE n_visits >= 2
+    """,
+)
+def recrawl_change_rate(sf_dir: str):
+    """Change-rate-driven recrawl scheduling (Cho & Garcia-Molina,
+    "Effective Page Refresh Policies for Web Crawlers", TODS 2003 —
+    estimate each page's change frequency from its revisit history and
+    prioritize accordingly): the visit log is replayed per page in
+    timestamp order, consecutive-visit content-version flips are
+    counted, and the recrawl score is the exact integer
+    ``changes·10⁴ // (visits−1) + staleness_hours`` (observed change
+    fraction in basis points plus hours since last visit, clamped at
+    zero — the r3 ADVICE decay-anchor lesson). The synthetic version
+    stream plants the full spectrum: pages with ``page_id % 4 == 0``
+    never change (version modulus 1 — static assets), ``% 4 == 3``
+    flip often, so the score genuinely ranks hot pages above static
+    ones. The T2b refresh_priority_users analogue schedules by USER
+    recency; this is the per-PAGE estimator a frontier actually feeds
+    its priority queue (state/frontier.py score key).
+
+    Scale shape: consecutive-pair change detection needs per-page
+    ordering, so the visit stream takes exactly ONE page-bucketed
+    shuffle; inside each bucket the per-page sort + version-diff is
+    vectorized pandas over a group whose size is the page's visit
+    count (bounded by politeness budgets in a real crawl). The
+    per-visit projection before the shuffle is a vectorized
+    map_batches partial that drops every unused column.
+
+    Reference analogue: the reference refetches on a fixed cadence
+    (crawler.cfg recrawl interval per connector) — no change-rate
+    estimation anywhere; this is the adaptive form its politeness
+    budget needs at 10^10-URL scale (recrawl capacity is the scarcest
+    resource a frontier allocates)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    ANCHOR_US = int(pd.Timestamp("2024-02-01").value // 1000)
+
+    def visits(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype("int64")
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy().astype("int64")
+        page = eid % 128
+        version = (eid // 128) % (1 + page % 4)
+        return pd.DataFrame(
+            {"page_id": page, "ts_us": ts_us, "event_id": eid, "version": version}
+        )
+
+    def per_page(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["page_id", "ts_us", "event_id"], kind="mergesort")
+        pid = g["page_id"].to_numpy()
+        ver = g["version"].to_numpy()
+        # vectorized consecutive-visit change flags, masked at page
+        # boundaries, folded per page with np.add.at (no group loop)
+        chg = np.zeros(len(g), dtype="int64")
+        chg[1:] = (pid[1:] == pid[:-1]) & (ver[1:] != ver[:-1])
+        pages, inv = np.unique(pid, return_inverse=True)
+        n_visits = np.bincount(inv)
+        n_changes = np.zeros(len(pages), dtype="int64")
+        np.add.at(n_changes, inv, chg)
+        last_ts = np.zeros(len(pages), dtype="int64")
+        np.maximum.at(last_ts, inv, g["ts_us"].to_numpy())
+        keep = n_visits >= 2
+        stale_h = np.maximum(0, (ANCHOR_US - last_ts[keep]) // 3_600_000_000)
+        return pd.DataFrame(
+            {
+                "page_id": pages[keep],
+                "n_visits": n_visits[keep],
+                "n_changes": n_changes[keep],
+                "recrawl_score": n_changes[keep] * 10000 // (n_visits[keep] - 1)
+                + stale_h,
+            }
+        ).astype("int64")
+
+    out = bucketed_group_agg(
+        ds.map_batches(visits, batch_format="pyarrow"), ["page_id"], per_page
+    ).to_pandas()
+    return out.sort_values("page_id", kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "dedup_keep_best_documents",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')) AS canon,
+             CAST(substr(source, 4) AS BIGINT) AS trust, source
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             trim(regexp_replace(lower(regexp_replace(upper(text), ' ', '  ', 'g')),
+                                 '[ \t\r\n]+', ' ', 'g')),
+             10, 'mirror'
+      FROM documents WHERE doc_id % 3 = 0),
+    r AS (
+      SELECT canon, doc_id, source, trust,
+             ROW_NUMBER() OVER (PARTITION BY canon
+                                ORDER BY trust DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY canon) AS n_members,
+             MIN(doc_id) OVER (PARTITION BY canon) AS cluster_id
+      FROM corpus)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           source AS kept_source,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(trust AS BIGINT) AS kept_trust
+    FROM r WHERE rk = 1
+    """,
+)
+def dedup_keep_best_documents(sf_dir: str):
+    """Quality-aware canonical selection — the dedup form production
+    corpora actually use (FineWeb / CCNet keep the BEST member of each
+    duplicate cluster, not the first seen): documents are clustered by
+    their whitespace/case-canonicalized text and one survivor is kept
+    per cluster by source trust (numeric suffix of the source id),
+    ties to the smallest doc_id. A mirror corpus is PLANTED (every
+    doc_id % 3 == 0 re-emitted case-mangled and whitespace-inflated
+    under source 'mirror', trust 10), so both outcomes occur: clusters
+    whose original came from src11-src19 keep the original, src0-src9
+    clusters keep the mirror copy, and src10 exercises the doc_id
+    tie-break. Complements exact_dedup_documents (keep-first) and the
+    near-dup families (pair detection): this is the SELECTION policy
+    layered on top of cluster membership.
+
+    Scale shape: canonicalization + trust derivation are vectorized
+    per-batch string kernels (the planted mirror doubles only the
+    %3 == 0 slice); survivors are chosen through exactly ONE
+    canon-key-bucketed shuffle — inside each bucket a vectorized
+    sort + group-head pick, no window function over a global sort.
+    Cluster key cardinality ~= corpus size, the standard dedup
+    shuffle bound (same as exact_dedup_documents).
+
+    Reference analogue: task_identifier dedup keeps whichever URL
+    arrived first (crawler/utils/taskmanager.py:363-383) — no notion
+    of keeping the better copy; source-trust selection is what a
+    training-data pipeline needs when mirrors differ in quality."""
+    import re
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def corpus(t: pa.Table) -> pd.DataFrame:
+        doc = t.column("doc_id").to_numpy().astype("int64")
+        text = pd.Series(t.column("text").to_pylist(), dtype="string")
+        src = pd.Series(t.column("source").to_pylist(), dtype="string")
+        canon = (
+            text.str.lower()
+            .str.replace(r"[ \t\r\n]+", " ", regex=True)
+            .str.strip(" \t\r\n")
+        )
+        trust = src.str.slice(3).astype("int64")
+        orig = pd.DataFrame(
+            {"canon": canon, "doc_id": doc, "source": src, "trust": trust}
+        )
+        m = doc % 3 == 0
+        mirr_text = text[m].str.upper().str.replace(" ", "  ", regex=False)
+        mirr = pd.DataFrame(
+            {
+                "canon": (
+                    mirr_text.str.lower()
+                    .str.replace(r"[ \t\r\n]+", " ", regex=True)
+                    .str.strip(" \t\r\n")
+                ),
+                "doc_id": doc[m] + 1000000,
+                "source": pd.Series(["mirror"] * int(m.sum()), dtype="string",
+                                    index=mirr_text.index),
+                "trust": np.full(int(m.sum()), 10, dtype="int64"),
+            }
+        )
+        return pd.concat([orig, mirr], ignore_index=True)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["canon", "trust", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        head = g.groupby("canon", as_index=False, sort=False).first()
+        stats = g.groupby("canon", as_index=False, sort=False).agg(
+            n_members=("doc_id", "size"), cluster_id=("doc_id", "min")
+        )
+        out = head.merge(stats, on="canon")
+        return pd.DataFrame(
+            {
+                "cluster_id": out["cluster_id"].astype("int64"),
+                "kept_doc_id": out["doc_id"].astype("int64"),
+                "kept_source": out["source"].astype("string"),
+                "n_members": out["n_members"].astype("int64"),
+                "kept_trust": out["trust"].astype("int64"),
+            }
+        )
+
+    out = bucketed_group_agg(
+        ds.map_batches(corpus, batch_format="pyarrow"), ["canon"], per_cluster
+    ).to_pandas()
+    return out.sort_values("cluster_id", kind="mergesort").reset_index(drop=True)
