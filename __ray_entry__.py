@@ -44,6 +44,7 @@ def entry() -> Any:
         max_epochs=3,
         fetch_concurrency=2,
         fetch_batch_size=64,
+        robots=True,  # RFC 9309 admission gate + crawl-delay budgets ON
     )
     summary = CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, n_seeds))
     assert summary.fetched_urls > 0

@@ -29,6 +29,112 @@ def test_parse_robots_txt():
     assert rules.crawl_delay == 2
 
 
+# RFC 9309 §2.2.2 longest-match precedence conformance
+# (robots_txt, path, expected_allowed)
+_PRECEDENCE_TABLE = [
+    # no matching rule -> allowed
+    ("User-agent: *\nDisallow: /q", "/p/1", True),
+    # plain prefix disallow bites
+    ("User-agent: *\nDisallow: /p", "/p/1", False),
+    # longer Allow carve-out beats shorter Disallow
+    ("User-agent: *\nDisallow: /p\nAllow: /p/1", "/p/12", True),
+    ("User-agent: *\nDisallow: /p\nAllow: /p/1", "/p/2", False),
+    # longer Disallow beats shorter Allow (rule order irrelevant)
+    ("User-agent: *\nAllow: /folder\nDisallow: /folder/", "/folder/page", False),
+    ("User-agent: *\nAllow: /folder\nDisallow: /folder/", "/folder", True),
+    # equal length -> Allow wins, in either order
+    ("User-agent: *\nAllow: /page\nDisallow: /page", "/page", True),
+    ("User-agent: *\nDisallow: /page\nAllow: /page", "/page", True),
+    # '*' wildcard matches any octet sequence
+    ("User-agent: *\nDisallow: /p/*7", "/p/17", False),
+    ("User-agent: *\nDisallow: /p/*7", "/p/171", False),
+    ("User-agent: *\nDisallow: /p/*7", "/p/18", True),
+    # trailing '$' anchors the end of the path
+    ("User-agent: *\nDisallow: /p/*7$", "/p/17", False),
+    ("User-agent: *\nDisallow: /p/*7$", "/p/171", True),
+    ("User-agent: *\nDisallow: /*.php$", "/index.php", False),
+    ("User-agent: *\nDisallow: /*.php$", "/index.php?x=1", True),
+    # wildcard pattern length counts its octets for precedence
+    ("User-agent: *\nAllow: /p/1\nDisallow: /p/*3$", "/p/13", False),
+    ("User-agent: *\nAllow: /p/1\nDisallow: /p/*3$", "/p/19", True),
+    # empty Disallow is no rule
+    ("User-agent: *\nDisallow:", "/anything", True),
+    # Disallow: / blocks everything, Allow: / longest-ties it open
+    ("User-agent: *\nDisallow: /", "/p/1", False),
+    ("User-agent: *\nDisallow: /\nAllow: /", "/p/1", True),
+]
+
+
+@pytest.mark.parametrize("txt,path,want", _PRECEDENCE_TABLE)
+def test_rfc9309_precedence(txt, path, want):
+    assert parse_robots_txt(txt).allowed(path) is want
+
+
+def test_rfc9309_group_selection():
+    from crawlerframework_ray.functions.robots import DEFAULT_UA
+
+    txt = (
+        "Disallow: /ignored-no-group\n"          # rule before any UA line: ignored
+        "User-agent: *\nDisallow: /star\nCrawl-delay: 1\n\n"
+        "User-agent: graft\nDisallow: /short\n\n"
+        f"User-agent: {DEFAULT_UA}\nDisallow: /exact\nCrawl-delay: 3\n"
+    )
+    # most specific agent (longest prefix of the product token) wins;
+    # the star group does NOT also apply
+    r = parse_robots_txt(txt, DEFAULT_UA)
+    assert not r.allowed("/exact/x")
+    assert r.allowed("/star/x")
+    assert r.allowed("/short/x")
+    assert r.crawl_delay == 3
+    # shorter-prefix agent selected for a UA that only matches it
+    r2 = parse_robots_txt(txt, "graftb")
+    assert not r2.allowed("/short/x")
+    assert r2.allowed("/exact/x")
+    # unknown UA falls back to *
+    r3 = parse_robots_txt(txt, "otherbot")
+    assert not r3.allowed("/star/x")
+    assert r3.crawl_delay == 1
+    assert r3.allowed("/ignored-no-group/x")
+
+
+def test_rfc9309_consecutive_agents_share_group():
+    txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert not parse_robots_txt(txt, "a").allowed("/x/1")
+    assert not parse_robots_txt(txt, "b").allowed("/x/1")
+    assert parse_robots_txt(txt, "c").allowed("/x/1")
+
+
+def test_rfc9309_same_agent_groups_merge():
+    txt = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    r = parse_robots_txt(txt)
+    assert not r.allowed("/a/1")
+    assert not r.allowed("/b/1")
+
+
+def test_synth_robots_exercises_rfc_features():
+    """The synthetic web must exercise wildcard rules, Allow
+    carve-outs and specific-agent override groups somewhere in a
+    64-host span — otherwise the engine's RFC matcher is dead code."""
+    txts = [synth_robots_txt(f"h{h}.example.test", WEB.seed) for h in range(64)]
+    assert any("*" in t.split("User-agent: *", 1)[1].split("User-agent:", 1)[0].replace("Crawl-delay", "")
+               and "Allow: " in t for t in txts), "no wildcard+allow tier host"
+    assert any("User-agent: graftbot" in t for t in txts), "no specific-agent host"
+    # a specific-agent group must actually override the * group for
+    # at least one (host, url): disallowed for graftbot, not for *
+    hit = False
+    for h, t in enumerate(txts):
+        star = parse_robots_txt(t, "someotherbot")
+        mine = parse_robots_txt(t, "graftbot")
+        for p in range(10):
+            path = f"/p/{p}"
+            if star.allowed(path) and not mine.allowed(path):
+                hit = True
+    assert hit, "specific group never overrides * — fixture too weak"
+
+
 def test_synth_robots_deterministic_and_varied():
     txts = {h: synth_robots_txt(f"h{h}.example.test", WEB.seed) for h in range(32)}
     assert txts == {h: synth_robots_txt(f"h{h}.example.test", WEB.seed) for h in range(32)}
