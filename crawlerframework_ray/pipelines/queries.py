@@ -11288,3 +11288,90 @@ def dedup_keep_best_documents(sf_dir: str):
         ds.map_batches(corpus, batch_format="pyarrow"), ["canon"], per_cluster
     ).to_pandas()
     return out.sort_values("cluster_id", kind="mergesort").reset_index(drop=True)
+
+
+def _opic_round_sql(r: int) -> str:
+    return f"""
+    c{r} AS (
+      SELECT nd.h,
+             CAST(COALESCE(inc.s, 0) + pot.p // cn.nn
+                  + CASE WHEN nd.h = cn.minh THEN pot.p % cn.nn
+                    ELSE 0 END AS BIGINT) AS cash,
+             CAST(p.hist + p.cash AS BIGINT) AS hist
+      FROM nodes nd
+      JOIN c{r - 1} p ON p.h = nd.h
+      CROSS JOIN cn
+      CROSS JOIN (SELECT COALESCE(SUM(q.cash), 0) AS p
+                  FROM c{r - 1} q LEFT JOIN meta m ON m.src = q.h
+                  WHERE m.src IS NULL) pot
+      LEFT JOIN (SELECT e.dst AS h,
+                        SUM(q.cash // m.od
+                            + CASE WHEN e.dst = m.mind
+                              THEN q.cash % m.od ELSE 0 END) AS s
+                 FROM edges e
+                 JOIN c{r - 1} q ON q.h = e.src
+                 JOIN meta m ON m.src = e.src
+                 GROUP BY e.dst) inc ON inc.h = nd.h)"""
+
+
+_OPIC_SCALE = 10**12
+_OPIC_ROUNDS = 4
+
+
+@register(
+    "opic_host_importance",
+    f"""
+    WITH edges AS ({_BOWTIE_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT h FROM
+      (SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+    meta AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od,
+                    MIN(dst) AS mind
+             FROM edges GROUP BY src),
+    cn AS (SELECT COUNT(*) AS nn, MIN(h) AS minh FROM nodes),
+    c0 AS (
+      SELECT h,
+             CAST({_OPIC_SCALE} // cn.nn
+                  + CASE WHEN h = cn.minh THEN {_OPIC_SCALE} % cn.nn
+                    ELSE 0 END AS BIGINT) AS cash,
+             CAST(0 AS BIGINT) AS hist
+      FROM nodes, cn),
+    {",".join(_opic_round_sql(r) for r in range(1, _OPIC_ROUNDS + 1))}
+    SELECT CAST(h AS BIGINT) AS host,
+           CAST(hist AS BIGINT) AS importance,
+           CAST(cash AS BIGINT) AS cash
+    FROM c{_OPIC_ROUNDS}
+    """,
+)
+def opic_host_importance(sf_dir: str):
+    """OPIC crawl prioritization (Abiteboul, Preda & Cobena, "Adaptive
+    On-Line Page Importance Computation", WWW 2003) over the bow-tie
+    host graph: each round every host banks its cash into its history
+    and pays it out over its out-links; banked history estimates
+    importance WITHOUT waiting for a PageRank fixpoint — the
+    fetch-the-most-cash rule is the classic frontier prioritizer.
+    Exact integer ledger (share = cash // od, remainder to the
+    smallest out-neighbor; sink cash to the virtual pot, redistributed
+    equally with the remainder at the global min node), so the
+    distributed rounds equal the SQL iterative evaluation bit for bit
+    and total cash is conserved at exactly 10^12 every round. The
+    bow-tie graph exercises the whole ledger: IN-tier hosts never
+    receive (importance = initial shares only), the core cycle
+    recirculates, OUT-tier sinks feed the pot.
+
+    Scale shape: stages/graph.opic_int — edge blocks stream through
+    every round; per-node ledger is a broadcast vector below
+    GRAPH_DRIVER_STATE_MAX and a RESIDENT DATASET above it (two
+    bounded bucketed shuffles per round + one scalar pot aggregate;
+    both paths bit-identical, gated in test_graph.py).
+
+    Reference analogue: the reference's priority queue ranks by
+    hard-coded per-connector priorities (crawler/utils/
+    priorityqueue.py); OPIC is the adaptive importance signal that
+    queue needs at web scale."""
+    from ..stages.graph import bowtie_host_edges, distinct_edges, opic_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = opic_int(
+        distinct_edges(bowtie_host_edges(ds)), scale=_OPIC_SCALE, rounds=_OPIC_ROUNDS
+    )
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)

@@ -1116,3 +1116,181 @@ def bowtie_host_edges(ds):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def opic_int(
+    edges_ds,
+    scale: int = PAGERANK_SCALE,
+    rounds: int = 4,
+    node_state: str = "auto",
+    driver_state_max: int = GRAPH_DRIVER_STATE_MAX,
+) -> pd.DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003): the crawl-time importance estimator that needs
+    no convergence loop over the whole graph. Every node starts with
+    an equal share of cash; each (batch-synchronous) round a node
+    banks its cash into its history and distributes it over its
+    out-links; a node's accumulated history IS its importance
+    estimate, usable after ANY number of rounds — which is why
+    crawlers use it for frontier prioritization (fetch the URL holding
+    the most cash) instead of PageRank's full power iteration.
+
+    Exact integer ledger, so the distributed result is bit-identical
+    to a serial/SQL evaluation: per out-edge share = ``cash // od``
+    with the remainder ``cash % od`` paid to the SMALLEST out-neighbor
+    (deterministic); sink cash goes to a virtual pot redistributed
+    equally next round (``pot // n`` each, remainder to the globally
+    smallest node) — the paper's virtual page, integerized. Total cash
+    is conserved at exactly ``scale`` every round (asserted in tests).
+
+    ``node_state``: "driver" (broadcast vectors, the pagerank-family
+    form), "dataset" (per-node ledger resident as a Dataset — two
+    bounded bucketed shuffles per round via ``_propagate_ds`` /
+    ``_apply_state_ds``; the driver sees one scalar pot sum per
+    round), or "auto". Both paths bit-identical (gated in tests).
+
+    Returns (host, importance, cash): importance = banked history
+    after ``rounds``; cash = the live balance a frontier would
+    prioritize by next.
+    """
+    import ray
+
+    edges = edges_ds.materialize()
+
+    def om_partial(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        u, inv = np.unique(s, return_inverse=True)
+        od = np.bincount(inv).astype(np.int64)
+        mind = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mind, inv, d)
+        return pa.table(
+            {"src": pa.array(u, pa.int64()), "od": pa.array(od, pa.int64()),
+             "mind": pa.array(mind, pa.int64())}
+        )
+
+    om_ds = bucketed_group_agg(
+        edges.map_batches(om_partial, batch_format="pyarrow"),
+        ["src"],
+        lambda g: g.groupby("src", as_index=False).agg(
+            od=("od", "sum"), mind=("mind", "min")
+        ),
+    )
+    nodes_ds = _nodes_dataset(edges)
+    n = nodes_ds.count()
+    if node_state == "dataset" or (node_state == "auto" and n > driver_state_max):
+        return _opic_state_ds(edges, nodes_ds, om_ds, n, scale, rounds)
+
+    om_df = om_ds.to_pandas()
+    nodes = np.sort(nodes_ds.to_pandas()["h"].to_numpy().astype(np.int64))
+    od = np.zeros(n, np.int64)
+    mind = np.zeros(n, np.int64)
+    at = np.searchsorted(nodes, om_df["src"].to_numpy())
+    od[at] = om_df["od"].to_numpy()
+    mind[at] = om_df["mind"].to_numpy()
+
+    cash = np.full(n, scale // n, np.int64)
+    cash[0] += scale % n  # nodes sorted: index 0 is the smallest node
+    hist = np.zeros(n, np.int64)
+
+    for _ in range(rounds):
+        pot = int(cash[od == 0].sum())
+        state_ref = ray.put((nodes, cash, od, mind))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nds, csh, odeg, mnd = ray.get(state_ref)
+            si = np.searchsorted(nds, t.column("src").to_numpy())
+            d = t.column("dst").to_numpy()
+            offer = csh[si] // odeg[si] + (d == mnd[si]) * (csh[si] % odeg[si])
+            u, inv = np.unique(d, return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, offer)
+            return pa.table(
+                {"dst": pa.array(u, pa.int64()), "s": pa.array(acc, pa.int64())}
+            )
+
+        in_df = bucketed_group_agg(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"],
+            lambda g: g.groupby("dst", as_index=False)["s"].sum(),
+        ).to_pandas()
+        in_sum = np.zeros(n, np.int64)
+        in_sum[np.searchsorted(nodes, in_df["dst"].to_numpy())] = in_df["s"].to_numpy()
+        hist = hist + cash
+        cash = in_sum + pot // n
+        cash[0] += pot % n
+
+    return pd.DataFrame({"host": nodes, "importance": hist, "cash": cash})
+
+
+def _opic_state_ds(edges, nodes_ds, om_ds, n: int, scale: int, rounds: int) -> pd.DataFrame:
+    """Dataset-resident OPIC ledger: state (h, od, mind, cash, hist)
+    never touches the driver; each round is the standard two bounded
+    bucketed shuffles plus ONE scalar aggregate (the sink pot)."""
+    minh = int(nodes_ds.min("h"))
+
+    # attach od and mind with two sum/min reduces (each a bounded
+    # shuffle over one row per linking host)
+    od_contrib = om_ds.map_batches(
+        lambda t: pa.table({"h": t.column("src").cast(pa.int64()),
+                            "v": t.column("od").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    state = _apply_state_ds(
+        nodes_ds, od_contrib, op="sum", state_cols=[],
+        apply_fn=lambda st, inc, has_in: {"od": inc},
+    )
+    mind_contrib = om_ds.map_batches(
+        lambda t: pa.table({"h": t.column("src").cast(pa.int64()),
+                            "v": t.column("mind").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def mind_apply(st: pd.DataFrame, inc: np.ndarray, has_in: np.ndarray) -> dict:
+        h = st["h"].to_numpy()
+        mind = np.where(has_in, inc, 0).astype(np.int64)
+        cash = np.full(len(h), scale // n, np.int64) + (h == minh) * (scale % n)
+        return {"od": st["od"].to_numpy(), "mind": mind,
+                "cash": cash.astype(np.int64),
+                "hist": np.zeros(len(h), np.int64)}
+
+    state = _apply_state_ds(state, mind_contrib, op="min",
+                            state_cols=["od"], apply_fn=mind_apply)
+
+    def offer(m: pd.DataFrame) -> np.ndarray:
+        csh = m["cash"].to_numpy()
+        odeg = m["od"].to_numpy()
+        return csh // odeg + (m["dst"].to_numpy() == m["mind"].to_numpy()) * (csh % odeg)
+
+    for _ in range(rounds):
+        # the sink pot: one scalar to the driver per round
+        pot = int(
+            state.map_batches(
+                lambda t: pa.table({"p": pa.array(
+                    [int(t.column("cash").to_numpy()[
+                        t.column("od").to_numpy() == 0].sum())], pa.int64())}),
+                batch_format="pyarrow",
+            ).sum("p")
+            or 0
+        )
+
+        def step_apply(st: pd.DataFrame, inc: np.ndarray, has_in: np.ndarray,
+                       _pot=pot) -> dict:
+            h = st["h"].to_numpy()
+            old_cash = st["cash"].to_numpy()
+            return {
+                "od": st["od"].to_numpy(), "mind": st["mind"].to_numpy(),
+                "cash": (inc + _pot // n + (h == minh) * (_pot % n)).astype(np.int64),
+                "hist": (st["hist"].to_numpy() + old_cash).astype(np.int64),
+            }
+
+        contribs = _propagate_ds(edges, state, op="sum",
+                                 state_cols=["cash", "od", "mind"], offer_fn=offer)
+        state = _apply_state_ds(state, contribs, op="sum",
+                                state_cols=["od", "mind", "cash", "hist"],
+                                apply_fn=step_apply)
+
+    out = state.to_pandas().sort_values("h", kind="mergesort")
+    return pd.DataFrame({"host": out["h"].to_numpy().astype(np.int64),
+                         "importance": out["hist"].to_numpy().astype(np.int64),
+                         "cash": out["cash"].to_numpy().astype(np.int64)})

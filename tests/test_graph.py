@@ -377,3 +377,36 @@ def test_scc_partition_independent(ray_session):
     a = _scc(1)
     b = _scc(8)
     assert a.equals(b)
+
+
+def _bowtie_edges():
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import bowtie_host_edges, distinct_edges
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    return distinct_edges(bowtie_host_edges(ds))
+
+
+def test_opic_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import opic_int
+
+    a = opic_int(_bowtie_edges(), rounds=3, node_state="driver")
+    b = opic_int(_bowtie_edges(), rounds=3, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    c = opic_int(_bowtie_edges(), rounds=3, driver_state_max=1)
+    assert a.reset_index(drop=True).equals(c.reset_index(drop=True))
+
+
+def test_opic_cash_conserved_and_differentiates(ray_session):
+    from crawlerframework_ray.stages.graph import opic_int
+
+    scale = 10**12
+    out = opic_int(_bowtie_edges(), scale=scale, rounds=4)
+    # the integer ledger conserves total cash exactly every round
+    assert int(out["cash"].sum()) == scale
+    # importance genuinely differentiates the bow-tie tiers: the
+    # recirculating core outranks the never-receiving IN tier
+    core = out[out["host"] < 8]["importance"]
+    in_tier = out[(out["host"] >= 16) & (out["host"] < 24)]["importance"]
+    assert core.min() > in_tier.max()
