@@ -11375,3 +11375,59 @@ def opic_host_importance(sf_dir: str):
         distinct_edges(bowtie_host_edges(ds)), scale=_OPIC_SCALE, rounds=_OPIC_ROUNDS
     )
     return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+@register("image_otsu_binarize", _golden_sql("image_otsu"))
+def image_otsu_binarize(sf_dir: str):
+    """Otsu global-threshold binarization audit over the image corpus
+    (stages/multimodal.OtsuBinarizeStage) — the scanned-text / line-art
+    detector of an image-curation pipeline: bimodal histograms binarize
+    cleanly, photos and noise don't. Histogram shapes are PLANTED
+    deterministically (doc_id % 3 → two-level bimodal with doc-keyed
+    dark/light values / raw noise / CONSTANT image — the no-valid-split
+    edge case), so the exact-fraction argmax, the tie rule and the
+    degenerate branch are all exercised. Golden is an independent
+    longhand restatement of the measure (per-pixel histogram loop,
+    cross-multiplied variance compare; tools/make_goldens.image_otsu).
+    Actor pool, decoders in __init__, vectorized gray/histogram with a
+    fixed 256-step exact-integer scan per image.
+
+    Reference analogue: the T6 payload-scorer slot
+    (crawler/connectors/baseconnector.py:1140-1251 extract/score
+    phase) in its pixel-statistics form."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import OtsuBinarizeStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        blobs: list[bytes] = []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _codecs.decode(rec["bytes"], rec["fmt"])
+            if d % 3 == 0:
+                gray = img.astype(np.int64).sum(axis=2) // 3
+                lo, hi = 40 + d % 20, 180 + d % 40
+                img = np.broadcast_to(
+                    np.where((gray >= 128)[..., None], hi, lo).astype(np.uint8),
+                    img.shape,
+                ).copy()
+            elif d % 3 == 2:
+                img = np.full_like(img, 7 + d % 90)
+            ids.append(rec["image_id"])
+            blobs.append(_codecs.encode_raw(img))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        OtsuBinarizeStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )

@@ -1193,3 +1193,78 @@ class SsimRefStage:
                 "ssim_milli": pa.array(out_s, pa.int64()),
             }
         )
+
+
+class OtsuBinarizeStage:
+    """Global-threshold binarization audit — Otsu's method (Otsu 1979,
+    "A Threshold Selection Method from Gray-Level Histograms") kept
+    integer-exact: the threshold maximizes the between-class variance
+    σ_B²(t) = (S·w0 − s0·W)² / (w0·(W−w0)) over the 256-bin gray
+    histogram, compared as exact cross-multiplied integer fractions
+    (Python ints — no float variance, no overflow at any image size),
+    smallest argmax t on ties. Constant images (no valid split) report
+    the constant as the threshold with zero foreground. Foreground =
+    pixels with gray > t, reported in milli of the pixel count.
+
+    The binarization audit is a curation primitive for scanned-text /
+    chart / line-art detection in an image corpus (documents binarize
+    cleanly — bimodal histograms; photos don't), the pixel-domain
+    sibling of the text quality gates. Decoders built once per actor;
+    gray + histogram are vectorized, the scan is 256 fixed steps.
+
+    Output schema: image_id:string, threshold:int64, fg_milli:int64.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out_ids: list[str] = []
+        out_thr: list[int] = []
+        out_fg: list[int] = []
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            g = dec(data).astype(np.int64).sum(axis=2) // 3
+            hist = np.bincount(g.ravel(), minlength=256)
+            W = int(g.size)
+            S = int(g.ravel().sum())
+            w0 = 0
+            s0 = 0
+            best_num = best_den = 0
+            best_t = -1
+            for t in range(256):
+                w0 += int(hist[t])
+                s0 += t * int(hist[t])
+                if w0 == 0 or w0 == W:
+                    continue
+                num = S * w0 - s0 * W
+                v_num = num * num
+                v_den = w0 * (W - w0)
+                if best_t < 0 or v_num * best_den > best_num * v_den:
+                    best_num, best_den, best_t = v_num, v_den, t
+            if best_t < 0:  # constant image: no valid split
+                thr = int(g.flat[0])
+                fg = 0
+            else:
+                thr = best_t
+                fg = int((g > best_t).sum())
+            out_ids.append(i)
+            out_thr.append(thr)
+            out_fg.append(fg * 1000 // W)
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "threshold": pa.array(out_thr, pa.int64()),
+                "fg_milli": pa.array(out_fg, pa.int64()),
+            }
+        )

@@ -1579,12 +1579,79 @@ def ssim_pairs(sf_dir: str) -> None:
 
 
 
+def image_otsu(sf_dir: str) -> None:
+    """Independent longhand mirror of image_otsu_binarize: the PLANT
+    (doc_id % 3 bimodal / noise / constant) is shared with the query by
+    design, but the MEASURE — gray conversion, the per-bin histogram
+    loop, the cross-multiplied between-class-variance argmax with its
+    smallest-t tie rule, the constant-image degenerate branch and the
+    fg milli — is restated here with explicit loops and literal
+    formulas, so a stage-side scan or tie-rule drift fails the gate."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        if d % 3 == 0:
+            gray0 = img.astype(np.int64).sum(axis=2) // 3
+            lo, hi = 40 + d % 20, 180 + d % 40
+            img = np.broadcast_to(
+                np.where((gray0 >= 128)[..., None], hi, lo).astype(np.uint8),
+                img.shape,
+            ).copy()
+        elif d % 3 == 2:
+            img = np.full_like(img, 7 + d % 90)
+        g = img.astype(np.int64).sum(axis=2) // 3
+        hist = [0] * 256
+        S = 0
+        W = 0
+        for y in range(g.shape[0]):
+            for x in range(g.shape[1]):
+                v = int(g[y, x])
+                hist[v] += 1
+                S += v
+                W += 1
+        best_t = -1
+        best_num = best_den = 0
+        w0 = s0 = 0
+        for thr in range(256):
+            w0 += hist[thr]
+            s0 += thr * hist[thr]
+            if w0 == 0 or w0 == W:
+                continue
+            num = S * w0 - s0 * W
+            if best_t < 0 or num * num * best_den > best_num * (w0 * (W - w0)):
+                best_num, best_den, best_t = num * num, w0 * (W - w0), thr
+        if best_t < 0:
+            threshold, fg = int(g[0, 0]), 0
+        else:
+            threshold = best_t
+            fg = sum(
+                1
+                for y in range(g.shape[0])
+                for x in range(g.shape[1])
+                if int(g[y, x]) > best_t
+            )
+        rows.append((rec["image_id"], threshold, fg * 1000 // W))
+    _write(
+        "image_otsu", sf_dir,
+        pd.DataFrame(rows, columns=["image_id", "threshold", "fg_milli"]).astype(
+            {"image_id": "string", "threshold": "int64", "fg_milli": "int64"}
+        ),
+    )
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu]
 
 
 def main() -> None:
