@@ -922,7 +922,8 @@ def bellman_ford_int(
     return pd.DataFrame({"host": nodes, "cost": cost})
 
 
-def scc_fb_trim(edges_ds, max_rounds: int = 64) -> pd.DataFrame:
+def scc_fb_trim(edges_ds, max_rounds: int = 64, node_state: str = "auto",
+                driver_state_max: int = GRAPH_DRIVER_STATE_MAX) -> pd.DataFrame:
     """Strongly connected components of a directed edge Dataset by
     trim + forward-coloring + backward-reachability (the FB/coloring
     family: Fleischer et al. 2000's divide-and-conquer made iterative;
@@ -950,13 +951,14 @@ def scc_fb_trim(edges_ds, max_rounds: int = 64) -> pd.DataFrame:
     state (active/color/reached vectors) is driver-resident and ships
     once per sweep via ``ray.put`` — the same broadcast-vector form as
     :func:`pagerank_int`, bounded by ``GRAPH_DRIVER_STATE_MAX`` nodes.
-    Beyond the switch this function raises loudly (the guard below)
-    rather than silently eating driver RAM; the documented extension —
-    NOT yet built — is the Dataset-resident
-    ``_propagate_ds``/``_apply_state_ds`` form that
-    :func:`min_label_components` already uses (backward's
-    both-endpoint color gate rides the edge-color co-location join).
-    Sweep counts are
+    Beyond the switch (``node_state="auto"``/"dataset") per-node state
+    stays a RESIDENT DATASET (:func:`_scc_state_ds`): trim/color are
+    the standard ``_propagate_ds``/``_apply_state_ds`` shuffle pairs,
+    and backward's both-endpoint color-equality gate — which does not
+    factor into a source offer + local apply — rides a per-round
+    intra-color edge materialization (:func:`_edges_both_state_ds`,
+    two co-location shuffles). Both paths bit-identical (gated in
+    tests). Sweep counts are
     workload-bounded: trim retires tendrils at one hop per iteration,
     coloring/backward converge in the active subgraph's diameter, and
     real web graphs finish in a handful of outer rounds (the giant SCC
@@ -970,14 +972,13 @@ def scc_fb_trim(edges_ds, max_rounds: int = 64) -> pd.DataFrame:
     import ray
 
     edges = edges_ds.materialize()
+    if node_state != "driver":
+        nodes_ds = _nodes_dataset(edges)
+        n_ds = nodes_ds.count()
+        if node_state == "dataset" or n_ds > driver_state_max:
+            return _scc_state_ds(edges, nodes_ds, n_ds, max_rounds)
     nodes = _graph_nodes(edges)
     n = len(nodes)
-    if n > GRAPH_DRIVER_STATE_MAX:
-        raise NotImplementedError(
-            f"scc_fb_trim: {n} nodes exceeds the driver-state switch "
-            f"({GRAPH_DRIVER_STATE_MAX}); the Dataset-resident state path "
-            "is documented but not built — see docstring"
-        )
     INF = np.iinfo(np.int64).max
     scc = np.full(n, -1, np.int64)
     active = np.ones(n, bool)
@@ -1294,3 +1295,242 @@ def _opic_state_ds(edges, nodes_ds, om_ds, n: int, scale: int, rounds: int) -> p
     return pd.DataFrame({"host": out["h"].to_numpy().astype(np.int64),
                          "importance": out["hist"].to_numpy().astype(np.int64),
                          "cash": out["cash"].to_numpy().astype(np.int64)})
+
+
+def _edges_both_state_ds(edges, state, cols, n_buckets: int = N_GRAPH_BUCKETS):
+    """Annotate every edge with BOTH endpoints' state columns — the
+    two-shuffle edge-state co-location join (hash(src), then
+    hash(dst)); returns a Dataset (src, dst, s_<col>…, d_<col>…).
+    This is the building block for propagations whose edge gate does
+    NOT factor into a source-side offer and a destination-local apply
+    (e.g. SCC backward's color-equality gate)."""
+    cols = list(cols)
+    zero64 = lambda n: pa.array(np.zeros(n, np.int64), pa.int64())  # noqa: E731
+
+    def stage(ann, key_is_src: bool, prefix: str):
+        carry = [c for c in ann.schema().names if c not in ("src", "dst")]
+
+        def tag_state(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            d = {"h": t.column("h").cast(pa.int64()),
+                 "src": zero64(n), "dst": zero64(n)}
+            for c in carry:
+                d[c] = zero64(n)
+            for c in cols:
+                d[prefix + c] = t.column(c).cast(pa.int64())
+            d["kind"] = zero64(n)
+            return pa.table(d)
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            d = {"h": t.column("src" if key_is_src else "dst").cast(pa.int64()),
+                 "src": t.column("src").cast(pa.int64()),
+                 "dst": t.column("dst").cast(pa.int64())}
+            for c in carry:
+                d[c] = t.column(c).cast(pa.int64())
+            for c in cols:
+                d[prefix + c] = zero64(n)
+            d["kind"] = pa.array(np.ones(n, np.int64), pa.int64())
+            return pa.table(d)
+
+        unioned = state.map_batches(tag_state, batch_format="pyarrow").union(
+            ann.map_batches(tag_edges, batch_format="pyarrow")
+        )
+        new_cols = [prefix + c for c in cols]
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            st = g[g["kind"] == 0]
+            eg = g[g["kind"] == 1]
+            if eg.empty or st.empty:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64")
+                     for c in ["src", "dst"] + carry + new_cols}
+                )
+            m = eg[["h", "src", "dst"] + carry].merge(
+                st[["h"] + new_cols], on="h", how="inner"
+            )
+            return m[["src", "dst"] + carry + new_cols].astype("int64")
+
+        return bucketed_group_agg(unioned, ["h"], merge, n_buckets=n_buckets)
+
+    ann = stage(edges, key_is_src=True, prefix="s_")
+    return stage(ann, key_is_src=False, prefix="d_").materialize()
+
+
+def _scc_state_ds(edges, nodes_ds, n: int, max_rounds: int) -> pd.DataFrame:
+    """Dataset-resident trim+color+backward SCC (see
+    :func:`scc_fb_trim` for the algorithm): per-node state
+    (active, color, reached, scc) never touches the driver — every
+    sweep is a bounded bucketed-shuffle propagate + apply, and the
+    driver sees ONE changed/active scalar per sweep. Purely LOCAL
+    state updates (color/reached init, retirement) run as plain
+    ``map_batches`` with no shuffle; trim's in- and out-degree streams
+    are bit-packed (out-degree << 32) and folded in ONE apply. The
+    backward phase's color-equality gate does not factor into
+    offer/apply, so each outer round materializes the color-induced
+    intra-SCC candidate edge set once via :func:`_edges_both_state_ds`
+    and runs plain sum-propagation of reached flags over it.
+    Bit-identical to the broadcast path (integer min/max/any over the
+    same deterministic edge set); bucket counts scale with the node
+    count so small graphs don't pay the 32-bucket task fan-out."""
+    INF = np.iinfo(np.int64).max
+    nb = int(min(N_GRAPH_BUCKETS, max(2, n // 16)))
+    cb = int(min(16, nb))
+    state = _init_state_ds(
+        nodes_ds,
+        lambda h: {"active": np.ones(len(h), np.int64),
+                   "color": np.zeros(len(h), np.int64),
+                   "reached": np.zeros(len(h), np.int64),
+                   "scc": np.full(len(h), -1, np.int64)},
+    )
+    scols = ["active", "color", "reached", "scc"]
+
+    def apply_keep(extra):
+        def fn(st, inc, has_in):
+            out = extra(st, inc, has_in)
+            for c in scols:
+                if c not in out:
+                    out[c] = st[c].to_numpy()
+            return out
+        return fn
+
+    def local_apply(state, fn):
+        """Shuffle-free per-row state update (no contribs needed)."""
+        def mb(t: pa.Table) -> pa.Table:
+            st = t.to_pandas()
+            out = {"h": st["h"].to_numpy().astype(np.int64)}
+            new = fn(st)
+            for c in scols:
+                out[c] = (new[c] if c in new else st[c].to_numpy()).astype(np.int64)
+            return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        return state.map_batches(mb, batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        if not int(state.sum("active") or 0):
+            break
+        # --- 1. trim to fixpoint -------------------------------------
+        # in-degree (forward) and out-degree (reverse) among active
+        # nodes, bit-packed into one contribution stream so a single
+        # apply folds both (degrees < 2^32 by the int64 edge budget)
+        while True:
+            indeg = _propagate_ds(
+                edges, state, op="sum", state_cols=["active"],
+                offer_fn=lambda m: m["active"].to_numpy(), n_buckets=nb,
+            )
+            outdeg = _propagate_ds(
+                edges, state, op="sum", state_cols=["active"],
+                offer_fn=lambda m: m["active"].to_numpy() << 32,
+                reverse=True, n_buckets=nb,
+            )
+
+            def trim_apply(st, inc, hi):
+                h = st["h"].to_numpy()
+                act = st["active"].to_numpy().astype(bool)
+                i_deg = inc & ((1 << 32) - 1)
+                o_deg = inc >> 32
+                triv = act & ((o_deg == 0) | (i_deg == 0))
+                still = act & ~triv
+                return {
+                    "active": still.astype(np.int64),
+                    # pre-seed the color phase: own id while active
+                    # (unused by trim; saves the init sweep)
+                    "color": np.where(still, h, INF),
+                    "scc": np.where(triv, h, st["scc"].to_numpy()),
+                    "changed": triv.astype(np.int64),
+                }
+
+            state = _apply_state_ds(
+                state, indeg.union(outdeg), op="sum", state_cols=scols,
+                apply_fn=apply_keep(trim_apply), n_buckets=nb,
+                coalesce_blocks=cb,
+            )
+            if not int(state.sum("changed") or 0):
+                break
+        if not int(state.sum("active") or 0):
+            break
+        # --- 2. forward min-coloring to fixpoint ---------------------
+        # (color already seeded to own-id/INF by trim_apply)
+        while True:
+            offers = _propagate_ds(
+                edges, state, op="min", state_cols=["color", "active"],
+                offer_fn=lambda m: np.where(
+                    m["active"].to_numpy().astype(bool),
+                    m["color"].to_numpy(), INF),
+                n_buckets=nb,
+            )
+
+            def color_apply(st, inc, hi):
+                act = st["active"].to_numpy().astype(bool)
+                old = st["color"].to_numpy()
+                new = np.where(act, np.minimum(old, inc), old)
+                return {
+                    "color": new,
+                    # pre-seed backward: roots are their own color
+                    # (unused until the color fixpoint, when it is valid)
+                    "reached": (act & (new == st["h"].to_numpy())).astype(np.int64),
+                    "changed": (new != old).astype(np.int64),
+                }
+
+            state = _apply_state_ds(
+                state, offers, op="min", state_cols=scols,
+                apply_fn=apply_keep(color_apply), n_buckets=nb,
+                coalesce_blocks=cb,
+            )
+            if not int(state.sum("changed") or 0):
+                break
+        # --- 3. backward reachability within color -------------------
+        # the color-equality gate needs both endpoints: materialize the
+        # intra-color active edge set once for this round
+        ann = _edges_both_state_ds(edges, state, ["active", "color"], n_buckets=nb)
+
+        def intra_fn(t: pa.Table) -> pa.Table:
+            keep = (
+                (t.column("s_active").to_numpy() == 1)
+                & (t.column("d_active").to_numpy() == 1)
+                & (t.column("s_color").to_numpy() == t.column("d_color").to_numpy())
+            )
+            return pa.table(
+                {"src": pa.array(t.column("src").to_numpy()[keep], pa.int64()),
+                 "dst": pa.array(t.column("dst").to_numpy()[keep], pa.int64())}
+            )
+
+        intra = ann.map_batches(intra_fn, batch_format="pyarrow").materialize()
+        while True:
+            # op="sum" over 0/1 reached flags: inc > 0 == "any intra
+            # out-neighbor (via reversed edges) is reached"
+            offers = _propagate_ds(
+                intra, state, op="sum", state_cols=["reached"],
+                offer_fn=lambda m: m["reached"].to_numpy(), reverse=True,
+                n_buckets=nb,
+            )
+
+            def back_apply(st, inc, hi):
+                act = st["active"].to_numpy().astype(bool)
+                old = st["reached"].to_numpy().astype(bool)
+                new = old | (act & (inc > 0))
+                return {"reached": new.astype(np.int64),
+                        "changed": (new != old).astype(np.int64)}
+
+            state = _apply_state_ds(
+                state, offers, op="sum", state_cols=scols,
+                apply_fn=apply_keep(back_apply), n_buckets=nb,
+                coalesce_blocks=cb,
+            )
+            if not int(state.sum("changed") or 0):
+                break
+
+        def retire(st: pd.DataFrame) -> dict:
+            act = st["active"].to_numpy().astype(bool)
+            rch = st["reached"].to_numpy().astype(bool)
+            return {
+                "active": (act & ~rch).astype(np.int64),
+                "reached": np.zeros(len(act), np.int64),
+                "scc": np.where(rch, st["color"].to_numpy(), st["scc"].to_numpy()),
+            }
+
+        state = local_apply(state, retire)
+    if int(state.sum("active") or 0):
+        raise RuntimeError("scc (dataset state): max_rounds exhausted")
+    out = state.to_pandas().sort_values("h", kind="mergesort")
+    return pd.DataFrame({"host": out["h"].to_numpy().astype(np.int64),
+                         "scc_id": out["scc"].to_numpy().astype(np.int64)})

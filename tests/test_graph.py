@@ -410,3 +410,14 @@ def test_opic_cash_conserved_and_differentiates(ray_session):
     core = out[out["host"] < 8]["importance"]
     in_tier = out[(out["host"] >= 16) & (out["host"] < 24)]["importance"]
     assert core.min() > in_tier.max()
+
+
+def test_scc_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import scc_fb_trim
+
+    a = scc_fb_trim(_bowtie_edges(), node_state="driver")
+    # forced-low auto switch exercises BOTH the dispatch and the
+    # dataset-resident path in one run (the path itself is ~30 sweeps
+    # of shuffle pairs — one run keeps the suite's wall-time sane)
+    b = scc_fb_trim(_bowtie_edges(), driver_state_max=1)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
