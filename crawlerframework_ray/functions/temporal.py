@@ -412,3 +412,100 @@ class TemporalExtractStageV5:
                 "min_time5": pa.array(min_time, pa.string()),
             }
         )
+
+
+AMPM_RX = r"at (1[0-2]|[1-9]) (am|pm)"
+QHPAST_RX = r"(quarter|half) past (1[01]|[1-9])\b"
+QHTO_RX = r"quarter to (1[01]|[1-9])\b"
+PHASE_RX = r"(beginning of|mid) (" + "|".join(MONTHS) + r")"
+ADJ_RX = r"(next|last) (month|year)"
+RANGE_RX = (
+    r"from (" + "|".join(MONTHS) + r") ([0-9]{1,2})"
+    r" to (" + "|".join(MONTHS) + r") ([0-9]{1,2})"
+)
+
+
+def _ampm_time(h: int, half: str) -> str:
+    """12-hour clock → HH:00 (12 am = 00:00, 12 pm = 12:00)."""
+    if half == "am":
+        h24 = 0 if h == 12 else h
+    else:
+        h24 = 12 if h == 12 else h + 12
+    return f"{h24:02d}:00"
+
+
+class TemporalExtractStageV6:
+    """Tier-6 grammar (one more tier toward serendiocalendar's clock
+    and span forms): 12-hour clock times (``at 3 pm`` — 12 am/pm
+    resolved to 00:00/12:00), quarter/half phrases (``quarter past 5``
+    → 05:15, ``half past 11`` → 11:30, ``quarter to 8`` → 07:45;
+    hours 1-11, the unambiguous subset), month phases (``beginning of
+    June`` → 06-01, ``mid June`` → 06-15 in the anchor year —
+    completing tier 3's ``end of``), adjacent periods (``next/last
+    month/year`` → the period's first day around the 2026-01-01
+    anchor) and explicit date spans (``from June 3 to June 7`` — both
+    endpoints normalized; the min-date convention reports the start).
+    Output: per-form counts + ``min_date6``/``min_time6``. Patterns
+    compiled once per actor; ASCII-only so Python re and DuckDB RE2
+    agree."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.ampm = re.compile(AMPM_RX)
+        self.qhpast = re.compile(QHPAST_RX)
+        self.qhto = re.compile(QHTO_RX)
+        self.phase = re.compile(PHASE_RX)
+        self.adj = re.compile(ADJ_RX)
+        self.range = re.compile(RANGE_RX)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        n_am, n_qh, n_ph, n_ad, n_rg, min_date, min_time = [], [], [], [], [], [], []
+        for t in texts:
+            dates: list[str] = []
+            times: list[str] = []
+            am = self.ampm.findall(t)
+            times.extend(_ampm_time(int(h), half) for h, half in am)
+            qp = self.qhpast.findall(t)
+            times.extend(
+                f"{int(h):02d}:{'15' if q == 'quarter' else '30'}" for q, h in qp
+            )
+            qt = self.qhto.findall(t)
+            times.extend(f"{int(h) - 1:02d}:45" for h in qt)
+            ph = self.phase.findall(t)
+            dates.extend(
+                f"{ANCHOR.year:04d}-{_MONTH_NUM[m]:02d}-"
+                f"{'01' if p == 'beginning of' else '15'}"
+                for p, m in ph
+            )
+            ad = self.adj.findall(t)
+            for direction, unit in ad:
+                if unit == "month":
+                    d = (_dt.date(ANCHOR.year, 2, 1) if direction == "next"
+                         else _dt.date(ANCHOR.year - 1, 12, 1))
+                else:
+                    d = _dt.date(ANCHOR.year + (1 if direction == "next" else -1), 1, 1)
+                dates.append(d.isoformat())
+            rg = self.range.findall(t)
+            for m1, d1, m2, d2 in rg:
+                dates.append(f"{ANCHOR.year:04d}-{_MONTH_NUM[m1]:02d}-{int(d1):02d}")
+                dates.append(f"{ANCHOR.year:04d}-{_MONTH_NUM[m2]:02d}-{int(d2):02d}")
+            n_am.append(len(am))
+            n_qh.append(len(qp) + len(qt))
+            n_ph.append(len(ph))
+            n_ad.append(len(ad))
+            n_rg.append(len(rg))
+            min_date.append(min(dates) if dates else "")
+            min_time.append(min(times) if times else "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ampm": pa.array(n_am, pa.int64()),
+                "n_quarterhalf": pa.array(n_qh, pa.int64()),
+                "n_phase": pa.array(n_ph, pa.int64()),
+                "n_adjacent": pa.array(n_ad, pa.int64()),
+                "n_range": pa.array(n_rg, pa.int64()),
+                "min_date6": pa.array(min_date, pa.string()),
+                "min_time6": pa.array(min_time, pa.string()),
+            }
+        )

@@ -11431,3 +11431,148 @@ def image_otsu_binarize(sf_dir: str):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
         OtsuBinarizeStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
     )
+
+
+_MONTH_LIST_SQL = (
+    "['January','February','March','April','May','June','July',"
+    "'August','September','October','November','December']"
+)
+_MONTH_ALT = (
+    "January|February|March|April|May|June|July|August|September|October|November|December"
+)
+
+_TEMPORAL6_AUG_SQL = f"""
+        text
+        || CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN ' call at ' || CAST(1 + doc_id % 12 AS VARCHAR) || ' '
+                  || CASE WHEN doc_id % 2 = 0 THEN 'am' ELSE 'pm' END
+             WHEN 1 THEN ' standup '
+                  || CASE WHEN doc_id % 2 = 0 THEN 'quarter' ELSE 'half' END
+                  || ' past ' || CAST(1 + doc_id % 11 AS VARCHAR)
+             WHEN 2 THEN ' review quarter to ' || CAST(1 + doc_id % 11 AS VARCHAR)
+             WHEN 3 THEN ' kickoff '
+                  || CASE WHEN doc_id % 2 = 0 THEN 'beginning of ' ELSE 'mid ' END
+                  || ({_MONTH_LIST_SQL})[CAST(1 + doc_id % 12 AS INT)]
+             WHEN 4 THEN ' moved to '
+                  || CASE WHEN doc_id % 2 = 0 THEN 'next' ELSE 'last' END || ' '
+                  || CASE WHEN (doc_id // 2) % 2 = 0 THEN 'month' ELSE 'year' END
+             ELSE ' window from ' || ({_MONTH_LIST_SQL})[CAST(1 + doc_id % 12 AS INT)]
+                  || ' ' || CAST(1 + doc_id % 20 AS VARCHAR)
+                  || ' to ' || ({_MONTH_LIST_SQL})[CAST(1 + (doc_id + 5) % 12 AS INT)]
+                  || ' ' || CAST(4 + doc_id % 20 AS VARCHAR)
+           END
+        || CASE WHEN doc_id % 9 = 0 THEN ' also at 12 pm' ELSE '' END
+"""
+
+_TEMPORAL6_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_TEMPORAL6_AUG_SQL} AS text FROM documents),
+    norm AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(text, 'at (1[0-2]|[1-9]) (am|pm)', 0),
+          s -> lpad(CAST(CASE
+                 WHEN s LIKE '% am' THEN
+                   CASE WHEN regexp_extract(s, 'at ([0-9]+)', 1) = '12'
+                        THEN 0 ELSE CAST(regexp_extract(s, 'at ([0-9]+)', 1) AS INT) END
+                 ELSE
+                   CASE WHEN regexp_extract(s, 'at ([0-9]+)', 1) = '12'
+                        THEN 12 ELSE CAST(regexp_extract(s, 'at ([0-9]+)', 1) AS INT) + 12 END
+               END AS VARCHAR), 2, '0') || ':00') AS am,
+        list_transform(regexp_extract_all(text,
+            '(quarter|half) past (1[01]|[1-9])\\b', 0),
+          s -> lpad(regexp_extract(s, '([0-9]+)', 1), 2, '0')
+               || CASE WHEN s LIKE 'quarter%' THEN ':15' ELSE ':30' END) AS qp,
+        list_transform(regexp_extract_all(text, 'quarter to (1[01]|[1-9])\\b', 0),
+          s -> lpad(CAST(CAST(regexp_extract(s, '([0-9]+)', 1) AS INT) - 1
+                         AS VARCHAR), 2, '0') || ':45') AS qt,
+        list_transform(regexp_extract_all(text,
+            '(beginning of|mid) ({_MONTH_ALT})', 0),
+          s -> '2026-'
+               || lpad(CAST(month(strptime(regexp_extract(s, '({_MONTH_ALT})', 1),
+                                           '%B')) AS VARCHAR), 2, '0')
+               || CASE WHEN s LIKE 'beginning%' THEN '-01' ELSE '-15' END) AS ph,
+        list_transform(regexp_extract_all(text, '(next|last) (month|year)', 0),
+          s -> CASE s WHEN 'next month' THEN '2026-02-01'
+                      WHEN 'last month' THEN '2025-12-01'
+                      WHEN 'next year' THEN '2027-01-01'
+                      ELSE '2025-01-01' END) AS ad,
+        list_transform(regexp_extract_all(text,
+            'from ({_MONTH_ALT}) ([0-9]{{1,2}}) to ({_MONTH_ALT}) ([0-9]{{1,2}})', 0),
+          s -> '2026-'
+               || lpad(CAST(month(strptime(
+                      regexp_extract(s, 'from ({_MONTH_ALT})', 1), '%B'))
+                      AS VARCHAR), 2, '0')
+               || '-' || lpad(regexp_extract(s, 'from [A-Za-z]+ ([0-9]+)', 1), 2, '0')) AS r1,
+        list_transform(regexp_extract_all(text,
+            'from ({_MONTH_ALT}) ([0-9]{{1,2}}) to ({_MONTH_ALT}) ([0-9]{{1,2}})', 0),
+          s -> '2026-'
+               || lpad(CAST(month(strptime(
+                      regexp_extract(s, 'to ({_MONTH_ALT})', 1), '%B'))
+                      AS VARCHAR), 2, '0')
+               || '-' || lpad(regexp_extract(s, 'to [A-Za-z]+ ([0-9]+)', 1), 2, '0')) AS r2
+      FROM aug)
+    SELECT doc_id,
+      CAST(length(am) AS BIGINT) AS n_ampm,
+      CAST(length(qp) + length(qt) AS BIGINT) AS n_quarterhalf,
+      CAST(length(ph) AS BIGINT) AS n_phase,
+      CAST(length(ad) AS BIGINT) AS n_adjacent,
+      CAST(length(r1) AS BIGINT) AS n_range,
+      COALESCE(list_aggregate(ph || ad || r1 || r2, 'min'), '') AS min_date6,
+      COALESCE(list_aggregate(am || qp || qt, 'min'), '') AS min_time6
+    FROM norm
+"""
+
+
+def _plant_temporal6(t: pa.Table) -> pa.Table:
+    """Python mirror of _TEMPORAL6_AUG_SQL (token for token)."""
+    from ..functions.temporal import MONTHS
+
+    ids = t.column("doc_id").to_numpy()
+    out = []
+    for i, txt in zip(ids, t.column("text").to_pylist()):
+        i = int(i)
+        c = i % 6
+        if c == 0:
+            s = f" call at {1 + i % 12} " + ("am" if i % 2 == 0 else "pm")
+        elif c == 1:
+            s = (" standup " + ("quarter" if i % 2 == 0 else "half")
+                 + f" past {1 + i % 11}")
+        elif c == 2:
+            s = f" review quarter to {1 + i % 11}"
+        elif c == 3:
+            s = (" kickoff " + ("beginning of " if i % 2 == 0 else "mid ")
+                 + MONTHS[i % 12])
+        elif c == 4:
+            s = (" moved to " + ("next" if i % 2 == 0 else "last") + " "
+                 + ("month" if (i // 2) % 2 == 0 else "year"))
+        else:
+            s = (f" window from {MONTHS[i % 12]} {1 + i % 20}"
+                 f" to {MONTHS[(i + 5) % 12]} {4 + i % 20}")
+        if i % 9 == 0:
+            s += " also at 12 pm"
+        out.append(txt + s)
+    return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+
+@register("temporal_extract_v6", _TEMPORAL6_SQL)
+def temporal_extract_v6(sf_dir: str):
+    """T6 temporal tier 6 (continuing the grammar ladder toward
+    crawler/extractors/serendiocalendar.py's clock/span forms): 12-hour
+    clock times ("at 3 pm"; 12 am/pm → 00:00/12:00 — the planted
+    doc_id % 9 == 0 suffix exercises the noon edge on both sides),
+    quarter/half phrases ("quarter past 5" → 05:15, "half past 11" →
+    11:30, "quarter to 8" → 07:45; hours 1-11, the unambiguous
+    subset), month phases ("beginning of/mid June" — completing tier
+    3's "end of"), adjacent periods ("next/last month/year" around the
+    2026-01-01 anchor) and explicit date spans ("from June 3 to June
+    7", both endpoints normalized). Same planted both-sides
+    augmentation + actor-pool stage shape as tiers 1-5; every form
+    deterministic and SQL-reproducible bit for bit (SQL month names
+    via strptime '%B', times via lpad arithmetic)."""
+    from ..functions.temporal import TemporalExtractStageV6
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_temporal6, batch_format="pyarrow").map_batches(
+        TemporalExtractStageV6,
+        fn_constructor_kwargs={"text_column": "text"},
+        batch_format="pyarrow", batch_size=8192, concurrency=2, num_cpus=0.5,
+    )
