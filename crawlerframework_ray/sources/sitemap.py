@@ -76,3 +76,33 @@ def parse_sitemap(xml: str) -> list[dict]:
             }
         )
     return out
+
+
+def build_sitemap_index_xml(entries: list[dict]) -> str:
+    """Serialize a sitemaps.org ``sitemapindex`` document — the
+    protocol's SECOND level (a urlset is capped at 50,000 URLs /
+    50 MB, so every large site publishes an index of chunk sitemaps).
+    ``entries`` rows carry loc / lastmod strings."""
+    ET.register_namespace("", SITEMAP_NS)
+    root = ET.Element(f"{{{SITEMAP_NS}}}sitemapindex")
+    for e in entries:
+        s = ET.SubElement(root, f"{{{SITEMAP_NS}}}sitemap")
+        for field in ("loc", "lastmod"):
+            ET.SubElement(s, f"{{{SITEMAP_NS}}}{field}").text = str(e[field])
+    return ET.tostring(root, encoding="unicode")
+
+
+def parse_sitemap_index(xml: str) -> list[dict]:
+    """One sitemapindex document → chunk-sitemap rows (loc, lastmod).
+    Raises on a non-index root or an entry missing its loc, so a
+    urlset handed to the index parser fails loudly."""
+    root = ET.fromstring(xml)
+    if root.tag != f"{{{SITEMAP_NS}}}sitemapindex":
+        raise ValueError(f"not a sitemapindex document: root {root.tag!r}")
+    out: list[dict] = []
+    for s in root.findall(f"{{{SITEMAP_NS}}}sitemap"):
+        loc = s.findtext(f"{{{SITEMAP_NS}}}loc")
+        if loc is None:
+            raise ValueError("sitemapindex entry missing loc")
+        out.append({"loc": loc, "lastmod": s.findtext(f"{{{SITEMAP_NS}}}lastmod") or ""})
+    return out

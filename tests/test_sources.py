@@ -203,3 +203,35 @@ def test_sitemap_parse_rejects_malformed_priority():
     )
     with _pytest.raises(ValueError):
         parse_sitemap(xml)
+
+
+def test_sitemap_index_round_trip():
+    from crawlerframework_ray.sources.sitemap import (
+        build_sitemap_index_xml,
+        build_sitemap_xml,
+        parse_sitemap_index,
+    )
+
+    entries = [
+        {"loc": "http://h0.example.test/sitemap-0.xml", "lastmod": "2024-01-03"},
+        {"loc": "http://h0.example.test/sitemap-1.xml", "lastmod": "2024-02-07"},
+    ]
+    xml = build_sitemap_index_xml(entries)
+    assert parse_sitemap_index(xml) == entries
+
+
+def test_sitemap_index_rejects_urlset():
+    import pytest
+
+    from crawlerframework_ray.sources.sitemap import (
+        build_sitemap_xml,
+        parse_sitemap_index,
+    )
+
+    urlset = build_sitemap_xml(
+        "h0.example.test",
+        [{"loc": "http://h0.example.test/p/1", "lastmod": "2024-01-01",
+          "changefreq": "daily", "priority": "0.5"}],
+    )
+    with pytest.raises(ValueError, match="not a sitemapindex"):
+        parse_sitemap_index(urlset)
