@@ -417,7 +417,7 @@ class TemporalExtractStageV5:
 AMPM_RX = r"at (1[0-2]|[1-9]) (am|pm)"
 QHPAST_RX = r"(quarter|half) past (1[01]|[1-9])\b"
 QHTO_RX = r"quarter to (1[01]|[1-9])\b"
-PHASE_RX = r"(beginning of|mid) (" + "|".join(MONTHS) + r")"
+PHASE6_RX = r"(beginning of|mid) (" + "|".join(MONTHS) + r")"
 ADJ_RX = r"(next|last) (month|year)"
 RANGE_RX = (
     r"from (" + "|".join(MONTHS) + r") ([0-9]{1,2})"
@@ -454,7 +454,7 @@ class TemporalExtractStageV6:
         self.ampm = re.compile(AMPM_RX)
         self.qhpast = re.compile(QHPAST_RX)
         self.qhto = re.compile(QHTO_RX)
-        self.phase = re.compile(PHASE_RX)
+        self.phase = re.compile(PHASE6_RX)
         self.adj = re.compile(ADJ_RX)
         self.range = re.compile(RANGE_RX)
 

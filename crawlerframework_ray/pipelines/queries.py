@@ -11692,3 +11692,105 @@ def sitemap_index_two_level(sf_dir: str):
 
     out = bucketed_group_agg(docs, ["host"], consume).to_pandas()
     return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+_CURR_SQL = """
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars < 180 THEN 0
+                  WHEN n_chars < 310 THEN 1
+                  WHEN n_chars < 420 THEN 2
+                  ELSE 3 END AS tier,
+             (doc_id * 2654435761) % 4294967296 AS h
+      FROM documents),
+    r AS (
+      SELECT doc_id, tier,
+             ROW_NUMBER() OVER (PARTITION BY tier ORDER BY h, doc_id) - 1
+               AS rank_in_tier
+      FROM q)
+    SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+           CAST(rank_in_tier AS BIGINT) AS rank_in_tier,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank_in_tier, tier) - 1 AS BIGINT)
+             AS position
+    FROM r
+"""
+
+
+@register("curriculum_interleave_docs", _CURR_SQL)
+def curriculum_interleave_docs(sf_dir: str):
+    """Curriculum / data-ordering schedule for training: documents are
+    difficulty-tiered (length boundaries — the standard
+    short-to-long curriculum axis), shuffled WITHIN each tier by a
+    deterministic Knuth multiplicative hash (no RNG — retry-safe,
+    cluster-size-invariant), and interleaved round-robin across tiers
+    so every training window sees the full difficulty mix (the
+    stratified-interleave schedule; Bengio et al. 2009's curriculum
+    made shuffle-stable). position = dense rank over
+    (rank_in_tier, tier).
+
+    Scale shape: NO global sort anywhere — per-tier ranks come from
+    the two-phase distributed prefix-COUNT scan (stages/scan.py, one
+    scan per tier, tier count a small constant), and the global
+    interleave position is CLOSED-FORM from the 4-row tier-count
+    table: pos(r, t) = Σ_t' min(r, c_t') + #{t' < t : c_t' > r} —
+    exactly ROW_NUMBER() OVER (ORDER BY rank, tier) without the
+    all-to-all a window sort would cost. The oracle computes the same
+    schedule WITH the window sort; hash equality proves the closed
+    form.
+
+    Reference analogue: none — the reference fetches in priority
+    order and never prepares training curricula; this is a
+    beyond-the-reference LLM-data op (the ordering sibling of
+    pack_sequences)."""
+    from ..stages.scan import packed_bins
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype("int64")
+        n = t.column("n_chars").to_numpy().astype("int64")
+        tier = np.where(n < 180, 0, np.where(n < 310, 1, np.where(n < 420, 2, 3)))
+        h = (d * 2654435761) % (1 << 32)
+        # unique int scan key ordered by (h, doc_id): doc_id < 2^21
+        key = h * (1 << 21) + d
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "tier": pa.array(tier.astype("int64"), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "one": pa.array(np.ones(len(d), np.int64), pa.int64()),
+            }
+        )
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    ranked = None
+    counts = np.zeros(4, np.int64)
+    for t_ in range(4):
+        tier_ds = feats.filter(lambda row, _t=t_: row["tier"] == _t)
+        # bin_id of a unit-weight budget-1 scan IS the 0-based
+        # exclusive prefix count = rank within the tier
+        part = packed_bins(tier_ds, "key", "one", budget=1, carry=["doc_id", "tier"])
+        counts[t_] = part.count()
+        ranked = part if ranked is None else ranked.union(part)
+
+    c = counts  # 4-entry tier-count table, broadcast in the closure
+
+    def add_position(t: pa.Table) -> pa.Table:
+        r = t.column("bin_id").to_numpy().astype(np.int64)
+        tr = t.column("tier").to_numpy().astype(np.int64)
+        # closed-form dense rank over (rank_in_tier, tier):
+        # pos = sum_t' min(r, c_t') + #{t' < tier : c_t' > r}
+        pos = np.zeros(len(r), np.int64)
+        for tt in range(4):
+            pos += np.minimum(r, c[tt]) + ((tr > tt) & (c[tt] > r))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "tier": pa.array(tr, pa.int64()),
+                "rank_in_tier": pa.array(r, pa.int64()),
+                "position": pa.array(pos, pa.int64()),
+            }
+        )
+
+    out = ranked.map_batches(add_position, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
