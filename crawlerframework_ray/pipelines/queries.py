@@ -11794,3 +11794,77 @@ def curriculum_interleave_docs(sf_dir: str):
 
     out = ranked.map_batches(add_position, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _plant_palette(d: int, img: np.ndarray) -> np.ndarray:
+    """Palette-class plant (shared with the golden): doc_id % 3 == 0 →
+    four doc-keyed quadrant colors; % 3 == 2 → two colors (vertical
+    halves), except doc_id % 9 == 2 → constant; % 3 == 1 → raw noise."""
+    if d % 3 == 1:
+        return img
+    h, w = img.shape[0], img.shape[1]
+    out = np.zeros_like(img)
+
+    def color(q: int) -> tuple:
+        return ((23 * d + q * 67) % 256, (41 * d + q * 13) % 256, (7 * d + q * 29) % 256)
+
+    if d % 3 == 0:
+        quads = [(slice(0, h // 2), slice(0, w // 2), 0),
+                 (slice(0, h // 2), slice(w // 2, w), 1),
+                 (slice(h // 2, h), slice(0, w // 2), 2),
+                 (slice(h // 2, h), slice(w // 2, w), 3)]
+        for ys, xs, q in quads:
+            out[ys, xs] = color(q)
+    elif d % 9 == 2:
+        out[:, :] = color(0)
+    else:
+        out[:, : w // 2] = color(0)
+        out[:, w // 2:] = color(1)
+    return out.astype(np.uint8)
+
+
+@register("image_palette_median_cut", _golden_sql("image_palette"))
+def image_palette_median_cut(sf_dir: str):
+    """Median-cut palette extraction over the image corpus (Heckbert
+    1982; stages/multimodal.MedianCutPaletteStage) — the k-color
+    palette audit separating flat renders / charts / line art from
+    photographs, the recursive-box sibling of the dominant-color gate.
+    Palette classes are PLANTED per doc_id (four quadrant colors /
+    raw noise / two colors / constant), so the full spectrum occurs:
+    clean 4-box splits, unsplittable 2-box and 1-box images (n_boxes
+    < 4 with -1/0 padding), and noise boxes driven by the
+    order-position cut rule. Golden restates the spec longhand
+    (explicit per-box loops, tuple sorts — tools/make_goldens.
+    image_palette), so a pick-rule, cut-position or tie drift fails
+    the gate. Actor pool, decoders in __init__, vectorized lexsort
+    splits; 3 splits per image.
+
+    Reference analogue: the image-scorer T6 slot
+    (crawler/connectors/baseconnector.py:1140-1251)."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import MedianCutPaletteStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        blobs: list[bytes] = []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _plant_palette(d, _codecs.decode(rec["bytes"], rec["fmt"]))
+            ids.append(rec["image_id"])
+            blobs.append(_codecs.encode_raw(img))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        MedianCutPaletteStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )

@@ -1268,3 +1268,100 @@ class OtsuBinarizeStage:
                 "fg_milli": pa.array(out_fg, pa.int64()),
             }
         )
+
+
+class MedianCutPaletteStage:
+    """Median-cut palette extraction (Heckbert 1982, "Color Image
+    Quantization for Frame Buffer Display") — the k-color palette audit
+    of an image-curation pipeline (palette size/spread separates flat
+    renders, charts and line art from photographs; the recursive-box
+    sibling of DominantColorStage's single-bin gate). Deterministic
+    integer spec, exactly restatable by the golden:
+
+    - start with one box holding every pixel (r, g, b triples);
+    - until 4 boxes: pick the box with the largest channel RANGE
+      (ties: more pixels, then lower box creation index), split along
+      its widest channel (ties: r before g before b) by ORDER
+      POSITION — pixels sorted by (channel value, packed rgb) and cut
+      at (n+1)//2 — which never degenerates, unlike value-median cuts
+      on constant runs; boxes of range 0 are unsplittable;
+    - palette entry per box = floor mean per channel, packed
+      r<<16 | g<<8 | b; boxes reported sorted by packed entry
+      (count descending never enters the ordering — fully determined
+      by color).
+
+    Output schema: image_id:string, n_boxes:int32, p0..p3:int64 (−1
+    when fewer boxes), n0..n3:int64 (0 when fewer).
+    """
+
+    K = 4
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"image_id": [], "n_boxes": []}
+        for i in range(self.K):
+            out[f"p{i}"] = []
+            out[f"n{i}"] = []
+        for iid, fmt, data in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data).astype(np.int64)
+            px = img[:, :, :3].reshape(-1, 3)
+            packed = (px[:, 0] << 16) | (px[:, 1] << 8) | px[:, 2]
+            boxes = [px[np.lexsort((packed,))]]  # stable canonical order
+            while len(boxes) < self.K:
+                ranges = [int((b.max(axis=0) - b.min(axis=0)).max()) for b in boxes]
+                sizes = [len(b) for b in boxes]
+                pick = -1
+                for j in range(len(boxes)):
+                    if ranges[j] == 0:
+                        continue
+                    if pick < 0 or (ranges[j], sizes[j]) > (ranges[pick], sizes[pick]):
+                        pick = j
+                if pick < 0:
+                    break  # every box constant: unsplittable
+                b = boxes[pick]
+                spread = b.max(axis=0) - b.min(axis=0)
+                ch = int(np.argmax(spread))  # argmax ties → lowest channel
+                key = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+                order = np.lexsort((key, b[:, ch]))
+                cut = (len(b) + 1) // 2
+                boxes[pick] = b[order[:cut]]
+                boxes.append(b[order[cut:]])
+            entries = sorted(
+                (
+                    int((int(b[:, 0].sum()) // len(b)) << 16
+                        | (int(b[:, 1].sum()) // len(b)) << 8
+                        | (int(b[:, 2].sum()) // len(b))),
+                    len(b),
+                )
+                for b in boxes
+            )
+            out["image_id"].append(iid)
+            out["n_boxes"].append(len(entries))
+            for i in range(self.K):
+                out[f"p{i}"].append(entries[i][0] if i < len(entries) else -1)
+                out[f"n{i}"].append(entries[i][1] if i < len(entries) else 0)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "n_boxes": pa.array(out["n_boxes"], pa.int32()),
+                **{
+                    k: pa.array(out[k], pa.int64())
+                    for i in range(self.K)
+                    for k in (f"p{i}", f"n{i}")
+                },
+            }
+        )

@@ -1646,12 +1646,81 @@ def image_otsu(sf_dir: str) -> None:
     )
 
 
+def image_palette(sf_dir: str) -> None:
+    """Longhand mirror of image_palette_median_cut: the PLANT
+    (_plant_palette) is shared by design, but the MEASURE — box pick
+    by (range, size, creation order), widest-channel choice, the
+    (channel value, packed rgb) order-position cut at (n+1)//2, floor
+    means and the packed-entry output sort — is restated with explicit
+    loops and tuple sorts (no numpy lexsort), so a spec drift in the
+    stage fails the gate."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+    from crawlerframework_ray.pipelines.queries import _plant_palette
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = _plant_palette(d, codecs.decode(rec["bytes"], rec["fmt"]))
+        px = [tuple(int(c) for c in p[:3]) for row in img for p in row]
+        px.sort(key=lambda p: (p[0] << 16) | (p[1] << 8) | p[2])
+        boxes = [px]
+        while len(boxes) < 4:
+            pick = -1
+            pick_key = None
+            for j, b in enumerate(boxes):
+                rng = max(
+                    max(p[ch] for p in b) - min(p[ch] for p in b) for ch in range(3)
+                )
+                if rng == 0:
+                    continue
+                key = (rng, len(b))
+                if pick < 0 or key > pick_key:
+                    pick, pick_key = j, key
+            if pick < 0:
+                break
+            b = boxes[pick]
+            spreads = [
+                max(p[ch] for p in b) - min(p[ch] for p in b) for ch in range(3)
+            ]
+            ch = spreads.index(max(spreads))
+            b = sorted(b, key=lambda p: (p[ch], (p[0] << 16) | (p[1] << 8) | p[2]))
+            cut = (len(b) + 1) // 2
+            boxes[pick] = b[:cut]
+            boxes.append(b[cut:])
+        entries = sorted(
+            (
+                (sum(p[0] for p in b) // len(b)) << 16
+                | (sum(p[1] for p in b) // len(b)) << 8
+                | (sum(p[2] for p in b) // len(b)),
+                len(b),
+            )
+            for b in boxes
+        )
+        row = [rec["image_id"], len(entries)]
+        for i in range(4):
+            row.append(entries[i][0] if i < len(entries) else -1)
+            row.append(entries[i][1] if i < len(entries) else 0)
+        rows.append(tuple(row))
+    cols = ["image_id", "n_boxes"]
+    for i in range(4):
+        cols += [f"p{i}", f"n{i}"]
+    df = pd.DataFrame(rows, columns=cols).astype(
+        {"image_id": "string", "n_boxes": "int32",
+         **{c: "int64" for i in range(4) for c in (f"p{i}", f"n{i}")}}
+    )
+    _write("image_palette", sf_dir, df)
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu, image_palette]
 
 
 def main() -> None:
