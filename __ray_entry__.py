@@ -45,6 +45,7 @@ def entry() -> Any:
         fetch_concurrency=2,
         fetch_batch_size=64,
         robots=True,  # RFC 9309 admission gate + crawl-delay budgets ON
+        failures=True,  # deterministic 4xx/5xx model + retry requeue ON
     )
     summary = CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, n_seeds))
     assert summary.fetched_urls > 0

@@ -28,6 +28,10 @@ class CrawlConfig:
     url_filter: str | None = None   # optional regex gate on expansions (M6)
     robots: bool = False            # robots.txt admission gate + crawl-delay
                                     # token-bucket budgets (functions/robots.py)
+    failures: bool = False          # deterministic fetch-failure model
+                                    # (data/synth.fetch_status_of): permanent
+                                    # "gone" URLs dropped, transient "retry"
+                                    # URLs requeued past the seen gate
     fetch_concurrency: int = 4      # fetcher actor-pool size
     fetch_batch_size: int = 256
     record_trace: bool = False      # keep per-epoch wave ordering (tests)
@@ -72,5 +76,6 @@ class CrawlConfig:
             "shard_capacity": self.shard_capacity,
             "url_filter": self.url_filter,
             "robots": self.robots,
+            "failures": self.failures,
         }
         return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]

@@ -261,3 +261,35 @@ def seeds_table(cfg: SynthWebConfig, n_seeds: int) -> pa.Table:
             "score": pa.array(rows["score"], pa.float32()),
         }
     )
+
+
+# ---- deterministic fetch-failure model (engine failures=True) --------
+#
+# The reference's fetch path wraps urllib2 GET in retry loops
+# (crawler/connectors/baseconnector.py fetch retries); the synthetic
+# web's failure model makes that semantics testable and exactly
+# mirrorable by the serial oracle:
+#
+# - ~3% of URLs are PERMANENTLY gone ("gone", an HTTP 404/410 class):
+#   never retried, never in results.
+# - ~10% are TRANSIENTLY failing ("retry", a 429/503 class) — but only
+#   in epochs matching the URL's failure-phase residue, so a requeued
+#   URL deterministically SUCCEEDS on its next selection (no attempt
+#   counter needed anywhere: the retry window has passed by
+#   construction). Phase period 4.
+# - everything else fetches "ok".
+#
+# Pure function of (url, epoch, seed): the engine's distributed fetch
+# tasks and the serial oracle agree exactly.
+
+FAIL_PHASE_PERIOD = 4
+
+
+def fetch_status_of(url: str, epoch: int, seed: int) -> str:
+    d = _digest(url, seed ^ 0xFA11)
+    b = d[0] % 100
+    if b < 3:
+        return "gone"
+    if b < 13 and d[1] % FAIL_PHASE_PERIOD == epoch % FAIL_PHASE_PERIOD:
+        return "retry"
+    return "ok"

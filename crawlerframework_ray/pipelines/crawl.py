@@ -88,6 +88,9 @@ class CrawlSummary:
     per_epoch: list = field(default_factory=list)
     trace: list = field(default_factory=list)  # (epoch, url, depth, priority)
     shard_digests: list = field(default_factory=list)
+    # failure model (cfg.failures): transient = requeued, permanent = dropped
+    failed_transient_urls: int = 0
+    failed_permanent_urls: int = 0
     # update-crawl mode only (hash_store passed to run)
     skipped_urls: int = 0
     updated_urls: int = 0
@@ -494,6 +497,7 @@ class CrawlEngine:
                             None if hash_store is None else
                             HashClassifier(hash_store.handles(), hash_store.n_shards)
                         ),
+                        failures=cfg.failures,
                     ),
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
@@ -536,9 +540,12 @@ class CrawlEngine:
             for part in os.listdir(results_dir):
                 if not part.endswith(".parquet"):
                     continue
-                m = re.search(r"\.n(\d+)\.parquet$", part)
+                m = re.search(r"\.n(\d+)(?:\.f(\d+)\.g(\d+))?\.parquet$", part)
                 if m:
                     raw_outlinks += int(m.group(1))
+                    if m.group(2) is not None:
+                        summary.failed_transient_urls += int(m.group(2))
+                        summary.failed_permanent_urls += int(m.group(3))
                 if hash_store is not None:
                     t = _pq.read_table(os.path.join(results_dir, part), columns=["update_status"])
                     if t.num_columns:

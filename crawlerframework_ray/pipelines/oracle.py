@@ -86,7 +86,8 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
 
     trace: list[tuple] = []
     results: list[dict] = []
-    counters = {"fetched_urls": 0, "raw_outlinks": 0, "fresh_urls": len(fresh)}
+    counters = {"fetched_urls": 0, "raw_outlinks": 0, "fresh_urls": len(fresh),
+                "failed_transient": 0, "failed_permanent": 0}
 
     for epoch in range(cfg.max_epochs):
         if not frontier:
@@ -111,10 +112,35 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
         residual = [r for r in frontier if r["task_id"] not in wave_ids]
 
         best = {}
+        retries: list[dict] = []
         for r in wave:
             trace.append((epoch, r["url"], r["depth"], r["priority"]))
-            page, _parts = fetch_stitched(r["url"], cfg.web)
             counters["fetched_urls"] += 1
+            if cfg.failures:
+                # mirror of the engine's failure split (stages/fetch.py):
+                # permanent failures drop, transient failures requeue
+                # past the seen gate with the expander's retry fields
+                from ..data.synth import fetch_status_of
+
+                status = fetch_status_of(r["url"], epoch, cfg.web.seed)
+                if status == "gone":
+                    counters["failed_permanent"] += 1
+                    continue
+                if status == "retry":
+                    counters["failed_transient"] += 1
+                    retries.append(
+                        {
+                            "url": r["url"],
+                            "host": r["host"],
+                            "depth": r["depth"],
+                            "priority": r["priority"],
+                            "score": float(np.float32(child_score(r["url"], cfg.web.seed))),
+                            "task_id": r["task_id"],
+                            "parent_url": "",
+                        }
+                    )
+                    continue
+            page, _parts = fetch_stitched(r["url"], cfg.web)
             counters["raw_outlinks"] += len(page["outlinks"])
             results.append(
                 {
@@ -161,7 +187,7 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
         fresh = [c for c in best.values() if not contains(c["task_id"])]
         seal([c["task_id"] for c in fresh])
         counters["fresh_urls"] += len(fresh)
-        frontier = residual + fresh
+        frontier = residual + fresh + retries
 
     return {
         "trace": trace,

@@ -95,10 +95,23 @@ class Expander:
         epochs = batch.column("epoch").to_pylist()
         urls = batch.column("url").to_pylist()
         outlinks = batch.column("outlinks").to_pylist()
+        retries = (
+            batch.column("retry").to_pylist()
+            if "retry" in batch.schema.names
+            else [0] * batch.num_rows
+        )
+        retry_rows: list[tuple] = []
 
-        for url, depth, priority, epoch, links in zip(
-            urls, depths, priorities, epochs, outlinks
+        for url, depth, priority, epoch, links, retry in zip(
+            urls, depths, priorities, epochs, outlinks, retries
         ):
+            if retry:
+                # transiently-failed fetch (cfg.failures): requeue the
+                # SAME task unchanged into the next epoch — it rides
+                # the route stage's retry flag past the seen gate (the
+                # url is already sealed; re-admission is the point)
+                retry_rows.append((url, depth, priority, epoch + 1))
+                continue
             child_depth = depth + 1
             if child_depth > self.max_depth:  # level cap ⇒ emit nothing
                 continue
@@ -126,4 +139,14 @@ class Expander:
             out["epoch"].append(epoch1)
             out["parent_url"].append(parent)
             out["times_reenqueued"].append(0)
+        for url, depth, priority, epoch1 in retry_rows:
+            out["url"].append(url)
+            out["host"].append(host_of(url))
+            out["depth"].append(depth)
+            out["priority"].append(priority)
+            out["score"].append(child_score(url, self.seed))
+            out["task_id"].append(task_id(url, priority))
+            out["epoch"].append(epoch1)
+            out["parent_url"].append("")
+            out["times_reenqueued"].append(1)
         return pa.table(out, schema=CANDIDATE_SCHEMA)

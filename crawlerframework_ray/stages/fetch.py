@@ -52,12 +52,16 @@ SLIM_SCHEMA = pa.schema(
         ("priority", pa.int32()),
         ("epoch", pa.int32()),
         ("outlinks", pa.list_(pa.string())),
+        # 1 = transiently-failed fetch to requeue (cfg.failures): the
+        # expander turns it into a seen-gate-bypassing retry candidate.
+        # In-flight only (fetch → expand handoff), never checkpointed.
+        ("retry", pa.int32()),
     ]
 )
 
 
 def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = False,
-                        classifier=None):
+                        classifier=None, failures: bool = False):
     """Fused fetch+sink stage: fetch the batch, WRITE the full results
     rows (bytes payload included) straight to a parquet part file in
     ``staging_dir`` from inside the task, and return only the slim
@@ -94,6 +98,45 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
         f = _PROCESS_FETCHERS.get(key)
         if f is None:
             f = _PROCESS_FETCHERS[key] = Fetcher(dict(web_cfg))
+        n_retry = n_gone = 0
+        retry_slim = None
+        # part identity = the INPUT batch (pre-failure-split), so two
+        # all-failed batches can never collide on the empty-id name
+        orig_task_ids = batch.column("task_id").to_pylist()
+        if failures and batch.num_rows:
+            # deterministic failure split (data/synth.fetch_status_of):
+            # "gone" rows are dropped (counted in the part name),
+            # "retry" rows skip the fetch and ride the slim stream as
+            # requeue markers — the page store is never touched for a
+            # failed fetch, exactly like a real 4xx/5xx
+            from ..data.synth import fetch_status_of
+
+            urls_all = batch.column("url").to_pylist()
+            epochs_all = batch.column("epoch").to_pylist()
+            seed = int(web_cfg["seed"])
+            statuses = [
+                fetch_status_of(u, int(e), seed) for u, e in zip(urls_all, epochs_all)
+            ]
+            ok_mask = pa.array([s == "ok" for s in statuses])
+            retry_mask = pa.array([s == "retry" for s in statuses])
+            n_gone = sum(1 for s in statuses if s == "gone")
+            n_retry = sum(1 for s in statuses if s == "retry")
+            retry_rows = batch.filter(retry_mask)
+            retry_slim = pa.table(
+                {
+                    "url": retry_rows.column("url"),
+                    "host": retry_rows.column("host"),
+                    "depth": retry_rows.column("depth"),
+                    "priority": retry_rows.column("priority"),
+                    "epoch": retry_rows.column("epoch"),
+                    "outlinks": pa.array(
+                        [[]] * retry_rows.num_rows, pa.list_(pa.string())
+                    ),
+                    "retry": pa.array([1] * retry_rows.num_rows, pa.int32()),
+                },
+                schema=SLIM_SCHEMA,
+            )
+            batch = batch.filter(ok_mask)
         out = f(batch)
         if verify_rows:
             verify_payload_batch(out)
@@ -113,7 +156,7 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
         os.makedirs(staging_dir, exist_ok=True)
         # content-addressed part name: identical input batch ⇒ identical
         # file name, so retries overwrite rather than duplicate
-        part_id = _hashlib.md5(b"".join(sorted(batch.column("task_id").to_pylist()))).hexdigest()
+        part_id = _hashlib.md5(b"".join(sorted(orig_task_ids))).hexdigest()
         tmp = os.path.join(staging_dir, f".part-{part_id}.tmp")
         # bytes payloads are already codec-compressed: parquet-level
         # compression, dictionary encoding and min/max statistics on the
@@ -126,8 +169,17 @@ def fetch_write_task_fn(web_cfg: dict, staging_dir: str, verify_rows: bool = Fal
             use_dictionary=False,
             write_statistics=False,
         )
-        os.replace(tmp, os.path.join(staging_dir, f"part-{part_id}.n{n_out_total}.parquet"))
-        return out.select([n for n in SLIM_SCHEMA.names])
+        suffix = f".f{n_retry}.g{n_gone}" if failures else ""
+        os.replace(
+            tmp,
+            os.path.join(staging_dir, f"part-{part_id}.n{n_out_total}{suffix}.parquet"),
+        )
+        slim = out.select(
+            [n for n in SLIM_SCHEMA.names if n != "retry"]
+        ).append_column("retry", pa.array([0] * out.num_rows, pa.int32()))
+        if retry_slim is not None and retry_slim.num_rows:
+            slim = pa.concat_tables([slim.cast(SLIM_SCHEMA), retry_slim])
+        return slim.cast(SLIM_SCHEMA)
 
     return fn
 

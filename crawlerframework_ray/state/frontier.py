@@ -100,6 +100,9 @@ def _slice_id(tbl: pa.Table, flag: int) -> bytes:
     return d.digest()
 
 
+FLAG_RETRY = 2  # requeued transient-failure rows: no seen gate, no wave drop
+
+
 def route_to_buckets_fn(bucket_handles: list, flag: int, no_push: bool = False):
     """map_batches task fn: split the candidate batch by host bucket
     and push each slice to its bucket actor (ack'd — backpressure).
@@ -116,13 +119,31 @@ def route_to_buckets_fn(bucket_handles: list, flag: int, no_push: bool = False):
         order = np.argsort(buckets, kind="stable")
         sorted_b = buckets[order]
         bounds = np.searchsorted(sorted_b, np.arange(n_buckets + 1))
+        # retry requeues (times_reenqueued > 0, cfg.failures) ride the
+        # same exchange under FLAG_RETRY: folded into the frontier AFTER
+        # the wave-id drop and WITHOUT the seen gate — the url is
+        # already sealed; re-admission is the point
+        re_np = (
+            t.column("times_reenqueued").to_numpy(zero_copy_only=False)
+            if flag == 0
+            else None
+        )
         futs = []
         for b in range(n_buckets):
             lo, hi = bounds[b], bounds[b + 1]
             if lo == hi:
                 continue
-            sl = t.take(pa.array(order[lo:hi], pa.int64()))
-            futs.append(bucket_handles[b].push.remote(sl, flag, _slice_id(sl, flag)))
+            idx = order[lo:hi]
+            if re_np is not None and (re_np[idx] > 0).any():
+                for fl, sub in ((0, idx[re_np[idx] == 0]), (FLAG_RETRY, idx[re_np[idx] > 0])):
+                    if len(sub):
+                        sl = t.take(pa.array(sub, pa.int64()))
+                        futs.append(
+                            bucket_handles[b].push.remote(sl, fl, _slice_id(sl, fl))
+                        )
+            else:
+                sl = t.take(pa.array(idx, pa.int64()))
+                futs.append(bucket_handles[b].push.remote(sl, flag, _slice_id(sl, flag)))
         ray.get(futs)
         return pa.table({"routed": pa.array([n], pa.int64())})
 
@@ -154,7 +175,8 @@ class FrontierBucket:
         self.robots_seed = robots_seed
         self.cand_parts: list[pa.Table] = []
         self.res_parts: list[pa.Table] = []
-        self._pending: dict[int, list] = {0: [], 1: []}
+        self.retry_parts: list[pa.Table] = []
+        self._pending: dict[int, list] = {0: [], 1: [], FLAG_RETRY: []}
         self.frontier: pa.Table | None = None
         self.capped: pa.Table = CANDIDATE_SCHEMA.empty_table()
         self._folded: set[bytes] = set()
@@ -212,7 +234,12 @@ class FrontierBucket:
         pend = self._pending[flag]
         if not pend or (len(pend) < self.COMPACT_EVERY and not force):
             return
-        (self.cand_parts if flag == 0 else self.res_parts).append(self._own(pend))
+        dest = (
+            self.cand_parts if flag == 0
+            else self.retry_parts if flag == FLAG_RETRY
+            else self.res_parts
+        )
+        dest.append(self._own(pend))
         pend.clear()
 
     def push(self, tbl: pa.Table, flag: int, slice_id: bytes) -> int:
@@ -257,6 +284,7 @@ class FrontierBucket:
 
         self._compact(0, force=True)
         self._compact(1, force=True)
+        self._compact(FLAG_RETRY, force=True)
         res_tables = self.res_parts
         if self.frontier is not None:
             res_tables = res_tables + [self.frontier]
@@ -268,12 +296,17 @@ class FrontierBucket:
                 self.capped.column("task_id").slice(0, drop_wave_n).combine_chunks()
             )
             res = res.filter(pc.invert(pc.is_in(res.column("task_id"), value_set=wave_ids)))
+        if self.retry_parts:
+            # transient-failure requeues (cfg.failures): folded AFTER
+            # the wave-id drop (their task_id IS in this wave) and
+            # never seen-gated — straight back into the frontier
+            res = pa.concat_tables([res] + self.retry_parts)
         cand = (
             pa.concat_tables(self.cand_parts)
             if self.cand_parts
             else CANDIDATE_SCHEMA.empty_table()
         )
-        self.cand_parts, self.res_parts = [], []
+        self.cand_parts, self.res_parts, self.retry_parts = [], [], []
         self._folded.clear()
         _mark('concat_drop')
 
