@@ -28,6 +28,9 @@ class CrawlConfig:
     url_filter: str | None = None   # optional regex gate on expansions (M6)
     robots: bool = False            # robots.txt admission gate + crawl-delay
                                     # token-bucket budgets (functions/robots.py)
+    adaptive_politeness: bool = False  # AIMD per-host budget backoff fed by
+                                    # transient-failure signals (requires
+                                    # failures=True); state/frontier.py
     failures: bool = False          # deterministic fetch-failure model
                                     # (data/synth.fetch_status_of): permanent
                                     # "gone" URLs dropped, transient "retry"
@@ -77,5 +80,6 @@ class CrawlConfig:
             "url_filter": self.url_filter,
             "robots": self.robots,
             "failures": self.failures,
+            "adaptive_politeness": self.adaptive_politeness,
         }
         return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]

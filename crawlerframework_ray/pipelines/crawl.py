@@ -338,11 +338,17 @@ class CrawlEngine:
         self.seen = ShardedSeen(cfg.n_shards, cfg.shard_capacity)
         # the host-bucket frontier pool: push-based shuffle target +
         # resident frontier partitions (state/frontier.py)
+        if cfg.adaptive_politeness and not cfg.failures:
+            raise ValueError(
+                "adaptive_politeness needs failures=True: the AIMD signal "
+                "is the transient-failure retry stream"
+            )
         self.buckets = BucketPool(
             resolve_n_buckets(cfg), self.seen.handles(), cfg.n_shards, cfg.host_budget,
             cfg.wave_size, cfg.web.seed if cfg.robots else None,
             spill_dir=os.path.join(cfg.workdir, "spill"),
             max_resident=cfg.spill_max_resident, spill_slack=cfg.spill_slack,
+            adaptive=cfg.adaptive_politeness,
         )
         summary = CrawlSummary()
         import shutil as _shutil
@@ -369,6 +375,9 @@ class CrawlEngine:
                 summary.skipped_urls = c.get("skipped_urls", 0)
                 summary.updated_urls = c.get("updated_urls", 0)
                 summary.new_urls = c.get("new_urls", 0)
+                if cfg.adaptive_politeness:
+                    # restore the AIMD backoff BEFORE the resume cap runs
+                    self.buckets.set_backoff(c.get("backoff", {}))
                 if frontier_rows > 0:
                     # resumed frontier: route the checkpointed parts into
                     # the bucket pool (one cap-only execution, no seal) —
@@ -567,6 +576,10 @@ class CrawlEngine:
             self._commit_epoch_checkpoint(
                 epoch, frontier_staging,
                 {
+                    **(
+                        {"backoff": self.buckets.backoff_merged()}
+                        if cfg.adaptive_politeness else {}
+                    ),
                     "fetched_urls": summary.fetched_urls,
                     "raw_outlinks": summary.raw_outlinks,
                     "fresh_urls": summary.fresh_urls,

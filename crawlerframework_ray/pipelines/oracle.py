@@ -88,6 +88,7 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
     results: list[dict] = []
     counters = {"fetched_urls": 0, "raw_outlinks": 0, "fresh_urls": len(fresh),
                 "failed_transient": 0, "failed_permanent": 0}
+    backoff: dict[str, int] = {}  # AIMD mirror (cfg.adaptive_politeness)
 
     for epoch in range(cfg.max_epochs):
         if not frontier:
@@ -102,6 +103,8 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
             host_cap = (
                 robots.host_budget(host, cfg.host_budget) if robots is not None else cfg.host_budget
             )
+            if cfg.adaptive_politeness and backoff.get(host):
+                host_cap = max(1, host_cap >> backoff[host])
             pool.extend(rows[:host_cap])
         # global top-k
         pool.sort(key=_sort_key)
@@ -184,6 +187,17 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
                     prev["parent_url"],
                 ):
                     best[tid] = cand
+        if cfg.adaptive_politeness:
+            # AIMD mirror of FrontierBucket.finalize: additive recovery
+            # for backed-off hosts with no transient failure this wave,
+            # multiplicative (halving-exponent) backoff for failing ones
+            retry_hosts = {r["host"] for r in retries}
+            for h in [h for h in backoff if h not in retry_hosts]:
+                backoff[h] -= 1
+                if backoff[h] <= 0:
+                    del backoff[h]
+            for h in retry_hosts:
+                backoff[h] = min(backoff.get(h, 0) + 1, 6)
         fresh = [c for c in best.values() if not contains(c["task_id"])]
         seal([c["task_id"] for c in fresh])
         counters["fresh_urls"] += len(fresh)

@@ -167,7 +167,8 @@ class FrontierBucket:
         self._reset_run(None, 0, 0, 0, None)
 
     def _reset_run(self, shard_handles, n_shards, host_budget, wave_size, robots_seed,
-                   spill_dir=None, max_resident=0, spill_slack=8):
+                   spill_dir=None, max_resident=0, spill_slack=8,
+                   adaptive=False, backoff_init=None):
         self.shards = shard_handles
         self.n_shards = n_shards
         self.host_budget = host_budget
@@ -193,6 +194,14 @@ class FrontierBucket:
             # unlink prior-run cold parts (checkpoint dirs hold hard
             # links to the same inodes — their bytes survive)
             _shutil.rmtree(self.spill_dir, ignore_errors=True)
+        # AIMD politeness backoff (cfg.adaptive_politeness): host ->
+        # halving exponent; effective budget = max(1, base >> backoff).
+        # +1 per epoch with a transient failure on the host (the retry
+        # rows ARE the signal), -1 per clean epoch. Spill/cap-safety
+        # keep using the BASE budget — an upper bound on the effective
+        # one, so hot-prefix retention stays conservative-exact.
+        self.adaptive = bool(adaptive)
+        self.backoff: dict[str, int] = dict(backoff_init or {})
         self.cold_parts: list[str] = []
         self.cold_counts: dict[str, int] = {}      # host -> spilled rows
         self.cold_best: dict[str, tuple] = {}      # host -> min cap-key tuple
@@ -200,12 +209,22 @@ class FrontierBucket:
         self.n_reloads = 0
 
     def reset(self, shard_handles, n_shards, host_budget, wave_size, robots_seed,
-              spill_dir=None, max_resident=0, spill_slack=8) -> int:
+              spill_dir=None, max_resident=0, spill_slack=8,
+              adaptive=False, backoff_init=None) -> int:
         """Bind the actor to a new engine run (the pool is session-cached
         — engine runs are sequential per driver process)."""
         self._reset_run(shard_handles, n_shards, host_budget, wave_size, robots_seed,
-                        spill_dir, max_resident, spill_slack)
+                        spill_dir, max_resident, spill_slack, adaptive, backoff_init)
         return self.bucket_id
+
+    def backoff_snapshot(self) -> dict:
+        return dict(self.backoff)
+
+    def set_backoff(self, merged: dict) -> None:
+        """Resume restore: each bucket keeps only the hosts that hash
+        to it — harmless to store the merged dict (lookups are by this
+        bucket's own hosts)."""
+        self.backoff = dict(merged)
 
     COMPACT_EVERY = 32
 
@@ -296,6 +315,22 @@ class FrontierBucket:
                 self.capped.column("task_id").slice(0, drop_wave_n).combine_chunks()
             )
             res = res.filter(pc.invert(pc.is_in(res.column("task_id"), value_set=wave_ids)))
+        if self.adaptive and sink_dir is not None:
+            # AIMD step — only at an epoch-END finalize (sink_dir set):
+            # seed-admission and resume re-cap finalizes process no
+            # wave, so no recovery tick may run there (bit-identical
+            # resume depends on it). This finalize's retry rows are the
+            # epoch's transient failures — additive recovery first,
+            # then the multiplicative backoff for hosts that failed
+            retry_hosts = set()
+            for t in self.retry_parts:
+                retry_hosts.update(t.column("host").to_pylist())
+            for h in [h for h, v in self.backoff.items() if h not in retry_hosts]:
+                self.backoff[h] -= 1
+                if self.backoff[h] <= 0:
+                    del self.backoff[h]
+            for h in retry_hosts:
+                self.backoff[h] = min(self.backoff.get(h, 0) + 1, 6)
         if self.retry_parts:
             # transient-failure requeues (cfg.failures): folded AFTER
             # the wave-id drop (their task_id IS in this wave) and
@@ -446,6 +481,17 @@ class FrontierBucket:
         else:
             barr = None
             lim = self.host_budget
+        if self.adaptive and self.backoff:
+            # effective = max(1, base >> backoff); base stays the bound
+            # used by spill retention + the reload-safety check
+            boff = np.array(
+                [self.backoff.get(h, 0) for h in henc.dictionary.to_pylist()],
+                dtype=np.int64,
+            )
+            base = barr if barr is not None else np.full(
+                len(boff), self.host_budget, np.int64
+            )
+            lim = np.maximum(1, base >> boff)[codes]
         info = {
             "henc": henc, "codes": codes, "ranks": ranks, "lim": lim,
             "barr": barr, "horder": horder, "starts": starts, "sc": sc,
@@ -663,15 +709,24 @@ class BucketPool:
     def __init__(self, n_buckets: int, shard_handles: list, n_shards: int,
                  host_budget: int, wave_size: int, robots_seed: int | None,
                  spill_dir: str | None = None, max_resident: int = 0,
-                 spill_slack: int = 8):
+                 spill_slack: int = 8, adaptive: bool = False):
         self.n_buckets = n_buckets
         self._capped_counts: list[int] = [0] * n_buckets
         self.buckets = self._handles(n_buckets)
         ray.get([
             b.reset.remote(shard_handles, n_shards, host_budget, wave_size, robots_seed,
-                           spill_dir, max_resident, spill_slack)
+                           spill_dir, max_resident, spill_slack, adaptive)
             for b in self.buckets
         ])
+
+    def backoff_merged(self) -> dict:
+        merged: dict = {}
+        for d in ray.get([b.backoff_snapshot.remote() for b in self.buckets]):
+            merged.update(d)  # hosts are bucket-disjoint: no collisions
+        return merged
+
+    def set_backoff(self, merged: dict) -> None:
+        ray.get([b.set_backoff.remote(merged) for b in self.buckets])
 
     @staticmethod
     def _handles(n_buckets: int) -> list:

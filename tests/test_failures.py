@@ -151,3 +151,70 @@ def test_failures_resume_bit_identical(ray_session, tmp_path):
         half.failed_permanent_urls + resumed.failed_permanent_urls
         == full.failed_permanent_urls
     )
+
+
+@pytest.fixture(scope="module")
+def adaptive_crawl(ray_session, tmp_path_factory):
+    cfg = _cfg(
+        tmp_path_factory.mktemp("adaptive"),
+        adaptive_politeness=True, host_budget=8, max_epochs=6,
+    )
+    seeds = seeds_table(cfg.web, 40)
+    summary = CrawlEngine(cfg).run(seeds=seeds)
+    oracle = oracle_crawl(cfg, seeds.to_pylist())
+    return cfg, summary, oracle
+
+
+def test_adaptive_politeness_trace_equality(adaptive_crawl):
+    _, summary, oracle = adaptive_crawl
+    assert summary.trace
+    assert summary.trace == oracle["trace"]
+    assert summary.shard_digests == oracle["shard_digests"]
+
+
+def test_adaptive_politeness_actually_backs_off(adaptive_crawl):
+    """After an epoch in which host h had a transient failure, epoch
+    e+1 must schedule at most max(1, budget >> 1) rows of h — and the
+    fixture must actually exercise that clamp below the base budget."""
+    import collections
+
+    cfg, summary, _ = adaptive_crawl
+    per = collections.Counter()
+    failed_hosts_by_epoch: dict[int, set] = collections.defaultdict(set)
+    sched = collections.defaultdict(int)
+    for e, u, _, _ in summary.trace:
+        h = u.split("://", 1)[1].split("/", 1)[0]
+        sched[(e, h)] += 1
+        if fetch_status_of(u, e, cfg.web.seed) == "retry":
+            failed_hosts_by_epoch[e].add(h)
+    clamped = 0
+    for e, hosts in failed_hosts_by_epoch.items():
+        for h in hosts:
+            nxt = sched.get((e + 1, h), 0)
+            assert nxt <= max(1, cfg.host_budget >> 1), (e, h, nxt)
+            if 0 < nxt <= cfg.host_budget >> 1 and sched[(e, h)] > nxt:
+                clamped += 1
+    assert clamped > 0, "backoff never visibly clamped a host — fixture too weak"
+
+
+def test_adaptive_politeness_resume_bit_identical(ray_session, tmp_path):
+    from crawlerframework_ray.state import checkpoint as ckpt
+
+    kw = dict(adaptive_politeness=True, host_budget=8, max_epochs=6)
+    seeds = seeds_table(WEB, 40)
+    full = CrawlEngine(
+        _cfg(tmp_path, workdir=str(tmp_path / "full"), **kw)
+    ).run(seeds=seeds)
+    half_dir = str(tmp_path / "half")
+    half_kw = dict(kw, max_epochs=3)
+    half = CrawlEngine(_cfg(tmp_path, workdir=half_dir, **half_kw)).run(seeds=seeds)
+    assert ckpt.latest_epoch(half_dir) == 2
+    resumed = CrawlEngine(_cfg(tmp_path, workdir=half_dir, **kw)).run(resume=True)
+    assert resumed.shard_digests == full.shard_digests
+    assert resumed.trace == [t for t in full.trace if t[0] >= 3]
+
+
+def test_adaptive_requires_failures(ray_session, tmp_path):
+    cfg = _cfg(tmp_path, adaptive_politeness=True, failures=False)
+    with pytest.raises(ValueError, match="adaptive_politeness needs failures"):
+        CrawlEngine(cfg).run(seeds=seeds_table(WEB, 8))
