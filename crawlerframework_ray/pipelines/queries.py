@@ -11868,3 +11868,99 @@ def image_palette_median_cut(sf_dir: str):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
         MedianCutPaletteStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    r"""
+    WITH dedup AS (
+      SELECT user_id AS series, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts),
+    grid AS (
+      SELECT u.series, t.tick
+      FROM (SELECT DISTINCT user_id AS series FROM events) u,
+           (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-28', INTERVAL 1 DAY)) AS tick) t)
+    SELECT g.series, strftime(g.tick, '%Y-%m-%d') AS tick,
+           COALESCE(e.value, -1.0) AS value,
+           CAST(CASE WHEN e.ts IS NULL THEN 0 ELSE 1 END AS INT) AS filled,
+           CAST(CASE WHEN e.ts IS NULL THEN -1
+                ELSE (epoch_us(g.tick) - epoch_us(e.ts)) // 3600000000
+                END AS BIGINT) AS stale_hours
+    FROM grid g ASOF LEFT JOIN dedup e
+      ON g.series = e.series AND e.ts <= g.tick
+    """,
+)
+def timeseries_gap_fill(sf_dir: str):
+    """Time-series regularization / forward fill: every (user, daily
+    tick) grid cell carries the LAST observed value at or before the
+    tick plus its staleness in whole hours (-1 / filled=0 where no
+    observation exists yet) — the resample-and-ffill step that turns
+    an irregular event log into a model-ready regular grid (the
+    reference's session_info periodic snapshots, state/hashstore.py
+    T5, are this op's storage side). Same-timestamp collisions resolve
+    by MAX(value) — associative, so per-batch partials commute with
+    the final per-series fold; the fill itself picks an EXISTING
+    float64 (never computes one), so engine and oracle are bit-equal
+    even on the double column.
+
+    Scale shape: per-batch (series, ts) max-dedup partials shrink the
+    stream, ONE series-bucketed shuffle co-locates each series'
+    observations, and the fill is a vectorized searchsorted of the
+    28-tick grid per series — output is grid x series, the op's
+    inherent size, streamed out per bucket. The oracle is DuckDB's
+    ASOF LEFT JOIN over the same dedup.
+
+    Reference analogue: checkSessionInfoReview's last-known-state
+    lookups (baseconnector.py session_info) regularized to a grid."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ticks = pd.date_range("2024-01-01", "2024-01-28", freq="D")
+    tick_us = ticks.view("int64") // 1000  # ns -> us (events are timestamp[us])
+    tick_str = [t.strftime("%Y-%m-%d") for t in ticks]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "series": t.column("user_id").to_numpy().astype("int64"),
+                "ts_us": t.column("ts").cast(pa.int64()).to_numpy().astype("int64"),
+                "value": t.column("value").to_numpy().astype("float64"),
+            }
+        )
+        return df.groupby(["series", "ts_us"], as_index=False).agg(value=("value", "max"))
+
+    def per_series(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["series", "ts_us"], as_index=False).agg(value=("value", "max"))
+        g = g.sort_values(["series", "ts_us"], kind="mergesort")
+        out = []
+        for sid, grp in g.groupby("series", sort=True):
+            ts = grp["ts_us"].to_numpy()
+            vals = grp["value"].to_numpy()
+            idx = np.searchsorted(ts, tick_us, side="right") - 1
+            has = idx >= 0
+            out.append(
+                pd.DataFrame(
+                    {
+                        "series": np.full(len(tick_us), sid, dtype="int64"),
+                        "tick": tick_str,
+                        "value": np.where(has, vals[np.maximum(idx, 0)], -1.0),
+                        "filled": has.astype("int32"),
+                        "stale_hours": np.where(
+                            has,
+                            (tick_us - ts[np.maximum(idx, 0)]) // 3_600_000_000,
+                            -1,
+                        ).astype("int64"),
+                    }
+                )
+            )
+        res = pd.concat(out, ignore_index=True)
+        return res.astype(
+            {"series": "int64", "tick": "string", "value": "float64",
+             "filled": "int32", "stale_hours": "int64"}
+        )
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["series"], per_series
+    ).to_pandas()
+    return out.sort_values(["series", "tick"], kind="mergesort").reset_index(drop=True)
