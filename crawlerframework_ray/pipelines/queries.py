@@ -11964,3 +11964,114 @@ def timeseries_gap_fill(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"), ["series"], per_series
     ).to_pandas()
     return out.sort_values(["series", "tick"], kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "robots_admission_audit",
+    r"""
+    WITH u AS (
+      SELECT event_id % 16 AS host_id,
+             '/p/' || CAST(event_id % 1000 AS VARCHAR) AS path
+      FROM events),
+    ev AS (
+      SELECT host_id, path,
+             -- the host's planted RFC 9309 group, mirrored relationally:
+             -- Disallow /p/<a> (len 5) | Allow /p/<a><b> (len 6)
+             -- | Disallow /p/*<c>$ (len 6; ends-with)
+             (path LIKE '/p/' || CAST(host_id % 10 AS VARCHAR) || '%') AS m1,
+             (path LIKE '/p/' || CAST(host_id % 10 AS VARCHAR)
+                           || CAST((host_id * 3) % 10 AS VARCHAR) || '%') AS m2,
+             (path LIKE '%' || CAST((host_id * 7 + 1) % 10 AS VARCHAR)) AS m3
+      FROM u),
+    d AS (
+      SELECT host_id, path, m1, m2, m3,
+             GREATEST(CASE WHEN m1 THEN 5 ELSE 0 END,
+                      CASE WHEN m2 THEN 6 ELSE 0 END,
+                      CASE WHEN m3 THEN 6 ELSE 0 END) AS best
+      FROM ev)
+    SELECT CAST(host_id AS BIGINT) AS host_id,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN best = 0 OR m2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN best > 0 AND NOT m2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_denied,
+           CAST(SUM(CASE WHEN m2 AND (m1 OR m3) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allow_override
+    FROM d GROUP BY host_id
+    """,
+)
+def robots_admission_audit(sf_dir: str):
+    """RFC 9309 admission audit as a catalog pipeline: every URL of the
+    crawl log is judged by the REAL matcher (functions/robots.py —
+    group parse, Allow/Disallow longest-match with Allow winning ties,
+    ``*``/``$`` wildcards) against per-host planted rule groups
+    (prefix Disallow len 5, a longer Allow carve-out len 6, and an
+    equal-length ends-with wildcard Disallow len 6 — so precedence,
+    the tie rule AND the ``$`` anchor all decide real rows), while the
+    oracle re-derives the same decisions RELATIONALLY (LIKE prefixes +
+    ends-with + a GREATEST over literal pattern lengths) — two
+    independent statements of the longest-match law.
+    ``n_allow_override`` counts rows where the Allow carve-out beat a
+    matching Disallow, verified engine-side by re-running the matcher
+    with the Allow rules stripped (the real matcher both times, no
+    relational shortcut).
+
+    Scale shape: rules parse ONCE per (worker, host) into a dict cache
+    (the RobotsCache pattern); per-row evaluation is inherent to a
+    regex-grammar matcher (same bound as the urlnorm family — the
+    reference's url_filter, taskmanager.py:315-333, is per-row too)
+    and runs inside vectorless map_batches partials that shrink to
+    per-host counts before ONE bounded host-keyed shuffle.
+    """
+    from ..functions.robots import RobotsRules, parse_robots_txt
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def rules_of(hid: int) -> tuple:
+        a = hid % 10
+        b = (hid * 3) % 10
+        c = (hid * 7 + 1) % 10
+        txt = (
+            "User-agent: *\n"
+            f"Disallow: /p/{a}\n"
+            f"Allow: /p/{a}{b}\n"
+            f"Disallow: /p/*{c}$\n"
+        )
+        full = parse_robots_txt(txt)
+        no_allow = RobotsRules(
+            tuple((al, p) for al, p in full.rules if not al), full.crawl_delay
+        )
+        return full, no_allow
+
+    def audit(t: pa.Table) -> pd.DataFrame:
+        cache: dict[int, tuple] = {}
+        eid = t.column("event_id").to_numpy().astype("int64")
+        hid = eid % 16
+        rows: dict[int, list] = {}
+        for e, h in zip(eid, hid):
+            h = int(h)
+            r = cache.get(h)
+            if r is None:
+                r = cache[h] = rules_of(h)
+            full, no_allow = r
+            path = f"/p/{int(e) % 1000}"
+            ok = full.allowed(path)
+            override = ok and not no_allow.allowed(path)
+            acc = rows.setdefault(h, [0, 0, 0, 0])
+            acc[0] += 1
+            acc[1] += int(ok)
+            acc[2] += int(not ok)
+            acc[3] += int(override)
+        return pd.DataFrame(
+            [(h, *v) for h, v in rows.items()],
+            columns=["host_id", "n_urls", "n_allowed", "n_denied", "n_allow_override"],
+        ).astype("int64")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("host_id", as_index=False).sum()
+
+    out = bucketed_group_agg(
+        ds.map_batches(audit, batch_format="pyarrow"), ["host_id"], fold
+    ).to_pandas()
+    return out.sort_values("host_id", kind="mergesort").reset_index(drop=True)
