@@ -12075,3 +12075,113 @@ def robots_admission_audit(sf_dir: str):
         ds.map_batches(audit, batch_format="pyarrow"), ["host_id"], fold
     ).to_pandas()
     return out.sort_values("host_id", kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "host_fairness_gini",
+    r"""
+    WITH c AS (
+      SELECT ((event_id % 1024) * (event_id % 1024)) // 16384 AS host,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT host, n,
+             ROW_NUMBER() OVER (ORDER BY n, host) AS rk,
+             COUNT(*) OVER () AS nh,
+             SUM(n) OVER () AS tot
+      FROM c)
+    SELECT CAST(MAX(nh) AS BIGINT) AS n_hosts,
+           CAST(MAX(tot) AS BIGINT) AS total_fetches,
+           CAST(2 * SUM(rk * n) - (MAX(nh) + 1) * MAX(tot) AS BIGINT) AS gini_num,
+           CAST(MAX(nh) * MAX(tot) AS BIGINT) AS gini_den,
+           CAST(MAX(n) * 1000 // MAX(tot) AS BIGINT) AS top_share_milli
+    FROM r
+    """,
+)
+def host_fairness_gini(sf_dir: str):
+    """Crawl-allocation fairness audit: the Gini coefficient of
+    per-host fetch counts as the EXACT integer fraction
+    ``gini_num / gini_den`` with ``G = (2·Σ rank·n − (H+1)·total) /
+    (H·total)`` over counts ranked ascending (ties by host id) — the
+    float quotient is never taken, so the result is engine-independent
+    (the water-fill allocator's measurement sibling: water-filling
+    FIXES unfairness, Gini QUANTIFIES it; a politeness regression that
+    starves small hosts shows up here before it shows up in traffic).
+    The quadratic host mapping plants real skew (top_share_milli also
+    reported), so the statistic is far from degenerate.
+
+    Scale shape: per-host counts via per-batch partials + ONE bounded
+    host shuffle; the rank/Gini pass runs over the host-aggregate
+    table (orders of magnitude smaller than the log — the standard
+    bounded-driver rule shared with fair_budget_waterfill).
+
+    Reference analogue: none — the reference logs per-connector fetch
+    totals but never audits allocation fairness."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype("int64")
+        host = ((eid % 1024) * (eid % 1024)) // 16384
+        df = pd.DataFrame({"host": host})
+        return df.groupby("host", as_index=False).agg(n=("host", "size"))
+
+    c = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["host"],
+        lambda g: g.groupby("host", as_index=False).agg(n=("n", "sum")),
+    ).to_pandas()
+    c = c.sort_values(["n", "host"], kind="mergesort").reset_index(drop=True)
+    nh = len(c)
+    tot = int(c["n"].sum())
+    rk = np.arange(1, nh + 1, dtype="int64")
+    num = int(2 * (rk * c["n"].to_numpy()).sum() - (nh + 1) * tot)
+    return pd.DataFrame(
+        {
+            "n_hosts": [nh],
+            "total_fetches": [tot],
+            "gini_num": [num],
+            "gini_den": [nh * tot],
+            "top_share_milli": [int(c["n"].max()) * 1000 // tot],
+        }
+    ).astype("int64")
+
+
+@register("image_region_count", _golden_sql("image_regions"))
+def image_region_count(sf_dir: str):
+    """Connected-component region census over the Otsu-binarized image
+    corpus (stages/multimodal.RegionCountStage, 4-connectivity
+    two-pass union-find) — the layout-vs-photo discriminator of a
+    document-image pipeline. Inputs reuse the palette plant
+    (_plant_palette: quadrant / noise / two-color / constant), so the
+    census sees few-big-region layouts, many-region noise and the
+    zero-region constant edge. Golden re-derives every count with an
+    INDEPENDENT BFS flood fill (tools/make_goldens.image_regions) —
+    a connectivity, union or threshold drift fails the gate."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import RegionCountStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        blobs: list[bytes] = []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _plant_palette(d, _codecs.decode(rec["bytes"], rec["fmt"]))
+            ids.append(rec["image_id"])
+            blobs.append(_codecs.encode_raw(img))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        RegionCountStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
+    )

@@ -1195,6 +1195,32 @@ class SsimRefStage:
         )
 
 
+def otsu_threshold(g) -> int:
+    """Exact-integer Otsu threshold of a gray image (see
+    OtsuBinarizeStage docstring): argmax of the between-class variance
+    compared as cross-multiplied Python-int fractions, smallest t on
+    ties; -1 when no valid split exists (constant image)."""
+    import numpy as _np
+
+    hist = _np.bincount(g.ravel(), minlength=256)
+    W = int(g.size)
+    S = int(g.ravel().sum())
+    w0 = s0 = 0
+    best_num = best_den = 0
+    best_t = -1
+    for t in range(256):
+        w0 += int(hist[t])
+        s0 += t * int(hist[t])
+        if w0 == 0 or w0 == W:
+            continue
+        num = S * w0 - s0 * W
+        v_num = num * num
+        v_den = w0 * (W - w0)
+        if best_t < 0 or v_num * best_den > best_num * v_den:
+            best_num, best_den, best_t = v_num, v_den, t
+    return best_t
+
+
 class OtsuBinarizeStage:
     """Global-threshold binarization audit — Otsu's method (Otsu 1979,
     "A Threshold Selection Method from Gray-Level Histograms") kept
@@ -1235,23 +1261,8 @@ class OtsuBinarizeStage:
                     )
                 continue
             g = dec(data).astype(np.int64).sum(axis=2) // 3
-            hist = np.bincount(g.ravel(), minlength=256)
             W = int(g.size)
-            S = int(g.ravel().sum())
-            w0 = 0
-            s0 = 0
-            best_num = best_den = 0
-            best_t = -1
-            for t in range(256):
-                w0 += int(hist[t])
-                s0 += t * int(hist[t])
-                if w0 == 0 or w0 == W:
-                    continue
-                num = S * w0 - s0 * W
-                v_num = num * num
-                v_den = w0 * (W - w0)
-                if best_t < 0 or v_num * best_den > best_num * v_den:
-                    best_num, best_den, best_t = v_num, v_den, t
+            best_t = otsu_threshold(g)
             if best_t < 0:  # constant image: no valid split
                 thr = int(g.flat[0])
                 fg = 0
@@ -1363,5 +1374,104 @@ class MedianCutPaletteStage:
                     for i in range(self.K)
                     for k in (f"p{i}", f"n{i}")
                 },
+            }
+        )
+
+
+class RegionCountStage:
+    """Connected-component region audit over the Otsu-binarized image
+    (4-connectivity, foreground = gray > threshold) — the blob/region
+    census of a document-image curation pipeline (text pages and
+    charts have many small regions, photos a few large ones; region
+    counts are the classic layout-vs-photo discriminator). Labeling is
+    the standard two-pass union-find scan (Rosenfeld & Pfaltz 1966);
+    the per-pixel pass is inherent to CCL without scipy (absent in
+    this env) and runs inside actor tasks across the pool — the golden
+    re-derives every count with an independent BFS flood fill, so a
+    connectivity or union bug fails the gate. Constant images (no
+    valid Otsu split) report zero regions.
+
+    Output schema: image_id:string, threshold:int64, n_regions:int64,
+    largest_milli:int64 (largest region's share of ALL pixels).
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    @staticmethod
+    def _regions(mask: np.ndarray) -> tuple:
+        h, w = mask.shape
+        labels = np.zeros((h, w), np.int64)
+        parent: list[int] = [0]
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nxt = 1
+        for y in range(h):
+            for x in range(w):
+                if not mask[y, x]:
+                    continue
+                up = labels[y - 1, x] if y and mask[y - 1, x] else 0
+                left = labels[y, x - 1] if x and mask[y, x - 1] else 0
+                if up and left:
+                    ru, rl = find(up), find(left)
+                    labels[y, x] = ru
+                    if ru != rl:
+                        parent[max(ru, rl)] = min(ru, rl)
+                elif up or left:
+                    labels[y, x] = up or left
+                else:
+                    labels[y, x] = nxt
+                    parent.append(nxt)
+                    nxt += 1
+        counts: dict[int, int] = {}
+        for y in range(h):
+            for x in range(w):
+                if labels[y, x]:
+                    r = find(labels[y, x])
+                    counts[r] = counts.get(r, 0) + 1
+        n = len(counts)
+        largest = max(counts.values()) if counts else 0
+        return n, largest
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids: list[str] = []
+        out_thr: list[int] = []
+        out_n: list[int] = []
+        out_lg: list[int] = []
+        for iid, fmt, data in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            g = dec(data).astype(np.int64).sum(axis=2) // 3
+            t = otsu_threshold(g)
+            if t < 0:
+                thr, n, largest = int(g.flat[0]), 0, 0
+            else:
+                thr = t
+                n, largest = self._regions(g > t)
+            out_ids.append(iid)
+            out_thr.append(thr)
+            out_n.append(n)
+            out_lg.append(largest * 1000 // int(g.size))
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "threshold": pa.array(out_thr, pa.int64()),
+                "n_regions": pa.array(out_n, pa.int64()),
+                "largest_milli": pa.array(out_lg, pa.int64()),
             }
         )

@@ -1715,12 +1715,65 @@ def image_palette(sf_dir: str) -> None:
     _write("image_palette", sf_dir, df)
 
 
+def image_regions(sf_dir: str) -> None:
+    """Independent mirror of image_region_count: same plant
+    (_plant_palette) and the same exact-integer Otsu threshold
+    (stages/multimodal.otsu_threshold — itself golden-gated by
+    image_otsu), but the REGION census uses a BFS flood fill with an
+    explicit stack instead of the stage's two-pass union-find, so the
+    two algorithms certify each other."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+    from crawlerframework_ray.pipelines.queries import _plant_palette
+    from crawlerframework_ray.stages.multimodal import otsu_threshold
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = _plant_palette(d, codecs.decode(rec["bytes"], rec["fmt"]))
+        g = img.astype(np.int64).sum(axis=2) // 3
+        thr = otsu_threshold(g)
+        if thr < 0:
+            rows.append((rec["image_id"], int(g[0, 0]), 0, 0))
+            continue
+        mask = g > thr
+        h, w = mask.shape
+        seen = [[False] * w for _ in range(h)]
+        sizes = []
+        for y0 in range(h):
+            for x0 in range(w):
+                if not mask[y0, x0] or seen[y0][x0]:
+                    continue
+                stack = [(y0, x0)]
+                seen[y0][x0] = True
+                size = 0
+                while stack:
+                    y, x = stack.pop()
+                    size += 1
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = y + dy, x + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and not seen[ny][nx]:
+                            seen[ny][nx] = True
+                            stack.append((ny, nx))
+                sizes.append(size)
+        largest = max(sizes) if sizes else 0
+        rows.append((rec["image_id"], thr, len(sizes), largest * 1000 // (h * w)))
+    df = pd.DataFrame(
+        rows, columns=["image_id", "threshold", "n_regions", "largest_milli"]
+    ).astype({"image_id": "string", "threshold": "int64",
+              "n_regions": "int64", "largest_milli": "int64"})
+    _write("image_regions", sf_dir, df)
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu, image_palette]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu, image_palette, image_regions]
 
 
 def main() -> None:
