@@ -235,3 +235,62 @@ def test_sitemap_index_rejects_urlset():
     )
     with pytest.raises(ValueError, match="not a sitemapindex"):
         parse_sitemap_index(urlset)
+
+
+def test_sitemap_seeded_engine_crawl(ray_session, tmp_path):
+    """S4b → T2 integration: the engine seeded straight from PARSED
+    sitemap documents (priority milli mapped onto the frontier's
+    priority key, highest priority first) reproduces the serial
+    oracle's trace on the same seed rows — the sitemap protocol feeds
+    the real frontier, not just the catalog query."""
+    import pyarrow as pa
+
+    from crawlerframework_ray.config import CrawlConfig
+    from crawlerframework_ray.data.synth import SynthWebConfig, host_of, seed_urls
+    from crawlerframework_ray.pipelines.crawl import CrawlEngine
+    from crawlerframework_ray.pipelines.oracle import oracle_crawl
+    from crawlerframework_ray.sources.sitemap import build_sitemap_xml, parse_sitemap
+
+    web = SynthWebConfig(seed=17, n_hosts=8, path_space=96, max_outlinks=5)
+    urls = seed_urls(web, 36)
+    # one sitemap per host, then the consumer side parses them back
+    by_host: dict[str, list] = {}
+    for i, u in enumerate(urls):
+        by_host.setdefault(host_of(u), []).append(
+            {"loc": u, "lastmod": "2024-01-02", "changefreq": "daily",
+             "priority": f"0.{1 + i % 9}"}
+        )
+    parsed = []
+    for host, entries in sorted(by_host.items()):
+        xml = build_sitemap_xml(host, entries)
+        for e in parse_sitemap(xml):
+            parsed.append(e)
+    # sitemap priority (milli, higher = more important) → frontier
+    # priority key (lower fetches first)
+    seeds = pa.table(
+        {
+            "url": pa.array([e["loc"] for e in parsed], pa.string()),
+            "host": pa.array([host_of(e["loc"]) for e in parsed], pa.string()),
+            "depth": pa.array([0] * len(parsed), pa.int32()),
+            "priority": pa.array(
+                [1000 - e["priority_milli"] for e in parsed], pa.int32()
+            ),
+            "score": pa.array([0.5] * len(parsed), pa.float32()),
+        }
+    )
+    cfg = CrawlConfig(
+        web=web, workdir=str(tmp_path / "sm"), max_depth=1, wave_size=24,
+        host_budget=8, n_shards=4, shard_capacity=1 << 13, max_epochs=3,
+        fetch_concurrency=2, fetch_batch_size=32, record_trace=True,
+    )
+    summary = CrawlEngine(cfg).run(seeds=seeds)
+    oracle = oracle_crawl(cfg, seeds.to_pylist())
+    assert summary.trace
+    assert summary.trace == oracle["trace"]
+    assert summary.shard_digests == oracle["shard_digests"]
+    # the sitemap priorities actually shape the wave: epoch-0 fetches
+    # are the highest-priority (lowest key) seed rows
+    e0 = [p for e, u, d, p in summary.trace if e == 0]
+    rest = [p for e, u, d, p in summary.trace if e > 0 and d == 0]
+    if rest:
+        assert max(e0) <= min(rest)
