@@ -171,3 +171,28 @@ def test_spill_bit_identical_with_robots_budgets(ray_session, tmp_path):
     assert sb.shard_digests == sa.shard_digests
     assert sb.fetched_urls == sa.fetched_urls
     assert sb.final_frontier == sa.final_frontier
+
+
+@pytest.mark.stress
+def test_spill_bit_identical_with_failures_and_backoff(ray_session, tmp_path):
+    """Interaction gate: the retry fold (flag-routed requeues, folded
+    after the wave-id drop) and the AIMD backoff both live in the same
+    finalize as the cold-tail spill — with all three active at a low
+    spill threshold, the trace must stay bit-identical to the
+    all-resident failures+backoff run AND the fixture must exercise
+    both machineries (spills > 0, transient failures > 0)."""
+    kw = dict(failures=True, adaptive_politeness=True)
+    cfg_res = _spill_cfg(tmp_path / "res", spill_max_resident=1 << 30, **kw)
+    seeds = seeds_table(cfg_res.web, 20_000)
+    sa = CrawlEngine(cfg_res).run(seeds=seeds)
+    assert sa.failed_transient_urls > 0
+    assert sa.spill["n_spills"] == 0
+
+    cfg_sp = _spill_cfg(tmp_path / "sp", spill_max_resident=2048, spill_slack=2, **kw)
+    sb = CrawlEngine(cfg_sp).run(seeds=seeds)
+    assert sb.spill["n_spills"] > 0
+    assert sb.trace == sa.trace
+    assert sb.shard_digests == sa.shard_digests
+    assert sb.failed_transient_urls == sa.failed_transient_urls
+    assert sb.failed_permanent_urls == sa.failed_permanent_urls
+    assert sb.final_frontier == sa.final_frontier
