@@ -12185,3 +12185,54 @@ def image_region_count(sf_dir: str):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
         RegionCountStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=0.5
     )
+
+
+@register("ann_topk_pq", _golden_sql("ann_pq_topk"))
+def ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. TPAMI 2011 — the
+    10^10-vector scale path alongside IVF: corpus stored as m_sub
+    one-byte codes, queries scored by ADC table lookups). The corpus
+    is AUGMENTED with EXACT duplicates of every query vector (code
+    ties resolve by neighbor id, so the result is deterministic and
+    the duplicates provably occupy the minimal-distance ranks — the
+    reconstruction distance of a duplicate is the minimum any point
+    can achieve). Distances are integer-exact end-to-end (fixed-point
+    quantization before training/encoding/ADC), so the golden — a
+    serial longhand mirror of encode + ADC + top-k over the same
+    codebooks (tools/make_goldens.ann_pq_topk) — demands bit
+    equality; recall on the planted duplicates is additionally gated
+    in tests/test_similarity.py."""
+    from ..stages.similarity import ann_pq
+
+    qids, qvecs = _query_vectors(sf_dir)
+    dup_ids = np.array(
+        [(1 << 41) + int(q) * 64 + i for q in qids for i in range(5)], np.int64
+    )
+    dup_vecs = np.repeat(qvecs, 5, axis=0)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        if 0 not in ids:
+            return pa.table(
+                {"vec_id": pa.array(ids, pa.int64()), "embedding": t.column("embedding")}
+            )
+        emb = pa.concat_arrays(
+            [
+                t.column("embedding").combine_chunks().cast(pa.list_(pa.float32())),
+                pa.array([list(map(float, v)) for v in dup_vecs], pa.list_(pa.float32())),
+            ]
+        )
+        return pa.table(
+            {"vec_id": pa.array(np.concatenate([ids, dup_ids]), pa.int64()), "embedding": emb}
+        )
+
+    out = ann_pq(
+        ds.map_batches(augment, batch_format="pyarrow"), qids, qvecs,
+        m_sub=4, n_codes=16, k=5,
+    ).to_pandas()
+    return (
+        out.sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )

@@ -479,3 +479,167 @@ def power_iteration_int(G: "np.ndarray", iters: int = 16, scale: int = 1000) -> 
     if v[i] < 0:
         v = -v
     return v.astype(np.int64)
+
+
+# ------------------------------------------------ product quantization
+
+PQ_SCALE = 1024  # fixed-point quantization of raw (unnormalized) coords
+
+
+def pq_quantize(m: np.ndarray, scale: int = PQ_SCALE) -> np.ndarray:
+    """Exact fixed-point image of the raw vectors: floor(x·scale+0.5)
+    int64 — shared leaf between the distributed pipeline and the
+    serial-mirror golden (every PQ distance below is integer-exact)."""
+    return np.floor(np.asarray(m, dtype=np.float64) * scale + 0.5).astype(np.int64)
+
+
+def pq_train_books(sample: np.ndarray, m_sub: int, n_codes: int,
+                   seed: int = 5, iters: int = 8, scale: int = PQ_SCALE) -> list:
+    """Per-subspace Lloyd's codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the D-dim
+    space splits into m_sub contiguous subspaces, each trained to
+    n_codes centroids on the fixed-point sample and ROUNDED BACK to
+    int64 — so encoding and ADC distances downstream are pure integer
+    arithmetic (only training touches floats, deterministically:
+    seeded PCG64 init, argmin ties to the lowest code)."""
+    q = pq_quantize(sample, scale)
+    d = q.shape[1]
+    sub = d // m_sub
+    books = []
+    for s in range(m_sub):
+        xs = q[:, s * sub:(s + 1) * sub].astype(np.float64)
+        rng = np.random.Generator(np.random.PCG64(seed * 100 + s))
+        idx = rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)
+        cents = xs[np.sort(idx)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(np.floor(cents + 0.5).astype(np.int64))
+    return books
+
+
+def pq_encode(qm: np.ndarray, books: list) -> np.ndarray:
+    """(n, m_sub) int8 codes: per-subspace argmin of the exact integer
+    L2 to the int codebook (ties to the lowest code)."""
+    m_sub = len(books)
+    sub = qm.shape[1] // m_sub
+    codes = np.empty((qm.shape[0], m_sub), np.int64)
+    for s in range(m_sub):
+        xs = qm[:, s * sub:(s + 1) * sub]
+        diff = xs[:, None, :] - books[s][None, :, :]
+        codes[:, s] = np.argmin((diff * diff).sum(axis=2), axis=1)
+    return codes
+
+
+class PQScanTopK:
+    """map_batches: encode the batch and score it against every query
+    via the ADC lookup tables (asymmetric distance computation — the
+    query stays full-precision fixed-point, the corpus is its codes);
+    emits per-batch partial top-k rows. Codebooks + tables broadcast
+    once per actor."""
+
+    def __init__(self, books_ref, queries_ref, id_column: str, k: int,
+                 scale: int = PQ_SCALE):
+        self.books = ray.get(books_ref) if not isinstance(books_ref, list) else books_ref
+        qids, qvecs = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.id_column = id_column
+        self.k = k
+        qq = pq_quantize(qvecs, scale)
+        m_sub = len(self.books)
+        sub = qq.shape[1] // m_sub
+        # ADC tables: (n_queries, m_sub, n_codes) exact int64
+        self.tables = np.stack(
+            [
+                ((qq[:, s * sub:(s + 1) * sub][:, None, :] - self.books[s][None, :, :]) ** 2).sum(axis=2)
+                for s in range(m_sub)
+            ],
+            axis=1,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).cast(pa.int64()).to_numpy()
+        qm = pq_quantize(batch_vectors(batch, "embedding"))
+        codes = pq_encode(qm, self.books)
+        # dist[q, row] = sum_s tables[q, s, codes[row, s]]
+        m_sub = codes.shape[1]
+        dist = np.zeros((len(self.qids), len(ids)), np.int64)
+        for s in range(m_sub):
+            dist += self.tables[:, s, :][:, codes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        kk = min(self.k, len(ids))
+        for qi in range(len(self.qids)):
+            row = dist[qi]
+            # tie-AWARE partial top-k: the cut must honor the full
+            # (dist, id) order — argpartition alone picks an arbitrary
+            # subset among boundary ties (planted exact duplicates all
+            # tie, so that arbitrariness is reachable, not theoretical)
+            order = np.lexsort((ids, row))[:kk]
+            out_q.extend([self.qids[qi]] * len(order))
+            out_n.extend(ids[order])
+            out_d.extend(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "pq_dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
+def ann_pq(ds, query_ids: list[int], query_vecs: np.ndarray, *, m_sub: int = 4,
+           n_codes: int = 16, k: int = 5, seed: int = 5, train_sample: int = 2048):
+    """PQ/ADC top-k (the 10^10-vector scale path: the corpus lives as
+    m_sub bytes per vector — 16× smaller than float32 at these params —
+    and scoring is m_sub table lookups per row instead of a D-dim dot).
+    Codebooks train on a SEEDED RANDOM sample (never a prefix); scan is
+    per-batch ADC partials + ONE bounded query-keyed groupby for the
+    global top-k. Distances are integer-exact end-to-end, so partials
+    merge deterministically and a serial mirror reproduces the result
+    bit for bit."""
+    from ..stages.agg import bucketed_group_agg
+
+    # PARTITION-INVARIANT training sample: a Knuth-hash row gate on
+    # vec_id (every ~2nd row) collected in vec_id order and capped —
+    # unlike random_sample, the drawn set cannot depend on block
+    # structure, so the codebooks (and therefore every PQ code and
+    # ADC distance) are identical across cluster sizes, retries and
+    # the serial-mirror golden
+    def tsample(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        keep = ((ids * 2654435761) % (1 << 32)) % 2 == 0
+        return pa.table(
+            {"vec_id": pa.array(ids[keep], pa.int64()),
+             "embedding": t.column("embedding").filter(pa.array(keep))}
+        )
+
+    sample_rows = (
+        ds.map_batches(tsample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .head(train_sample)
+    )
+    books = pq_train_books(np.stack(sample_rows["embedding"].to_numpy()), m_sub, n_codes, seed)
+    books_ref = ray.put(books)
+    queries_ref = ray.put((list(query_ids), np.asarray(query_vecs, dtype=np.float64)))
+
+    partials = ds.map_batches(
+        PQScanTopK,
+        fn_constructor_kwargs={
+            "books_ref": books_ref, "queries_ref": queries_ref,
+            "id_column": "vec_id", "k": k,
+        },
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "pq_dist", "neighbor_id"], kind="mergesort")
+        g = g.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("query_id").cumcount() + 1
+        return g[["query_id", "neighbor_id", "rank", "pq_dist"]].astype("int64")
+
+    return bucketed_group_agg(partials, ["query_id"], fin)

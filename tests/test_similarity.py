@@ -94,3 +94,45 @@ def test_multimodal_stubs_raise_cleanly():
     abatch = pa.table({"audio_id": ["x"], "bytes": [b"\x00"], "fmt": ["mp3"]})
     with pytest.raises(NotImplementedError):
         AudioFeatureStage()(abatch)
+
+
+def test_pq_partition_independent_and_dup_recall(ray_session):
+    """ann_pq must be blocking-invariant (partition-invariant hash
+    training sample + integer ADC + tie-aware partial top-k) and the
+    planted exact duplicates must fill every query's top ranks (their
+    reconstruction distance is the minimum any point can achieve)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawlerframework_ray.stages.similarity import ann_pq
+
+    SF = "/root/testdata/sf0.001"
+
+    def run(blocks: int):
+        t = ray.data.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"],
+            override_num_blocks=blocks,
+        ).to_pandas()
+        qm = np.stack(t[t["vec_id"] < 4].sort_values("vec_id")["embedding"].to_numpy())
+        qids = [0, 1, 2, 3]
+        dup_ids = [(1 << 41) + q * 64 + i for q in qids for i in range(3)]
+        dups = np.repeat(qm, 3, axis=0)
+        ids = np.concatenate([t["vec_id"].to_numpy().astype(np.int64), dup_ids])
+        vecs = list(t["embedding"].to_numpy()) + [v.astype(np.float32) for v in dups]
+        aug = ray.data.from_arrow(
+            pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                            pa.list_(pa.float32()))})
+        ).repartition(blocks)
+        return ann_pq(aug, qids, qm, m_sub=4, n_codes=16, k=4).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    a = run(1)
+    b = run(7)
+    assert a.equals(b)
+    # top-4 of each query = its own row + its 3 exact duplicates (the
+    # minimal-distance tie class, ordered by id)
+    for q in [0, 1, 2, 3]:
+        top = a[a["query_id"] == q]["neighbor_id"].tolist()
+        assert top == [q] + [(1 << 41) + q * 64 + i for i in range(3)], top
