@@ -12236,3 +12236,51 @@ def ann_topk_pq(sf_dir: str):
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+@register("ann_topk_ivfpq", _golden_sql("ann_ivfpq_topk"))
+def ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ — the composition every production vector index ships
+    (FAISS "IVF16,PQ4"): the coarse quantizer prunes the corpus to the
+    queries' nprobe cells, the product quantizer scores the survivors
+    with exact-integer ADC lookups (stages/similarity.ann_ivfpq). The
+    corpus is AUGMENTED with exact query duplicates (cos 1.0 ⇒ the
+    query's own top cell by margin ⇒ never pruned; minimal ADC
+    distance ⇒ top ranks, ties by id). Golden is a serial longhand
+    mirror of assign → prune → encode → ADC → top-k over the same
+    deterministic quantizers (tools/make_goldens.ann_ivfpq_topk);
+    duplicate recall through BOTH stages is unit-gated."""
+    from ..stages.similarity import ann_ivfpq
+
+    qids, qvecs = _query_vectors(sf_dir)
+    dup_ids = np.array(
+        [(1 << 42) + int(q) * 64 + i for q in qids for i in range(5)], np.int64
+    )
+    dup_vecs = np.repeat(qvecs, 5, axis=0)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        if 0 not in ids:
+            return pa.table(
+                {"vec_id": pa.array(ids, pa.int64()), "embedding": t.column("embedding")}
+            )
+        emb = pa.concat_arrays(
+            [
+                t.column("embedding").combine_chunks().cast(pa.list_(pa.float32())),
+                pa.array([list(map(float, v)) for v in dup_vecs], pa.list_(pa.float32())),
+            ]
+        )
+        return pa.table(
+            {"vec_id": pa.array(np.concatenate([ids, dup_ids]), pa.int64()), "embedding": emb}
+        )
+
+    out = ann_ivfpq(
+        ds.map_batches(augment, batch_format="pyarrow"), qids, qvecs,
+        n_cells=16, nprobe=4, m_sub=4, n_codes=16, k=5,
+    ).to_pandas()
+    return (
+        out.sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )

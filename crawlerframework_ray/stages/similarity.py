@@ -643,3 +643,49 @@ def ann_pq(ds, query_ids: list[int], query_vecs: np.ndarray, *, m_sub: int = 4,
         return g[["query_id", "neighbor_id", "rank", "pq_dist"]].astype("int64")
 
     return bucketed_group_agg(partials, ["query_id"], fin)
+
+
+def ann_ivfpq(ds, query_ids: list[int], query_vecs: np.ndarray, *, n_cells: int = 16,
+              nprobe: int = 4, m_sub: int = 4, n_codes: int = 16, k: int = 5,
+              seed: int = 5, train_sample: int = 2048):
+    """IVF-PQ — the composition every production vector index ships
+    (FAISS IVFx,PQy): the coarse quantizer prunes the corpus to
+    nprobe/n_cells, the product quantizer scores what survives with
+    integer ADC lookups. Both training passes draw the SAME
+    partition-invariant hash sample; the fine scan is :func:`ann_pq`'s
+    machinery over the filtered Dataset, so distances stay exact
+    int64 and the serial mirror reproduces the composition bit for
+    bit."""
+    # coarse quantizer trains on the hash sample (cosine cells, like ann_ivf)
+    def tsample(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy()
+        keep = ((ids * 2654435761) % (1 << 32)) % 2 == 0
+        return pa.table(
+            {"vec_id": pa.array(ids[keep], pa.int64()),
+             "embedding": t.column("embedding").filter(pa.array(keep))}
+        )
+
+    sample_rows = (
+        ds.map_batches(tsample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .head(train_sample)
+    )
+    sample = np.stack(sample_rows["embedding"].to_numpy())
+    cents = kmeans_fit(sample, n_cells, seed)
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs={"centroids_ref": cents_ref},
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+    filtered = assigned.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t.column("ivf_cell"), value_set=pa.array(wanted, pa.int32()))
+        ).select(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    return ann_pq(filtered, query_ids, query_vecs, m_sub=m_sub, n_codes=n_codes,
+                  k=k, seed=seed, train_sample=train_sample)

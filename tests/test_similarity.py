@@ -136,3 +136,44 @@ def test_pq_partition_independent_and_dup_recall(ray_session):
     for q in [0, 1, 2, 3]:
         top = a[a["query_id"] == q]["neighbor_id"].tolist()
         assert top == [q] + [(1 << 41) + q * 64 + i for i in range(3)], top
+
+
+def test_ivfpq_dup_recall_through_both_stages(ray_session):
+    """IVF-PQ composition: the exact duplicates must survive the
+    coarse prune (they share the query's top cell at cos 1.0) and then
+    occupy the minimal-ADC ranks — and the result must be
+    blocking-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawlerframework_ray.stages.similarity import ann_ivfpq
+
+    SF = "/root/testdata/sf0.001"
+
+    def run(blocks: int):
+        t = ray.data.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"],
+            override_num_blocks=blocks,
+        ).to_pandas()
+        qm = np.stack(t[t["vec_id"] < 4].sort_values("vec_id")["embedding"].to_numpy())
+        qids = [0, 1, 2, 3]
+        dup_ids = [(1 << 42) + q * 64 + i for q in qids for i in range(3)]
+        dups = np.repeat(qm, 3, axis=0)
+        ids = np.concatenate([t["vec_id"].to_numpy().astype(np.int64), dup_ids])
+        vecs = list(t["embedding"].to_numpy()) + [v.astype(np.float32) for v in dups]
+        aug = ray.data.from_arrow(
+            pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                            pa.list_(pa.float32()))})
+        ).repartition(blocks)
+        return ann_ivfpq(aug, qids, qm, n_cells=8, nprobe=2, m_sub=4,
+                         n_codes=16, k=4).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    a = run(1)
+    b = run(6)
+    assert a.equals(b)
+    for q in [0, 1, 2, 3]:
+        top = a[a["query_id"] == q]["neighbor_id"].tolist()
+        assert top == [q] + [(1 << 42) + q * 64 + i for i in range(3)], top

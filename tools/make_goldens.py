@@ -1839,12 +1839,93 @@ def ann_pq_topk(sf_dir: str) -> None:
     _write("ann_pq_topk", sf_dir, df)
 
 
+def ann_ivfpq_topk(sf_dir: str) -> None:
+    """Serial longhand mirror of ann_topk_ivfpq: shares the plant
+    (exact duplicates), the hash training-sample rule and the two
+    deterministic quantizer trainers (kmeans_fit / pq_train_books),
+    then re-derives coarse assignment, pruning, encoding, ADC and the
+    top-k with explicit loops."""
+    from crawlerframework_ray.pipelines.queries import _query_vectors
+    from crawlerframework_ray.stages.similarity import (
+        kmeans_fit,
+        pq_quantize,
+        pq_train_books,
+    )
+
+    qids, qvecs = _query_vectors(sf_dir)
+    dup_ids = [(1 << 42) + int(q) * 64 + i for q in qids for i in range(5)]
+    dup_vecs = np.repeat(qvecs, 5, axis=0)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = [int(x) for x in t.column("vec_id").to_pylist()] + dup_ids
+    vecs = np.concatenate(
+        [
+            np.stack([np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]),
+            dup_vecs.astype(np.float32),
+        ]
+    ).astype(np.float64)
+
+    def hash_sample(id_list, vec_rows, cap=2048):
+        tr = sorted(
+            (int(i), r) for r, i in enumerate(id_list)
+            if ((int(i) * 2654435761) % (1 << 32)) % 2 == 0
+        )[:cap]
+        return np.stack([vec_rows[r] for _, r in tr])
+
+    # coarse: cosine cells on the hash sample
+    cents = kmeans_fit(hash_sample(ids, vecs), 16, 5)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cells = np.argmax((vecs / norms) @ cents.T, axis=1)
+    qn = np.asarray(qvecs, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    probed = sorted({int(c) for row in np.argsort(-(qn @ cents.T), axis=1)[:, :4] for c in row})
+    keep = [r for r in range(len(ids)) if int(cells[r]) in probed]
+    s_ids = [ids[r] for r in keep]
+    s_vecs = vecs[keep]
+    # fine: PQ trained on the SURVIVORS' hash sample (mirrors ann_pq
+    # over the filtered Dataset)
+    books = pq_train_books(hash_sample(s_ids, s_vecs), 4, 16, 5)
+    qmat = pq_quantize(s_vecs)
+    sub = qmat.shape[1] // 4
+    codes = []
+    for r in range(len(s_ids)):
+        row = []
+        for s in range(4):
+            best_c, best_d = -1, None
+            for c in range(len(books[s])):
+                d = 0
+                for j in range(sub):
+                    diff = int(qmat[r, s * sub + j]) - int(books[s][c, j])
+                    d += diff * diff
+                if best_d is None or d < best_d:
+                    best_c, best_d = c, d
+            row.append(best_c)
+        codes.append(row)
+    qq = pq_quantize(np.asarray(qvecs, dtype=np.float64))
+    rows = []
+    for qi, qid in enumerate(qids):
+        dists = []
+        for r in range(len(s_ids)):
+            d = 0
+            for s in range(4):
+                c = codes[r][s]
+                for j in range(sub):
+                    diff = int(qq[qi, s * sub + j]) - int(books[s][c, j])
+                    d += diff * diff
+            dists.append((d, s_ids[r]))
+        dists.sort()
+        for rank, (d, nid) in enumerate(dists[:5], 1):
+            rows.append((int(qid), int(nid), rank, int(d)))
+    df = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "pq_dist"]).astype("int64")
+    _write("ann_ivfpq_topk", sf_dir, df)
+
+
 ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu, image_palette, image_regions, ann_pq_topk]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu, image_palette, image_regions, ann_pq_topk, ann_ivfpq_topk]
 
 
 def main() -> None:
