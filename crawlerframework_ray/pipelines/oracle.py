@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import CrawlConfig
-from ..data.synth import fetch_stitched, host_of
+from ..data.synth import fetch_status_of, fetch_stitched, host_of
 from ..functions.hashing import content_hash, task_id
 from ..functions.urlnorm import normalize, resolve
 from ..stages.expand import child_score
@@ -123,8 +123,6 @@ def oracle_crawl(cfg: CrawlConfig, seeds: list[dict]) -> dict:
                 # mirror of the engine's failure split (stages/fetch.py):
                 # permanent failures drop, transient failures requeue
                 # past the seen gate with the expander's retry fields
-                from ..data.synth import fetch_status_of
-
                 status = fetch_status_of(r["url"], epoch, cfg.web.seed)
                 if status == "gone":
                     counters["failed_permanent"] += 1

@@ -10768,8 +10768,6 @@ def mirror_host_pairs(sf_dir: str):
         df["__k"] = df["host_a"].fillna(df["host"])
         return df
 
-    import ray.data  # noqa: F401  (ds already imported via _read)
-
     folded = bucketed_group_agg(
         partial.map_batches(key_col, batch_format="pandas"), ["__k"],
         lambda g: fold(g.drop(columns="__k")),
@@ -11766,7 +11764,12 @@ def curriculum_interleave_docs(sf_dir: str):
     ranked = None
     counts = np.zeros(4, np.int64)
     for t_ in range(4):
-        tier_ds = feats.filter(lambda row, _t=t_: row["tier"] == _t)
+        # vectorized tier filter (a row-lambda Dataset.filter would be
+        # a per-row Python pass — the hot-path shape this repo bans)
+        tier_ds = feats.map_batches(
+            lambda t, _t=t_: t.filter(pa.compute.equal(t.column("tier"), _t)),
+            batch_format="pyarrow",
+        )
         # bin_id of a unit-weight budget-1 scan IS the 0-based
         # exclusive prefix count = rank within the tier
         part = packed_bins(tier_ds, "key", "one", budget=1, carry=["doc_id", "tier"])

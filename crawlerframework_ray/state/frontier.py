@@ -128,6 +128,8 @@ def route_to_buckets_fn(bucket_handles: list, flag: int, no_push: bool = False):
             if flag == 0
             else None
         )
+        if re_np is not None and not (re_np > 0).any():
+            re_np = None  # no retries in this batch: single-flag fast path
         futs = []
         for b in range(n_buckets):
             lo, hi = bounds[b], bounds[b + 1]
