@@ -12287,3 +12287,109 @@ def ann_topk_ivfpq(sf_dir: str):
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+@register(
+    "ewma_spike_events",
+    r"""
+    WITH RECURSIVE c AS (
+      SELECT event_type, day,
+             CAST(n0 * CASE day WHEN '2024-01-20' THEN 3 ELSE 1 END
+                  + CASE day WHEN '2024-01-26' THEN n0 // 2 ELSE 0 END
+                  AS BIGINT) AS n
+      FROM (SELECT event_type,
+                   CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+                   COUNT(*) AS n0
+            FROM events GROUP BY 1, 2)),
+    o AS (
+      SELECT event_type, day, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS idx
+      FROM c),
+    r(event_type, day, n, idx, ewma, spike) AS (
+      SELECT event_type, day, n, idx, n * 1000, 0
+      FROM o WHERE idx = 1
+      UNION ALL
+      SELECT o.event_type, o.day, o.n, o.idx,
+             (o.n * 1000 + 3 * r.ewma) // 4,
+             CASE WHEN 2 * o.n * 1000 > 3 * r.ewma THEN 1 ELSE 0 END
+      FROM o JOIN r ON o.event_type = r.event_type AND o.idx = r.idx + 1)
+    SELECT event_type, day, n,
+           CAST(ewma AS BIGINT) AS ewma_milli,
+           CAST(spike AS INT) AS spike
+    FROM r
+    """,
+)
+def ewma_spike_events(sf_dir: str):
+    """Streaming anomaly flagging: per-(event_type, day) counts scored
+    against an exact integer EWMA of the type's own history —
+    ``e_t = (n_t·1000 + 3·e_{t-1}) // 4`` (α = 1/4 in milli fixed
+    point; the // makes every step integer-exact, so the distributed
+    result equals the SQL recursion bit for bit), with a spike flag
+    when the day runs 1.5× above the running level
+    (cross-multiplied ``2·n·1000 > 3·e_{t-1}``, no float ratio) — the
+    alerting layer a crawl/ingest operator puts over per-source
+    volumes (a feed that doubles overnight is usually a parser bug or
+    a spam flood, not growth).
+
+    Scale shape: daily counts via per-batch partials + ONE bounded
+    type-keyed shuffle; the EWMA recurrence is inherently sequential
+    IN TIME but independent ACROSS types, so each group runs its own
+    ~30-step scan inside the bucket (the same order-dependent-scan
+    bound as pack_sequences — state is one integer per series).
+
+    Reference analogue: the reference logs per-connector fetch totals
+    (taskmanager counters) but never baselines them; this is the
+    adaptive form."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        day = pd.to_datetime(ts, unit="us").strftime("%Y-%m-%d")
+        df = pd.DataFrame(
+            {"event_type": pd.Series(t.column("event_type").to_pylist(), dtype="string"),
+             "day": pd.Series(day, dtype="string")}
+        )
+        return df.groupby(["event_type", "day"], as_index=False).agg(
+            n=("day", "size")
+        )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False).agg(n=("n", "sum"))
+        # planted bursts (mirrored in the oracle): day 20 triples, day
+        # 26 runs +50% — so the spike flag and the EWMA recovery tail
+        # are exercised from both sides of the 1.5x gate
+        d = g["day"].to_numpy()
+        n = g["n"].to_numpy().astype("int64")
+        g["n"] = n * np.where(d == "2024-01-20", 3, 1) + np.where(
+            d == "2024-01-26", n // 2, 0
+        )
+        g = g.sort_values(["event_type", "day"], kind="mergesort")
+        out = []
+        for et, grp in g.groupby("event_type", sort=True):
+            ns = grp["n"].to_numpy().astype("int64")
+            ewma = np.zeros(len(ns), dtype="int64")
+            spike = np.zeros(len(ns), dtype="int32")
+            ewma[0] = ns[0] * 1000
+            for i in range(1, len(ns)):
+                spike[i] = int(2 * ns[i] * 1000 > 3 * ewma[i - 1])
+                ewma[i] = (ns[i] * 1000 + 3 * ewma[i - 1]) // 4
+            out.append(
+                pd.DataFrame(
+                    {"event_type": grp["event_type"].to_numpy(),
+                     "day": grp["day"].to_numpy(),
+                     "n": ns, "ewma_milli": ewma, "spike": spike}
+                )
+            )
+        res = pd.concat(out, ignore_index=True)
+        return res.astype(
+            {"event_type": "string", "day": "string", "n": "int64",
+             "ewma_milli": "int64", "spike": "int32"}
+        )
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], per_type
+    ).to_pandas()
+    return out.sort_values(["event_type", "day"], kind="mergesort").reset_index(drop=True)
