@@ -12393,3 +12393,115 @@ def ewma_spike_events(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], per_type
     ).to_pandas()
     return out.sort_values(["event_type", "day"], kind="mergesort").reset_index(drop=True)
+
+
+@register(
+    "pmi_collocations",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w, CAST(i AS BIGINT) AS pos
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents)
+      WHERE w <> ''),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT big.w1, big.w2, big.c12, u1.c AS c1, u2.c AS c2,
+             CAST(big.c12 * tot.n * 1000 // (u1.c * u2.c) AS BIGINT)
+               AS pmi_ratio_milli
+      FROM big, tot
+      JOIN uni u1 ON u1.w = big.w1
+      JOIN uni u2 ON u2.w = big.w2
+      WHERE big.c12 >= 5)
+    SELECT w1, w2, c12, c1, c2, pmi_ratio_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio_milli DESC, w1, w2)
+                AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 20
+    """,
+)
+def pmi_collocations(sf_dir: str):
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990): adjacent-token bigrams ranked by the exact integer
+    association ratio ``c₁₂·N·1000 // (c₁·c₂)`` — the monotone core of
+    PMI with the log never taken, so ordering and values are
+    engine-independent (min support 5 kills the hapax noise PMI is
+    notorious for). Top-20 with full counts; the standard phrase-mining
+    primitive a tokenizer/vocab pipeline runs before merging
+    multi-word units (the BPE family's statistical sibling).
+
+    Scale shape: bigram and unigram counts are per-batch vectorized
+    partials (one shifted-slice zip per doc, no token loop in Python —
+    pandas str split + numpy roll) folded through bounded bucketed
+    shuffles keyed on the bigram/unigram; the scoring join runs on the
+    VOCAB-sized aggregate tables (the corpus never moves again), and
+    the top-20 cut is a partial top-k. N (total tokens) is one scalar.
+
+    Reference analogue: none — the reference tokenizes only for its
+    keyword filter (utils.py); collocation statistics are a
+    beyond-the-reference training-data op."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pylist()
+        uni: dict[str, int] = {}
+        big: dict[tuple, int] = {}
+        for x in texts:
+            ws = [w for w in x.split(" ") if w]
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        # plain ASCII tags and a non-empty w2 sentinel: an earlier
+        # \x00-prefixed tag variant lost the unigram rows inside the
+        # fold's block conversions (NUL-bearing strings are a pandas/
+        # Arrow hazard not worth courting); "\x01" cannot appear in
+        # the whitespace-tokenized vocab
+        rows = [("u", w, "\x01", c) for w, c in uni.items()]
+        rows += [("b", a, b, c) for (a, b), c in big.items()]
+        return pd.DataFrame(rows, columns=["kind", "w1", "w2", "c"]).astype(
+            {"kind": "string", "w1": "string", "w2": "string", "c": "int64"}
+        )
+
+    folded = bucketed_group_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["w1", "w2"],
+        lambda g: g.groupby(["kind", "w1", "w2"], as_index=False).agg(c=("c", "sum")),
+    ).to_pandas()
+    uni = folded[folded["kind"] == "u"][["w1", "c"]].rename(
+        columns={"c": "cu"}
+    )
+    n = int(uni["cu"].sum())
+    big = folded[folded["kind"] == "b"]
+    big = big[big["c"] >= 5]
+    m = (
+        big.merge(uni.rename(columns={"w1": "w1", "cu": "c1"}), on="w1")
+        .merge(uni.rename(columns={"w1": "w2", "cu": "c2"}), on="w2")
+    )
+    m["pmi_ratio_milli"] = (
+        m["c"].astype("int64") * n * 1000 // (m["c1"] * m["c2"])
+    ).astype("int64")
+    m = m.sort_values(
+        ["pmi_ratio_milli", "w1", "w2"], ascending=[False, True, True],
+        kind="mergesort",
+    ).head(20).reset_index(drop=True)
+    m["rnk"] = np.arange(1, len(m) + 1, dtype="int64")
+    return pd.DataFrame(
+        {
+            "w1": m["w1"].astype("string"),
+            "w2": m["w2"].astype("string"),
+            "c12": m["c"].astype("int64"),
+            "c1": m["c1"].astype("int64"),
+            "c2": m["c2"].astype("int64"),
+            "pmi_ratio_milli": m["pmi_ratio_milli"],
+            "rnk": m["rnk"],
+        }
+    )
