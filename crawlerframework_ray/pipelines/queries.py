@@ -3603,6 +3603,54 @@ def host_triangle_counts(sf_dir: str):
     return triangle_counts(host_edges(ds, n_hosts=64), n_hosts=64)
 
 
+def _cocite_frame(out) -> pd.DataFrame:
+    df = out.to_pandas()
+    if df.empty or "host_a" not in df.columns:
+        df = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["host_a", "host_b", "support"]}
+        )
+    return (
+        df.sort_values(["host_a", "host_b"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+@register("co_citation_hosts", None)
+def co_citation_hosts(sf_dir: str):
+    """Co-citation mining (Small 1973) on the directed host link
+    graph: hosts a < b co-cited by ≥ 3 distinct third hosts, support =
+    the co-citing count — the authority-similarity signal crawl
+    schedulers and dedup-by-neighborhood both feed on. Runs as a
+    postings-list pair expansion over the citing side, REUSING the
+    dedup family's inverted-index engine (one bounded shuffle
+    co-locating each citer's out-list, size-batched triu expansion,
+    df_cap hub-degree skew guard — max degree 16 on the gate graph,
+    asserted in tests) + one bounded grouped count
+    (stages/graph.co_citation_pairs). Native SQL self-join oracle over
+    the same derived edge set."""
+    from ..stages.graph import co_citation_pairs, host_edges
+
+    edges = host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    return _cocite_frame(co_citation_pairs(edges, min_support=3))
+
+
+@register("bibliographic_coupling_hosts", None)
+def bibliographic_coupling_hosts(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963) — co-citation's dual:
+    pairs of CITING hosts a < b sharing ≥ 3 common out-links, support
+    = shared-outlink count (the content-mirror / template-reuse signal
+    of a crawl graph: two hosts linking to the same set of targets).
+    Same shared inverted-index pair engine with the roles swapped
+    (postings keyed by the cited host, pairs over citers:
+    stages/graph.co_citation_pairs(dual=True)). Native SQL self-join
+    oracle over the same derived edge set."""
+    from ..stages.graph import co_citation_pairs, host_edges
+
+    edges = host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    return _cocite_frame(co_citation_pairs(edges, min_support=3, dual=True))
+
+
 _LATE_LAT_US = 7 * 86400 * 10**6
 
 _LATE_SQL = f"""
@@ -4586,6 +4634,23 @@ def _pagerank_iter_sql(k: int) -> str:
 ORACLE_SQL["host_triangle_counts"] = _TRIANGLE_SQL.replace(
     "{EDGES}", _PAGERANK_EDGES_SQL
 )
+
+# co-citation / bibliographic coupling share the same derived edge set
+ORACLE_SQL["co_citation_hosts"] = f"""
+    WITH dedges AS ({_PAGERANK_EDGES_SQL})
+    SELECT CAST(e1.dst AS BIGINT) AS host_a, CAST(e2.dst AS BIGINT) AS host_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM dedges e1 JOIN dedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+ORACLE_SQL["bibliographic_coupling_hosts"] = f"""
+    WITH dedges AS ({_PAGERANK_EDGES_SQL})
+    SELECT CAST(e1.src AS BIGINT) AS host_a, CAST(e2.src AS BIGINT) AS host_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM dedges e1 JOIN dedges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
 
 _PAGERANK_SQL = f"""
     WITH edges AS ({_PAGERANK_EDGES_SQL}),

@@ -80,6 +80,59 @@ def distinct_edges(edges):
     )
 
 
+def co_citation_pairs(edges, *, min_support: int = 2, dual: bool = False,
+                      df_cap: int = 256):
+    """Co-citation mining (Small, JASIS 1973): hosts a < b are
+    co-cited when a third host links to BOTH; support = the number of
+    distinct co-citing hosts. ``dual=True`` computes bibliographic
+    coupling (Kessler 1963): pairs of CITING hosts sharing an
+    out-link, support = shared out-links.
+
+    The shape is a postings-list pair expansion — group the distinct
+    edge set by the citing side and expand pairs of cited hosts — i.e.
+    exactly the inverted-index machinery of the exact-similarity dedup
+    family, so it REUSES ``_gram_pair_rows`` (one bounded shuffle
+    co-locating each citing host's out-list, size-batched
+    ``np.triu_indices`` expansion, ``df_cap`` as the hub-degree skew
+    guard: a 10^6-out-degree hub host would otherwise cost O(deg²)
+    pair rows) plus one bounded grouped count. At 10^8 hosts the
+    expansion volume is Σ deg² bounded by df_cap·|E| — the same
+    contract the dedup family documents; true mega-hubs should be
+    dropped or sampled upstream, and callers assert max degree < cap
+    on gated corpora so the guard is provably lossless there."""
+    from .dedup import _gram_pair_rows
+
+    key, val = ("dst", "src") if dual else ("src", "dst")
+
+    def posting(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "gram_h": t.column(key).cast(pa.int64()),
+                "doc_id": t.column(val).cast(pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    rows = _gram_pair_rows(
+        distinct_edges(edges).map_batches(posting, batch_format="pyarrow"),
+        32, df_cap, None,
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False).size()
+        agg = agg[agg["size"] >= min_support]
+        return pd.DataFrame(
+            {
+                "host_a": agg["id_a"].astype(np.int64),
+                "host_b": agg["id_b"].astype(np.int64),
+                "support": agg["size"].astype(np.int64),
+            }
+        )
+
+    return bucketed_group_agg(rows, ["id_a", "id_b"], reduce)
+
+
 # node count above which per-node state stays a Dataset instead of a
 # driver numpy vector (~4M nodes ≈ 100 MB of int64 vectors — beyond
 # that the driver resident + per-iteration ray.put broadcast becomes

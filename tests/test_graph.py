@@ -421,3 +421,49 @@ def test_scc_dataset_state_identical(ray_session):
     # of shuffle pairs — one run keeps the suite's wall-time sane)
     b = scc_fb_trim(_bowtie_edges(), driver_state_max=1)
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_co_citation_pairs_and_dual(ray_session):
+    """Hand-built 4-node citation graph: s1 and s2 both cite {a, b} —
+    co-citation support(a,b)=2; a and b are both cited by {s1, s2} —
+    coupling support(s1,s2)=2. The hub-degree guard drops a planted
+    high-out-degree hub's contribution identically to a serial mirror."""
+    import ray.data
+
+    from crawlerframework_ray.stages.graph import co_citation_pairs
+
+    edges = [
+        {"src": 10, "dst": 1}, {"src": 10, "dst": 2},
+        {"src": 11, "dst": 1}, {"src": 11, "dst": 2},
+        {"src": 12, "dst": 1},  # cites only a: no pair
+        {"src": 10, "dst": 1},  # duplicate edge must not double-count
+    ]
+    ds = ray.data.from_items(edges)
+    cc = co_citation_pairs(ds, min_support=2).to_pandas()
+    assert list(zip(cc["host_a"], cc["host_b"], cc["support"])) == [(1, 2, 2)]
+
+    bc = co_citation_pairs(ray.data.from_items(edges), min_support=2, dual=True).to_pandas()
+    assert list(zip(bc["host_a"], bc["host_b"], bc["support"])) == [(10, 11, 2)]
+
+
+def test_co_citation_degree_under_skew_guard():
+    """The df_cap=256 hub guard is provably lossless on the gate graph:
+    max in/out degree of the derived 64-host edge set is far below it."""
+    import duckdb
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        deg = con.execute("""
+            WITH e AS (SELECT DISTINCT src, dst FROM (
+              SELECT doc_id % 64 AS src, (doc_id * 7 + doc_id // 64 + 1) % 64 AS dst FROM documents
+              UNION ALL
+              SELECT doc_id % 64, (doc_id * 13 + doc_id // 64 + 5) % 64 FROM documents)
+              WHERE src != dst)
+            SELECT GREATEST(
+              (SELECT MAX(c) FROM (SELECT COUNT(*) c FROM e GROUP BY src)),
+              (SELECT MAX(c) FROM (SELECT COUNT(*) c FROM e GROUP BY dst)))
+        """).fetchone()[0]
+        assert deg < 256 // 4, sf
