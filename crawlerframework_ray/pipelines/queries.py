@@ -9876,6 +9876,57 @@ def solr_index_boolean_and(sf_dir: str):
     )
 
 
+_PHRASE_QUERIES = [
+    (1, ["part", "filter"]),
+    (2, ["order", "order"]),  # duplicate-term phrase — the hard case
+    (3, ["merge", "group", "column"]),
+]
+
+_SOLR_PHRASE_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    pos AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u),
+    m AS (
+      SELECT 1 AS query_id, doc_id FROM pos WHERE w1 = 'part' AND w2 = 'filter'
+      UNION ALL
+      SELECT 2, doc_id FROM pos WHERE w1 = 'order' AND w2 = 'order'
+      UNION ALL
+      SELECT 3, doc_id FROM pos
+      WHERE w1 = 'merge' AND w2 = 'group' AND w3 = 'column')
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m GROUP BY 1, 2
+"""
+
+
+@register("solr_index_phrase_search", _SOLR_PHRASE_SQL)
+def solr_index_phrase_search(sf_dir: str):
+    """K3 — Lucene/Solr PhraseQuery from the committed index: the
+    index is built WITH POSITIONAL POSTINGS (one (term, doc_id, pos)
+    row per occurrence, term-hash-bucketed — opt-in, roughly doubling
+    index bytes), then each phrase reads ONLY its terms' positional
+    buckets (pruned file list + pushed-down IN filter), rebases every
+    posting by its term slot (adj = pos − term_idx, so an occurrence
+    starting at p means ALL slots contribute adj = p) and one bounded
+    bucketed reduce counts start positions whose distinct-slot count
+    equals the phrase length — which also makes duplicate-term
+    phrases ("order order") exact, the case naive position-chaining
+    double-counts. Exact occurrence counts per (query, doc); oracle
+    re-derives matches relationally from adjacent token positions."""
+    import shutil
+    import tempfile
+
+    from ..sources.solrsink import commit_index, phrase_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="cfray-solrpos-", dir="/tmp")
+    try:
+        commit_index(ds, idx, n_buckets=16, positions=True)
+        return phrase_search(idx, _PHRASE_QUERIES)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 # =====================================================================
 # Round-4: redirect-chain resolution (pointer doubling) and the
 # inbound anchor-text index — two crawler-core ops the catalog lacked

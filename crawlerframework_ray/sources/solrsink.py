@@ -52,6 +52,7 @@ from ..stages.agg import bucketed_group_agg
 from ..stages.retrieval import bm25_idf
 
 POSTINGS_DIR = "postings"
+POSITIONS_DIR = "positional"
 DICT_DIR = "dictionary"
 DOCSTORE_DIR = "docstore"
 MANIFEST = "manifest.json"
@@ -81,6 +82,7 @@ def commit_index(
     stored_columns: tuple[str, ...] = (),
     coalesce: bool = False,
     batch_size: int = 2048,
+    positions: bool = False,
 ) -> dict:
     """Build and atomically commit the index under ``out_dir``.
     Returns the manifest. ``ds`` must carry ``id_column``,
@@ -123,6 +125,41 @@ def commit_index(
             lambda g: g, batch_format="pandas"
         )
     post.write_parquet(os.path.join(out_dir, POSTINGS_DIR), partition_cols=["bucket"])
+
+    if positions:
+        # Positional postings — one (term, doc_id, pos) row per token
+        # occurrence, same term-hash bucketing as the tf postings so a
+        # phrase query prunes to its terms' buckets. Opt-in: positions
+        # roughly double index bytes (Lucene's omitTermFreqAndPositions
+        # trade-off, inverted).
+        def pos_batch(t: pa.Table) -> pa.Table:
+            ids = t.column(id_column).to_numpy().astype(np.int64)
+            toks = pd.Series(t.column(text_column).to_pylist()).str.split(" ")
+            dl = toks.str.len().to_numpy(dtype=np.int64)
+            if len(dl) == 0 or int(dl.sum()) == 0:
+                return pa.table({
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                })
+            terms = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+            pos = np.concatenate([np.arange(n, dtype=np.int64) for n in dl])
+            bucket = np.fromiter(
+                (zlib.crc32(s.encode()) % n_buckets for s in terms),
+                dtype=np.int64, count=len(terms),
+            )
+            return pa.table({
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(np.repeat(ids, dl), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            })
+
+        ppost = ds.map_batches(pos_batch, batch_format="pyarrow", batch_size=batch_size)
+        if coalesce:
+            ppost = ppost.groupby("bucket").map_groups(lambda g: g, batch_format="pandas")
+        ppost.write_parquet(os.path.join(out_dir, POSITIONS_DIR), partition_cols=["bucket"])
 
     # Dictionary: exact df per term — a column-pruned read of the
     # postings just written (term only; one row per (term, doc) by
@@ -183,6 +220,7 @@ def commit_index(
         "n_docs": int(st["n"].sum()),
         "total_len": int(st["total"].sum()),
         "stored_columns": stored,
+        "positions": positions,
     }
     tmp = os.path.join(out_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
@@ -309,6 +347,76 @@ def boolean_and(out_dir: str, terms: list[str],
     return hash_join(matched, store, "doc_id", ["doc_id"], columns)
 
 
+def phrase_search(out_dir: str, phrases: list[tuple[int, list[str]]],
+                  ) -> pd.DataFrame:
+    """Positional PHRASE query — Lucene/Solr's PhraseQuery form, the
+    search mechanism the per-doc keyword scan cannot express at index
+    scale: the phrase's terms' POSITIONAL posting buckets are read
+    pruned (|terms| buckets out of n_buckets, pushed-down IN filter —
+    never the corpus), each posting row fans out to its (query_id,
+    term_idx) uses with positions rebased by term index (adj = pos −
+    term_idx: a phrase occurrence starts at p iff every term_idx
+    contributes adj = p), and one bounded bucketed reduce per
+    (query_id, doc_id) counts the start positions where the distinct
+    term_idx count equals the phrase length. Duplicate-term phrases
+    ("order order") are handled by that distinct-count — a single
+    token can serve two term slots only at two different adj values.
+    Returns (query_id, doc_id, n_matches), n_matches = exact phrase
+    occurrence count. Requires ``commit_index(..., positions=True)``."""
+    from ..stages.agg import bucketed_group_agg as _bga
+
+    man = load_manifest(out_dir)
+    if not man.get("positions"):
+        raise ValueError("index was committed without positions=True")
+    n_b = man["n_buckets"]
+    terms = sorted({t for _, ph in phrases for t in ph})
+    fan = pd.DataFrame(
+        [(t, qid, i, len(ph)) for qid, ph in phrases for i, t in enumerate(ph)],
+        columns=["term", "query_id", "term_idx", "phrase_len"],
+    )
+    post = _pruned_read(
+        out_dir, POSITIONS_DIR, [term_bucket(t, n_b) for t in terms],
+        ["term", "doc_id", "pos"], pds.field("term").isin(terms),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().merge(fan, on="term", how="inner")
+        return pa.table({
+            "query_id": pa.array(df["query_id"].to_numpy(np.int64), pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+            "adj": pa.array(
+                df["pos"].to_numpy(np.int64) - df["term_idx"].to_numpy(np.int64),
+                pa.int64()),
+            "term_idx": pa.array(df["term_idx"].to_numpy(np.int64), pa.int64()),
+            "phrase_len": pa.array(df["phrase_len"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["query_id", "doc_id", "adj"], as_index=False).agg(
+            k=("term_idx", "nunique"), pl=("phrase_len", "first")
+        )
+        hit = grp[grp["k"] == grp["pl"]]
+        out = (
+            hit.groupby(["query_id", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_matches"})
+        )
+        return out.astype("int64")
+
+    res = _bga(
+        post.map_batches(expand, batch_format="pyarrow"), ["query_id", "doc_id"], fold
+    ).to_pandas()
+    if res.empty or "query_id" not in res.columns:
+        res = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["query_id", "doc_id", "n_matches"]}
+        )
+    return (
+        res.sort_values(["query_id", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
     """Lucene-style SEGMENT MERGE: combine N committed indexes over
     disjoint doc-id sets into one committed index, entirely as
@@ -404,6 +512,9 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
         "n_docs": int(sum(m["n_docs"] for m in mans)),
         "total_len": int(sum(m["total_len"] for m in mans)),
         "stored_columns": stored,
+        # positional segments are not merged (yet): a merged index
+        # honestly reports no positions rather than serving stale ones
+        "positions": False,
     }
     tmp = os.path.join(out_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:

@@ -192,3 +192,44 @@ def test_merge_rejects_layout_mismatch(ray_session, index_dir, tmp_path):
     commit_index(ds, str(tmp_path / "other"), n_buckets=4)
     with pytest.raises(ValueError, match="layout mismatch"):
         merge_indexes([index_dir, str(tmp_path / "other")], str(tmp_path / "bad"))
+
+
+def test_phrase_search_exact_counts(ray_session, tmp_path):
+    """Hand corpus with known phrase occurrences: simple bigram,
+    OVERLAPPING duplicate-term matches ('a a' in 'a a a' matches at
+    positions 0 AND 1 — the naive chain double- or under-counts), a
+    trigram, and a doc with the terms present but never adjacent."""
+    import ray.data
+
+    from crawlerframework_ray.sources.solrsink import commit_index, phrase_search
+
+    docs = [
+        {"doc_id": 1, "text": "x part filter y part filter"},  # 2 matches q1
+        {"doc_id": 2, "text": "part y filter"},                # terms, not adjacent
+        {"doc_id": 3, "text": "a a a"},                        # 'a a' at 0 and 1
+        {"doc_id": 4, "text": "m g c m g c"},                  # trigram twice
+        {"doc_id": 5, "text": "nothing here"},
+    ]
+    idx = str(tmp_path / "posidx")
+    commit_index(ray.data.from_items(docs), idx, n_buckets=4, positions=True)
+    out = phrase_search(
+        idx,
+        [(1, ["part", "filter"]), (2, ["a", "a"]), (3, ["m", "g", "c"])],
+    )
+    got = {(int(r.query_id), int(r.doc_id)): int(r.n_matches)
+           for r in out.itertuples(index=False)}
+    assert got == {(1, 1): 2, (2, 3): 2, (3, 4): 2}
+
+
+def test_phrase_search_requires_positions(ray_session, tmp_path):
+    import pytest
+    import ray.data
+
+    from crawlerframework_ray.sources.solrsink import commit_index, phrase_search
+
+    idx = str(tmp_path / "nopos")
+    commit_index(
+        ray.data.from_items([{"doc_id": 1, "text": "a b"}]), idx, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search(idx, [(1, ["a", "b"])])
