@@ -1878,6 +1878,44 @@ def approx_distinct_events(sf_dir: str):
     return df.astype({"n_registers": "int64", "hll_estimate": "int64"})
 
 
+_HLL_INTER_THRESH = 80.0
+
+
+@register("hll_intersection_users", _golden_sql("hll_intersection"))
+def hll_intersection_users(sf_dir: str):
+    """Sketch SET ALGEBRA — the audience-overlap question
+    (|high-value viewers ∩ high-value purchasers|) answered from two
+    HLL sketches without a distinct-pair shuffle: per-batch register
+    partials for each set, distributed grid pre-fold, then
+    inclusion-exclusion with the union sketch obtained FREE as the
+    elementwise register max (the HLL union law — no third data pass;
+    stages/sketch.hll_intersection_estimate). At 100 TB the exact
+    answer needs a full user-set shuffle per side; this moves 2×4 KB
+    of registers per block. Accuracy vs the exact intersection is
+    gated in tests/test_sketch.py; the golden is a single serial pass
+    proving the distributed split/merge exactly."""
+    from ..stages.sketch import batch_registers, hll_intersection_estimate
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        val = t.column("value").to_numpy()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        hot = val >= _HLL_INTER_THRESH
+        sets, blobs = [], []
+        for name, mask in (("a", (et == "view") & hot),
+                           ("b", (et == "purchase") & hot)):
+            if mask.any():
+                sets.append(name)
+                blobs.append(batch_registers(uid[mask]).tobytes())
+        return pa.table(
+            {"set": pa.array(sets, pa.string()), "regs": pa.array(blobs, pa.binary())}
+        )
+
+    return hll_intersection_estimate(ds.map_batches(partial, batch_format="pyarrow"))
+
+
 _SAMPLE_RATES_PPM = {"en": 250_000, "zh": 600_000, "es": 600_000, "de": 600_000, "fr": 600_000}
 
 _SAMPLE_SQL = (

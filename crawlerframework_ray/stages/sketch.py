@@ -176,6 +176,45 @@ def fold_grid_partials(ds, grid_col: str, dtype, op: str,
     return np.frombuffer(rows[0][grid_col], dtype=dtype)
 
 
+def hll_intersection_estimate(set_regs_ds) -> pd.DataFrame:
+    """Set-expression estimation over HLL sketches — the composition a
+    single distinct-count cannot answer: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B) (inclusion-exclusion), where the UNION sketch costs no
+    third pass because HLL registers obey the union law — registers of
+    A∪B are the elementwise max of A's and B's registers (max of maxes
+    over a partition of the union's elements). ``set_regs_ds`` is a
+    Dataset of (set ∈ {'a','b'}, regs) per-batch register partials;
+    they fold through the distributed grid pre-fold (driver receives
+    O(1) rows per set, never per-block partials). Returns one row:
+    (n_registers, est_a, est_b, est_union, est_intersection) —
+    intersection floor-int, reported raw (inclusion-exclusion on
+    sketches can go ≤ 0 for tiny true overlaps; thresholding is the
+    caller's policy)."""
+    folded = prefold_grids(set_regs_ds, "regs", "set", np.uint8, "max")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        regs = merge_registers([np.frombuffer(b, dtype=np.uint8) for b in g["regs"]])
+        return pd.DataFrame({"set": [g["set"].iloc[0]], "regs": [regs.tobytes()]})
+
+    df = folded.groupby("set").map_groups(final, batch_format="pandas").to_pandas()
+    by = {s: np.frombuffer(b, dtype=np.uint8) for s, b in zip(df["set"], df["regs"])}
+    ra = by.get("a", np.zeros(M, np.uint8))
+    rb = by.get("b", np.zeros(M, np.uint8))
+    ea, eb = estimate(ra), estimate(rb)
+    eu = estimate(np.maximum(ra, rb))
+    return pd.DataFrame(
+        [
+            {
+                "n_registers": np.int64(M),
+                "est_a": np.int64(ea),
+                "est_b": np.int64(eb),
+                "est_union": np.int64(eu),
+                "est_intersection": np.int64(ea + eb - eu),
+            }
+        ]
+    )
+
+
 # ----------------------------------------- Misra-Gries heavy hitters
 
 MG_SLOTS = 256

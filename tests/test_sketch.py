@@ -142,3 +142,62 @@ def test_pps_systematic_matches_serial_and_sizes(ray_session):
     )
     assert got["n_hits"].sum() == int(serial["w"].sum()) // step
     assert int(got.loc[got["k"] == keys[100], "n_hits"].iloc[0]) >= 2
+
+
+def test_hll_intersection_accuracy_and_partition_invariance(ray_session):
+    """Inclusion-exclusion estimate lands within 10% of the exact
+    |A∩B| on the gate corpus, and the result is bit-identical whatever
+    the input block structure (register max-merge is associative)."""
+    import duckdb
+    import ray.data
+
+    from crawlerframework_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["hll_intersection_users"](sf)
+    est = int(df["est_intersection"].iloc[0])
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT COUNT(*) FROM (
+          SELECT user_id FROM read_parquet('{sf}/events.parquet')
+          WHERE event_type='view' AND value >= 80
+          INTERSECT
+          SELECT user_id FROM read_parquet('{sf}/events.parquet')
+          WHERE event_type='purchase' AND value >= 80)
+    """).fetchone()[0]
+    assert abs(est - exact) <= max(2, exact // 10), (est, exact)
+
+    # partition invariance: run the same register pipeline at a
+    # different block structure and compare bit-for-bit
+    import numpy as np
+    import pyarrow as pa
+
+    from crawlerframework_ray.stages.sketch import (
+        batch_registers,
+        hll_intersection_estimate,
+    )
+
+    def run(blocks):
+        ds = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "event_type", "value"],
+            override_num_blocks=blocks,
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+            hot = t.column("value").to_numpy() >= 80.0
+            uid = t.column("user_id").to_numpy(zero_copy_only=False)
+            sets, blobs = [], []
+            for name, mask in (("a", (et == "view") & hot),
+                               ("b", (et == "purchase") & hot)):
+                if mask.any():
+                    sets.append(name)
+                    blobs.append(batch_registers(uid[mask]).tobytes())
+            return pa.table({"set": pa.array(sets, pa.string()),
+                             "regs": pa.array(blobs, pa.binary())})
+
+        return hll_intersection_estimate(
+            ds.map_batches(partial, batch_format="pyarrow")
+        )
+
+    assert run(2).astype("int64").equals(run(17).astype("int64"))

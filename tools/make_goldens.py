@@ -566,6 +566,35 @@ def hll_counts(sf_dir: str) -> None:
 
 
 
+def hll_intersection(sf_dir: str) -> None:
+    """HLL inclusion-exclusion golden: ONE serial pass per set over the
+    whole filtered column (no batching, no distributed fold) — equality
+    proves the Ray side's per-batch split + grid pre-fold + union-law
+    max merge. Register/estimate leaf functions shared (regression-pin
+    tier, same posture as hll_counts); estimate accuracy vs the exact
+    intersection is gated separately in tests/test_sketch.py."""
+    from crawlerframework_ray.stages.sketch import M, batch_registers, estimate
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    et = t.column("event_type").to_pandas().to_numpy(dtype=object)
+    val = t.column("value").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    hot = val >= 80.0
+    ra = batch_registers(uid[(et == "view") & hot])
+    rb = batch_registers(uid[(et == "purchase") & hot])
+    ea, eb = estimate(ra), estimate(rb)
+    eu = estimate(np.maximum(ra, rb))
+    _write(
+        "hll_intersection", sf_dir,
+        pd.DataFrame(
+            [{"n_registers": M, "est_a": ea, "est_b": eb,
+              "est_union": eu, "est_intersection": ea + eb - eu}]
+        ).astype("int64"),
+    )
+
+
 def kmeans_clusters(sf_dir: str) -> None:
     """Serial mirror of kmeans_cluster_embeddings: independent plain
     re-implementation of the floored-integer Lloyd spec (quantize
@@ -1925,7 +1954,7 @@ ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_c
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
        video_frame_stats, audio_window_stats, video_dup_pairs, audio_dup_pairs,
-       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu, image_palette, image_regions, ann_pq_topk, ann_ivfpq_topk]
+       video_prep_stats, image_dims, patch_stats, source_minhash, bloom_probe_golden, norm_text, gram_top_component, term_canon, image_augment, image_quality, mirror_dup_pairs, channel_moments, tile_crop_pairs, dominant_colors, ssim_pairs, image_otsu, image_palette, image_regions, ann_pq_topk, ann_ivfpq_topk, hll_intersection]
 
 
 def main() -> None:
