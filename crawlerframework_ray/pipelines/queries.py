@@ -12801,3 +12801,63 @@ def compressed_adjacency_stats(sf_dir: str):
         return linkstore_stats(out).to_pandas()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# =====================================================================
+# Round-4 continuation: link-spam analytics (spam mass, SALSA)
+# =====================================================================
+
+_SPAM_MASS_SQL = f"""
+    WITH edges AS ({_PAGERANK_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    base AS (SELECT (15 * 1000000000000 // 100) // COUNT(*) AS b FROM nodes),
+    it0 AS (SELECT h, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS r FROM nodes),
+    {",".join(_pagerank_iter_sql(k) for k in (1, 2, 3, 4))},
+    tedges AS (SELECT * FROM edges),
+    tnodes AS (SELECT h FROM nodes),
+    toutdeg AS (SELECT * FROM outdeg),
+    sb AS (SELECT (15 * 1000000000000 // 100) // 3 AS b),
+    tit0 AS (SELECT h, CASE WHEN h IN (0, 1, 2) THEN 1000000000000 // 3 ELSE 0 END AS r
+             FROM tnodes),
+    {",".join(_trustrank_iter_sql(k) for k in (1, 2, 3, 4))}
+    SELECT p.h AS host, CAST(p.r AS BIGINT) AS rank, CAST(t.r AS BIGINT) AS trust,
+           CAST(p.r - t.r AS BIGINT) AS spam_mass,
+           ((p.r - t.r) * 100 >= p.r * 60) AS spam_flag
+    FROM it4 p JOIN tit4 t ON p.h = t.h
+"""
+
+
+@register("spam_mass_hosts", _SPAM_MASS_SQL)
+def spam_mass_hosts(sf_dir: str):
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, VLDB
+    2006): the fraction of a host's PageRank that does NOT flow from
+    the trusted core — ``spam_mass = PR - TrustRank`` with both ranks
+    from the SAME exact fixed-point int64 iteration (pagerank_int with
+    and without the seeded teleport), so the difference is itself an
+    exact integer and the classification is a cross-multiplied
+    threshold (relative mass >= 0.6), float-free end to end. This is
+    the demotion signal a frontier scheduler pairs with trustrank:
+    high-PR hosts whose rank is mostly non-trust-reachable get their
+    crawl budget cut (the reference has no ranking at all — its
+    politeness caps are static, crawler.cfg:26-185). The edge set is
+    derived + deduped + materialized ONCE and both iterations stream
+    the same blocks; at 10^8 hosts both runs take the documented
+    Dataset-resident state path."""
+    from ..stages.graph import distinct_edges, host_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64)).materialize()
+    pr = pagerank_int(edges, iters=4)
+    tr = pagerank_int(edges, iters=4, seeds=np.array([0, 1, 2], np.int64))
+    df = pr.merge(tr.rename(columns={"rank": "trust"}), on="host")
+    sm = (df["rank"] - df["trust"]).astype("int64")
+    return pd.DataFrame(
+        {
+            "host": df["host"].astype("int64"),
+            "rank": df["rank"].astype("int64"),
+            "trust": df["trust"].astype("int64"),
+            "spam_mass": sm,
+            "spam_flag": (sm * 100 >= df["rank"] * 60),
+        }
+    )
