@@ -12861,3 +12861,49 @@ def spam_mass_hosts(sf_dir: str):
             "spam_flag": (sm * 100 >= df["rank"] * 60),
         }
     )
+
+
+def _salsa_iter_sql(k: int) -> str:
+    return f"""
+    sh{k} AS (
+      SELECT n.h, COALESCE(s.s, 0) AS hb FROM snodes n LEFT JOIN (
+        SELECT e.src AS h, SUM(p.a // i.idg) AS s
+        FROM sedges e JOIN sa{k - 1} p ON e.dst = p.h JOIN sindeg i ON i.dst = e.dst
+        GROUP BY e.src) s ON n.h = s.h),
+    sa{k} AS (
+      SELECT n.h, COALESCE(s.s, 0) AS a FROM snodes n LEFT JOIN (
+        SELECT e.dst AS h, SUM(p.hb // o.od) AS s
+        FROM sedges e JOIN sh{k} p ON e.src = p.h JOIN soutdeg o ON o.src = e.src
+        GROUP BY e.dst) s ON n.h = s.h)"""
+
+
+_SALSA_SQL = f"""
+    WITH sedges AS ({_PAGERANK_EDGES_SQL}),
+    snodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM sedges UNION SELECT dst FROM sedges)),
+    soutdeg AS (SELECT src, COUNT(*) AS od FROM sedges GROUP BY src),
+    sindeg AS (SELECT dst, COUNT(*) AS idg FROM sedges GROUP BY dst),
+    sa0 AS (SELECT h, 1000000000000 AS a FROM snodes),
+    {",".join(_salsa_iter_sql(k) for k in (1, 2))}
+    SELECT h2.h AS host, CAST(h2.hb AS BIGINT) AS hub, CAST(a2.a AS BIGINT) AS authority
+    FROM sh2 h2 JOIN sa2 a2 ON h2.h = a2.h
+"""
+
+
+@register("salsa_hosts", _SALSA_SQL)
+def salsa_hosts(sf_dir: str):
+    """SALSA hub/authority scores (Lempel & Moran, WWW 2000) over the
+    derived host graph — the degree-normalized random-walk cousin of
+    hits_hosts, conserving mass instead of L2-normalizing, which is
+    what makes it expressible in exact fixed-point int64 (each offer
+    divided by the offering node's degree BEFORE the associative sum).
+    Frontier relevance: SALSA authority is the TKC-effect-resistant
+    ranking (the paper's motivation) — a tightly-knit link farm that
+    dominates HITS scores splits its mass under SALSA, so it pairs
+    with link_farm_hosts as a demotion-robust crawl prioritizer.
+    stages/graph.salsa_int; same broadcast-vs-Dataset state switch as
+    the pagerank family, bit-identical both paths."""
+    from ..stages.graph import distinct_edges, host_edges, salsa_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    return salsa_int(edges, iters=2)

@@ -1587,3 +1587,99 @@ def _scc_state_ds(edges, nodes_ds, n: int, max_rounds: int) -> pd.DataFrame:
     out = state.to_pandas().sort_values("h", kind="mergesort")
     return pd.DataFrame({"host": out["h"].to_numpy().astype(np.int64),
                          "scc_id": out["scc"].to_numpy().astype(np.int64)})
+
+
+def salsa_int(edges_ds, scale: int = PAGERANK_SCALE, iters: int = 2,
+              node_state: str = "auto",
+              driver_state_max: int = GRAPH_DRIVER_STATE_MAX) -> pd.DataFrame:
+    """SALSA (Lempel & Moran, WWW 2000): hubs/authorities as a random
+    walk on the bipartite hub/authority view — HITS's sums with each
+    offer normalized by the offering node's degree, so total mass is
+    conserved and no per-iteration L2 norm (the transcendental step)
+    is needed. Exact fixed-point int64: per-node offers are
+    ``auth // indeg`` (authority→hub sweep) and ``hub // outdeg``
+    (hub→authority sweep) — division happens per SOURCE NODE before
+    the associative integer sum, so the result is bit-identical to
+    the unrolled SQL at any partitioning. ``auth_0 = scale``;
+    ``hub_t(u) = Σ_{(u,v)} auth_{t-1}(v) // id(v)``;
+    ``auth_t(v) = Σ_{(u,v)} hub_t(u) // od(u)``. Mass conservation
+    bounds every value by n·scale — no overflow headroom check needed
+    at the iteration counts used. Same broadcast-vs-Dataset node-state
+    switch as pagerank_int; both paths bit-identical (gated)."""
+    edges = edges_ds.materialize()
+    nodes_ds = _nodes_dataset(edges)
+    n = nodes_ds.count()
+
+    def deg_partial(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t.column(col).to_numpy(), return_counts=True)
+            return pa.table({"h": pa.array(u, pa.int64()),
+                             "v": pa.array(c, pa.int64())})
+        return fn
+
+    od_ds = bucketed_group_agg(
+        edges.map_batches(deg_partial("src"), batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["v"].sum())
+    id_ds = bucketed_group_agg(
+        edges.map_batches(deg_partial("dst"), batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["v"].sum())
+
+    if node_state == "dataset" or (node_state == "auto" and n > driver_state_max):
+        state = _apply_state_ds(
+            nodes_ds, od_ds, op="sum", state_cols=[],
+            apply_fn=lambda st, inc, hi: {"od": inc})
+        state = _apply_state_ds(
+            state, id_ds, op="sum", state_cols=["od"],
+            apply_fn=lambda st, inc, hi: {
+                "od": st["od"].to_numpy(), "idg": inc,
+                "hub": np.zeros(len(st), np.int64),
+                "auth": np.full(len(st), scale, np.int64)})
+
+        def rev_offer(m: pd.DataFrame) -> np.ndarray:
+            idg = m["idg"].to_numpy()
+            return np.where(idg > 0, m["auth"].to_numpy() // np.maximum(idg, 1), 0)
+
+        def fwd_offer(m: pd.DataFrame) -> np.ndarray:
+            od = m["od"].to_numpy()
+            return np.where(od > 0, m["hub"].to_numpy() // np.maximum(od, 1), 0)
+
+        cols = ["od", "idg", "hub", "auth"]
+        keep = lambda st, c: st[c].to_numpy()  # noqa: E731
+        for _ in range(iters):
+            rev = _propagate_ds(edges, state, op="sum",
+                                state_cols=["auth", "idg"],
+                                offer_fn=rev_offer, reverse=True)
+            state = _apply_state_ds(
+                state, rev, op="sum", state_cols=cols,
+                apply_fn=lambda st, inc, hi: {
+                    "od": keep(st, "od"), "idg": keep(st, "idg"),
+                    "hub": inc, "auth": keep(st, "auth")})
+            fwd = _propagate_ds(edges, state, op="sum",
+                                state_cols=["hub", "od"], offer_fn=fwd_offer)
+            state = _apply_state_ds(
+                state, fwd, op="sum", state_cols=cols,
+                apply_fn=lambda st, inc, hi: {
+                    "od": keep(st, "od"), "idg": keep(st, "idg"),
+                    "hub": keep(st, "hub"), "auth": inc})
+        out = state.to_pandas().sort_values("h", kind="mergesort")
+        return pd.DataFrame({"host": out["h"].to_numpy().astype(np.int64),
+                             "hub": out["hub"].to_numpy().astype(np.int64),
+                             "authority": out["auth"].to_numpy().astype(np.int64)})
+
+    nodes = np.sort(nodes_ds.to_pandas()["h"].to_numpy().astype(np.int64))
+    od = np.zeros(n, np.int64)
+    idg = np.zeros(n, np.int64)
+    od_df = od_ds.to_pandas()
+    id_df = id_ds.to_pandas()
+    od[np.searchsorted(nodes, od_df["h"].to_numpy())] = od_df["v"].to_numpy()
+    idg[np.searchsorted(nodes, id_df["h"].to_numpy())] = id_df["v"].to_numpy()
+    auth = np.full(n, scale, np.int64)
+    hub = np.zeros(n, np.int64)
+    for _ in range(iters):
+        hub = _propagate_sum(
+            edges, nodes, np.where(idg > 0, auth // np.maximum(idg, 1), 0),
+            reverse=True)
+        auth = _propagate_sum(
+            edges, nodes, np.where(od > 0, hub // np.maximum(od, 1), 0))
+    return pd.DataFrame({"host": nodes, "hub": hub.astype(np.int64),
+                         "authority": auth.astype(np.int64)})

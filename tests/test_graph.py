@@ -467,3 +467,23 @@ def test_co_citation_degree_under_skew_guard():
               (SELECT MAX(c) FROM (SELECT COUNT(*) c FROM e GROUP BY dst)))
         """).fetchone()[0]
         assert deg < 256 // 4, sf
+
+
+def test_salsa_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import salsa_int
+
+    a = salsa_int(_edges("directed"), iters=2, node_state="driver")
+    b = salsa_int(_edges("directed"), iters=2, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_salsa_mass_conserved(ray_session):
+    # SALSA's defining property vs HITS: each sweep is (sub)stochastic,
+    # so total authority mass never exceeds the injected n*scale (it
+    # only leaks through integer floors and dangling nodes)
+    from crawlerframework_ray.stages.graph import PAGERANK_SCALE, salsa_int
+
+    out = salsa_int(_edges("directed"), iters=2)
+    n = len(out)
+    assert 0 < int(out["authority"].sum()) <= n * PAGERANK_SCALE
+    assert 0 < int(out["hub"].sum()) <= n * PAGERANK_SCALE
