@@ -12907,3 +12907,67 @@ def salsa_hosts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     edges = distinct_edges(host_edges(ds, n_hosts=64))
     return salsa_int(edges, iters=2)
+
+
+def _anf_closure_sql(k: int) -> str:
+    return f"""
+    r{k} AS (SELECT DISTINCT src, dst FROM (
+        SELECT * FROM r{k - 1}
+        UNION ALL
+        SELECT r.src, e.dst FROM r{k - 1} r JOIN aedges e ON r.dst = e.src))"""
+
+
+_ANF_SQL = f"""
+    WITH aedges AS ({_PAGERANK_EDGES_SQL}),
+    anodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM aedges UNION SELECT dst FROM aedges)),
+    r0 AS (SELECT h AS src, h AS dst FROM anodes),
+    {",".join(_anf_closure_sql(k) for k in (1, 2, 3, 4, 5, 6))},
+    counts AS (
+      {" UNION ALL ".join(f"SELECT {k} AS t, COUNT(*) AS n FROM r{k}" for k in range(7))}),
+    fin AS (SELECT n AS nf FROM counts WHERE t = 6)
+    SELECT t, CAST(n AS BIGINT) AS n_pairs,
+           (10 * n >= 9 * (SELECT nf FROM fin)
+            AND COALESCE(10 * LAG(n) OVER (ORDER BY t) >= 9 * (SELECT nf FROM fin),
+                         FALSE) = FALSE) AS is_eff_diameter
+    FROM counts ORDER BY t
+"""
+
+
+@register("anf_neighborhood_hosts", _ANF_SQL)
+def anf_neighborhood_hosts(sf_dir: str):
+    """Neighborhood function + effective diameter of the host graph
+    (ANF, Palmer et al. KDD 2002; effective-diameter statistic per
+    HyperBall, Boldi & Vigna WWW 2011): N(t) = #(src, dst) pairs
+    within directed distance t, t = 0..6, and the 90%-percentile
+    distance flag. The crawl-planning readout: how many hops of
+    frontier expansion reach 90% of the reachable web — the quantity
+    that sizes max_recursion (crawler.cfg:197-198 hardcodes level ≤ 1;
+    this measures what that cap forfeits). Per-node reachable sets are
+    exact 64-bit masks swept by bitwise-OR propagation
+    (stages/graph.anf_neighborhood_int); the oracle is the relational
+    BFS closure — two independent statements of transitive
+    reachability. At 10^8 hosts the masks widen to HLL registers
+    (HyperBall proper) with the same sweeps."""
+    from ..stages.graph import anf_neighborhood_int, distinct_edges, host_edges
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    return anf_neighborhood_int(edges, iters=6)
+
+
+@register("hyperball_neighborhood_hosts", _golden_sql("hyperball_counts"))
+def hyperball_neighborhood_hosts(sf_dir: str):
+    """HyperBall (Boldi & Vigna, WWW 2011): the neighborhood function
+    and effective diameter estimated from per-node HyperLogLog
+    counters swept by the register-max union law — the form of
+    anf_neighborhood_hosts that survives 10^8+ nodes, where exact
+    64-bit masks can't. Deterministic splitmix64 hashing + floor
+    -integer estimates make the distributed sweep bit-reproducible:
+    the golden is an INDEPENDENT serial adjacency-dict sweep (only
+    the register leaf functions are shared, tools/make_goldens.py),
+    and accuracy vs the exact bitset ANF is gated in test_graph.py."""
+    from ..stages.graph import distinct_edges, host_edges, hyperball_neighborhood
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    return hyperball_neighborhood(edges, iters=6)

@@ -210,6 +210,9 @@ def _propagate_ds(edges, state, op: str, state_cols: list[str],
         if op == "min":
             acc = np.full(len(u), np.iinfo(np.int64).max, np.int64)
             np.minimum.at(acc, inv, offer)
+        elif op == "or":
+            acc = np.zeros(len(u), np.int64)
+            np.bitwise_or.at(acc, inv, offer)
         else:
             acc = np.zeros(len(u), np.int64)
             np.add.at(acc, inv, offer)
@@ -263,6 +266,21 @@ def _apply_state_ds(state, contribs, op: str, state_cols: list[str],
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         st = g[g["kind"] == 0]
         cg = g[g["kind"] == 1]
+        if op == "or":
+            # bitmask values use all 64 bits — the Series.map float64
+            # round-trip below would corrupt them (>2^53), so align
+            # through an int64-preserving index lookup instead
+            ins = cg.groupby("h")["v"].agg(
+                lambda s: np.bitwise_or.reduce(s.to_numpy())
+            ).astype(np.int64)
+            hh = st["h"].to_numpy()
+            has_in = np.isin(hh, ins.index.to_numpy())
+            inc = np.full(len(hh), ident, np.int64)
+            if has_in.any():
+                inc[has_in] = ins.loc[hh[has_in]].to_numpy().astype(np.int64)
+            out = {"h": hh}
+            out.update(apply_fn(st, inc, has_in))
+            return pd.DataFrame(out)
         if op == "min":
             ins = cg.groupby("h")["v"].min()
         else:
@@ -1683,3 +1701,191 @@ def salsa_int(edges_ds, scale: int = PAGERANK_SCALE, iters: int = 2,
             edges, nodes, np.where(od > 0, hub // np.maximum(od, 1), 0))
     return pd.DataFrame({"host": nodes, "hub": hub.astype(np.int64),
                          "authority": auth.astype(np.int64)})
+
+
+def _propagate_or(edges, nodes: np.ndarray, state: np.ndarray,
+                  reverse: bool = False) -> np.ndarray:
+    """One synchronous bitwise-OR propagation sweep — the bit-parallel
+    reachability kernel (every edge offers its source's 64-bit mask).
+    Identity 0; int64 carries the raw bit pattern (bit 63 included),
+    and no arithmetic ever touches the masks, so signedness is moot."""
+    import ray
+
+    ref = ray.put((nodes, state))
+    src_col, dst_col = ("dst", "src") if reverse else ("src", "dst")
+
+    def sweep(t: pa.Table) -> pa.Table:
+        nds, st = ray.get(ref)
+        si = np.searchsorted(nds, t.column(src_col).to_numpy())
+        offer = st[si]
+        d = t.column(dst_col).to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.bitwise_or.at(acc, inv, offer)
+        return pa.table(
+            {"dst": pa.array(u, pa.int64()), "m": pa.array(acc, pa.int64())}
+        )
+
+    got = bucketed_group_agg(
+        edges.map_batches(sweep, batch_format="pyarrow"),
+        ["dst"],
+        lambda g: g.groupby("dst", as_index=False)["m"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy())),
+    ).to_pandas()
+    incoming = np.zeros(len(nodes), np.int64)
+    incoming[np.searchsorted(nodes, got["dst"].to_numpy())] = got["m"].to_numpy()
+    return incoming
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64 array (numpy 1.26 has no
+    bit_count ufunc): unpack to bits, sum per 8-byte row."""
+    return np.unpackbits(v.view(np.uint8).reshape(len(v), 8), axis=1).sum(
+        axis=1
+    ).astype(np.int64)
+
+
+def anf_neighborhood_int(edges_ds, iters: int = 6, node_state: str = "auto",
+                         driver_state_max: int = GRAPH_DRIVER_STATE_MAX,
+                         ) -> pd.DataFrame:
+    """Exact neighborhood function N(t) (ANF — Palmer, Gibbons &
+    Faloutsos, KDD 2002): the number of (src, dst) pairs with a
+    directed path of length ≤ t, for t = 0..iters, plus the effective
+    diameter (smallest t with N(t) ≥ 0.9·N(iters), the 90%-percentile
+    distance — Boldi & Vigna's HyperBall statistic, WWW 2011). Here
+    the per-node reachable-set sketch is an EXACT 64-bit membership
+    mask (node ids must fit one machine word — asserted), so every
+    sweep is the bitwise-OR propagation
+    ``mask_t(v) = mask_{t-1}(v) | OR_{(v,u)∈E} mask_{t-1}(u)`` and
+    N(t) = Σ popcount — bit-identical to the relational
+    BFS-closure oracle. The mask IS the HyperBall register set: at
+    10^8-host scale the int64 column widens to HLL register blobs and
+    the OR becomes the register-max union (stages/sketch.py's law) —
+    same sweeps, same Dataset-resident state path, estimate instead
+    of exact. Counts-to-driver: one scalar per sweep (the N(t)
+    series), never per-node state."""
+    edges = edges_ds.materialize()
+    nodes_ds = _nodes_dataset(edges)
+    n = nodes_ds.count()
+    mx = nodes_ds.max("h")
+    hi = int(mx if not isinstance(mx, dict) else mx["max(h)"])
+    if hi >= 64 or n > 64:
+        raise ValueError(
+            f"exact ANF masks need node ids in [0, 64); got n={n}, max={hi} "
+            "(the >64-node path swaps masks for HLL registers)")
+    counts: list[int] = []
+
+    if node_state == "dataset" or (node_state == "auto" and n > driver_state_max):
+        state = _init_state_ds(
+            nodes_ds,
+            lambda h: {"mask": (np.uint64(1) << h.astype(np.uint64)).view(np.int64)},
+        )
+
+        def popsum(s) -> int:
+            part = s.map_batches(
+                lambda t: pa.table({"c": pa.array(
+                    [int(_popcount64(t.column("mask").to_numpy()).sum())],
+                    pa.int64())}),
+                batch_format="pyarrow",
+            )
+            return int(part.sum("c"))
+
+        counts.append(popsum(state))
+        for _ in range(iters):
+            contribs = _propagate_ds(edges, state, op="or",
+                                     state_cols=["mask"], reverse=True)
+            state = _apply_state_ds(
+                state, contribs, op="or", state_cols=["mask"],
+                apply_fn=lambda st, inc, hi_: {
+                    "mask": st["mask"].to_numpy() | inc})
+            counts.append(popsum(state))
+    else:
+        nodes = np.sort(nodes_ds.to_pandas()["h"].to_numpy().astype(np.int64))
+        mask = (np.uint64(1) << nodes.astype(np.uint64)).view(np.int64)
+        counts.append(int(_popcount64(mask).sum()))
+        for _ in range(iters):
+            mask = mask | _propagate_or(edges, nodes, mask, reverse=True)
+            counts.append(int(_popcount64(mask).sum()))
+
+    nf = counts[-1]
+    arr = np.array(counts, np.int64)
+    qual = 10 * arr >= 9 * nf
+    first = int(np.argmax(qual))  # qual[-1] always True
+    return pd.DataFrame({
+        "t": np.arange(iters + 1, dtype=np.int64),
+        "n_pairs": arr,
+        "is_eff_diameter": np.arange(iters + 1) == first,
+    })
+
+
+def hyperball_neighborhood(edges_ds, iters: int = 6) -> pd.DataFrame:
+    """HyperBall proper (Boldi & Vigna, WWW 2011): the neighborhood
+    function estimated from per-node HyperLogLog counters — the form
+    that runs where exact masks can't (10^8+ nodes: a 64-bit mask per
+    node covers 64 nodes; a 4 KB register blob per node covers any
+    cardinality at ~1.6% error). Sweep t: every node's counter
+    becomes the register-max of itself and its out-neighbors'
+    counters (the HLL union law — union of reachable-set sketches);
+    N̂(t) = Σ_v estimate(counter_t(v)). Deterministic end to end
+    (splitmix64-hashed ids, floor-integer estimates), so the serial
+    golden pins the distributed sweep exactly; accuracy vs the exact
+    bitset ANF is gated in tests. Here node counters broadcast per
+    sweep (n·4 KB); the 10^8-node form keeps them as a binary state
+    column through the same two bucketed shuffles as the int64
+    Dataset-state path (stages/sketch.py already folds such grids)."""
+    import ray
+
+    from .sketch import batch_registers, estimate
+
+    edges = edges_ds.materialize()
+    nodes_ds = _nodes_dataset(edges)
+    nodes = np.sort(nodes_ds.to_pandas()["h"].to_numpy().astype(np.int64))
+    n = len(nodes)
+    regs = np.stack([batch_registers(nodes[i:i + 1]) for i in range(n)])
+
+    def total(rg: np.ndarray) -> int:
+        return int(sum(estimate(rg[i]) for i in range(n)))
+
+    counts = [total(regs)]
+    for _ in range(iters):
+        ref = ray.put((nodes, regs))
+
+        def sweep(t: pa.Table) -> pa.Table:
+            nds, rg = ray.get(ref)
+            si = np.searchsorted(nds, t.column("dst").to_numpy())
+            offers = rg[si]
+            s = t.column("src").to_numpy()
+            u, inv = np.unique(s, return_inverse=True)
+            acc = np.zeros((len(u), offers.shape[1]), np.uint8)
+            np.maximum.at(acc, inv, offers)
+            return pa.table({
+                "dst": pa.array(u, pa.int64()),
+                "m": pa.array([acc[i].tobytes() for i in range(len(u))],
+                              pa.binary()),
+            })
+
+        def reg_max(s_: pd.Series) -> bytes:
+            return np.maximum.reduce(
+                [np.frombuffer(b, np.uint8) for b in s_]).tobytes()
+
+        got = bucketed_group_agg(
+            edges.map_batches(sweep, batch_format="pyarrow"),
+            ["dst"],
+            lambda g: g.groupby("dst", as_index=False)["m"].agg(reg_max),
+        ).to_pandas()
+        if len(got):
+            idx = np.searchsorted(nodes, got["dst"].to_numpy())
+            inc = np.stack([np.frombuffer(b, np.uint8) for b in got["m"]])
+            regs = regs.copy()
+            regs[idx] = np.maximum(regs[idx], inc)
+        counts.append(total(regs))
+
+    arr = np.array(counts, np.int64)
+    nf = int(arr[-1])
+    qual = 10 * arr >= 9 * nf
+    first = int(np.argmax(qual))
+    return pd.DataFrame({
+        "t": np.arange(iters + 1, dtype=np.int64),
+        "nhat_pairs": arr,
+        "is_eff_diameter": np.arange(iters + 1) == first,
+    })

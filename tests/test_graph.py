@@ -487,3 +487,34 @@ def test_salsa_mass_conserved(ray_session):
     n = len(out)
     assert 0 < int(out["authority"].sum()) <= n * PAGERANK_SCALE
     assert 0 < int(out["hub"].sum()) <= n * PAGERANK_SCALE
+
+
+def test_anf_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import anf_neighborhood_int
+
+    a = anf_neighborhood_int(_edges("directed"), iters=4, node_state="driver")
+    b = anf_neighborhood_int(_edges("directed"), iters=4, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_anf_monotone_and_bounded(ray_session):
+    from crawlerframework_ray.stages.graph import anf_neighborhood_int
+
+    out = anf_neighborhood_int(_edges("directed"), iters=6)
+    n = out["n_pairs"].to_numpy()
+    assert (np.diff(n) >= 0).all()          # reachability closure grows
+    assert int(n[0]) ** 2 >= int(n[-1])     # ≤ n^2 pairs
+    assert int(out["is_eff_diameter"].sum()) == 1
+
+
+def test_hyperball_tracks_exact_anf(ray_session):
+    # 4096-register HLL counters on a 64-node closure: the estimate
+    # must track the exact neighborhood function within 2% at every t
+    from crawlerframework_ray.stages.graph import (
+        anf_neighborhood_int,
+        hyperball_neighborhood,
+    )
+
+    exact = anf_neighborhood_int(_edges("directed"), iters=4)["n_pairs"].to_numpy()
+    est = hyperball_neighborhood(_edges("directed"), iters=4)["nhat_pairs"].to_numpy()
+    assert (np.abs(est - exact) <= np.maximum(2, exact * 2 // 100)).all()

@@ -1949,7 +1949,47 @@ def ann_ivfpq_topk(sf_dir: str) -> None:
     _write("ann_ivfpq_topk", sf_dir, df)
 
 
-ALL = [ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def hyperball_counts(sf_dir: str) -> None:
+    """Serial HyperBall mirror (independent adjacency-dict sweep loop;
+    shares only the batch_registers/estimate leaf functions with the
+    engine, like simhash_sigs — medium-strength)."""
+    from crawlerframework_ray.stages.sketch import batch_registers, estimate
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]) \
+            .column("doc_id").to_numpy().astype(np.int64)
+    adj: dict[int, set] = {}
+    nodes: set = set()
+    for i in ids:
+        s = int(i % 64)
+        for d in (int((i * 7 + i // 64 + 1) % 64), int((i * 13 + i // 64 + 5) % 64)):
+            if s != d:
+                adj.setdefault(s, set()).add(d)
+                nodes.add(s)
+                nodes.add(d)
+    nl = sorted(nodes)
+    regs = {v: batch_registers(np.array([v], dtype=np.int64)) for v in nl}
+    counts = [sum(estimate(regs[v]) for v in nl)]
+    for _ in range(6):
+        new = {}
+        for v in nl:
+            r = regs[v].copy()
+            for u in adj.get(v, ()):
+                np.maximum(r, regs[u], out=r)
+            new[v] = r
+        regs = new
+        counts.append(sum(estimate(regs[v]) for v in nl))
+    arr = np.array(counts, dtype=np.int64)
+    nf = int(arr[-1])
+    first = next(t for t, c in enumerate(arr) if 10 * c >= 9 * nf)
+    _write("hyperball_counts", sf_dir, pd.DataFrame({
+        "t": np.arange(7, dtype=np.int64),
+        "nhat_pairs": arr,
+        "is_eff_diameter": np.arange(7) == first,
+    }))
+
+
+ALL = [hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
