@@ -12971,3 +12971,151 @@ def hyperball_neighborhood_hosts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     edges = distinct_edges(host_edges(ds, n_hosts=64))
     return hyperball_neighborhood(edges, iters=6)
+
+
+def _textrank_iter_sql(k: int) -> str:
+    return f"""
+    tr{k} AS (
+      SELECT n.h, tbase.b + 85 * COALESCE(s.s, 0) // 100 AS r
+      FROM tnods n CROSS JOIN tbase LEFT JOIN (
+         SELECT e.v AS h, SUM(p.r * e.w // d.wd) AS s
+         FROM tw e JOIN tr{k - 1} p ON e.u = p.h JOIN twdeg d ON d.u = e.u
+         GROUP BY e.v) s ON n.h = s.h)"""
+
+
+_TEXTRANK_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pairs0 AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                            i -> [l[i], l[i + 1]])) AS p FROM toks),
+    pairs AS (SELECT p[1] AS a, p[2] AS b FROM pairs0 WHERE p[1] != p[2]),
+    sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    tw AS (SELECT a AS u, b AS v, COUNT(*) AS w FROM sym GROUP BY 1, 2),
+    twdeg AS (SELECT u, SUM(w) AS wd FROM tw GROUP BY u),
+    tnods AS (SELECT DISTINCT u AS h FROM tw),
+    tbase AS (SELECT (15 * CAST(1000000000 AS BIGINT) // 100) // COUNT(*) AS b FROM tnods),
+    tr0 AS (SELECT h, CAST(1000000000 AS BIGINT) // (SELECT COUNT(*) FROM tnods) AS r FROM tnods),
+    {",".join(_textrank_iter_sql(k) for k in (1, 2, 3, 4))}
+    SELECT h AS term, CAST(r AS BIGINT) AS score FROM tr4
+"""
+
+
+@register("textrank_keyterms", _TEXTRANK_SQL)
+def textrank_keyterms(sf_dir: str):
+    """TextRank keyterm scoring (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the corpus-level term co-occurrence graph (adjacent
+    -token pairs, symmetrized, edge weight = corpus co-occurrence
+    count) — the unsupervised keyphrase extractor an LLM-data pipeline
+    uses for corpus topic audits and salience-weighted sampling. Exact
+    fixed-point int64 (scale 10^9 so r·w stays far from the int64
+    cliff at every gate scale): per-edge offers ``r(u)·w(u,v) //
+    wdeg(u)`` divide BEFORE the associative sum, bit-equal to the
+    unrolled SQL. Scale shape: the expensive side (pair counting over
+    the corpus) is per-batch vectorized partials through ONE bounded
+    bucketed shuffle keyed by the pair; the power iteration then runs
+    on the VOCAB²-bounded weight table (term graphs are vocab-sized
+    regardless of corpus bytes — the same documented bound as
+    term_canonicalization's component fold), here vocab=31."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        us, vs, ws = [], [], []
+        agg: dict = {}
+        for txt in t.column("text").to_pylist():
+            tok = txt.split(" ")
+            for a, b in zip(tok, tok[1:]):
+                if a != b:
+                    agg[(a, b)] = agg.get((a, b), 0) + 1
+                    agg[(b, a)] = agg.get((b, a), 0) + 1
+        for (a, b), w in agg.items():
+            us.append(a)
+            vs.append(b)
+            ws.append(w)
+        return pa.table({"u": pa.array(us, pa.string()),
+                         "v": pa.array(vs, pa.string()),
+                         "w": pa.array(ws, pa.int64())})
+
+    w_df = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=4096),
+        ["u", "v"],
+        lambda g: g.groupby(["u", "v"], as_index=False)["w"].sum(),
+    ).to_pandas()
+
+    scale = 10**9
+    terms, u_codes = np.unique(w_df["u"].to_numpy(), return_inverse=True)
+    v_codes = np.searchsorted(terms, w_df["v"].to_numpy())
+    w = w_df["w"].to_numpy().astype(np.int64)
+    n = len(terms)
+    wd = np.zeros(n, np.int64)
+    np.add.at(wd, u_codes, w)
+    base = np.full(n, (15 * scale // 100) // n, np.int64)
+    r = np.full(n, scale // n, np.int64)
+    for _ in range(4):
+        offer = r[u_codes] * w // wd[u_codes]
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, v_codes, offer)
+        r = base + 85 * acc // 100
+    return pd.DataFrame({"term": terms, "score": r.astype(np.int64)})
+
+
+@register("cdc_chunk_dedup", _golden_sql("cdc_chunks"))
+def cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking dedup audit (LBFS cut rule —
+    Muthitacharoen et al. SOSP 2001, the FastCDC/Rabin lineage):
+    rolling-hash cut points chunk every document so identical passages
+    at DIFFERENT byte offsets still produce identical chunks, then
+    per-source chunk-level dedup potential = Σ (count−1)·len over
+    distinct chunks — the sub-document form of the reference's
+    whole-page change hash (crawler/utils/utils.py:480-498), and what
+    a 100-TB crawl store uses to avoid re-storing re-crawled pages
+    that changed one paragraph. All statistics are order-free
+    (count/len per content-addressed chunk), so: per-batch chunk +
+    LOCAL (source, chunk) combine → one bounded bucketed shuffle keyed
+    by (source, chunk) → per-source rollup through a second tiny
+    bucketed agg — raw chunk bytes never move, only 16-byte digests.
+    The golden is an independent serial rolling-hash mirror
+    (tools/make_goldens.py — classic add/remove rolling vs the
+    engine's direct vectorized polynomial; byte-identical cuts)."""
+    from ..functions.cdc import chunk_rows
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for key, ln in chunk_rows(txt):
+                k = (s, key)
+                c = agg.get(k)
+                agg[k] = (c[0] + 1, ln) if c else (1, ln)
+        return pa.table({
+            "source": pa.array([k[0] for k in agg], pa.string()),
+            "key": pa.array([k[1] for k in agg], pa.binary()),
+            "cnt": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "ln": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["source", "key"], as_index=False).agg(
+            cnt=("cnt", "sum"), ln=("ln", "first"))
+        out = gg.groupby("source", as_index=False).apply(
+            lambda d: pd.Series({
+                "n_chunks": int(d["cnt"].sum()),
+                "n_distinct": int(len(d)),
+                "total_bytes": int((d["cnt"] * d["ln"]).sum()),
+                "dedup_bytes": int(((d["cnt"] - 1) * d["ln"]).sum()),
+            }), include_groups=False)
+        return out
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048),
+        ["source", "key"], per_chunk)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("source", as_index=False).sum()
+
+    out = bucketed_group_agg(parts, ["source"], rollup).to_pandas()
+    return out.astype({c: "int64" for c in
+                       ["n_chunks", "n_distinct", "total_bytes", "dedup_bytes"]})

@@ -159,3 +159,31 @@ def test_heavy_hitters_batch_size_independent(ray_session):
 
     a, b = run(0), run(1)
     assert a[["rank", "term", "cnt"]].equals(b[["rank", "term", "cnt"]])
+
+
+def test_cdc_chunk_spec_invariants():
+    # lengths partition the payload; every chunk within [1, CMAX];
+    # a mid-doc insertion only perturbs chunks near the edit point
+    # (the content-defined property fixed-size blocking lacks)
+    from crawlerframework_ray.functions.cdc import CMAX, chunk_lengths
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            * 40).encode()
+    ls = chunk_lengths(base)
+    assert sum(ls) == len(base)
+    assert all(1 <= x <= CMAX for x in ls)
+    assert chunk_lengths(b"") == [] and chunk_lengths(b"short") == [5]
+
+    import hashlib
+
+    def keys(d: bytes) -> list[bytes]:
+        out, pos = [], 0
+        for ln in chunk_lengths(d):
+            out.append(hashlib.md5(d[pos:pos + ln]).digest())
+            pos += ln
+        return out
+
+    edited = base[:1200] + b"INSERTED TEXT HERE" + base[1200:]
+    a, b = set(keys(base)), set(keys(edited))
+    # the shared prefix and suffix chunks survive the edit
+    assert len(a & b) >= len(a) * 2 // 3

@@ -1989,7 +1989,71 @@ def hyperball_counts(sf_dir: str) -> None:
     }))
 
 
-ALL = [hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def cdc_chunks(sf_dir: str) -> None:
+    """Serial CDC mirror: an INDEPENDENT classic rolling-hash
+    implementation (add/remove per byte, python ints mod 2^64) of the
+    spec in functions/cdc.py (which computes window hashes by direct
+    vectorized polynomial sums) — byte-identical cut points required.
+    Strong-ish golden: only the written spec is shared."""
+    import hashlib
+
+    W, CMIN, CMAX, MASKB, B, M = 16, 24, 96, 31, 1099511628211, 1 << 64
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per: dict = {}
+    powW = pow(B, W - 1, M)
+    for src_, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        data = txt.encode("utf-8")
+        n = len(data)
+        if n == 0:
+            lens = []
+        elif n < W:
+            lens = [n]
+        else:
+            h = 0
+            cand = []
+            for i in range(n):
+                if i >= W:
+                    h = (h - data[i - W] * powW) % M
+                h = (h * B + data[i]) % M
+                if i >= W - 1 and (h & MASKB) == MASKB:
+                    cand.append(i + 1)
+            lens = []
+            last, ci = 0, 0
+            while last < n:
+                limit = min(last + CMAX, n)
+                lo = last + CMIN
+                while ci < len(cand) and cand[ci] < lo:
+                    ci += 1
+                if ci < len(cand) and cand[ci] <= limit:
+                    cut = cand[ci]
+                    ci += 1
+                else:
+                    cut = limit
+                lens.append(cut - last)
+                last = cut
+        d = per.setdefault(src_, {})
+        pos = 0
+        for ln in lens:
+            k = hashlib.md5(data[pos:pos + ln]).digest()
+            pos += ln
+            c = d.get(k)
+            d[k] = (c[0] + 1, ln) if c else (1, ln)
+    rows = []
+    for s in sorted(per):
+        d = per[s]
+        rows.append((s,
+                     sum(c for c, _ in d.values()),
+                     len(d),
+                     sum(c * ln for c, ln in d.values()),
+                     sum((c - 1) * ln for c, ln in d.values())))
+    _write("cdc_chunks", sf_dir, pd.DataFrame(
+        rows, columns=["source", "n_chunks", "n_distinct", "total_bytes",
+                       "dedup_bytes"]).astype(
+        {c: "int64" for c in ["n_chunks", "n_distinct", "total_bytes", "dedup_bytes"]}))
+
+
+ALL = [cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
