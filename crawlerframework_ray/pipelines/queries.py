@@ -13119,3 +13119,178 @@ def cdc_chunk_dedup(sf_dir: str):
     out = bucketed_group_agg(parts, ["source"], rollup).to_pandas()
     return out.astype({c: "int64" for c in
                        ["n_chunks", "n_distinct", "total_bytes", "dedup_bytes"]})
+
+
+_CCNET_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) u
+    ),
+    model AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram),
+    score AS (SELECT b.doc_id, SUM(m.cnt) AS lm, COUNT(*) AS nb
+              FROM bg b JOIN model m USING (bigram) GROUP BY b.doc_id),
+    f AS (SELECT doc_id, lm * 1000 // nb AS f FROM score),
+    n AS (SELECT COUNT(*) AS n FROM f),
+    ranked AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f) AS rn FROM f),
+    t1 AS (SELECT f AS v FROM ranked WHERE rn = (SELECT (n + 2) // 3 FROM n)),
+    t2 AS (SELECT f AS v FROM ranked WHERE rn = (SELECT (2 * n + 2) // 3 FROM n)),
+    lab AS (SELECT doc_id, f,
+                   CASE WHEN f > (SELECT v FROM t2) THEN 'head'
+                        WHEN f > (SELECT v FROM t1) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM f)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(f) AS BIGINT) AS min_f, CAST(MAX(f) AS BIGINT) AS max_f
+    FROM lab GROUP BY bucket
+"""
+
+
+@register("ccnet_perplexity_buckets", _CCNET_SQL)
+def ccnet_perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.,
+    LREC 2020: partition a crawl snapshot into perplexity tertiles
+    under a reference LM and keep/weight buckets differently when
+    composing a training mix). The LM here is the corpus bigram model
+    of ngram_lm_score; the per-doc signal is the integer-scaled
+    familiarity f = lm·1000 // n_bigrams (high-f ≡ low-perplexity ≡
+    head). Tertile thresholds use ROW_NUMBER semantics rn = ceil(q·n)
+    computed engine-side by the exact value-histogram walk (the
+    quality_percentile_filter machinery — the shuffle is bounded by
+    the distinct-f domain, never row count), then one labeling pass
+    folds per-bucket stats. Integer-exact end to end, bit-equal to
+    the windowed SQL at any partitioning."""
+    from ..functions.ngrams import lm_score
+    from ..stages.agg import bucketed_group_agg
+
+    scores = lm_score(lambda: _read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def to_f(t: pa.Table) -> pa.Table:
+        lm = t.column("lm_score").to_numpy().astype(np.int64)
+        nb = t.column("n_bigrams").to_numpy().astype(np.int64)
+        return pa.table({"f": pa.array(lm * 1000 // nb, pa.int64())})
+
+    fds = scores.map_batches(to_f, batch_format="pyarrow").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = t.column("f").to_pandas().value_counts()
+        return pa.table({"f": pa.array(vc.index.to_numpy(np.int64)),
+                         "cnt": pa.array(vc.to_numpy(np.int64))})
+
+    hist = (fds.map_batches(hist_partial, batch_format="pyarrow",
+                            batch_size=65536)
+            .groupby("f").sum("cnt").to_pandas().sort_values("f"))
+    cum = hist["sum(cnt)"].to_numpy().cumsum()
+    n = int(cum[-1])
+    vals = hist["f"].to_numpy()
+    t1 = int(vals[np.searchsorted(cum, (n + 2) // 3)])
+    t2 = int(vals[np.searchsorted(cum, (2 * n + 2) // 3)])
+
+    def label(t: pa.Table) -> pd.DataFrame:
+        f = t.column("f").to_numpy().astype(np.int64)
+        b = np.where(f > t2, "head", np.where(f > t1, "middle", "tail"))
+        df = pd.DataFrame({"bucket": b, "f": f})
+        return df.groupby("bucket", as_index=False).agg(
+            n_docs=("f", "size"), min_f=("f", "min"), max_f=("f", "max"))
+
+    out = bucketed_group_agg(
+        fds.map_batches(label, batch_format="pyarrow", batch_size=65536),
+        ["bucket"],
+        lambda g: g.groupby("bucket", as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_f=("min_f", "min"),
+            max_f=("max_f", "max")),
+    ).to_pandas()
+    return out.astype({"n_docs": "int64", "min_f": "int64", "max_f": "int64"})
+
+
+_ZIPF_SQL = """
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term),
+    ranked AS (SELECT term, cnt,
+                      ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+               FROM tf),
+    top AS (SELECT cnt AS c1 FROM ranked WHERE rnk = 1)
+    SELECT term, cnt, CAST(rnk AS BIGINT) AS rnk,
+           CAST(rnk * cnt AS BIGINT) AS rank_freq_product,
+           CAST(100 * rnk * cnt // (SELECT c1 FROM top) AS BIGINT)
+             AS zipf_pct_of_c1
+    FROM ranked
+"""
+
+
+@register("zipf_rank_frequency", _ZIPF_SQL)
+def zipf_rank_frequency(sf_dir: str):
+    """Zipf rank-frequency audit — the corpus-health check every
+    training-data report carries (a natural corpus has rank·freq ≈
+    const ≈ the top term's count; synthetic, boilerplate-heavy or
+    spam-flooded corpora bend the curve). Exact integers: rank by
+    (cnt DESC, term), rank·freq products, and the ratio to c1 as a
+    floor percentage. Scale shape: the corpus pass is the
+    term_frequencies combiner (one partial row per term per batch,
+    ONE bounded shuffle); ranking then runs on the VOCAB-bounded
+    count table on the driver — the same documented bound as
+    textrank/term_canonicalization (vocab-sized regardless of corpus
+    bytes)."""
+    from ..functions.ngrams import term_count_partials
+
+    tf = term_count_partials(
+        _read(sf_dir, "documents", ["text"])).to_pandas()
+    tf = tf.sort_values(["cnt", "term"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    cnt = tf["cnt"].to_numpy().astype(np.int64)
+    rnk = np.arange(1, len(tf) + 1, dtype=np.int64)
+    c1 = int(cnt[0])
+    return pd.DataFrame({
+        "term": tf["term"], "cnt": cnt, "rnk": rnk,
+        "rank_freq_product": rnk * cnt,
+        "zipf_pct_of_c1": 100 * rnk * cnt // c1,
+    })
+
+
+_VOCAB_COVERAGE_SQL = """
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term),
+    ranked AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+               FROM tf),
+    tot AS (SELECT SUM(cnt) AS n FROM tf),
+    sizes AS (SELECT unnest([4, 8, 16, 24]) AS vocab_size)
+    SELECT s.vocab_size,
+           CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
+           CAST((SELECT n FROM tot) - SUM(r.cnt) AS BIGINT) AS oov_tokens,
+           CAST(10000 * SUM(r.cnt) // (SELECT n FROM tot) AS BIGINT)
+             AS coverage_bp
+    FROM sizes s JOIN ranked r ON r.rnk <= s.vocab_size
+    GROUP BY s.vocab_size
+"""
+
+
+@register("vocab_coverage_curve", _VOCAB_COVERAGE_SQL)
+def vocab_coverage_curve(sf_dir: str):
+    """Vocabulary-truncation coverage curve — the tokenizer-design
+    readout (what fraction of token INSTANCES a top-k vocab covers,
+    i.e. the OOV/byte-fallback rate at each candidate vocab size;
+    the curve that picks vocab_size before a BPE train). Coverage in
+    exact basis points (floor), candidate sizes {4,8,16,24}. The
+    corpus pass is the shared term-count combiner; the cumulative
+    walk runs on the vocab-bounded ranked table."""
+    from ..functions.ngrams import term_count_partials
+
+    tf = term_count_partials(
+        _read(sf_dir, "documents", ["text"])).to_pandas()
+    tf = tf.sort_values(["cnt", "term"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    cnt = tf["cnt"].to_numpy().astype(np.int64)
+    cum = cnt.cumsum()
+    total = int(cum[-1])
+    sizes = np.array([4, 8, 16, 24], np.int64)
+    covered = cum[np.minimum(sizes, len(cnt)) - 1]
+    return pd.DataFrame({
+        "vocab_size": sizes,
+        "covered_tokens": covered,
+        "oov_tokens": total - covered,
+        "coverage_bp": 10000 * covered // total,
+    })
