@@ -13294,3 +13294,178 @@ def vocab_coverage_curve(sf_dir: str):
         "oov_tokens": total - covered,
         "coverage_bp": 10000 * covered // total,
     })
+
+
+@register("rotation_phash_dup_pairs", _golden_sql("dihedral_dup_pairs"))
+def rotation_phash_dup_pairs(sf_dir: str):
+    """Rotation-invariant exact dedup — the dihedral-8 closure of
+    mirror_phash_dup_pairs: canonicalize each image to the minimum
+    average_hash over all 8 symmetries (4 right-angle rotations ×
+    optional flip, stages/multimodal.DihedralCanonStage), so rotated
+    and rotated-mirrored reposts — which plain phash AND mirror-only
+    canon both miss — collide on one key. Planted ~r90 twins (every
+    doc_id % 16 == 0) and ~rf rot180-mirror twins (% 24 == 0) make
+    recall measured, not assumed; the golden recomputes the canon +
+    quadratic all-pairs longhand. Same scale shape as the mirror op:
+    canon in the decode actor pool, ONE bounded shuffle on
+    canon_hash, pair expansion inside tiny true-dup cliques."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.multimodal import DihedralCanonStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids_, bytes_, fmts_ = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            ids_.append(rec["image_id"]); bytes_.append(rec["bytes"]); fmts_.append(rec["fmt"])
+            if d % 16 == 0:
+                img = _codecs.decode(rec["bytes"], rec["fmt"])
+                ids_.append(rec["image_id"] + "~r90")
+                bytes_.append(_codecs.encode_raw(np.ascontiguousarray(np.rot90(img, 1))))
+                fmts_.append("raw")
+            if d % 24 == 0:
+                img = _codecs.decode(rec["bytes"], rec["fmt"])
+                ids_.append(rec["image_id"] + "~rf")
+                bytes_.append(_codecs.encode_raw(
+                    np.ascontiguousarray(np.fliplr(np.rot90(img, 2)))))
+                fmts_.append("raw")
+        return pa.table(
+            {
+                "image_id": pa.array(ids_, pa.string()),
+                "bytes": pa.array(bytes_, pa.binary()),
+                "fmt": pa.array(fmts_, pa.string()),
+            }
+        )
+
+    hashed = ds.map_batches(gen, batch_format="pyarrow", batch_size=256).map_batches(
+        DihedralCanonStage, batch_format="pyarrow", batch_size=128, concurrency=2,
+        num_cpus=0.5
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for canon, grp in g.groupby("canon_hash"):
+            ids_ = sorted(grp["image_id"].tolist())
+            if len(ids_) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids_), k=1)
+            for i, j in zip(ii, jj):
+                rows.append((ids_[i], ids_[j], canon))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "canon_hash"]).astype(
+            {"id_a": "string", "id_b": "string", "canon_hash": "int64"}
+        )
+
+    out = bucketed_group_agg(hashed, ["canon_hash"], pairs).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_RECIPROCITY_SQL = f"""
+    WITH edges AS ({_PAGERANK_EDGES_SQL}),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    rec AS (SELECT COUNT(*) AS nr
+            FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src),
+    m AS (SELECT COUNT(*) AS ne,
+                 SUM(o1.od * COALESCE(o2.od, 0)) AS s_prod,
+                 SUM(o1.od) AS s_src,
+                 SUM(COALESCE(o2.od, 0)) AS s_dst
+          FROM edges e JOIN outdeg o1 ON o1.src = e.src
+          LEFT JOIN outdeg o2 ON o2.src = e.dst)
+    SELECT CAST(ne AS BIGINT) AS n_edges,
+           CAST((SELECT nr FROM rec) AS BIGINT) AS n_reciprocal,
+           CAST(10000 * (SELECT nr FROM rec) // ne AS BIGINT) AS reciprocity_bp,
+           CAST(s_prod AS BIGINT) AS sum_od_prod,
+           CAST(s_src AS BIGINT) AS sum_od_src,
+           CAST(s_dst AS BIGINT) AS sum_od_dst
+    FROM m
+"""
+
+
+@register("edge_reciprocity_hosts", _RECIPROCITY_SQL)
+def edge_reciprocity_hosts(sf_dir: str):
+    """Link-graph reciprocity + degree-moment audit (Newman 2002/2003
+    mixing-pattern ingredients): the fraction of directed host links
+    that are mutual (reciprocity, in exact basis points) and the
+    integer moment sums Σ od(src)·od(dst), Σ od(src), Σ od(dst) over
+    edges — the numerator pieces of degree assortativity, kept as
+    exact integers rather than a float coefficient. Web-graph health
+    check: a genuine link neighborhood reciprocates a few percent;
+    link farms reciprocate near-fully (pairs with link_farm_hosts).
+    Scale shape: mutual detection is per-batch (lo, hi, fwd, rev)
+    partials through ONE bounded unordered-pair shuffle; moment sums
+    stream edge blocks against the broadcast degree vector (the
+    Dataset-state join above the graph switch, as the pagerank
+    family documents); the driver receives per-bucket scalars only."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).materialize()
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("src").to_numpy(), return_counts=True)
+        return pa.table({"src": pa.array(u, pa.int64()),
+                         "od": pa.array(c, pa.int64())})
+
+    od_df = bucketed_group_agg(
+        edges.map_batches(od_partial, batch_format="pyarrow"), ["src"],
+        lambda g: g.groupby("src", as_index=False)["od"].sum()).to_pandas()
+    nodes = od_df["src"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, odv = nodes[order], od_df["od"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((nodes, odv))
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        nds, od = ray.get(ref)
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        od_s = od[np.searchsorted(nds, s)]
+        di = np.searchsorted(nds, d)
+        # dangling dst (no out-edges) contributes od 0
+        in_tab = (di < len(nds)) & (nds[np.minimum(di, len(nds) - 1)] == d)
+        od_d = np.where(in_tab, od[np.minimum(di, len(nds) - 1)], 0)
+        return pa.table({
+            "ne": pa.array([len(s)], pa.int64()),
+            "s_prod": pa.array([int((od_s * od_d).sum())], pa.int64()),
+            "s_src": pa.array([int(od_s.sum())], pa.int64()),
+            "s_dst": pa.array([int(od_d.sum())], pa.int64()),
+        })
+
+    mom = edges.map_batches(moment_partial, batch_format="pyarrow").to_pandas().sum()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        fwd = (s < d).astype(np.int64)
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "fwd": pa.array(fwd, pa.int64()),
+                         "rev": pa.array(1 - fwd, pa.int64())})
+
+    def recip(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["lo", "hi"], as_index=False)[["fwd", "rev"]].sum()
+        nr = 2 * int(((gg["fwd"] >= 1) & (gg["rev"] >= 1)).sum())
+        return pd.DataFrame({"nr": [nr]})
+
+    nr = int(bucketed_group_agg(
+        edges.map_batches(pair_partial, batch_format="pyarrow"),
+        ["lo", "hi"], recip).sum("nr"))
+
+    ne = int(mom["ne"])
+    return pd.DataFrame({
+        "n_edges": pd.Series([ne], dtype="int64"),
+        "n_reciprocal": pd.Series([nr], dtype="int64"),
+        "reciprocity_bp": pd.Series([10000 * nr // ne], dtype="int64"),
+        "sum_od_prod": pd.Series([int(mom["s_prod"])], dtype="int64"),
+        "sum_od_src": pd.Series([int(mom["s_src"])], dtype="int64"),
+        "sum_od_dst": pd.Series([int(mom["s_dst"])], dtype="int64"),
+    })

@@ -1475,3 +1475,52 @@ class RegionCountStage:
                 "largest_milli": pa.array(out_lg, pa.int64()),
             }
         )
+
+
+class DihedralCanonStage:
+    """Dihedral-8-invariant canonical image hash: canon = min (as
+    uint64 bit pattern) of average_hash over all 8 symmetries of the
+    image (4 right-angle rotations × optional horizontal flip) — the
+    full canonicalize-then-exact-match closure of MirrorCanonStage,
+    catching rotated AND rotated-mirrored reposts (phone screenshots,
+    EXIF-stripped re-uploads) that both plain phash grouping and
+    mirror-only canon miss. Decoders built once per actor; rotations
+    are O(1) numpy views materialized only for the hash.
+
+    Output schema: image_id:string, canon_hash:int64.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out_ids: list[str] = []
+        out_canon: list[int] = []
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an image codec library"
+                    )
+                continue
+            img = dec(data)
+            best = 0xFFFFFFFFFFFFFFFF
+            for k in range(4):
+                r = np.rot90(img, k)
+                for v in (r, r[:, ::-1]):
+                    h = average_hash(np.ascontiguousarray(v)) & 0xFFFFFFFFFFFFFFFF
+                    if h < best:
+                        best = h
+            out_ids.append(i)
+            out_canon.append(int(np.uint64(best).astype(np.int64)))
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "canon_hash": pa.array(out_canon, pa.int64()),
+            }
+        )

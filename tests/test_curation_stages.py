@@ -243,3 +243,28 @@ def test_ssim_flat_shift_penalizes_luminance_only():
     n = 256
     expect = (2 * 100 * n * 110 * n + 7 * n * n) * 1000 // ((100 * 100 + 110 * 110 + 7) * n * n)
     assert SsimRefStage.ssim_milli(a, b) == expect
+
+
+def test_dihedral_canon_invariant_under_all_8_symmetries(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.stages.multimodal import DihedralCanonStage
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 16, 3), np.uint8)
+    stage = DihedralCanonStage()
+    variants = []
+    for k in range(4):
+        r = np.rot90(img, k)
+        variants.append(np.ascontiguousarray(r))
+        variants.append(np.ascontiguousarray(r[:, ::-1]))
+    batch = pa.table({
+        "image_id": pa.array([f"v{i}" for i in range(8)], pa.string()),
+        "bytes": pa.array([codecs.encode_raw(v) for v in variants], pa.binary()),
+        "fmt": pa.array(["raw"] * 8, pa.string()),
+    })
+    out = stage(batch)
+    canons = set(out.column("canon_hash").to_pylist())
+    assert len(canons) == 1  # all 8 symmetries share one canon key

@@ -2053,7 +2053,57 @@ def cdc_chunks(sf_dir: str) -> None:
         {c: "int64" for c in ["n_chunks", "n_distinct", "total_bytes", "dedup_bytes"]}))
 
 
-ALL = [cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def dihedral_dup_pairs(sf_dir: str) -> None:
+    """Independent explicit-loop mirror of rotation_phash_dup_pairs:
+    regenerate the corpus + planted rotated/rot-mirrored twins, canon
+    = min-as-uint64 of average_hash over all 8 dihedral symmetries
+    longhand, quadratic all-pairs (average_hash is the shared leaf —
+    regression-pin tier)."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    imgs = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        imgs.append((rec["image_id"], img))
+        if d % 16 == 0:
+            imgs.append((rec["image_id"] + "~r90",
+                         np.ascontiguousarray(np.rot90(img, 1))))
+        if d % 24 == 0:
+            imgs.append((rec["image_id"] + "~rf",
+                         np.ascontiguousarray(np.fliplr(np.rot90(img, 2)))))
+    canon = []
+    for iid, img in imgs:
+        best = 0xFFFFFFFFFFFFFFFF
+        for k in range(4):
+            r = np.rot90(img, k)
+            for v in (r, np.fliplr(r)):
+                h = average_hash(np.ascontiguousarray(v)) & 0xFFFFFFFFFFFFFFFF
+                if h < best:
+                    best = h
+        canon.append((iid, int(np.uint64(best).astype(np.int64))))
+    rows = []
+    for i2 in range(len(canon)):
+        for j in range(i2 + 1, len(canon)):
+            if canon[i2][1] == canon[j][1]:
+                a, b = sorted((canon[i2][0], canon[j][0]))
+                rows.append((a, b, canon[i2][1]))
+    rows.sort()
+    _write(
+        "dihedral_dup_pairs", sf_dir,
+        pd.DataFrame(rows, columns=["id_a", "id_b", "canon_hash"]).astype(
+            {"id_a": "string", "id_b": "string", "canon_hash": "int64"}
+        ),
+    )
+
+
+ALL = [dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
