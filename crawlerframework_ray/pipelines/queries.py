@@ -13469,3 +13469,160 @@ def edge_reciprocity_hosts(sf_dir: str):
         "sum_od_src": pd.Series([int(mom["s_src"])], dtype="int64"),
         "sum_od_dst": pd.Series([int(mom["s_dst"])], dtype="int64"),
     })
+
+
+_HAPAX_SQL = """
+    WITH tf AS (
+      SELECT source, term, COUNT(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY source, term)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(cnt) AS BIGINT) AS tokens,
+           CAST(10000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) // COUNT(*)
+                AS BIGINT) AS hapax_bp
+    FROM tf GROUP BY source
+"""
+
+
+@register("hapax_per_source", _HAPAX_SQL)
+def hapax_per_source(sf_dir: str):
+    """Hapax-legomena audit per source — the vocabulary-growth /
+    Heaps-law companion to zipf_rank_frequency: the share of a
+    source's vocabulary seen exactly once (in exact basis points). A
+    natural corpus runs 40-60% hapax; near-zero means boilerplate or
+    templated spam, near-100% means OCR noise or encoding damage —
+    both are the per-source triage signals of a corpus intake
+    pipeline. Scale shape: per-batch (source, term) partial counts →
+    ONE bounded bucketed shuffle keyed by (source, term) → per-source
+    rollup (hapax-ness needs the GLOBAL per-term count, so the rollup
+    happens after the co-locating shuffle, never per batch)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for term in txt.split(" "):
+                k = (s, term)
+                agg[k] = agg.get(k, 0) + 1
+        return pa.table({
+            "source": pa.array([k[0] for k in agg], pa.string()),
+            "term": pa.array([k[1] for k in agg], pa.string()),
+            "cnt": pa.array(list(agg.values()), pa.int64()),
+        })
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["source", "term"], as_index=False)["cnt"].sum()
+        return gg.groupby("source", as_index=False).agg(
+            vocab=("cnt", "size"),
+            hapax=("cnt", lambda s: int((s == 1).sum())),
+            tokens=("cnt", "sum"))
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["source", "term"], per_term)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("source", as_index=False)[["vocab", "hapax", "tokens"]].sum()
+        gg["hapax_bp"] = 10000 * gg["hapax"] // gg["vocab"]
+        return gg
+
+    return bucketed_group_agg(out, ["source"], rollup).to_pandas().astype(
+        {c: "int64" for c in ["vocab", "hapax", "tokens", "hapax_bp"]})
+
+
+def _labelprop_iter_sql(k: int) -> str:
+    return f"""
+    l{k} AS (
+      SELECT n.h,
+             CASE WHEN n.h < 8 THEN n.h % 4
+                  ELSE COALESCE(
+                    (SELECT w.lab FROM (
+                       SELECT p.lab AS lab, COUNT(*) AS c
+                       FROM ledges e JOIN l{k - 1} p ON e.src = p.h
+                       WHERE e.dst = n.h AND p.lab >= 0
+                       GROUP BY p.lab) w
+                     ORDER BY w.c DESC, w.lab LIMIT 1),
+                    prev.lab)
+             END AS lab
+      FROM lnodes n JOIN l{k - 1} prev ON prev.h = n.h)"""
+
+
+_LABELPROP_SQL = f"""
+    WITH ledges AS ({_PAGERANK_EDGES_SQL}),
+    lnodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM ledges UNION SELECT dst FROM ledges)),
+    l0 AS (SELECT h, CASE WHEN h < 8 THEN h % 4 ELSE -1 END AS lab FROM lnodes),
+    {",".join(_labelprop_iter_sql(k) for k in (1, 2, 3))}
+    SELECT h AS host, CAST(lab AS BIGINT) AS label FROM l3
+"""
+
+
+@register("label_propagation_hosts", _LABELPROP_SQL)
+def label_propagation_hosts(sf_dir: str):
+    """Seeded label propagation (Raghavan, Albert & Kumara, Phys.
+    Rev. E 2007 — the community/topic-spreading baseline): hosts 0-7
+    carry fixed topic seeds (host % 4), every other host adopts the
+    majority label of its in-neighbors each synchronous round (tie →
+    smallest label, no votes → keep), 3 rounds. The crawl use: cheap
+    topical crawl scoping — propagate a handful of curator-labeled
+    hub hosts over the link graph and budget fetches per inferred
+    topic. Deterministic integers end to end (counts + total order
+    tie rule), bit-equal to the unrolled correlated-subquery oracle.
+    Scale shape: each round is per-batch (dst, label) vote partials
+    from labeled sources → ONE bounded shuffle keyed by dst with the
+    argmax INSIDE the co-located reduce (encode (-count, label) and
+    take the min — the same composite-integer trick the int64
+    Dataset-state path uses); the driver holds the label vector below
+    the graph switch, a (h, label) Dataset above it."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import _nodes_dataset, distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).materialize()
+    nodes = np.sort(
+        _nodes_dataset(edges).to_pandas()["h"].to_numpy().astype(np.int64))
+    labels = np.where(nodes < 8, nodes % 4, -1).astype(np.int64)
+    is_seed = nodes < 8
+
+    for _ in range(3):
+        ref = ray.put((nodes, labels))
+
+        def votes(t: pa.Table) -> pa.Table:
+            nds, lab = ray.get(ref)
+            s = t.column("src").to_numpy()
+            d = t.column("dst").to_numpy()
+            ls = lab[np.searchsorted(nds, s)]
+            keep = ls >= 0
+            d, ls = d[keep], ls[keep]
+            key = d * 4 + ls
+            u, c = np.unique(key, return_counts=True)
+            return pa.table({"dst": pa.array(u // 4, pa.int64()),
+                             "lab": pa.array(u % 4, pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.groupby(["dst", "lab"], as_index=False)["c"].sum()
+            # argmax by (count DESC, label ASC) == min of (-c*4 + lab)
+            gg["enc"] = -gg["c"].to_numpy() * 4 + gg["lab"].to_numpy()
+            best = gg.loc[gg.groupby("dst")["enc"].idxmin()]
+            return best[["dst", "lab"]].reset_index(drop=True)
+
+        got = bucketed_group_agg(
+            edges.map_batches(votes, batch_format="pyarrow"),
+            ["dst"], pick).to_pandas()
+        new = labels.copy()
+        idx = np.searchsorted(nodes, got["dst"].to_numpy())
+        new[idx] = got["lab"].to_numpy()
+        new[is_seed] = labels[is_seed]
+        # nodes with no labeled in-neighbor kept their old label via copy
+        labels = new
+
+    return pd.DataFrame({"host": nodes, "label": labels.astype(np.int64)})
