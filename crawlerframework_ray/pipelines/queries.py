@@ -13626,3 +13626,133 @@ def label_propagation_hosts(sf_dir: str):
         labels = new
 
     return pd.DataFrame({"host": nodes, "label": labels.astype(np.int64)})
+
+
+def _markov_iter_sql(k: int) -> str:
+    return f"""
+    p{k} AS (
+      SELECT n.h, COALESCE(
+        (SELECT SUM(q.r * t.n // rs.s)
+         FROM tc2 t JOIN p{k - 1} q ON t.p = q.h JOIN rs ON rs.p = t.p
+         WHERE t.nx = n.h), 0) AS r
+      FROM mnodes n)"""
+
+
+_MARKOV_SQL = f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    tc AS (SELECT prev_type AS p, event_type AS nx, CAST(COUNT(*) AS BIGINT) AS n
+           FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    mnodes AS (SELECT DISTINCT p AS h FROM tc),
+    tc2 AS (SELECT * FROM tc WHERE nx IN (SELECT h FROM mnodes)),
+    rs AS (SELECT p, SUM(n) AS s FROM tc2 GROUP BY p),
+    p0 AS (SELECT h, CAST(1000000000 AS BIGINT) // (SELECT COUNT(*) FROM mnodes) AS r
+           FROM mnodes),
+    {",".join(_markov_iter_sql(k) for k in (1, 2, 3, 4))}
+    SELECT h AS event_type, CAST(r AS BIGINT) AS stationary FROM p4
+"""
+
+
+@register("markov_stationary_event_mix", _MARKOV_SQL)
+def markov_stationary_event_mix(sf_dir: str):
+    """Stationary distribution of the user-behavior Markov chain —
+    where the event mix settles if observed transition propensities
+    persist (the steady-state load model a capacity planner or
+    recrawl scheduler reads next to the raw counts): 4 exact
+    fixed-point power iterations (scale 10^9) over the
+    event_transition_counts matrix, offers ``π(i)·n(i,j) //
+    rowsum(i)`` divided per source row BEFORE the associative sum —
+    bit-equal to the unrolled correlated-CTE oracle. Scale shape: the
+    heavy pass is the same ONE user-keyed shuffle the session/window
+    family pays (transition counting); the iteration then runs on the
+    event-types²-bounded matrix — constant-size regardless of corpus
+    rows (headroom: π·n ≤ 10^9·N_transitions; drop the scale a decade
+    per decade of N past 10^9)."""
+    cnt = event_transition_counts(sf_dir)
+    nodes = np.sort(cnt["prev_type"].unique())
+    cnt = cnt[cnt["next_type"].isin(nodes)]
+    pi_ = cnt["prev_type"].to_numpy()
+    nx = cnt["next_type"].to_numpy()
+    n = cnt["n"].to_numpy().astype(np.int64)
+    si = np.searchsorted(nodes, pi_)
+    di = np.searchsorted(nodes, nx)
+    K = len(nodes)
+    rs = np.zeros(K, np.int64)
+    np.add.at(rs, si, n)
+    scale = 10**9
+    r = np.full(K, scale // K, np.int64)
+    for _ in range(4):
+        offer = r[si] * n // rs[si]
+        acc = np.zeros(K, np.int64)
+        np.add.at(acc, di, offer)
+        r = acc
+    return pd.DataFrame({"event_type": nodes, "stationary": r.astype(np.int64)})
+
+
+_SIMRANK_SQL = f"""
+    WITH sedg AS ({_PAGERANK_EDGES_SQL}),
+    ind AS (SELECT dst, COUNT(*) AS idg FROM sedg GROUP BY dst),
+    s1 AS (SELECT e1.dst AS a, e2.dst AS b,
+                  4 * 1000000 * COUNT(*) // (5 * i1.idg * i2.idg) AS s
+           FROM sedg e1 JOIN sedg e2 ON e1.src = e2.src AND e1.dst != e2.dst
+           JOIN ind i1 ON i1.dst = e1.dst JOIN ind i2 ON i2.dst = e2.dst
+           GROUP BY e1.dst, e2.dst, i1.idg, i2.idg),
+    s2 AS (SELECT e1.dst AS a, e2.dst AS b,
+                  4 * SUM(CASE WHEN e1.src = e2.src THEN 1000000
+                               ELSE COALESCE(s1.s, 0) END)
+                    // (5 * i1.idg * i2.idg) AS s
+           FROM sedg e1 JOIN sedg e2 ON e1.dst < e2.dst
+           LEFT JOIN s1 ON s1.a = e1.src AND s1.b = e2.src
+           JOIN ind i1 ON i1.dst = e1.dst JOIN ind i2 ON i2.dst = e2.dst
+           GROUP BY e1.dst, e2.dst, i1.idg, i2.idg)
+    SELECT a AS host_a, b AS host_b, CAST(s AS BIGINT) AS simrank
+    FROM s2 WHERE s > 0
+"""
+
+
+@register("simrank_host_pairs", _SIMRANK_SQL)
+def simrank_host_pairs(sf_dir: str):
+    """SimRank structural similarity (Jeh & Widom, KDD 2002): two
+    hosts are similar when similar hosts link to them —
+    ``s(a,b) = C/(|I(a)||I(b)|) Σ_{i∈I(a),j∈I(b)} s(i,j)``, 2
+    iterations at C = 4/5 in exact fixed-point int64 (scale 10^6,
+    floor at every division — bit-equal to the join-unrolled oracle).
+    The link-based mirror-site / same-publisher detector that
+    complements content-side mirror_host_pairs. Scale shape: the
+    corpus-heavy side (edge derivation + global dedup) is
+    distributed; the iteration's PAIR state is nodes²-bounded by
+    construction (SimRank's defining cost — at 10^8 hosts you run it
+    on the candidate subgraph co-citation pre-selects, the standard
+    practice), so it executes as exact integer matmuls on the
+    bounded in-neighbor incidence matrix."""
+    from ..stages.graph import distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).to_pandas()
+    scale = 10**6
+    nodes = np.sort(np.unique(np.concatenate(
+        [edges["src"].to_numpy(), edges["dst"].to_numpy()]))).astype(np.int64)
+    n = len(nodes)
+    si = np.searchsorted(nodes, edges["src"].to_numpy())
+    di = np.searchsorted(nodes, edges["dst"].to_numpy())
+    A = np.zeros((n, n), np.int64)  # A[i, a] = 1 iff edge i -> a
+    A[si, di] = 1
+    idg = A.sum(axis=0)
+    denom = 5 * np.outer(idg, idg)
+    inter = A.T @ A
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s1 = np.where(denom > 0, 4 * scale * inter // np.maximum(denom, 1), 0)
+    np.fill_diagonal(s1, scale)
+    s2 = np.where(denom > 0,
+                  4 * (A.T @ s1 @ A) // np.maximum(denom, 1), 0)
+    np.fill_diagonal(s2, scale)
+    ia, ib = np.triu_indices(n, k=1)
+    keep = s2[ia, ib] > 0
+    return pd.DataFrame({
+        "host_a": nodes[ia[keep]],
+        "host_b": nodes[ib[keep]],
+        "simrank": s2[ia, ib][keep].astype(np.int64),
+    })
