@@ -13756,3 +13756,67 @@ def simrank_host_pairs(sf_dir: str):
         "host_b": nodes[ib[keep]],
         "simrank": s2[ia, ib][keep].astype(np.int64),
     })
+
+
+def _ktruss_round_sql(r: int) -> str:
+    return f"""
+    sym{r} AS (SELECT lo AS u, hi AS v FROM e{r - 1}
+               UNION ALL SELECT hi, lo FROM e{r - 1}),
+    sup{r} AS (SELECT e.lo, e.hi, COUNT(*) AS s
+               FROM e{r - 1} e
+               JOIN sym{r} x ON x.u = e.lo
+               JOIN sym{r} y ON y.u = e.hi AND y.v = x.v
+               GROUP BY e.lo, e.hi),
+    e{r} AS (SELECT lo, hi FROM sup{r} WHERE s >= 2)"""
+
+
+_KTRUSS_SQL = f"""
+    WITH dedges AS ({_PAGERANK_EDGES_SQL}),
+    e0 AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+           FROM dedges),
+    {",".join(_ktruss_round_sql(r) for r in (1, 2, 3, 4))}
+    SELECT lo AS host_a, hi AS host_b, CAST(s AS BIGINT) AS support
+    FROM sup4 WHERE s >= 2
+"""
+
+
+@register("ktruss_host_edges", _KTRUSS_SQL)
+def ktruss_host_edges(sf_dir: str):
+    """4-truss peel over the undirected host graph (Cohen, NSA TR
+    2008 — the EDGE-cohesion dual of k-core's node peel): an edge
+    survives while it participates in ≥ k−2 = 2 triangles among
+    surviving edges; 4 synchronous peel rounds (fixpoint on the gate
+    graphs — asserted in test_graph.py), output = surviving edges
+    with their last-round support. Trusses are the community-core
+    detector that k-core over-merges (a hub node keeps its core but
+    its spoke EDGES fall out of the truss) — the crawl read: the
+    truss is the tightly-interlinked publisher cluster, spokes are
+    syndication. Scale shape: edge derivation + dedup distributed;
+    the peel runs on the nodes²-bounded undirected edge table (at
+    10^8 hosts each round's support recount is the distributed
+    ordered-wedge join of host_triangle_counts — same join, edge-
+    keyed output)."""
+    from ..stages.graph import distinct_edges, host_edges
+
+    edf = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).to_pandas()
+    lo = np.minimum(edf["src"].to_numpy(), edf["dst"].to_numpy())
+    hi = np.maximum(edf["src"].to_numpy(), edf["dst"].to_numpy())
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    sup = None
+    for _ in range(4):
+        n = int(e.max()) + 1 if len(e) else 0
+        adj = np.zeros((n, n), bool)
+        adj[e[:, 0], e[:, 1]] = True
+        adj |= adj.T
+        # support(lo,hi) = |N(lo) ∩ N(hi)| within the current graph
+        common = (adj.astype(np.int64) @ adj.astype(np.int64))
+        sup = common[e[:, 0], e[:, 1]]
+        keep = sup >= 2
+        e, sup = e[keep], sup[keep]
+    return pd.DataFrame({
+        "host_a": e[:, 0].astype(np.int64),
+        "host_b": e[:, 1].astype(np.int64),
+        "support": sup.astype(np.int64),
+    })

@@ -518,3 +518,20 @@ def test_hyperball_tracks_exact_anf(ray_session):
     exact = anf_neighborhood_int(_edges("directed"), iters=4)["n_pairs"].to_numpy()
     est = hyperball_neighborhood(_edges("directed"), iters=4)["nhat_pairs"].to_numpy()
     assert (np.abs(est - exact) <= np.maximum(2, exact * 2 // 100)).all()
+
+
+def test_ktruss_four_rounds_is_fixpoint(ray_session):
+    # the catalog query's 4-round spec equals the true 4-truss on the
+    # gate graphs: one more peel round changes nothing
+    from crawlerframework_ray.pipelines.queries import ktruss_host_edges
+
+    out = ktruss_host_edges("/root/testdata/sf0.001")
+    e = out[["host_a", "host_b"]].to_numpy()
+    n = int(e.max()) + 1
+    adj = np.zeros((n, n), bool)
+    adj[e[:, 0], e[:, 1]] = True
+    adj |= adj.T
+    common = adj.astype(np.int64) @ adj.astype(np.int64)
+    sup = common[e[:, 0], e[:, 1]]
+    assert (sup >= 2).all()
+    assert (sup == out["support"].to_numpy()).all()
