@@ -13820,3 +13820,141 @@ def ktruss_host_edges(sf_dir: str):
         "host_b": e[:, 1].astype(np.int64),
         "support": sup.astype(np.int64),
     })
+
+
+_KANON_SQL = """
+    WITH q AS (SELECT lang, source, n_chars // 100 AS len_bucket
+               FROM documents),
+    cls AS (SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS class_size
+            FROM q GROUP BY lang, source, len_bucket)
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket, class_size,
+           (class_size < 5) AS below_k
+    FROM cls
+"""
+
+
+@register("k_anonymity_audit", _KANON_SQL)
+def k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over quasi-identifiers (Sweeney, IJUFKS
+    2002): partition the corpus into equivalence classes on the
+    quasi-identifier tuple (lang, source, coarse length bucket) and
+    flag classes smaller than k = 5 — the re-identification-risk
+    screen a training-data release runs BEFORE shipping: a document
+    alone in its class is linkable even after PII scrubbing
+    (pii_scrub_documents removes direct identifiers; this catches
+    the indirect ones). One bounded grouped count — the shuffle
+    moves (tuple, partial-count) rows only; at 100 TB the class
+    table is quasi-identifier-domain-bounded, not row-bounded."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["len_bucket"] = (df["n_chars"] // 100).astype(np.int64)
+        g = df.groupby(["lang", "source", "len_bucket"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["lang", "source", "len_bucket"], as_index=False)["c"].sum()
+        gg = gg.rename(columns={"c": "class_size"})
+        gg["below_k"] = gg["class_size"] < 5
+        return gg.astype({"class_size": "int64", "len_bucket": "int64"})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["lang", "source", "len_bucket"], reduce).to_pandas()
+
+
+_MRR_SQL = f"""
+    WITH f AS ({_quant_ann_sql(None, 1)}), t AS ({_quant_ann_sql(16, 10)}),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+    tr AS (SELECT query_id, neighbor_id AS truth_id FROM f WHERE rank = 1),
+    pos AS (SELECT t.query_id, t.rank
+            FROM t JOIN tr ON t.query_id = tr.query_id
+                          AND t.neighbor_id = tr.truth_id)
+    SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+           CAST(tr.truth_id AS BIGINT) AS truth_id,
+           CAST(COALESCE(pos.rank, 0) AS BIGINT) AS found_rank,
+           CAST(CASE WHEN pos.rank IS NULL THEN 0
+                     ELSE 10000 // pos.rank END AS BIGINT) AS rr_permyriad
+    FROM qs JOIN tr ON tr.query_id = qs.query_id
+    LEFT JOIN pos ON pos.query_id = qs.query_id
+"""
+
+
+@register("mrr_retrieval_eval", _MRR_SQL)
+def mrr_retrieval_eval(sf_dir: str):
+    """Mean-reciprocal-rank evaluation of the truncated (matryoshka
+    16-dim) retriever: per query, at what rank does the cheap index
+    surface the FULL-precision int8 retriever's #1 neighbor —
+    found_rank (0 = missed the top-10) and the reciprocal rank in
+    exact permyriad (10000 // rank, no float MRR averaging; the mean
+    is the reader's one division). Rank-position evaluation
+    complements the set-overlap recall@5 of matryoshka_recall_eval:
+    recall says WHETHER truth surfaces, RR says how far down — the
+    metric that prices a rerank stage's candidate depth. Both
+    retrievers run distributed (broadcast query matrix, per-batch
+    integer-dot partial top-k); the rank lookup is the sanctioned
+    bounded driver-side merge of k·|Q| rows."""
+    from ..stages.similarity import ann_quantized
+
+    qids, qvecs = _query_vectors(sf_dir)
+    truth = (
+        ann_quantized(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      qids, qvecs, k=1)
+        .to_pandas().rename(columns={"neighbor_id": "truth_id"})
+        [["query_id", "truth_id"]]
+    )
+    trunc = (
+        ann_quantized(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      qids, qvecs, k=10, dims=_MATRYOSHKA_DIMS)
+        .to_pandas()[["query_id", "neighbor_id", "rank"]]
+    )
+    m = truth.merge(trunc, how="left",
+                    left_on=["query_id", "truth_id"],
+                    right_on=["query_id", "neighbor_id"])
+    fr = m["rank"].fillna(0).astype("int64")
+    rr = np.where(fr > 0, 10000 // np.maximum(fr, 1), 0).astype(np.int64)
+    return pd.DataFrame({
+        "query_id": m["query_id"].astype("int64"),
+        "truth_id": m["truth_id"].astype("int64"),
+        "found_rank": fr,
+        "rr_permyriad": rr,
+    }).sort_values("query_id").reset_index(drop=True)
+
+
+_HARMONIC_SQL = f"""
+    WITH aedges AS ({_PAGERANK_EDGES_SQL}),
+    anodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM aedges UNION SELECT dst FROM aedges)),
+    r0 AS (SELECT h AS src, h AS dst FROM anodes),
+    {",".join(_anf_closure_sql(k) for k in (1, 2, 3, 4, 5, 6))},
+    alltag AS (
+      {" UNION ALL ".join(f"SELECT {k} AS t, src, dst FROM r{k}" for k in range(7))}),
+    dist AS (SELECT src, dst, MIN(t) AS d FROM alltag GROUP BY src, dst),
+    agg AS (SELECT src, SUM(1000000 // d) AS harm FROM dist WHERE d > 0 GROUP BY src)
+    SELECT n.h AS host, CAST(COALESCE(a.harm, 0) AS BIGINT) AS harmonic
+    FROM anodes n LEFT JOIN agg a ON a.src = n.h
+"""
+
+
+@register("harmonic_centrality_hosts", _HARMONIC_SQL)
+def harmonic_centrality_hosts(sf_dir: str):
+    """Harmonic centrality per host (the centrality Boldi & Vigna's
+    axiomatic survey, Internet Mathematics 2014, singles out as
+    passing every axiom, and the one HyperBall computes on the whole
+    web graph): h(v) = Σ scale // d(v,u) over reachable u ≠ v,
+    distances capped at 6 sweeps. Computed from the same bitwise-OR
+    reachability sweeps as anf_neighborhood_hosts — nodes NEW to v's
+    mask at sweep t are exactly the distance-t class, so the exact
+    accumulation is (scale//t)·Δpopcount per sweep
+    (stages/graph.harmonic_centrality_int, both node-state paths).
+    Crawl read: the hosts from which the reachable web is closest —
+    seed-list quality ranking. Oracle: relational min-distance over
+    the tagged BFS closures."""
+    from ..stages.graph import distinct_edges, harmonic_centrality_int, host_edges
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    edges = distinct_edges(host_edges(ds, n_hosts=64))
+    return harmonic_centrality_int(edges, iters=6)

@@ -1889,3 +1889,67 @@ def hyperball_neighborhood(edges_ds, iters: int = 6) -> pd.DataFrame:
         "nhat_pairs": arr,
         "is_eff_diameter": np.arange(iters + 1) == first,
     })
+
+
+def harmonic_centrality_int(edges_ds, iters: int = 6, scale: int = 10**6,
+                            node_state: str = "auto",
+                            driver_state_max: int = GRAPH_DRIVER_STATE_MAX,
+                            ) -> pd.DataFrame:
+    """Harmonic centrality h(v) = Σ_{u reachable, u≠v} scale // d(v,u)
+    (the centrality Boldi & Vigna's axiomatic survey, Internet Math.
+    2014, singles out as the one passing all axioms — and the one
+    HyperBall computes at web scale). Exact form over the 64-bit
+    reachability masks: after sweep t the nodes NEW to v's mask are
+    exactly those at distance t, so h accumulates (scale // t) ·
+    (popcount_t − popcount_{t−1}) — floor division per DISTANCE CLASS,
+    bit-equal to the relational min-distance oracle. Same op="or"
+    sweeps and broadcast-vs-Dataset state switch as
+    anf_neighborhood_int; the >64-node form swaps masks for HLL
+    registers and reads estimate deltas (HyperBall's own recipe)."""
+    edges = edges_ds.materialize()
+    nodes_ds = _nodes_dataset(edges)
+    n = nodes_ds.count()
+    mx = nodes_ds.max("h")
+    hi = int(mx if not isinstance(mx, dict) else mx["max(h)"])
+    if hi >= 64 or n > 64:
+        raise ValueError(
+            f"exact harmonic masks need node ids in [0, 64); got n={n}, max={hi}")
+
+    if node_state == "dataset" or (node_state == "auto" and n > driver_state_max):
+        state = _init_state_ds(
+            nodes_ds,
+            lambda h: {"mask": (np.uint64(1) << h.astype(np.uint64)).view(np.int64),
+                       "pc": np.ones(len(h), np.int64),
+                       "harm": np.zeros(len(h), np.int64)},
+        )
+        for t in range(1, iters + 1):
+            contribs = _propagate_ds(edges, state, op="or",
+                                     state_cols=["mask"], reverse=True)
+            coef = scale // t
+
+            def apply(st: pd.DataFrame, inc: np.ndarray, hi_: np.ndarray,
+                      coef=coef) -> dict:
+                old_mask = st["mask"].to_numpy()
+                new_mask = old_mask | inc
+                new_pc = _popcount64(new_mask)
+                return {"mask": new_mask, "pc": new_pc,
+                        "harm": st["harm"].to_numpy()
+                        + coef * (new_pc - st["pc"].to_numpy())}
+
+            state = _apply_state_ds(state, contribs, op="or",
+                                    state_cols=["mask", "pc", "harm"],
+                                    apply_fn=apply)
+        out = state.to_pandas().sort_values("h", kind="mergesort")
+        return pd.DataFrame({"host": out["h"].to_numpy().astype(np.int64),
+                             "harmonic": out["harm"].to_numpy().astype(np.int64)})
+
+    nodes = np.sort(nodes_ds.to_pandas()["h"].to_numpy().astype(np.int64))
+    mask = (np.uint64(1) << nodes.astype(np.uint64)).view(np.int64)
+    pc = np.ones(n, np.int64)
+    harm = np.zeros(n, np.int64)
+    for t in range(1, iters + 1):
+        mask = mask | _propagate_or(edges, nodes, mask, reverse=True)
+        new_pc = _popcount64(mask)
+        harm += (scale // t) * (new_pc - pc)
+        pc = new_pc
+    return pd.DataFrame({"host": nodes, "harmonic": harm.astype(np.int64)})

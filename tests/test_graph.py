@@ -535,3 +535,11 @@ def test_ktruss_four_rounds_is_fixpoint(ray_session):
     sup = common[e[:, 0], e[:, 1]]
     assert (sup >= 2).all()
     assert (sup == out["support"].to_numpy()).all()
+
+
+def test_harmonic_dataset_state_identical(ray_session):
+    from crawlerframework_ray.stages.graph import harmonic_centrality_int
+
+    a = harmonic_centrality_int(_edges("directed"), iters=4, node_state="driver")
+    b = harmonic_centrality_int(_edges("directed"), iters=4, node_state="dataset")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
