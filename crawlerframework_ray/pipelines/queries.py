@@ -13958,3 +13958,229 @@ def harmonic_centrality_hosts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     edges = distinct_edges(host_edges(ds, n_hosts=64))
     return harmonic_centrality_int(edges, iters=6)
+
+
+_GOLDEN_RECORD_SQL = """
+    WITH recs AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+             c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             replace(c_name, 'Customer', 'Custmoer'),
+             c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0),
+    b AS (SELECT id, nation, seg,
+                 regexp_extract(name, '([0-9]+)', 1) AS digits
+          FROM recs),
+    pairs AS (SELECT a.id AS id_a, bb.id AS id_b
+              FROM b a JOIN b bb
+                ON a.nation = bb.nation
+               AND right(a.digits, 1) = right(bb.digits, 1)
+               AND a.id < bb.id
+              WHERE a.digits = bb.digits AND a.seg = bb.seg),
+    mn AS (SELECT id_b AS id, MIN(id_a) AS cid0 FROM pairs GROUP BY id_b),
+    canon AS (SELECT r.id, r.name, COALESCE(m.cid0, r.id) AS cid
+              FROM (SELECT id, name FROM recs) r
+              LEFT JOIN mn m ON m.id = r.id)
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN id = cid THEN name END) AS golden_name,
+           (COUNT(DISTINCT name) > 1) AS name_conflict
+    FROM canon GROUP BY cid
+"""
+
+
+@register("golden_record_merge", _GOLDEN_RECORD_SQL)
+def golden_record_merge(sf_dir: str):
+    """Survivorship / golden-record construction — the data-fusion
+    step AFTER entity resolution (Bleiholder & Naumann's fusion
+    taxonomy): every matched cluster elects one authoritative record
+    (min-id member — the original system-of-record row beats the
+    +1000000-offset import with the planted typo) and reports member
+    count + whether the merge hid a field conflict. Scale shape: the
+    match side reuses entity_resolution_customers' blocked pipeline;
+    its matched-pair output is the SMALL end of the ER funnel, so the
+    dup→cluster map broadcasts (ray.put) and survivorship is one
+    bounded cid-keyed grouped fold over the record stream — records
+    never pair-join again."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+
+    pairs = entity_resolution_customers(sf_dir)
+    cid_map = dict(zip(pairs["id_b"].tolist(), pairs["id_a"].tolist()))
+    ref = ray.put(cid_map)
+
+    def aug_canon(t: pa.Table) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = pd.DataFrame({
+            "id": t.column("c_custkey").to_numpy().astype("int64"),
+            "name": t.column("c_name").to_pylist(),
+        })
+        dup = df[df["id"] % 7 == 0].copy()
+        dup["id"] = dup["id"] + 1000000
+        dup["name"] = dup["name"].str.replace("Customer", "Custmoer", regex=False)
+        out = pd.concat([df, dup], ignore_index=True)
+        out["cid"] = out["id"].map(lambda i: m.get(i, i)).astype("int64")
+        return out
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        def one(d: pd.DataFrame) -> pd.Series:
+            gold = d.loc[d["id"].idxmin()]
+            return pd.Series({
+                "n_members": int(len(d)),
+                "golden_name": gold["name"],
+                "name_conflict": d["name"].nunique() > 1,
+            })
+        out = g.groupby("cid").apply(one, include_groups=False).reset_index()
+        return out.rename(columns={"cid": "cluster_id"}).astype(
+            {"cluster_id": "int64", "n_members": "int64"})
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return bucketed_group_agg(
+        ds.map_batches(aug_canon, batch_format="pyarrow"), ["cid"], fuse
+    ).to_pandas()
+
+
+_HOMOGLYPH_SQL = """
+    WITH aug AS (
+      SELECT source,
+             CASE WHEN doc_id % 11 = 3
+                  THEN replace(replace(text, 'a', 'а'), 'e', 'е')
+                  ELSE text END AS text
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text LIKE '%а%' OR text LIKE '%е%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_affected_docs,
+           CAST(SUM(length(text)
+                    - length(replace(replace(text, 'а', ''), 'е', '')))
+                AS BIGINT) AS n_confusable_chars
+    FROM aug GROUP BY source
+"""
+
+
+@register("homoglyph_audit_documents", _HOMOGLYPH_SQL)
+def homoglyph_audit_documents(sf_dir: str):
+    """Unicode-confusable (homoglyph) audit per source — the
+    spam/phishing-grade text-hygiene check a crawl intake runs
+    beside normalize_text_documents' NFKC pass: Cyrillic а/е
+    (U+0430/U+0435) pass visual review and NFKC unchanged, poison
+    dedup keys, and split token statistics, so their density per
+    source is a triage signal (planted into every doc_id % 11 == 3
+    document, the house convention making recall measured). One
+    stateless vectorized pass + a bounded per-source fold; at 100 TB
+    the full confusables table is a broadcast dict applied by the
+    same str.translate, same shape."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def audit(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy().astype("int64"),
+            "source": t.column("source").to_pylist(),
+            "text": t.column("text").to_pylist(),
+        })
+        plant = df["doc_id"] % 11 == 3
+        txt = df["text"].where(
+            ~plant,
+            df["text"].str.replace("a", "а", regex=False)
+                       .str.replace("e", "е", regex=False))
+        n_conf = txt.str.count("[ае]").astype("int64")
+        out = pd.DataFrame({
+            "source": df["source"],
+            "n_docs": 1,
+            "n_affected_docs": (n_conf > 0).astype("int64"),
+            "n_confusable_chars": n_conf,
+        })
+        return out.groupby("source", as_index=False).sum()
+
+    return bucketed_group_agg(
+        ds.map_batches(audit, batch_format="pyarrow", batch_size=8192),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)[
+            ["n_docs", "n_affected_docs", "n_confusable_chars"]].sum(),
+    ).to_pandas().astype({c: "int64" for c in
+                          ["n_docs", "n_affected_docs", "n_confusable_chars"]})
+
+
+_SOURCE_VOCAB_OVERLAP_SQL = """
+    WITH st AS (SELECT DISTINCT source, term FROM
+                  (SELECT source, unnest(string_split(text, ' ')) AS term
+                   FROM documents)),
+    sz AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+    inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+              FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(i AS BIGINT) AS n_common,
+           CAST(za.v AS BIGINT) AS vocab_a, CAST(zb.v AS BIGINT) AS vocab_b,
+           CAST(10000 * i // (za.v + zb.v - i) AS BIGINT) AS jaccard_bp
+    FROM inter JOIN sz za ON za.source = sa JOIN sz zb ON zb.source = sb
+"""
+
+
+@register("source_vocab_overlap", _SOURCE_VOCAB_OVERLAP_SQL)
+def source_vocab_overlap(sf_dir: str):
+    """Source-pair vocabulary Jaccard (exact basis points) — the
+    LEXICAL mirror detector beside content-side mirror_host_pairs and
+    sketch-side source_minhash_similarity: two feeds of the same
+    upstream wire service share vocabulary long before they share
+    documents, and an unnaturally low overlap flags an encoding-broken
+    source. Exact set semantics through the inverted shape: per-batch
+    DISTINCT (source, term) partials → ONE term-keyed bounded shuffle
+    where each term's source list expands to pairs (sources²-bounded
+    per term — the same postings-pair contract as co-citation) → one
+    (pair)-keyed grouped sum joined against the per-source vocab
+    sizes."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def st_partial(t: pa.Table) -> pa.Table:
+        seen = set()
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for term in set(txt.split(" ")):
+                seen.add((s, term))
+        return pa.table({
+            "source": pa.array([x[0] for x in seen], pa.string()),
+            "term": pa.array([x[1] for x in seen], pa.string()),
+        })
+
+    st = bucketed_group_agg(
+        ds.map_batches(st_partial, batch_format="pyarrow", batch_size=4096),
+        ["source", "term"],
+        lambda g: g.drop_duplicates(ignore_index=True)).materialize()
+
+    sz = bucketed_group_agg(
+        st, ["source"],
+        lambda g: g.groupby("source", as_index=False).agg(v=("term", "size")),
+    ).to_pandas()
+
+    def pairs_per_term(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, gg in g.groupby("term"):
+            ss = sorted(gg["source"].unique())
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    rows.append((ss[i], ss[j]))
+        return pd.DataFrame(rows, columns=["sa", "sb"])
+
+    inter = bucketed_group_agg(
+        bucketed_group_agg(st, ["term"], pairs_per_term),
+        ["sa", "sb"],
+        lambda g: g.groupby(["sa", "sb"], as_index=False).size().rename(
+            columns={"size": "i"}),
+    ).to_pandas()
+
+    szm = dict(zip(sz["source"], sz["v"].astype(int)))
+    va = inter["sa"].map(szm).astype("int64")
+    vb = inter["sb"].map(szm).astype("int64")
+    i_ = inter["i"].astype("int64")
+    return pd.DataFrame({
+        "source_a": inter["sa"], "source_b": inter["sb"],
+        "n_common": i_, "vocab_a": va, "vocab_b": vb,
+        "jaccard_bp": 10000 * i_ // (va + vb - i_),
+    })
