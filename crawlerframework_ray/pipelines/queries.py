@@ -14184,3 +14184,123 @@ def source_vocab_overlap(sf_dir: str):
         "n_common": i_, "vocab_a": va, "vocab_b": vb,
         "jaccard_bp": 10000 * i_ // (va + vb - i_),
     })
+
+
+_LARGEST_REMAINDER_SQL = """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+               GROUP BY lang),
+    tot AS (SELECT SUM(n) AS t FROM c),
+    q AS (SELECT lang, n,
+                 1000 * n // (SELECT t FROM tot) AS floor_quota,
+                 1000 * n % (SELECT t FROM tot) AS remainder
+          FROM c),
+    base AS (SELECT SUM(floor_quota) AS b FROM q),
+    r AS (SELECT lang, n, floor_quota, remainder,
+                 ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rr
+          FROM q)
+    SELECT lang, n AS n_docs,
+           CAST(floor_quota + CASE WHEN rr <= 1000 - (SELECT b FROM base)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+"""
+
+
+@register("eval_quota_largest_remainder", _LARGEST_REMAINDER_SQL)
+def eval_quota_largest_remainder(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a fixed eval
+    budget (1000 samples) across languages — the quota rule that
+    makes per-slice eval sets sum EXACTLY to budget with every slice
+    within one sample of proportionality (water-fill,
+    budget_apportion_hosts, solves the capped-supply problem; Hamilton
+    solves exact-total proportionality — a training-eval split wants
+    the latter). Integer floors + the remainder ranking, tie → lang
+    asc; the counting pass is one bounded grouped count and the
+    apportionment runs on the lang-domain-bounded table."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t.column("lang").to_pylist()).value_counts()
+        return pa.table({"lang": pa.array(vc.index.tolist(), pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    c = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["lang"],
+        lambda g: g.groupby("lang", as_index=False)["n"].sum()).to_pandas()
+    c = c.sort_values("lang").reset_index(drop=True)
+    n = c["n"].to_numpy().astype(np.int64)
+    t = int(n.sum())
+    floor_q = 1000 * n // t
+    rem = 1000 * n % t
+    shortfall = 1000 - int(floor_q.sum())
+    order = np.lexsort((c["lang"].to_numpy(), -rem))
+    bump = np.zeros(len(c), np.int64)
+    bump[order[:shortfall]] = 1
+    return pd.DataFrame({"lang": c["lang"], "n_docs": n,
+                         "quota": floor_q + bump})
+
+
+_SEASONAL_NAIVE_SQL = """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, day, n,
+                 LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+          FROM d)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(n - pred)) AS BIGINT) AS abs_err_sum,
+           CAST(SUM(ABS(n - pred)) * 100 // SUM(n) AS BIGINT) AS mae_pct_of_vol
+    FROM l WHERE pred IS NOT NULL GROUP BY event_type
+"""
+
+
+@register("seasonal_naive_forecast_error", _SEASONAL_NAIVE_SQL)
+def seasonal_naive_forecast_error(sf_dir: str):
+    """Seasonal-naive forecast error per event type (the forecasting
+    baseline every capacity model must beat — predict each day with
+    the same weekday last week, score |err| as an exact integer sum
+    and a floor percentage of volume). Weekly periodicity in crawl /
+    event traffic is the north-star seasonality; a type whose MAE%
+    is high has no weekly rhythm and needs a different recrawl
+    cadence (pairs with ewma_spike_events and recrawl_change_rate).
+    Caveat the SQL shares: LAG(7 rows) is last-week-same-weekday
+    only when the daily grid is gap-free — the gate data is; gapped
+    series route through timeseries_gap_fill first. One bounded
+    (type, day) grouped count, then a per-type vectorized shift on
+    the type-bucketed series (each type's day series is
+    days-domain-bounded)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "day": pd.to_datetime(t.column("ts").to_pandas()).dt.floor("D"),
+        })
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        g = g.sort_values(["event_type", "day"], kind="mergesort")
+        pred = g.groupby("event_type")["n"].shift(7)
+        m = pred.notna()
+        err = (g["n"] - pred)[m].abs().astype("int64")
+        df = pd.DataFrame({"event_type": g.loc[m, "event_type"],
+                           "abs_err": err, "vol": g.loc[m, "n"]})
+        out = df.groupby("event_type", as_index=False).agg(
+            n_days_scored=("abs_err", "size"), abs_err_sum=("abs_err", "sum"),
+            vol=("vol", "sum"))
+        out["mae_pct_of_vol"] = out["abs_err_sum"] * 100 // out["vol"]
+        return out.drop(columns="vol").astype(
+            {"n_days_scored": "int64", "abs_err_sum": "int64",
+             "mae_pct_of_vol": "int64"})
+
+    return bucketed_group_agg(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=65536),
+        ["event_type"], score).to_pandas()
