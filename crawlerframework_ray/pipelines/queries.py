@@ -14304,3 +14304,137 @@ def seasonal_naive_forecast_error(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(daily, batch_format="pyarrow", batch_size=65536),
         ["event_type"], score).to_pandas()
+
+
+_BINARY_QUANT_SQL = f"""
+    WITH f AS ({_quant_ann_sql(None, 5)}),
+    q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 8),
+    qb AS (SELECT qid, i, (e[i] > 0) AS b
+           FROM q, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) u),
+    cb AS (SELECT vec_id, i, (embedding[i] > 0) AS b
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+    h AS (SELECT qb.qid, cb.vec_id,
+                 SUM(CASE WHEN qb.b != cb.b THEN 1 ELSE 0 END) AS d
+          FROM qb JOIN cb ON qb.i = cb.i WHERE cb.vec_id != qb.qid
+          GROUP BY 1, 2),
+    t5 AS (SELECT query_id, neighbor_id FROM (
+             SELECT qid AS query_id, vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+             FROM h) WHERE rnk <= 5),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+    hits AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM f JOIN t5 USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT CAST(qs.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(h2.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h2.n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_permille
+    FROM qs LEFT JOIN hits h2 ON h2.query_id = qs.query_id
+"""
+
+
+@register("binary_quant_recall_eval", _BINARY_QUANT_SQL)
+def binary_quant_recall_eval(sf_dir: str):
+    """1-bit (sign) embedding quantization evaluated against the int8
+    truth — the last rung of the quantization ladder the catalog
+    already walks (int8 → matryoshka prefix → PQ → IVF-PQ → binary):
+    64 dims collapse to ONE uint64 word per vector (64× smaller than
+    float32, 8× smaller than int8), similarity becomes XOR+popcount
+    (hamming64_np — the same kernel the cross-modal tower uses), and
+    recall@5 vs the full int8 retriever prices the compression.
+    Sign-bit packing order cancels out of Hamming distance, so the
+    per-dim relational oracle needs no bit-layout knowledge. Scale
+    shape: corpus sigs packed per batch (vectorized packbits),
+    per-batch partial top-k against the 8-word broadcast query sig
+    set, k·|Q| merge — the broadcast-ANN shape at 1/64th the corpus
+    bytes."""
+    from ..stages.dedup import hamming64_np
+    from ..stages.similarity import ann_quantized
+
+    qids, qvecs = _query_vectors(sf_dir)
+    qsig = np.packbits(qvecs > 0, axis=1).view(">u8").astype(np.uint64).ravel()
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    k = 5
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        emb = np.stack(t.column("embedding").to_pylist())
+        sig = np.packbits(emb > 0, axis=1).view(">u8").astype(np.uint64).ravel()
+        out_q, out_i, out_d = [], [], []
+        for qi, qs_ in enumerate(qsig):
+            d = hamming64_np(sig, np.full(len(sig), qs_, np.uint64)).astype(np.int64)
+            mask = ids != qids[qi]
+            idm, dm = ids[mask], d[mask]
+            order = np.lexsort((idm, dm))[: min(k, len(idm))]
+            out_q.extend([qids[qi]] * len(order))
+            out_i.extend(idm[order])
+            out_d.extend(dm[order])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(np.asarray(out_i, np.int64), pa.int64()),
+            "d": pa.array(np.asarray(out_d, np.int64), pa.int64()),
+        })
+
+    part = ds.map_batches(topk_partial, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    part = part.sort_values(["query_id", "d", "neighbor_id"], kind="mergesort")
+    t5 = part.groupby("query_id").head(k)[["query_id", "neighbor_id"]]
+
+    truth = (
+        ann_quantized(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      qids, qvecs, k=k)
+        .to_pandas()[["query_id", "neighbor_id"]]
+    )
+    hits = truth.merge(t5, on=["query_id", "neighbor_id"]).groupby("query_id").size()
+    n_hits = pd.Series(qids, name="query_id").map(hits).fillna(0).astype("int64")
+    return pd.DataFrame({
+        "query_id": pd.Series(qids, dtype="int64"),
+        "n_hits": n_hits.to_numpy(),
+        "recall_permille": (n_hits.to_numpy() * 1000) // 5,
+    }).sort_values("query_id").reset_index(drop=True)
+
+
+_LSH_SWEEP_CONFIGS = (8, 16, 32)  # bands over n_perm=64 → rows/band 8, 4, 2
+
+
+@register("lsh_band_sweep", _golden_sql("lsh_sweep"))
+def lsh_band_sweep(sf_dir: str):
+    """LSH banding parameter sweep — the tuning table every
+    MinHash deployment needs before committing a (bands, rows)
+    choice at 100 TB (the S-curve threshold (1/b)^(1/r) moves from
+    ~0.77 at 8×8 to ~0.18 at 32×2, trading recall for candidate
+    volume): for each config over the SAME 64-perm signatures, the
+    distinct candidate-pair count and how many candidates verify at
+    Jaccard ≥ 0.5 — measured precision, not the textbook curve. Runs
+    the production pipeline (MinHashStage → lsh_candidate_pairs →
+    join_pair_texts → exact verify) once per config; the signature
+    work is per-batch vectorized and the only driver rows are the
+    three summary counts. Golden: serial mirror re-banding the same
+    signature leaf naively + brute-force verify (regression-pin
+    tier, like simhash_sigs)."""
+    from ..stages.dedup import (
+        MinHashStage,
+        join_pair_texts,
+        lsh_candidate_pairs,
+        stage_task_fn,
+        verify_jaccard_batch,
+    )
+
+    rows = []
+    for nb in _LSH_SWEEP_CONFIGS:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
+        bands = ds.map_batches(
+            stage_task_fn(MinHashStage, id_column="doc_id", text_column="text",
+                          n_perm=64, n_bands=nb),
+            batch_format="pyarrow", batch_size=1024,
+        )
+        pairs = lsh_candidate_pairs(bands)
+        joined = join_pair_texts(
+            pairs, _read(sf_dir, "documents", ["doc_id", "text"]))
+        ver = joined.map_batches(verify_jaccard_batch(0.5),
+                                 batch_format="pandas").to_pandas()
+        n_cand = int(pairs.count())
+        rows.append((nb, 64 // nb, n_cand, int(len(ver))))
+    return pd.DataFrame(
+        rows, columns=["n_bands", "rows_per_band", "n_candidates",
+                       "n_verified"]).astype("int64")

@@ -2103,7 +2103,51 @@ def dihedral_dup_pairs(sf_dir: str) -> None:
     )
 
 
-ALL = [dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def lsh_sweep(sf_dir: str) -> None:
+    """Serial mirror of lsh_band_sweep: same MinHashStage signature
+    leaf, but banding, candidate expansion and Jaccard verification
+    re-done with naive dict loops (regression-pin tier)."""
+    from crawlerframework_ray.stages.dedup import (
+        MinHashStage,
+        _shingle_hashes,
+    )
+    import pyarrow as _pa
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()]
+    texts = t.column("text").to_pylist()
+    sh = {i: set(_shingle_hashes(x).tolist()) for i, x in zip(ids, texts)}
+    rows = []
+    for nb in (8, 16, 32):
+        st = MinHashStage("doc_id", "text", n_perm=64, n_bands=nb)
+        buckets: dict = {}
+        for lo in range(0, len(ids), 512):
+            bt = st(_pa.table({"doc_id": _pa.array(ids[lo:lo + 512]),
+                               "text": _pa.array(texts[lo:lo + 512])}))
+            for d, b, h in zip(bt.column("doc_id").to_pylist(),
+                               bt.column("band").to_pylist(),
+                               bt.column("band_hash").to_pylist()):
+                buckets.setdefault((b, h), []).append(int(d))
+        cand = set()
+        for members in buckets.values():
+            ms = sorted(set(members))
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    cand.add((ms[x], ms[y]))
+        nver = 0
+        for a, b in cand:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and 2 * inter >= union:
+                nver += 1
+        rows.append((nb, 64 // nb, len(cand), nver))
+    _write("lsh_sweep", sf_dir, pd.DataFrame(
+        rows, columns=["n_bands", "rows_per_band", "n_candidates",
+                       "n_verified"]).astype("int64"))
+
+
+ALL = [lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
