@@ -14438,3 +14438,63 @@ def lsh_band_sweep(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["n_bands", "rows_per_band", "n_candidates",
                        "n_verified"]).astype("int64")
+
+
+@register("qdigest_quantiles_chars", _golden_sql("qdigest_quantiles"))
+def qdigest_quantiles_chars(sf_dir: str):
+    """q-digest quantile sketch (Shrivastava et al., SenSys 2004) —
+    the quantile member of the sketch family (HLL/CMS/Bloom/MG
+    cover cardinality/frequency/membership/heavy-hitters; q-digest
+    covers rank): a fixed-universe trie compressed to
+    O(sigma·log U) nodes whose any-quantile answer carries a PROVEN
+    rank-error bound log2(U)·n/sigma — reported next to the exact
+    value and asserted in-row (within_bound). Scale shape: per-batch
+    (value, count) partials through the value-domain-bounded grouped
+    sum (the same 4096-bounded grid the percentile family uses);
+    the digest builds once from the merged histogram, and the
+    pairwise-merge law (counter addition + recompress) is gated in
+    test_sketch.py so the sketch itself stays mergeable for
+    pre-aggregated deployments. Golden: an INDEPENDENT serial trie
+    implementation from the written spec (tools/make_goldens.py)."""
+    from ..stages.sketch import (
+        QD_BITS,
+        qdigest_build,
+        qdigest_quantile,
+        qdigest_size,
+    )
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = t.column("n_chars").to_pandas().value_counts()
+        return pa.table({"v": pa.array(vc.index.to_numpy(np.int64)),
+                         "cnt": pa.array(vc.to_numpy(np.int64))})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("v").sum("cnt").to_pandas().sort_values("v"))
+    vals = hist["v"].to_numpy().astype(np.int64)
+    cnts = hist["sum(cnt)"].to_numpy().astype(np.int64)
+    sigma = 64
+    dn = qdigest_build(vals, cnts, sigma=sigma)
+    n = dn[1]
+    cum = cnts.cumsum()
+    bound = QD_BITS * n // sigma
+    rows = []
+    for q_num, q_den, pct in ((1, 4, 25), (1, 2, 50), (9, 10, 90),
+                              (99, 100, 99)):
+        est = qdigest_quantile(dn, q_num, q_den)
+        target = (q_num * n + q_den - 1) // q_den
+        exact = int(vals[np.searchsorted(cum, target)])
+        # measured rank error: |rank(est) - target| where rank(est) =
+        # count of values <= est
+        rank_est = int(cum[np.searchsorted(vals, est, side="right") - 1]) \
+            if est >= int(vals[0]) else 0
+        within = abs(rank_est - target) <= bound
+        rows.append((pct, est, exact, bound, within))
+    df = pd.DataFrame(rows, columns=["q_pct", "est_value", "exact_value",
+                                     "rank_err_bound", "within_bound"])
+    df["digest_nodes"] = qdigest_size(dn)
+    return df.astype({c: "int64" for c in
+                      ["q_pct", "est_value", "exact_value",
+                       "rank_err_bound", "digest_nodes"]})

@@ -386,3 +386,79 @@ def bloom_probe(packed: np.ndarray, texts: list[str]) -> np.ndarray:
     if not texts:
         return np.zeros(0, dtype=bool)
     return bits[_bloom_positions(texts)].all(axis=1)
+
+
+# ---------------------------------------------------------------------
+# q-digest quantile sketch (Shrivastava, Buragohain, Agrawal & Suri,
+# SenSys 2004): fixed-universe [0, 2^QD_BITS) binary trie with node
+# counts, compressed so every stored triple (node, sibling, parent)
+# carries >= n/sigma mass — size O(sigma * log U) regardless of n,
+# counters mergeable by addition + recompress, and any quantile query
+# answers within rank error log2(U) * n / sigma. Deterministic by
+# construction: compression walks levels bottom-up and nodes in
+# ascending id order; the quantile walk orders nodes by (interval
+# right edge, interval left edge). Node v covers an interval via
+# binary-heap numbering: root 1 covers the whole universe, children
+# 2v / 2v+1 halve it; leaf for value x is U + x.
+# ---------------------------------------------------------------------
+
+QD_BITS = 12
+QD_UNIVERSE = 1 << QD_BITS
+
+
+def _qd_interval(v: int) -> tuple[int, int]:
+    """[lo, hi] covered by node v (inclusive)."""
+    level = v.bit_length() - 1
+    span = QD_UNIVERSE >> level
+    lo = (v - (1 << level)) * span
+    return lo, lo + span - 1
+
+
+def qdigest_compress(d: dict, n: int, sigma: int) -> dict:
+    thr = max(1, n // sigma)
+    for level in range(QD_BITS, 0, -1):
+        lo_id, hi_id = 1 << level, 1 << (level + 1)
+        for u in range(lo_id // 2, hi_id // 2):
+            cl, cr = d.get(2 * u, 0), d.get(2 * u + 1, 0)
+            if cl == 0 and cr == 0:
+                continue
+            if cl + cr + d.get(u, 0) < thr:
+                d[u] = d.get(u, 0) + cl + cr
+                d.pop(2 * u, None)
+                d.pop(2 * u + 1, None)
+    return d
+
+
+def qdigest_build(values: np.ndarray, counts: np.ndarray, sigma: int = 64) -> tuple[dict, int]:
+    """Digest from a (value, count) histogram; returns (digest, n)."""
+    d = {int(QD_UNIVERSE + v): int(c) for v, c in zip(values, counts)}
+    n = int(np.sum(counts))
+    return qdigest_compress(d, n, sigma), n
+
+
+def qdigest_merge(a: tuple[dict, int], b: tuple[dict, int], sigma: int = 64) -> tuple[dict, int]:
+    d = dict(a[0])
+    for k, v in b[0].items():
+        d[k] = d.get(k, 0) + v
+    n = a[1] + b[1]
+    return qdigest_compress(d, n, sigma), n
+
+
+def qdigest_quantile(dn: tuple[dict, int], q_num: int, q_den: int) -> int:
+    """Value whose estimated rank first reaches ceil(q·n): walk stored
+    nodes ordered by (hi, lo) accumulating counts — the canonical
+    postorder. Rank error <= QD_BITS * n // sigma by the digest
+    property."""
+    d, n = dn
+    target = (q_num * n + q_den - 1) // q_den
+    nodes = sorted(d.items(), key=lambda kv: _qd_interval(kv[0])[::-1])
+    cum = 0
+    for v, c in nodes:
+        cum += c
+        if cum >= target:
+            return _qd_interval(v)[1]
+    return QD_UNIVERSE - 1
+
+
+def qdigest_size(dn: tuple[dict, int]) -> int:
+    return len(dn[0])

@@ -201,3 +201,34 @@ def test_hll_intersection_accuracy_and_partition_invariance(ray_session):
         )
 
     assert run(2).astype("int64").equals(run(17).astype("int64"))
+
+
+def test_qdigest_merge_law_and_bound():
+    # pairwise merge (counter add + recompress) keeps the rank-error
+    # guarantee regardless of split point, and size stays O(sigma*logU)
+    import numpy as np
+
+    from crawlerframework_ray.stages.sketch import (
+        QD_BITS,
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantile,
+        qdigest_size,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2000, 5000).astype(np.int64)
+    sv = np.sort(vals)
+    for split in (100, 2500, 4900):
+        a, b = vals[:split], vals[split:]
+        da = qdigest_build(*np.unique(a, return_counts=True), sigma=64)
+        db = qdigest_build(*np.unique(b, return_counts=True), sigma=64)
+        d = qdigest_merge(da, db, sigma=64)
+        assert d[1] == len(vals)
+        assert qdigest_size(d) <= 64 * (QD_BITS + 1) * 3
+        bound = QD_BITS * len(vals) // 64
+        for q_num, q_den in ((1, 4), (1, 2), (9, 10)):
+            est = qdigest_quantile(d, q_num, q_den)
+            target = (q_num * len(vals) + q_den - 1) // q_den
+            rank_est = int(np.searchsorted(sv, est, side="right"))
+            assert abs(rank_est - target) <= bound, (split, q_num, q_den)

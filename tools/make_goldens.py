@@ -2147,7 +2147,67 @@ def lsh_sweep(sf_dir: str) -> None:
                        "n_verified"]).astype("int64"))
 
 
-ALL = [lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def qdigest_quantiles(sf_dir: str) -> None:
+    """Independent serial q-digest mirror: the trie is a plain dict
+    keyed by (level, index-in-level) instead of heap ids, compression
+    is a recursive walk, the quantile scan sorts by explicit interval
+    tuples — only the WRITTEN SPEC (universe 2^12, threshold n//64,
+    bottom-up ascending order, (hi, lo) walk) is shared."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    vals = t.column("n_chars").to_numpy().astype(np.int64)
+    BITS, U, SIGMA = 12, 1 << 12, 64
+    n = len(vals)
+    thr = max(1, n // SIGMA)
+    cnt: dict = {}
+    for v in vals.tolist():
+        cnt[(BITS, v)] = cnt.get((BITS, v), 0) + 1
+    for level in range(BITS, 0, -1):
+        up = level - 1
+        for idx in range(0, 1 << level, 2):
+            cl = cnt.get((level, idx), 0)
+            cr = cnt.get((level, idx + 1), 0)
+            if cl == 0 and cr == 0:
+                continue
+            p = (up, idx // 2)
+            if cl + cr + cnt.get(p, 0) < thr:
+                cnt[p] = cnt.get(p, 0) + cl + cr
+                cnt.pop((level, idx), None)
+                cnt.pop((level, idx + 1), None)
+    def interval(key):
+        level, idx = key
+        span = U >> level
+        return idx * span, idx * span + span - 1
+    nodes = sorted(cnt.items(), key=lambda kv: (interval(kv[0])[1],
+                                                interval(kv[0])[0]))
+    import numpy as _np
+    uvals, ucnts = _np.unique(vals, return_counts=True)
+    cum = ucnts.cumsum()
+    bound = BITS * n // SIGMA
+    rows = []
+    for q_num, q_den, pct in ((1, 4, 25), (1, 2, 50), (9, 10, 90),
+                              (99, 100, 99)):
+        target = (q_num * n + q_den - 1) // q_den
+        c = 0
+        est = U - 1
+        for key, k in nodes:
+            c += k
+            if c >= target:
+                est = interval(key)[1]
+                break
+        exact = int(uvals[_np.searchsorted(cum, target)])
+        rank_est = int(cum[_np.searchsorted(uvals, est, side="right") - 1]) \
+            if est >= int(uvals[0]) else 0
+        rows.append((pct, est, exact, bound, abs(rank_est - target) <= bound))
+    df = pd.DataFrame(rows, columns=["q_pct", "est_value", "exact_value",
+                                     "rank_err_bound", "within_bound"])
+    df["digest_nodes"] = len(cnt)
+    _write("qdigest_quantiles", sf_dir, df.astype(
+        {c: "int64" for c in ["q_pct", "est_value", "exact_value",
+                              "rank_err_bound", "digest_nodes"]}))
+
+
+ALL = [qdigest_quantiles, lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
