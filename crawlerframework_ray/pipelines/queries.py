@@ -14498,3 +14498,128 @@ def qdigest_quantiles_chars(sf_dir: str):
     return df.astype({c: "int64" for c in
                       ["q_pct", "est_value", "exact_value",
                        "rank_err_bound", "digest_nodes"]})
+
+
+_REBALANCE_M = 0x9E3779B97F4A7C15
+_REBALANCE_VNODES = 64
+
+
+def _rebalance_sql() -> str:
+    m, u64 = _REBALANCE_M, 18446744073709551616
+    hk = f"CAST((CAST(doc_id AS HUGEINT) + 0 + 1) * {m} % {u64} AS UBIGINT)"
+
+    def hrw2(n: int) -> str:
+        # argmax over node salts 1000+i, tie -> smaller node id
+        rowsrc = " UNION ALL ".join(
+            f"SELECT {i} AS nn, {1000 + i} AS salt" for i in range(n))
+        return (f"(SELECT nn FROM ({rowsrc}) s "
+                f"ORDER BY CAST((CAST(doc_id AS HUGEINT) + s.salt + 1) * {m} % {u64} AS UBIGINT) DESC, nn "
+                f"LIMIT 1)")
+
+    def ring(n: int, name: str) -> str:
+        rowsrc = " UNION ALL ".join(
+            f"SELECT {i} AS nn, {2000 + i * _REBALANCE_VNODES} + v.v AS salt "
+            f"FROM (SELECT unnest(generate_series(0, {_REBALANCE_VNODES - 1})) AS v) v"
+            for i in range(n))
+        return f"""
+    {name} AS (SELECT nn, CAST((CAST(0 AS HUGEINT) + salt + 1) * {m} % {u64} AS UBIGINT) AS pos
+               FROM ({rowsrc}))"""
+
+    return f"""
+    WITH ks AS (SELECT doc_id, {hk} AS hk FROM documents),
+    {ring(8, "ring8")[5:]},
+    {ring(9, "ring9")[5:]},
+    ringmin8 AS (SELECT nn FROM ring8 ORDER BY pos, nn LIMIT 1),
+    ringmin9 AS (SELECT nn FROM ring9 ORDER BY pos, nn LIMIT 1),
+    assign AS (
+      SELECT doc_id,
+             doc_id % 8 AS mod8, doc_id % 9 AS mod9,
+             {hrw2(8)} AS hrw8, {hrw2(9)} AS hrw9,
+             COALESCE((SELECT r.nn FROM ring8 r WHERE r.pos >= ks.hk
+                       ORDER BY r.pos, r.nn LIMIT 1),
+                      (SELECT nn FROM ringmin8)) AS ring8n,
+             COALESCE((SELECT r.nn FROM ring9 r WHERE r.pos >= ks.hk
+                       ORDER BY r.pos, r.nn LIMIT 1),
+                      (SELECT nn FROM ringmin9)) AS ring9n
+      FROM ks)
+    SELECT strategy, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(moved AS BIGINT) AS moved,
+           CAST(10000 * moved // n_keys AS BIGINT) AS moved_bp
+    FROM (
+      SELECT 'mod' AS strategy, COUNT(*) AS n_keys,
+             SUM(CASE WHEN mod8 != mod9 THEN 1 ELSE 0 END) AS moved FROM assign
+      UNION ALL
+      SELECT 'hrw', COUNT(*), SUM(CASE WHEN hrw8 != hrw9 THEN 1 ELSE 0 END)
+      FROM assign
+      UNION ALL
+      SELECT 'ring', COUNT(*), SUM(CASE WHEN ring8n != ring9n THEN 1 ELSE 0 END)
+      FROM assign)
+"""
+
+
+@register("shard_rebalance_audit", _rebalance_sql())
+def shard_rebalance_audit(sf_dir: str):
+    """Shard-rebalance audit — what fraction of keys MOVE when the
+    cluster grows 8 → 9 nodes, under the three assignment disciplines
+    a 100-TB store must choose between: naive mod-N (moves ~8/9 of
+    all keys — a full-corpus reshuffle), Highest-Random-Weight
+    (Thaler & Ravishankar 1998; moves exactly the ~1/9 the new node
+    wins) and a consistent-hash ring with 64 vnodes/node (Karger et
+    al., STOC 1997; ~1/9 in expectation, variance set by vnode
+    count). Exact basis points from one deterministic multiplicative
+    hash (spec identical in SQL as HUGEINT arithmetic and in numpy as
+    uint64 wraparound, prototype-verified equal). Scale shape: both
+    ring tables broadcast (nodes×vnodes rows); per-batch assignment
+    is vectorized argmax / searchsorted; ONE scalar partial per
+    strategy per batch reaches the fold."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    m = np.uint64(_REBALANCE_M)
+
+    def hsh(x: np.ndarray, salt: int) -> np.ndarray:
+        return (x + np.uint64(salt) + np.uint64(1)) * m
+
+    def ring_table(n: int) -> tuple[np.ndarray, np.ndarray]:
+        salts = np.array(
+            [2000 + i * _REBALANCE_VNODES + v
+             for i in range(n) for v in range(_REBALANCE_VNODES)], np.uint64)
+        nodes = np.repeat(np.arange(n, dtype=np.int64), _REBALANCE_VNODES)
+        pos = (np.uint64(0) + salts + np.uint64(1)) * m
+        order = np.lexsort((nodes, pos))
+        return pos[order], nodes[order]
+
+    r8_pos, r8_node = ring_table(8)
+    r9_pos, r9_node = ring_table(9)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        k = ids.astype(np.uint64)
+        hk = hsh(k, 0)
+        mod_moved = int((ids % 8 != ids % 9).sum())
+        h8 = np.stack([hsh(k, 1000 + i) for i in range(8)])
+        h9 = np.stack([hsh(k, 1000 + i) for i in range(9)])
+        # np.argmax picks the FIRST max along axis 0 = the smallest
+        # node id among ties — matching the SQL's (hash DESC, nn) order
+        hrw8 = np.argmax(h8, axis=0)
+        hrw9 = np.argmax(h9, axis=0)
+        hrw_moved = int((hrw8 != hrw9).sum())
+        i8 = np.searchsorted(r8_pos, hk, side="left")
+        ring8 = r8_node[np.where(i8 < len(r8_pos), i8, 0)]
+        i9 = np.searchsorted(r9_pos, hk, side="left")
+        ring9 = r9_node[np.where(i9 < len(r9_pos), i9, 0)]
+        ring_moved = int((ring8 != ring9).sum())
+        return pa.table({
+            "n": pa.array([len(ids)], pa.int64()),
+            "mod_m": pa.array([mod_moved], pa.int64()),
+            "hrw_m": pa.array([hrw_moved], pa.int64()),
+            "ring_m": pa.array([ring_moved], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536).to_pandas().sum()
+    n = int(agg["n"])
+    rows = [("mod", n, int(agg["mod_m"])),
+            ("hrw", n, int(agg["hrw_m"])),
+            ("ring", n, int(agg["ring_m"]))]
+    return pd.DataFrame(rows, columns=["strategy", "n_keys", "moved"]).assign(
+        moved_bp=lambda d: 10000 * d["moved"] // d["n_keys"]).astype(
+        {"n_keys": "int64", "moved": "int64", "moved_bp": "int64"})
