@@ -14623,3 +14623,182 @@ def shard_rebalance_audit(sf_dir: str):
     return pd.DataFrame(rows, columns=["strategy", "n_keys", "moved"]).assign(
         moved_bp=lambda d: 10000 * d["moved"] // d["n_keys"]).astype(
         {"n_keys": "int64", "moved": "int64", "moved_bp": "int64"})
+
+
+_BOTTOMK_SQL = f"""
+    WITH h AS (SELECT doc_id,
+                      CAST((CAST(doc_id AS HUGEINT) + 1) * {_REBALANCE_M}
+                           % 18446744073709551616 AS UBIGINT) AS hk
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CAST(hk AS HUGEINT) - CASE WHEN hk >= 9223372036854775808
+                THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS hash_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS BIGINT) AS rnk
+    FROM h ORDER BY hk, doc_id LIMIT 64
+"""
+
+
+@register("bottomk_sample_documents", _BOTTOMK_SQL)
+def bottomk_sample_documents(sf_dir: str):
+    """Bottom-k sample (Cohen & Kaplan, the mergeable uniform-sample
+    sketch): the k=64 documents with the smallest deterministic key
+    hash. Completes the sampling family (stratified / PPS /
+    systematic / exactly-K-per-group) with the one that MERGES:
+    bottom-k of a union is the bottom-k of the per-partition
+    bottom-ks, so at 100 TB every block contributes at most k rows
+    and the sample needs no global sort, no RNG state, and stays
+    identical under retries and re-partitioning. The same structure
+    doubles as the k-minimum-values cardinality sketch and the
+    Jaccard estimator over key unions. Per-batch partial bottom-k →
+    one k·n_blocks-row fold; hash spec shared with
+    shard_rebalance_audit (uint64 wraparound ≡ HUGEINT mod)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    m = np.uint64(_REBALANCE_M)
+    k = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        hk = (ids.astype(np.uint64) + np.uint64(1)) * m
+        order = np.lexsort((ids, hk))[: min(k, len(ids))]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "hk": pa.array(hk[order].view(np.int64), pa.int64()),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    hk_u = part["hk"].to_numpy().view(np.uint64)
+    order = np.lexsort((part["doc_id"].to_numpy(), hk_u))[:k]
+    out = part.iloc[order].reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].astype("int64"),
+        "hash_key": out["hk"].astype("int64"),
+        "rnk": np.arange(1, len(out) + 1, dtype=np.int64),
+    })
+
+
+_MERKLE_MUL_L = 1000003
+_MERKLE_MUL_R = 999983
+
+
+@register("merkle_replica_diff", _golden_sql("merkle_diff"))
+def merkle_replica_diff(sf_dir: str):
+    """Merkle-tree anti-entropy between two corpus replicas (the
+    Dynamo/Cassandra repair primitive — Merkle 1987; DeCandia et al.
+    SOSP 2007): replica B carries planted divergence (every doc_id %
+    97 == 5 tampered, every % 101 == 7 missing). Per shard (doc_id %
+    8), 64 RANGE-bucketed leaves hold the mod-2^64 SUM of per-doc
+    content keys — order-independent and additive, so per-batch
+    partials merge through ONE bounded (shard, bucket) shuffle and a
+    deletion only dirties its own bucket (positional leaf pairing
+    would cascade). The 6-level tree walk then counts node
+    comparisons: the audit's point is the economics — O(diverged ·
+    log buckets) comparisons instead of a full-corpus scan, which at
+    100 TB is the difference between shipping 64 hashes and
+    re-reading a replica. Diverged-bucket set is asserted equal to
+    the buckets with doc-level diffs (consistency of the tree with
+    ground truth). Golden: independent recursive mirror
+    (tools/make_goldens.py)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        rows: dict = {}
+        for d, txt in zip(ids, texts):
+            d = int(d)
+            shard, bucket = d % 8, (d // 8) % 64
+            ka = (int.from_bytes(hashlib.md5(txt.encode()).digest()[:8],
+                                 "big") + d) & 0xFFFFFFFFFFFFFFFF
+            in_b = d % 101 != 7
+            tb = txt + "~tampered" if d % 97 == 5 else txt
+            kb = (int.from_bytes(hashlib.md5(tb.encode()).digest()[:8],
+                                 "big") + d) & 0xFFFFFFFFFFFFFFFF if in_b else 0
+            r = rows.setdefault((shard, bucket), [0, 0, 0, 0, 0])
+            r[0] = (r[0] + ka) & 0xFFFFFFFFFFFFFFFF
+            r[1] = (r[1] + kb) & 0xFFFFFFFFFFFFFFFF
+            r[2] += 1
+            r[3] += 1 if in_b else 0
+            r[4] += 1 if (not in_b or kb != ka) else 0
+        ks = list(rows)
+        return pa.table({
+            "shard": pa.array([k[0] for k in ks], pa.int64()),
+            "bucket": pa.array([k[1] for k in ks], pa.int64()),
+            "sum_a": pa.array(
+                np.array([rows[k][0] for k in ks], np.uint64).view(np.int64),
+                pa.int64()),
+            "sum_b": pa.array(
+                np.array([rows[k][1] for k in ks], np.uint64).view(np.int64),
+                pa.int64()),
+            "n_a": pa.array([rows[k][2] for k in ks], pa.int64()),
+            "n_b": pa.array([rows[k][3] for k in ks], pa.int64()),
+            "n_diff": pa.array([rows[k][4] for k in ks], pa.int64()),
+        })
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (shard, bucket), gg in g.groupby(["shard", "bucket"]):
+            sa = int(gg["sum_a"].to_numpy().view(np.uint64).sum() & 0xFFFFFFFFFFFFFFFF)
+            sb = int(gg["sum_b"].to_numpy().view(np.uint64).sum() & 0xFFFFFFFFFFFFFFFF)
+            out.append((shard, bucket, np.int64(np.uint64(sa)),
+                        np.int64(np.uint64(sb)),
+                        gg["n_a"].sum(), gg["n_b"].sum(), gg["n_diff"].sum()))
+        return pd.DataFrame(out, columns=["shard", "bucket", "sum_a", "sum_b",
+                                          "n_a", "n_b", "n_diff"])
+
+    buckets = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["shard", "bucket"], reduce).to_pandas()
+
+    def tree_walk(leaves_a: np.ndarray, leaves_b: np.ndarray) -> tuple[bool, int, int]:
+        """Build both 64-leaf trees, walk top-down counting compared
+        nodes; returns (root_equal, n_comparisons, n_diverged_buckets)."""
+        def build(leaves: np.ndarray) -> list[np.ndarray]:
+            lvls = [leaves.astype(np.uint64)]
+            while len(lvls[-1]) > 1:
+                cur = lvls[-1]
+                lvls.append((cur[0::2] * np.uint64(_MERKLE_MUL_L)
+                             + cur[1::2] * np.uint64(_MERKLE_MUL_R)))
+            return lvls[::-1]  # root first
+
+        ta, tb = build(leaves_a), build(leaves_b)
+        comps = 0
+        diverged = 0
+        frontier = [(0, 0)]  # (level, index)
+        while frontier:
+            lvl, idx = frontier.pop()
+            comps += 1
+            if ta[lvl][idx] == tb[lvl][idx]:
+                continue
+            if lvl == len(ta) - 1:
+                diverged += 1
+            else:
+                frontier.append((lvl + 1, 2 * idx + 1))
+                frontier.append((lvl + 1, 2 * idx))
+        return bool(ta[0][0] == tb[0][0]), comps, diverged
+
+    out = []
+    for shard in range(8):
+        g = buckets[buckets["shard"] == shard]
+        la = np.zeros(64, np.uint64)
+        lb = np.zeros(64, np.uint64)
+        bk = g["bucket"].to_numpy()
+        la[bk] = g["sum_a"].to_numpy().view(np.uint64)
+        lb[bk] = g["sum_b"].to_numpy().view(np.uint64)
+        root_eq, comps, div_buckets = tree_walk(la, lb)
+        truth_div = int((g["n_diff"] > 0).sum())
+        if div_buckets != truth_div:
+            raise ValueError(
+                f"shard {shard}: tree found {div_buckets} diverged buckets, "
+                f"ground truth {truth_div}")
+        out.append((shard, root_eq, int(g["n_a"].sum()), int(g["n_b"].sum()),
+                    int(g["n_diff"].sum()), div_buckets, comps))
+    return pd.DataFrame(out, columns=[
+        "shard", "root_equal", "n_docs_a", "n_docs_b", "n_diverged_docs",
+        "n_diverged_buckets", "n_node_comparisons"]).astype(
+        {c: "int64" for c in ["shard", "n_docs_a", "n_docs_b",
+                              "n_diverged_docs", "n_diverged_buckets",
+                              "n_node_comparisons"]})

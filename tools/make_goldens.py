@@ -2207,7 +2207,73 @@ def qdigest_quantiles(sf_dir: str) -> None:
                               "rank_err_bound", "digest_nodes"]}))
 
 
-ALL = [qdigest_quantiles, lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def merkle_diff(sf_dir: str) -> None:
+    """Independent recursive Merkle mirror of merkle_replica_diff:
+    dict-of-buckets accumulation, recursive compare (vs the engine's
+    vectorized level arrays + explicit stack); only the written spec
+    (bucket = (id//8)%64, content key = md5[:8]+id mod 2^64, combine
+    l*1000003 + r*999983, planted %97/%101 rules) is shared."""
+    import hashlib as _hl
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    acc: dict = {}
+    for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        d = int(d)
+        sh, bu = d % 8, (d // 8) % 64
+        ka = (int.from_bytes(_hl.md5(txt.encode()).digest()[:8], "big") + d) % (1 << 64)
+        in_b = d % 101 != 7
+        tb = txt + "~tampered" if d % 97 == 5 else txt
+        kb = ((int.from_bytes(_hl.md5(tb.encode()).digest()[:8], "big") + d) % (1 << 64)) if in_b else 0
+        r = acc.setdefault((sh, bu), [0, 0, 0, 0, 0])
+        r[0] = (r[0] + ka) % (1 << 64)
+        r[1] = (r[1] + kb) % (1 << 64)
+        r[2] += 1
+        r[3] += 1 if in_b else 0
+        r[4] += 1 if (not in_b or kb != ka) else 0
+    rows = []
+    for sh in range(8):
+        la = [acc.get((sh, b), [0] * 5)[0] for b in range(64)]
+        lb = [acc.get((sh, b), [0] * 5)[1] for b in range(64)]
+
+        def levels(ls):
+            out = [ls]
+            while len(out[-1]) > 1:
+                cur = out[-1]
+                out.append([(cur[j] * 1000003 + cur[j + 1] * 999983) % (1 << 64)
+                            for j in range(0, len(cur), 2)])
+            return out[::-1]
+
+        ta, tbl = levels(la), levels(lb)
+        comps = [0]
+        div = [0]
+
+        def walk(lvl, idx):
+            comps[0] += 1
+            if ta[lvl][idx] == tbl[lvl][idx]:
+                return
+            if lvl == len(ta) - 1:
+                div[0] += 1
+                return
+            walk(lvl + 1, 2 * idx)
+            walk(lvl + 1, 2 * idx + 1)
+
+        # engine pops a LIFO stack seeded (left, right) -> visits left
+        # subtree first; recursion left-then-right matches the COUNT
+        walk(0, 0)
+        na = sum(acc.get((sh, b), [0] * 5)[2] for b in range(64))
+        nb = sum(acc.get((sh, b), [0] * 5)[3] for b in range(64))
+        nd = sum(acc.get((sh, b), [0] * 5)[4] for b in range(64))
+        rows.append((sh, ta[0][0] == tbl[0][0], na, nb, nd, div[0], comps[0]))
+    _write("merkle_diff", sf_dir, pd.DataFrame(rows, columns=[
+        "shard", "root_equal", "n_docs_a", "n_docs_b", "n_diverged_docs",
+        "n_diverged_buckets", "n_node_comparisons"]).astype(
+        {c: "int64" for c in ["shard", "n_docs_a", "n_docs_b",
+                              "n_diverged_docs", "n_diverged_buckets",
+                              "n_node_comparisons"]}))
+
+
+ALL = [merkle_diff, qdigest_quantiles, lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
