@@ -14802,3 +14802,154 @@ def merkle_replica_diff(sf_dir: str):
         {c: "int64" for c in ["shard", "n_docs_a", "n_docs_b",
                               "n_diverged_docs", "n_diverged_buckets",
                               "n_node_comparisons"]})
+
+
+_ENCODING_AUDIT_SQL = """
+    WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_custkey AS ck
+               FROM orders),
+    w AS (SELECT k, st, ck,
+                 LAG(st) OVER (ORDER BY k) AS pst,
+                 LAG(ck) OVER (ORDER BY k) AS pck,
+                 LAG(k) OVER (ORDER BY k) AS pk
+          FROM o),
+    agg AS (SELECT
+      COUNT(*) AS n,
+      SUM(length(st)) AS st_len,
+      COUNT(DISTINCT st) AS st_d,
+      (SELECT SUM(length(v) + 4) FROM (SELECT DISTINCT st AS v FROM o)) AS st_dict_heap,
+      SUM(CASE WHEN pst IS NULL OR st != pst THEN 8 + length(st) ELSE 0 END)
+        AS st_rle,
+      COUNT(DISTINCT ck) AS ck_d,
+      SUM(CASE WHEN pck IS NULL OR ck != pck THEN 12 ELSE 0 END) AS ck_rle,
+      SUM(CASE WHEN pk IS NULL THEN 8
+               WHEN k - pk < 128 THEN 1
+               WHEN k - pk < 16384 THEN 2
+               WHEN k - pk < 2097152 THEN 3
+               WHEN k - pk < 268435456 THEN 4 ELSE 5 END) AS k_delta
+      FROM w)
+    SELECT col, encoding, CAST(bytes AS BIGINT) AS bytes FROM (
+      SELECT 'o_orderstatus' AS col, 'plain' AS encoding,
+             st_len + 4 * n AS bytes FROM agg
+      UNION ALL SELECT 'o_orderstatus', 'dict',
+             st_dict_heap + n * CASE WHEN st_d <= 256 THEN 1
+                                     WHEN st_d <= 65536 THEN 2 ELSE 4 END
+             FROM agg
+      UNION ALL SELECT 'o_orderstatus', 'rle', st_rle FROM agg
+      UNION ALL SELECT 'o_custkey', 'plain', 8 * n FROM agg
+      UNION ALL SELECT 'o_custkey', 'dict',
+             8 * ck_d + n * CASE WHEN ck_d <= 256 THEN 1
+                                 WHEN ck_d <= 65536 THEN 2 ELSE 4 END
+             FROM agg
+      UNION ALL SELECT 'o_custkey', 'rle', ck_rle FROM agg
+      UNION ALL SELECT 'o_orderkey', 'plain', 8 * n FROM agg
+      UNION ALL SELECT 'o_orderkey', 'delta_varint', k_delta FROM agg)
+"""
+
+
+@register("encoding_size_audit", _ENCODING_AUDIT_SQL)
+def encoding_size_audit(sf_dir: str):
+    """Columnar encoding-size audit — the storage-planning table that
+    picks per-column encodings before a 100-TB rewrite (the decision
+    Parquet/ORC writers make heuristically, here measured exactly):
+    byte-exact sizes of plain vs dictionary vs run-length vs
+    delta-varint layouts for a low-cardinality varchar
+    (o_orderstatus), a mid-cardinality int (o_custkey) and the sorted
+    key itself (o_orderkey; the linkstore's LEB128 ladder reused).
+    RLE/delta need the GLOBAL adjacent order, obtained without a
+    global sort: rows range-bucket by o_orderkey // 4096 (contiguous
+    key ranges, ONE bounded shuffle), runs/deltas count inside each
+    sorted bucket, and the driver stitches only the n_buckets
+    boundary rows (first/last value per bucket) — the two-phase scan
+    idiom of global_row_numbers_docs applied to adjacency."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_custkey"])
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "k": t.column("o_orderkey").to_numpy().astype(np.int64),
+            "st": t.column("o_orderstatus").to_pylist(),
+            "ck": t.column("o_custkey").to_numpy().astype(np.int64),
+        })
+        df["rb"] = df["k"] // 4096
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("k", kind="mergesort")
+        st = g["st"].to_numpy()
+        ck = g["ck"].to_numpy()
+        k = g["k"].to_numpy()
+        st_len = np.array([len(x) for x in st], np.int64)
+        st_start = np.concatenate([[True], st[1:] != st[:-1]])
+        ck_start = np.concatenate([[True], ck[1:] != ck[:-1]])
+        d = np.diff(k)
+        vb = np.where(d < 128, 1, np.where(d < 16384, 2,
+                      np.where(d < 2097152, 3, np.where(d < 268435456, 4, 5))))
+        return pd.DataFrame({
+            "rb": [int(g["rb"].iloc[0])],
+            "n": [len(g)],
+            "st_len_sum": [int(st_len.sum())],
+            "st_rle": [int((st_start * (8 + st_len)).sum())],
+            "ck_rle": [int(ck_start.sum()) * 12],
+            "k_delta": [int(vb.sum())],
+            "first_k": [int(k[0])], "last_k": [int(k[-1])],
+            "first_st": [st[0]], "last_st": [st[-1]],
+            "first_ck": [int(ck[0])], "last_ck": [int(ck[-1])],
+        })
+
+    parts = bucketed_group_agg(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536),
+        ["rb"], per_bucket).to_pandas().sort_values("rb").reset_index(drop=True)
+
+    # distinct counts: bounded grouped distinct (value-domain shuffles)
+    def distinct_count(col: str) -> tuple[int, int]:
+        """(n_distinct, Σ len over distinct) — len sum only for strings."""
+        def p(t: pa.Table) -> pd.DataFrame:
+            vals = pd.Series(
+                t.column(col).to_pylist() if col == "o_orderstatus"
+                else t.column(col).to_numpy()).drop_duplicates()
+            return pd.DataFrame({"v": vals})
+        dd = bucketed_group_agg(
+            _read(sf_dir, "orders", [col]).map_batches(p, batch_format="pyarrow",
+                                                       batch_size=65536),
+            ["v"], lambda g: g.drop_duplicates(ignore_index=True)).to_pandas()
+        if col == "o_orderstatus":
+            return len(dd), int(sum(len(x) for x in dd["v"]))
+        return len(dd), 0
+
+    st_d, st_heap_len = distinct_count("o_orderstatus")
+    ck_d, _ = distinct_count("o_custkey")
+
+    n = int(parts["n"].sum())
+    st_len_sum = int(parts["st_len_sum"].sum())
+    st_rle = int(parts["st_rle"].sum())
+    ck_rle = int(parts["ck_rle"].sum())
+    k_delta = int(parts["k_delta"].sum()) + 8  # first global value
+    # boundary stitch: a bucket whose first value equals the previous
+    # bucket's last value double-counted one run start; the key delta
+    # across the boundary was never counted
+    for i in range(1, len(parts)):
+        prev, cur = parts.iloc[i - 1], parts.iloc[i]
+        if cur["first_st"] == prev["last_st"]:
+            st_rle -= 8 + len(cur["first_st"])
+        if cur["first_ck"] == prev["last_ck"]:
+            ck_rle -= 12
+        d = int(cur["first_k"]) - int(prev["last_k"])
+        k_delta += 1 if d < 128 else 2 if d < 16384 else 3 \
+            if d < 2097152 else 4 if d < 268435456 else 5
+
+    def idx_bytes(dcnt: int) -> int:
+        return 1 if dcnt <= 256 else 2 if dcnt <= 65536 else 4
+
+    rows = [
+        ("o_orderstatus", "plain", st_len_sum + 4 * n),
+        ("o_orderstatus", "dict", st_heap_len + 4 * st_d + n * idx_bytes(st_d)),
+        ("o_orderstatus", "rle", st_rle),
+        ("o_custkey", "plain", 8 * n),
+        ("o_custkey", "dict", 8 * ck_d + n * idx_bytes(ck_d)),
+        ("o_custkey", "rle", ck_rle),
+        ("o_orderkey", "plain", 8 * n),
+        ("o_orderkey", "delta_varint", k_delta),
+    ]
+    return pd.DataFrame(rows, columns=["col", "encoding", "bytes"]).astype(
+        {"bytes": "int64"})
