@@ -14953,3 +14953,75 @@ def encoding_size_audit(sf_dir: str):
     ]
     return pd.DataFrame(rows, columns=["col", "encoding", "bytes"]).astype(
         {"bytes": "int64"})
+
+
+_ROARING_SQL = """
+    WITH pairs AS (SELECT DISTINCT term, doc_id FROM (
+        SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents)),
+    w AS (SELECT term, doc_id,
+                 LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS pd
+          FROM pairs),
+    per AS (SELECT term, COUNT(*) AS n,
+                   SUM(CASE WHEN pd IS NULL OR doc_id != pd + 1
+                            THEN 1 ELSE 0 END) AS runs
+            FROM w GROUP BY term)
+    SELECT term, CAST(n AS BIGINT) AS n_docs, CAST(runs AS BIGINT) AS n_runs,
+           CAST(2 * n AS BIGINT) AS array_bytes,
+           CAST(8192 AS BIGINT) AS bitmap_bytes,
+           CAST(4 * runs AS BIGINT) AS run_bytes,
+           CASE WHEN 4 * runs <= 2 * n AND 4 * runs <= 8192 THEN 'run'
+                WHEN 2 * n <= 8192 THEN 'array' ELSE 'bitmap' END
+             AS best_container
+    FROM per
+"""
+
+
+@register("roaring_container_audit", _ROARING_SQL)
+def roaring_container_audit(sf_dir: str):
+    """Roaring-bitmap container selection audit (Lemire, Ssi-Yan-Kai
+    & Kaser, SPE 2016): for every term's posting list, the byte-exact
+    cost of the three Roaring container types — sorted uint16 array
+    (2n), fixed bitmap (8 KB) and run container (4·runs) — and the
+    winner under Roaring's own rule (runs if smallest, else array
+    under 4096 entries, else bitmap). This is the index-layout
+    decision behind the Solr sink's postings and the linkstore's
+    varint choice, measured instead of assumed; dense boilerplate
+    terms flip to run/bitmap containers while rare terms stay arrays.
+    Run counting needs per-term ADJACENCY (doc_id == prev + 1): the
+    DISTINCT (term, doc_id) pairs co-locate per term through ONE
+    bounded shuffle (the inverted-index shape), runs count vectorized
+    inside each sorted posting — postings are df-bounded per term,
+    the documented inverted-family contract."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        terms, docs = [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            for term in set(txt.split(" ")):
+                terms.append(term)
+                docs.append(int(i))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for term, gg in g.groupby("term", sort=False):
+            ids = np.unique(gg["doc_id"].to_numpy())
+            n = len(ids)
+            runs = int(1 + (np.diff(ids) != 1).sum()) if n else 0
+            ab, bb, rb = 2 * n, 8192, 4 * runs
+            best = ("run" if rb <= ab and rb <= bb
+                    else "array" if ab <= bb else "bitmap")
+            out.append((term, n, runs, ab, bb, rb, best))
+        return pd.DataFrame(out, columns=[
+            "term", "n_docs", "n_runs", "array_bytes", "bitmap_bytes",
+            "run_bytes", "best_container"]).astype(
+            {c: "int64" for c in ["n_docs", "n_runs", "array_bytes",
+                                  "bitmap_bytes", "run_bytes"]})
+
+    return bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
+        ["term"], per_term).to_pandas()
