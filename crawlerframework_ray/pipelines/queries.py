@@ -15025,3 +15025,68 @@ def roaring_container_audit(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
         ["term"], per_term).to_pandas()
+
+
+_ZONEMAP_SQL = """
+    WITH b AS (SELECT o_orderkey // 4096 AS blk,
+                      MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+                      COUNT(*) AS n,
+                      SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END)
+                        AS n_match
+               FROM orders GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN hi < 150000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS blocks_pruned,
+           CAST(SUM(CASE WHEN hi >= 150000 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(n) AS BIGINT) AS rows_total,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+           CAST(10000 * SUM(CASE WHEN hi < 150000 THEN n ELSE 0 END)
+                // SUM(n) AS BIGINT) AS rows_skipped_bp
+    FROM b
+"""
+
+
+@register("zonemap_pruning_audit", _ZONEMAP_SQL)
+def zonemap_pruning_audit(sf_dir: str):
+    """Zone-map (block min/max) pruning effectiveness — the
+    storage-layout audit behind predicate pushdown (the machinery
+    urgent_orders_pruned_scan USES, here measured): for 4096-row
+    o_orderkey blocks, how many blocks a `o_totalprice >= 150k`
+    predicate prunes outright and what fraction of rows never leaves
+    storage. The layout lesson it surfaces: a price predicate over
+    key-ordered blocks prunes almost nothing (price is uncorrelated
+    with key) — the quantitative case for the z-order layout
+    zorder_layout_events builds. One bounded grouped min/max/count;
+    scalar partials to the fold."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "blk": t.column("o_orderkey").to_numpy().astype(np.int64) // 4096,
+            "p": t.column("o_totalprice").to_numpy(),
+        })
+        g = df.groupby("blk").agg(hi=("p", "max"), n=("p", "size"),
+                                  n_match=("p", lambda s: int((s >= 150000).sum())))
+        return g.reset_index()
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("blk", as_index=False).agg(
+            hi=("hi", "max"), n=("n", "sum"), n_match=("n_match", "sum"))
+
+    b = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["blk"], reduce).to_pandas()
+    pruned = b["hi"] < 150000
+    return pd.DataFrame({
+        "n_blocks": pd.Series([len(b)], dtype="int64"),
+        "blocks_pruned": pd.Series([int(pruned.sum())], dtype="int64"),
+        "rows_scanned": pd.Series([int(b.loc[~pruned, "n"].sum())], dtype="int64"),
+        "rows_total": pd.Series([int(b["n"].sum())], dtype="int64"),
+        "rows_matched": pd.Series([int(b["n_match"].sum())], dtype="int64"),
+        "rows_skipped_bp": pd.Series(
+            [10000 * int(b.loc[pruned, "n"].sum()) // int(b["n"].sum())],
+            dtype="int64"),
+    })
