@@ -15090,3 +15090,89 @@ def zonemap_pruning_audit(sf_dir: str):
             [10000 * int(b.loc[pruned, "n"].sum()) // int(b["n"].sum())],
             dtype="int64"),
     })
+
+
+_PGM_EPSILONS = (4, 16, 64)
+_PGM_BUCKET_US = 86_400_000_000  # one day of microseconds
+
+
+def _pgm_segments_count(keys: np.ndarray, eps: int) -> int:
+    """Greedy PGM segmentation (Ferragina & Vinciguerra, VLDB 2020)
+    over one bucket's sorted distinct keys: maintain the feasible
+    slope interval [lo, hi] as exact rationals (python-int cross
+    multiplication — denominators are key spans, far past int64 when
+    multiplied); a point whose constraint empties the interval closes
+    the segment. Returns the segment count; the invariant guarantees
+    every closed segment admits a linear model with |pred − pos| ≤
+    eps."""
+    n = len(keys)
+    if n == 0:
+        return 0
+    segs = 1
+    start = 0
+    lo_n, lo_d = -1, 0  # -inf
+    hi_n, hi_d = 1, 0   # +inf
+    for j in range(1, n):
+        dx = int(keys[j] - keys[start])
+        dy = j - start
+        nl_n, nl_d = dy - eps, dx
+        nh_n, nh_d = dy + eps, dx
+        # lo = max(lo, nl); hi = min(hi, nh); a/b vs c/d with b,d >= 0
+        if lo_d == 0 or nl_n * lo_d > lo_n * nl_d:
+            lo_n, lo_d = nl_n, nl_d
+        if hi_d == 0 or nh_n * hi_d < hi_n * nh_d:
+            hi_n, hi_d = nh_n, nh_d
+        if lo_n * hi_d > hi_n * lo_d:
+            segs += 1
+            start = j
+            lo_n, lo_d = -1, 0
+            hi_n, hi_d = 1, 0
+    return segs
+
+
+@register("pgm_index_segments", _golden_sql("pgm_segments"))
+def pgm_index_segments(sf_dir: str):
+    """PGM-index segmentation audit (Ferragina & Vinciguerra, VLDB
+    2020 — the learned-index layout whose size is the number of
+    ε-feasible linear segments over the sorted key array): for ε ∈
+    {4, 16, 64}, how many segments the distinct event-timestamp key
+    set needs — the size-vs-search-error curve that prices a learned
+    index against the B-tree it replaces (each segment is ~16 bytes;
+    lookups binary-search 2ε positions). Exact rational greedy (no
+    float slope anywhere). Scale shape: keys dedupe through one
+    bounded shuffle, then buckets of one DAY each segment
+    INDEPENDENTLY in parallel (segments never span buckets — a
+    deterministic ≤ n_buckets overcount both sides of the oracle
+    share); counts are scalar partials. Golden: independent
+    Fraction-arithmetic mirror (tools/make_goldens.py)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def keys_partial(t: pa.Table) -> pa.Table:
+        ts = np.unique(t.column("ts").cast(pa.int64()).to_numpy())
+        return pa.table({"ts": pa.array(ts, pa.int64())})
+
+    dedup = bucketed_group_agg(
+        ds.map_batches(keys_partial, batch_format="pyarrow", batch_size=65536),
+        ["ts"], lambda g: g.drop_duplicates(ignore_index=True))
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy()
+        return pa.table({"ts": pa.array(ts, pa.int64()),
+                         "day": pa.array(ts // _PGM_BUCKET_US, pa.int64())})
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, gg in g.groupby("day"):
+            ks = np.sort(gg["ts"].to_numpy().astype(np.int64))
+            rows.extend((int(eps), len(ks), _pgm_segments_count(ks, eps))
+                        for eps in _PGM_EPSILONS)
+        return pd.DataFrame(rows, columns=["eps", "n_keys", "n_segments"])
+
+    parts = bucketed_group_agg(
+        dedup.map_batches(tag_bucket, batch_format="pyarrow"),
+        ["day"], per_day).to_pandas()
+    out = parts.groupby("eps", as_index=False)[["n_keys", "n_segments"]].sum()
+    return out.astype({"eps": "int64", "n_keys": "int64",
+                       "n_segments": "int64"})

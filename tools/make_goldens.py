@@ -2273,7 +2273,47 @@ def merkle_diff(sf_dir: str) -> None:
                               "n_node_comparisons"]}))
 
 
-ALL = [merkle_diff, qdigest_quantiles, lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def pgm_segments(sf_dir: str) -> None:
+    """Independent PGM mirror: fractions.Fraction slope intervals (vs
+    the engine's int cross-multiplication), single serial pass per day
+    bucket; only the written spec (day buckets, eps set, greedy close
+    rule) is shared."""
+    from fractions import Fraction
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    ts = np.unique(t.column("ts").cast("int64").to_numpy())
+    days: dict = {}
+    for x in ts.tolist():
+        days.setdefault(x // 86_400_000_000, []).append(x)
+    rows = []
+    for eps in (4, 16, 64):
+        total_keys = 0
+        total_segs = 0
+        for day in sorted(days):
+            ks = days[day]
+            total_keys += len(ks)
+            if not ks:
+                continue
+            segs, start = 1, 0
+            lo, hi = None, None  # None = unbounded
+            for j in range(1, len(ks)):
+                dx = ks[j] - ks[start]
+                nl = Fraction(j - start - eps, dx)
+                nh = Fraction(j - start + eps, dx)
+                lo = nl if lo is None or nl > lo else lo
+                hi = nh if hi is None or nh < hi else hi
+                if lo > hi:
+                    segs += 1
+                    start = j
+                    lo, hi = None, None
+            total_segs += segs
+        rows.append((eps, total_keys, total_segs))
+    _write("pgm_segments", sf_dir, pd.DataFrame(
+        rows, columns=["eps", "n_keys", "n_segments"]).astype("int64"))
+
+
+ALL = [pgm_segments, merkle_diff, qdigest_quantiles, lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
