@@ -15176,3 +15176,89 @@ def pgm_index_segments(sf_dir: str):
     out = parts.groupby("eps", as_index=False)[["n_keys", "n_segments"]].sum()
     return out.astype({"eps": "int64", "n_keys": "int64",
                        "n_segments": "int64"})
+
+
+_CARD_EST_SQL = """
+    WITH s AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS n_o,
+             (SELECT COUNT(*) FROM lineitem) AS n_l,
+             (SELECT COUNT(*) FROM customer) AS n_c,
+             (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS d_ok,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS d_lk,
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_oc,
+             (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS d_ck),
+    acts AS (
+      SELECT 'orders_lineitem' AS join_name,
+             (SELECT n_o * n_l // GREATEST(d_ok, d_lk) FROM s) AS est,
+             (SELECT COUNT(*) FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey) AS act
+      UNION ALL
+      SELECT 'customer_orders',
+             (SELECT n_c * n_o // GREATEST(d_ck, d_oc) FROM s),
+             (SELECT COUNT(*) FROM customer c JOIN orders o
+              ON c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'orders_selfjoin_cust',
+             (SELECT n_o * n_o // d_oc FROM s),
+             (SELECT COUNT(*) FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey))
+    SELECT join_name, CAST(est AS BIGINT) AS est_rows,
+           CAST(act AS BIGINT) AS actual_rows,
+           CAST(1000 * GREATEST(est, act) // LEAST(est, act) AS BIGINT)
+             AS q_error_permille
+    FROM acts
+"""
+
+
+@register("join_cardinality_estimate_audit", _CARD_EST_SQL)
+def join_cardinality_estimate_audit(sf_dir: str):
+    """Join-cardinality estimation audit (the experiment of Leis et
+    al., "How Good Are Query Optimizers, Really?", VLDB 2015): the
+    textbook independence/containment estimate |R|·|S| /
+    max(ndv(R.k), ndv(S.k)) against the TRUE join size, per join,
+    with the q-error (max/min ratio, exact permille) that paper made
+    the standard metric. The uniform key joins land near 1000‰; the
+    self-join on a skewed key shows the Σf² > n²/d underestimate
+    every optimizer suffers — the number that motivates this repo's
+    own hot-key salting (stages/joins.hash_join n_salts). All counts
+    distributed: ndv via bounded distinct shuffles, true sizes via
+    per-key count partials joined as Σ f_R(k)·f_S(k) — the join is
+    never materialized to count it."""
+    from ..stages.agg import bucketed_group_agg
+
+    def key_counts(table: str, col: str):
+        ds = _read(sf_dir, table, [col])
+
+        def p(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t.column(col).to_numpy(), return_counts=True)
+            return pa.table({"k": pa.array(u, pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+
+        return bucketed_group_agg(
+            ds.map_batches(p, batch_format="pyarrow", batch_size=65536),
+            ["k"], lambda g: g.groupby("k", as_index=False)["c"].sum(),
+        ).to_pandas()
+
+    ok = key_counts("orders", "o_orderkey")
+    lk = key_counts("lineitem", "l_orderkey")
+    oc = key_counts("orders", "o_custkey")
+    ck = key_counts("customer", "c_custkey")
+
+    def true_join(a: pd.DataFrame, b: pd.DataFrame) -> int:
+        m = a.merge(b, on="k", suffixes=("_a", "_b"))
+        return int((m["c_a"].to_numpy() * m["c_b"].to_numpy()).sum())
+
+    n_o, n_l, n_c = int(ok["c"].sum()), int(lk["c"].sum()), int(ck["c"].sum())
+    rows = [
+        ("orders_lineitem", n_o * n_l // max(len(ok), len(lk)),
+         true_join(ok, lk)),
+        ("customer_orders", n_c * n_o // max(len(ck), len(oc)),
+         true_join(ck, oc)),
+        ("orders_selfjoin_cust", n_o * n_o // len(oc), true_join(oc, oc)),
+    ]
+    return pd.DataFrame(rows, columns=["join_name", "est_rows",
+                                       "actual_rows"]).assign(
+        q_error_permille=lambda d: 1000 * d[["est_rows", "actual_rows"]].max(axis=1)
+        // d[["est_rows", "actual_rows"]].min(axis=1)).astype(
+        {"est_rows": "int64", "actual_rows": "int64",
+         "q_error_permille": "int64"})
