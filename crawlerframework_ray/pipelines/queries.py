@@ -15262,3 +15262,85 @@ def join_cardinality_estimate_audit(sf_dir: str):
         // d[["est_rows", "actual_rows"]].min(axis=1)).astype(
         {"est_rows": "int64", "actual_rows": "int64",
          "q_error_permille": "int64"})
+
+
+_LRU2_SQL = """
+    WITH o1 AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS p1
+      FROM events),
+    o AS (
+      SELECT user_id, event_type, ts, event_id, p1,
+             SUM(CASE WHEN p1 IS NULL OR event_type != p1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM o1),
+    runs AS (SELECT user_id, island, MIN(event_type) AS run_val FROM o
+             GROUP BY user_id, island),
+    j AS (SELECT o.user_id, o.event_type,
+                 (o.event_type = o.p1 OR o.event_type = pr.run_val) AS hit
+          FROM o LEFT JOIN runs pr
+            ON pr.user_id = o.user_id AND pr.island = o.island - 1
+          WHERE o.p1 IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_accesses,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(10000 * SUM(CASE WHEN hit THEN 1 ELSE 0 END) // COUNT(*)
+                AS BIGINT) AS hit_bp
+    FROM j GROUP BY event_type
+"""
+
+
+@register("lru2_cache_hit_audit", _LRU2_SQL)
+def lru2_cache_hit_audit(sf_dir: str):
+    """LRU(2) cache-locality audit over per-user event streams — the
+    measured form of the reference's memcache bet (S2/T7,
+    crawler/utils/cache.py: a read-through cache only pays if
+    re-references cluster): an access hits a 2-slot LRU iff it equals
+    the previous access OR the previous RUN's value (LRU(2) state
+    after i−1 is exactly {current run value, previous run value} —
+    the gaps-and-islands identity that makes an inherently sequential
+    cache simulation EXPRESSIBLE as vectorized windows, no stateful
+    scan). Per-event-type hit rates in exact basis points size the
+    per-worker cache the fetcher actors carry. One user-keyed bounded
+    shuffle; islands and the previous-run join are vectorized inside
+    each co-located group."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        p1 = np.roll(et, 1).copy()
+        run_start = new_user | np.concatenate([[True], et[1:] != et[:-1]])
+        island = np.cumsum(run_start)
+        # previous run's value per row: value at the start of island-1
+        starts = np.flatnonzero(run_start)
+        run_vals = et[starts]
+        run_user = uid[starts]
+        ridx = island - 1  # 1-based island -> index into run arrays
+        prev_run_val = np.where(
+            (ridx - 1 >= 0) & (run_user[np.maximum(ridx - 1, 0)] == uid),
+            run_vals[np.maximum(ridx - 1, 0)], None)
+        valid = ~new_user
+        hit = (et == p1) | (et == prev_run_val)
+        df = pd.DataFrame({"event_type": et[valid],
+                           "hit": hit[valid].astype(np.int64)})
+        out = df.groupby("event_type", as_index=False).agg(
+            n_accesses=("hit", "size"), n_hits=("hit", "sum"))
+        return out.astype({"n_accesses": "int64", "n_hits": "int64"})
+
+    parts = bucketed_group_agg(ds, ["user_id"], per_user)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("event_type", as_index=False)[
+            ["n_accesses", "n_hits"]].sum()
+        gg["hit_bp"] = 10000 * gg["n_hits"] // gg["n_accesses"]
+        return gg
+
+    return bucketed_group_agg(parts, ["event_type"], rollup).to_pandas().astype(
+        {"n_accesses": "int64", "n_hits": "int64", "hit_bp": "int64"})
