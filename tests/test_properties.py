@@ -299,3 +299,73 @@ def test_audio_quality_matches_plant_for_any_seed(seed):
     t = AudioQualityStage()(batch)
     assert t.column("n_silent").to_pylist() == [len(sil)]
     assert t.column("n_clipped_samples").to_pylist() == [1024 if clip >= 0 else 0]
+
+
+def test_pgm_greedy_segments_admit_eps_feasible_lines():
+    # the greedy's invariant: every closed segment admits a linear
+    # model with |pred - pos| <= eps — reconstruct one (the midpoint
+    # of the final feasible slope interval, exact Fractions) and
+    # check every point, over random irregular key sets
+    from fractions import Fraction
+
+    import numpy as np
+
+    from crawlerframework_ray.pipelines.queries import _pgm_segments_count
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(2, 400))
+        keys = np.unique(rng.integers(0, 10**12, n).astype(np.int64))
+        for eps in (1, 4, 16):
+            # re-run the greedy with Fractions, tracking segment spans
+            segs = []
+            start, lo, hi = 0, None, None
+            for j in range(1, len(keys)):
+                dx = int(keys[j] - keys[start])
+                nl = Fraction(j - start - eps, dx)
+                nh = Fraction(j - start + eps, dx)
+                lo = nl if lo is None or nl > lo else lo
+                hi = nh if hi is None or nh < hi else hi
+                if lo > hi:
+                    segs.append((start, j - 1))
+                    start, lo, hi = j, None, None
+            segs.append((start, len(keys) - 1))
+            assert len(segs) == _pgm_segments_count(keys, eps)
+            for s, e in segs:
+                if e == s:
+                    continue
+                # final feasible interval for this segment
+                flo, fhi = None, None
+                for j in range(s + 1, e + 1):
+                    dx = int(keys[j] - keys[s])
+                    nl = Fraction(j - s - eps, dx)
+                    nh = Fraction(j - s + eps, dx)
+                    flo = nl if flo is None or nl > flo else flo
+                    fhi = nh if fhi is None or nh < fhi else fhi
+                assert flo <= fhi
+                slope = (flo + fhi) / 2
+                for j in range(s, e + 1):
+                    pred = slope * int(keys[j] - keys[s])
+                    assert abs(pred - (j - s)) <= eps
+
+
+def test_bottomk_merge_law():
+    # bottom-k of a union == bottom-k of per-partition bottom-ks
+    import numpy as np
+
+    m = np.uint64(0x9E3779B97F4A7C15)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 10**9, 3000).astype(np.int64)
+    hk = (ids.astype(np.uint64) + np.uint64(1)) * m
+    k = 32
+
+    def bottomk(i, h):
+        o = np.lexsort((i, h))[:k]
+        return i[o], h[o]
+
+    gi, gh = bottomk(ids, hk)
+    for split in (1, 700, 2999):
+        ai, ah = bottomk(ids[:split], hk[:split])
+        bi, bh = bottomk(ids[split:], hk[split:])
+        mi, mh = bottomk(np.concatenate([ai, bi]), np.concatenate([ah, bh]))
+        assert (mi == gi).all() and (mh == gh).all()
