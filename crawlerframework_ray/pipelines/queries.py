@@ -15344,3 +15344,82 @@ def lru2_cache_hit_audit(sf_dir: str):
 
     return bucketed_group_agg(parts, ["event_type"], rollup).to_pandas().astype(
         {"n_accesses": "int64", "n_hits": "int64", "hit_bp": "int64"})
+
+
+def _half_lang_case(halfexpr: str) -> str:
+    """detect_lang over an arbitrary SQL text expression (same trigram
+    table and first-max rule as _lang_id_sql)."""
+    from ..functions.textstats import _LANG_TRIGRAMS
+
+    langs = [l for l, g in _LANG_TRIGRAMS.items() if g]
+    low = f"substr(lower({halfexpr}), 1, 1000)"
+    score = {
+        l: " + ".join(
+            f"(length({low}) - length(replace({low}, '{g}', ''))) // 3"
+            for g in _LANG_TRIGRAMS[l])
+        for l in langs
+    }
+    m = "GREATEST(" + ", ".join(f"({e})" for e in score.values()) + ")"
+    first = " ".join(f"WHEN ({score[l]}) = {m} THEN '{l}'" for l in langs)
+    return f"CASE WHEN {m} < 2 THEN 'und' {first} ELSE 'und' END"
+
+
+_CODE_SWITCH_MARKER = " ich der und sch die ung einige schule"
+
+_CODE_SWITCH_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 4
+                  THEN text || repeat('{_CODE_SWITCH_MARKER}', 12)
+                  ELSE text END AS text
+      FROM documents),
+    halves AS (
+      SELECT doc_id,
+             substr(text, 1, length(text) // 2) AS h1,
+             substr(text, length(text) // 2 + 1) AS h2
+      FROM aug),
+    lab AS (SELECT doc_id,
+                   {_half_lang_case("h1")} AS lang_first,
+                   {_half_lang_case("h2")} AS lang_second
+            FROM halves)
+    SELECT lang_first, lang_second, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM lab GROUP BY 1, 2
+"""
+
+
+@register("code_switch_audit", _CODE_SWITCH_SQL)
+def code_switch_audit(sf_dir: str):
+    """Code-switching / mixed-language document audit — the intake
+    triage that catches concatenation artifacts (scraper glued two
+    pages), machine-translated tails and bilingual boilerplate, all
+    of which poison single-label language routing (CCNet buckets,
+    per-lang tokenizer stats): classify each document HALF with the
+    shared trigram scorer (functions/textstats.detect_lang — the SQL
+    side is generated from the SAME table) and fold the
+    (first, second) label matrix; off-diagonal mass = switch rate.
+    Planted German tails (every doc_id % 17 == 4, the house
+    convention) make recall measured. One stateless vectorized pass
+    + a labels²-bounded fold."""
+    from ..functions.textstats import detect_lang
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def label(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if int(d) % 17 == 4:
+                txt = txt + _CODE_SWITCH_MARKER * 12
+            mid = len(txt) // 2
+            rows.append((detect_lang(txt[:mid]), detect_lang(txt[mid:])))
+        df = pd.DataFrame(rows, columns=["lang_first", "lang_second"])
+        return df.groupby(["lang_first", "lang_second"],
+                          as_index=False).size().rename(columns={"size": "n_docs"})
+
+    return bucketed_group_agg(
+        ds.map_batches(label, batch_format="pyarrow", batch_size=8192),
+        ["lang_first", "lang_second"],
+        lambda g: g.groupby(["lang_first", "lang_second"],
+                            as_index=False)["n_docs"].sum(),
+    ).to_pandas().astype({"n_docs": "int64"})
