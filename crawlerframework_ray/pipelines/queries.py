@@ -15423,3 +15423,81 @@ def code_switch_audit(sf_dir: str):
         lambda g: g.groupby(["lang_first", "lang_second"],
                             as_index=False)["n_docs"].sum(),
     ).to_pandas().astype({"n_docs": "int64"})
+
+
+_DGIM_WINDOW_US = 3 * 86_400_000_000  # last 3 days
+
+
+def _dgim_final_buckets(ts_sorted: list[int]) -> list[tuple[int, int]]:
+    """DGIM exponential-histogram state after the whole stream
+    (Datar, Gionis, Indyk & Motwani, SICOMP 2002): newest-first list
+    of (timestamp, size) buckets, sizes powers of two, at most TWO of
+    each size — when a third appears, the two OLDEST of that size
+    merge into one of double size stamped with the NEWER timestamp."""
+    buckets: list[tuple[int, int]] = []  # newest first
+    for t in ts_sorted:
+        buckets.insert(0, (t, 1))
+        size = 1
+        while True:
+            idx = [i for i, b in enumerate(buckets) if b[1] == size]
+            if len(idx) <= 2:
+                break
+            i2, i1 = idx[-1], idx[-2]  # two oldest of this size
+            merged = (buckets[i1][0], size * 2)  # newer timestamp
+            del buckets[i2]
+            buckets[i1] = merged
+            size *= 2
+    return buckets
+
+
+@register("dgim_window_counts", _golden_sql("dgim_counts"))
+def dgim_window_counts(sf_dir: str):
+    """DGIM sliding-window counting (Datar et al., SICOMP 2002 — the
+    classic that counts events in a window with O(log² W) state
+    instead of storing the window): per user, the exponential
+    bucket histogram after the full event stream, queried for the
+    trailing 3 days from the GLOBAL max timestamp; estimate = full
+    qualifying buckets + half the straddling one, guaranteed within
+    50% of truth (asserted per row). This is the per-host
+    "recent-fetch count" a politeness governor keeps when it cannot
+    afford a timestamp ring buffer per host at 10^8 hosts. Scale
+    shape: ONE user-keyed bounded shuffle; each co-located stream
+    folds sequentially (the structure is order-defined) but streams
+    fold in PARALLEL across users — state per user is log²-bounded.
+    Exact truth rides the same pass. Golden: independent serial
+    mirror (dict-of-deques, tools/make_goldens.py)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    anchor = int(pd.Timestamp("2024-02-01 00:00:00").value // 1000)
+    cutoff = anchor - _DGIM_WINDOW_US
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            ts = gg["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            ts_list = [int(x) for x in ts]
+            exact = sum(1 for x in ts_list if x >= cutoff)
+            buckets = _dgim_final_buckets(ts_list)
+            qual = [b for b in buckets if b[0] >= cutoff]
+            # straddle rule: the OLDEST qualifying bucket may extend
+            # past the cutoff, so it contributes half — unless ALL
+            # buckets qualify (histogram wholly inside the window ⇒
+            # the count is exact)
+            if not qual:
+                est = 0
+            elif len(qual) == len(buckets):
+                est = sum(s for _, s in qual)
+            else:
+                est = sum(s for _, s in qual[:-1]) + (qual[-1][1] + 1) // 2
+            ok = 2 * abs(est - exact) <= exact if exact else est == 0
+            rows.append((int(uid), len(ts_list), exact, est,
+                         len(buckets), bool(ok)))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "exact_in_window", "dgim_estimate",
+            "n_buckets", "within_bound"]).astype(
+            {c: "int64" for c in ["user_id", "n_events", "exact_in_window",
+                                  "dgim_estimate", "n_buckets"]})
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()

@@ -2313,7 +2313,57 @@ def pgm_segments(sf_dir: str) -> None:
         rows, columns=["eps", "n_keys", "n_segments"]).astype("int64"))
 
 
-ALL = [pgm_segments, merkle_diff, qdigest_quantiles, lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
+
+def dgim_counts(sf_dir: str) -> None:
+    """Independent DGIM mirror: deque-based exponential histogram
+    (collections.deque, size-indexed counter dict) vs the engine's
+    list insert/merge; only the written spec (≤2 buckets per size,
+    merge two oldest stamped with the newer ts, half-the-straddler
+    query rule, 3-day window from the 2024-02-01 anchor) is shared."""
+    from collections import deque
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_id", "ts"])
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   kind="mergesort")
+    anchor = int(pd.Timestamp("2024-02-01 00:00:00").value // 1000)
+    cutoff = anchor - 3 * 86_400_000_000
+    rows = []
+    for uid, gg in df.groupby("user_id", sort=True):
+        ts = gg["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        buckets = deque()  # oldest first: (ts, size)
+        for x in ts.tolist():
+            buckets.append((int(x), 1))
+            size = 1
+            while True:
+                idx = [k for k, b in enumerate(buckets) if b[1] == size]
+                if len(idx) <= 2:
+                    break
+                a, b = idx[0], idx[1]  # two OLDEST of this size
+                newer = buckets[b][0]
+                bl = list(buckets)
+                bl[a] = (newer, size * 2)
+                del bl[b]
+                buckets = deque(bl)
+                size *= 2
+        exact = int((ts >= cutoff).sum())
+        qual = [b for b in buckets if b[0] >= cutoff]
+        if not qual:
+            est = 0
+        elif len(qual) == len(buckets):
+            est = sum(s for _, s in qual)
+        else:
+            est = sum(s for _, s in qual[1:]) + (qual[0][1] + 1) // 2
+        ok = 2 * abs(est - exact) <= exact if exact else est == 0
+        rows.append((int(uid), len(ts), exact, est, len(buckets), bool(ok)))
+    _write("dgim_counts", sf_dir, pd.DataFrame(rows, columns=[
+        "user_id", "n_events", "exact_in_window", "dgim_estimate",
+        "n_buckets", "within_bound"]).astype(
+        {c: "int64" for c in ["user_id", "n_events", "exact_in_window",
+                              "dgim_estimate", "n_buckets"]}))
+
+
+ALL = [dgim_counts, pgm_segments, merkle_diff, qdigest_quantiles, lsh_sweep, dihedral_dup_pairs, cdc_chunks, hyperball_counts, ann_ivf_topk, embedding_pairs, minhash_pairs, simhash_clusters, recrawl_counts, version_latest, image_resize_stats, update_counts, boilerplate_main, simhash_sigs, quality_fp, image_stats, search_seeds, crawl_frontier_counts,
        parse_entity_counts, mailbox_counts, newsgroup_counts, api_rotation, hll_counts, phash_sigs,
        kmeans_clusters, semdedup_keep, alignment_inputs, bpe_merges, bpe_encoded,
        image_sharpness, image_borders, video_scene_cuts_golden, audio_quality,
