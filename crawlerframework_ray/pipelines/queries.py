@@ -15501,3 +15501,195 @@ def dgim_window_counts(sf_dir: str):
                                   "dgim_estimate", "n_buckets"]})
 
     return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+# =====================================================================
+# Graph mixing structure: local clustering + rich-club (round-4 s10)
+# =====================================================================
+
+_LCC_SQL = """
+    WITH dedges AS ({EDGES}),
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM dedges),
+    deg AS (SELECT host, COUNT(*) AS deg FROM
+              (SELECT a AS host FROM u UNION ALL SELECT b FROM u)
+            GROUP BY host),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM u e1 JOIN u e2 ON e2.a = e1.b
+            JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT x AS host FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    tcnt AS (SELECT host, COUNT(*) AS nt FROM corners GROUP BY host)
+    SELECT CAST(d.host AS BIGINT) AS host, CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_triangles,
+           CAST(2000000 * COALESCE(t.nt, 0)
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN tcnt t ON t.host = d.host
+    WHERE d.deg >= 2
+"""
+
+
+@register("local_clustering_hosts",
+          _LCC_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def local_clustering_hosts(sf_dir: str):
+    """Local clustering coefficient per host (Watts & Strogatz 1998):
+    C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) on the undirected host
+    graph, in exact parts-per-million (integer floor division — both
+    sides compute the identical rational). The link-neighborhood
+    cohesion signal: link farms and mirror clusters sit near 10⁶ ppm,
+    genuine hub pages near 0 (pairs with link_farm_hosts /
+    host_triangle_counts). Scale shape: triangle counts reuse the
+    ordered-wedge join engine (stages/graph.triangle_counts — salt
+    hub mid-vertices at scale); degrees are one bounded endpoint
+    groupby over the canonical edge set; only the two O(hosts)
+    per-host result frames meet on the driver (the graph family's
+    host-level-output convention — the edge/wedge work is all
+    distributed). Oracle: SQL self-join triangles + degree join over
+    the same derived edge set."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import host_edges, triangle_counts
+
+    edges = host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    canon = bucketed_group_agg(
+        edges.map_batches(to_ab, batch_format="pyarrow"), ["a", "b"],
+        lambda g: g.drop_duplicates(ignore_index=True),
+    ).materialize()
+
+    def endpoint_partial(t: pa.Table) -> pa.Table:
+        hosts = np.concatenate([t.column("a").to_numpy(),
+                                t.column("b").to_numpy()])
+        u, c = np.unique(hosts, return_counts=True)
+        return pa.table({"host": pa.array(u, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
+    deg = bucketed_group_agg(
+        canon.map_batches(endpoint_partial, batch_format="pyarrow"),
+        ["host"], lambda g: g.groupby("host", as_index=False)["deg"].sum(),
+    ).to_pandas()
+
+    # triangle_counts canonicalizes internally (idempotent on canon)
+    tri = triangle_counts(
+        canon.map_batches(
+            lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+            batch_format="pyarrow"),
+        n_hosts=64)
+
+    df = deg.merge(tri, on="host", how="left")
+    df = df[df["deg"] >= 2].copy()
+    df["n_triangles"] = df["n_triangles"].fillna(0).astype("int64")
+    df["deg"] = df["deg"].astype("int64")
+    df["lcc_ppm"] = (2_000_000 * df["n_triangles"]) // (
+        df["deg"] * (df["deg"] - 1))
+    return (df[["host", "deg", "n_triangles", "lcc_ppm"]]
+            .astype("int64").reset_index(drop=True))
+
+
+_RICH_CLUB_KS = (21, 24, 25, 26, 27)
+
+_RICH_CLUB_SQL = """
+    WITH dedges AS ({EDGES}),
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM dedges),
+    deg AS (SELECT host, COUNT(*) AS deg FROM
+              (SELECT a AS host FROM u UNION ALL SELECT b FROM u)
+            GROUP BY host),
+    ks AS (SELECT unnest([{KS}]) AS k),
+    nk AS (SELECT ks.k, COUNT(*) AS n_rich_nodes
+           FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k),
+    ek AS (SELECT ks.k, COUNT(*) AS n_rich_edges
+           FROM ks CROSS JOIN u
+           JOIN deg da ON da.host = u.a JOIN deg db ON db.host = u.b
+           WHERE da.deg > ks.k AND db.deg > ks.k GROUP BY ks.k)
+    SELECT CAST(nk.k AS BIGINT) AS k,
+           CAST(nk.n_rich_nodes AS BIGINT) AS n_rich_nodes,
+           CAST(COALESCE(ek.n_rich_edges, 0) AS BIGINT) AS n_rich_edges,
+           CAST(2000000 * COALESCE(ek.n_rich_edges, 0)
+                // (nk.n_rich_nodes * (nk.n_rich_nodes - 1)) AS BIGINT)
+             AS phi_ppm
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_rich_nodes >= 2
+"""
+
+
+@register("rich_club_hosts",
+          _RICH_CLUB_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL)
+                        .replace("{KS}", ", ".join(map(str, _RICH_CLUB_KS))))
+def rich_club_hosts(sf_dir: str):
+    """Rich-club coefficient curve (Zhou & Mondragón 2004; Colizza et
+    al. 2006 normalization left to the caller): for each degree
+    threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of
+    hosts with degree > k, in exact ppm. The hub-interconnection
+    audit of a web graph — a rising φ(k) says high-degree hosts form
+    a core (navigational backbones do; spam constellations often
+    don't, pairing with spam_mass_hosts). Scale shape: the degree
+    vector is O(hosts) and is broadcast ONCE via ray.put for the
+    per-batch edge scans (above GRAPH_DRIVER_STATE_MAX swap the
+    broadcast for the graph family's bucketed hash-join attach, as
+    stages/graph documents); per-k partial counts fold through one
+    k-keyed bounded groupby — the driver sees len(KS) scalar rows.
+    Oracle: SQL theta-join over the same derived edge set."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import host_edges
+
+    edges = host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    canon = bucketed_group_agg(
+        edges.map_batches(to_ab, batch_format="pyarrow"), ["a", "b"],
+        lambda g: g.drop_duplicates(ignore_index=True),
+    ).materialize()
+
+    def endpoint_partial(t: pa.Table) -> pa.Table:
+        hosts = np.concatenate([t.column("a").to_numpy(),
+                                t.column("b").to_numpy()])
+        u, c = np.unique(hosts, return_counts=True)
+        return pa.table({"host": pa.array(u, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
+    deg_df = bucketed_group_agg(
+        canon.map_batches(endpoint_partial, batch_format="pyarrow"),
+        ["host"], lambda g: g.groupby("host", as_index=False)["deg"].sum(),
+    ).to_pandas()
+    nodes = deg_df["host"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    degv = deg_df["deg"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((nodes, degv))
+    ks = np.asarray(_RICH_CLUB_KS, dtype=np.int64)
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        nds, dv = ray.get(ref)
+        da = dv[np.searchsorted(nds, t.column("a").to_numpy())]
+        db = dv[np.searchsorted(nds, t.column("b").to_numpy())]
+        cnt = np.array([int(((da > k) & (db > k)).sum()) for k in ks],
+                       dtype=np.int64)
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "n_rich_edges": pa.array(cnt, pa.int64())})
+
+    ek = bucketed_group_agg(
+        canon.map_batches(edge_partial, batch_format="pyarrow"), ["k"],
+        lambda g: g.groupby("k", as_index=False)["n_rich_edges"].sum(),
+    ).to_pandas()
+
+    nk = np.array([int((degv > k).sum()) for k in ks], dtype=np.int64)
+    out = pd.DataFrame({"k": ks, "n_rich_nodes": nk}).merge(
+        ek, on="k", how="left")
+    out["n_rich_edges"] = out["n_rich_edges"].fillna(0).astype("int64")
+    out = out[out["n_rich_nodes"] >= 2].copy()
+    out["phi_ppm"] = (2_000_000 * out["n_rich_edges"]) // (
+        out["n_rich_nodes"] * (out["n_rich_nodes"] - 1))
+    return out.reset_index(drop=True).astype("int64")
