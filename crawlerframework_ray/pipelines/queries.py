@@ -15693,3 +15693,66 @@ def rich_club_hosts(sf_dir: str):
     out["phi_ppm"] = (2_000_000 * out["n_rich_edges"]) // (
         out["n_rich_nodes"] * (out["n_rich_nodes"] - 1))
     return out.reset_index(drop=True).astype("int64")
+
+
+# =====================================================================
+# Multi-pattern text scan: Aho–Corasick (round-4 s10)
+# =====================================================================
+
+_MULTIPATTERN_PATTERNS = (
+    "join order", "merge data", "batch batch", "slow sort",
+    "window", "spark", "hash scan", "the fast",
+)
+
+_MULTIPATTERN_SQL = """
+    WITH pats AS (SELECT * FROM (VALUES {VALS}) p(pattern)),
+    pos AS (SELECT d.doc_id, p.pattern,
+                   CASE WHEN substr(d.text, i.i, LENGTH(p.pattern))
+                          = p.pattern THEN 1 ELSE 0 END AS hit
+            FROM documents d CROSS JOIN pats p,
+                 LATERAL (SELECT unnest(generate_series(
+                   1, GREATEST(LENGTH(d.text) - LENGTH(p.pattern) + 1, 0)))
+                   AS i) i)
+    SELECT pattern,
+           CAST(SUM(hit) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS BIGINT)
+             AS n_docs
+    FROM pos GROUP BY pattern
+"""
+
+
+@register("multi_pattern_scan",
+          _MULTIPATTERN_SQL.replace(
+              "{VALS}",
+              ", ".join(f"('{p}')" for p in _MULTIPATTERN_PATTERNS)))
+def multi_pattern_scan(sf_dir: str):
+    """Multi-pattern substring scan via one Aho–Corasick automaton
+    pass per document (Aho & Corasick, CACM 1975) — the scale-correct
+    form of the reference's per-keyword page-scan loop
+    (baseconnector.py keyword filtering runs patterns one by one):
+    O(len + matches) per document regardless of pattern-set size,
+    counting ALL overlapping occurrences and the distinct documents
+    hit, per pattern. The automaton is built ONCE per actor in
+    ``__init__`` (functions/multipattern.MultiPatternScanStage — a
+    100k-pattern blocklist compiles once, not per batch); per-batch
+    partials are O(patterns) rows folded through one bounded groupby.
+    Oracle: independent position-expansion SQL (substr equality at
+    every start offset — overlap-exact by construction, no automaton
+    shared)."""
+    from ..functions.multipattern import MultiPatternScanStage
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(
+        MultiPatternScanStage,
+        fn_constructor_args=(list(_MULTIPATTERN_PATTERNS),),
+        batch_format="pyarrow", batch_size=4096, concurrency=2,
+    )
+    return (
+        bucketed_group_agg(
+            partials, ["pattern"],
+            lambda g: g.groupby("pattern", as_index=False)[
+                ["n_matches", "n_docs"]].sum())
+        .to_pandas()
+        .astype({"n_matches": "int64", "n_docs": "int64"})
+    )
