@@ -15756,3 +15756,201 @@ def multi_pattern_scan(sf_dir: str):
         .to_pandas()
         .astype({"n_matches": "int64", "n_docs": "int64"})
     )
+
+
+# =====================================================================
+# Classifier-eval metrics: AUC, calibration, agreement (round-4 s10)
+# =====================================================================
+
+_AUC_SQL = """
+    WITH sc AS (SELECT doc_id,
+                  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS score,
+                  CASE WHEN POSITION('spark' IN text) > 0 THEN 1 ELSE 0 END
+                    AS label
+                FROM documents),
+    rk AS (SELECT label,
+                  2 * (RANK() OVER (ORDER BY score) - 1)
+                    + COUNT(*) OVER (PARTITION BY score) + 1 AS r2
+           FROM sc),
+    s AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+                 CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg,
+                 CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END)
+                      AS BIGINT) AS rs2
+          FROM rk)
+    SELECT n_pos, n_neg,
+           CAST(rs2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(1000000 * (rs2 - n_pos * (n_pos + 1))
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM s
+"""
+
+
+@register("auc_quality_score", _AUC_SQL)
+def auc_quality_score(sf_dir: str):
+    """Exact ROC-AUC of a quality score against a binary relevance
+    label via the Mann–Whitney U statistic with tie-averaged ranks —
+    the standard gate a data pipeline runs on its quality classifier
+    before using it to filter a training corpus (score here: document
+    word count; label: contains the term 'spark'). All integers:
+    doubled rank-sums keep tie-averages exact, AUC in exact ppm.
+    Scale shape: ONE pass folds per-batch (score → n_docs, n_pos)
+    partials through a score-keyed bounded groupby; ranks come from
+    prefix sums over the score HISTOGRAM (bounded distinct scores,
+    the equi-depth/percentile family's histogram convention) — no
+    global sort of the corpus, no per-row ranks materialized. Oracle:
+    SQL window-rank over the same derivation."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = t.column("text").to_pylist()
+        score = np.array([s.count(" ") for s in txt], dtype=np.int64)
+        label = np.array([1 if "spark" in s else 0 for s in txt],
+                         dtype=np.int64)
+        df = pd.DataFrame({"score": score, "label": label})
+        g = df.groupby("score").agg(
+            n_docs=("label", "size"), n_pos=("label", "sum"))
+        return g.reset_index().astype("int64")
+
+    hist = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["score"],
+        lambda g: g.groupby("score", as_index=False)[
+            ["n_docs", "n_pos"]].sum(),
+    ).to_pandas().sort_values("score").reset_index(drop=True)
+
+    n = hist["n_docs"].to_numpy().astype(np.int64)
+    p = hist["n_pos"].to_numpy().astype(np.int64)
+    below = np.concatenate([[0], np.cumsum(n)[:-1]])
+    # doubled tie-averaged rank for every row of this score bucket
+    r2 = 2 * below + n + 1
+    n_pos = int(p.sum())
+    n_neg = int(n.sum()) - n_pos
+    rs2 = int((p * r2).sum())
+    u2 = rs2 - n_pos * (n_pos + 1)
+    return pd.DataFrame({
+        "n_pos": [n_pos], "n_neg": [n_neg], "u2": [u2],
+        "auc_ppm": [(1_000_000 * u2) // (2 * n_pos * n_neg)],
+    }).astype("int64")
+
+
+_ECE_SQL = """
+    WITH sc AS (SELECT doc_id,
+                  LEAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')), 100)
+                    AS conf,
+                  CASE WHEN POSITION('spark' IN text) > 0 THEN 1 ELSE 0 END
+                    AS label
+                FROM documents)
+    SELECT CAST(conf // 10 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(conf) AS BIGINT) AS sum_conf,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(ABS(100 * SUM(label) - SUM(conf)) AS BIGINT) AS gap
+    FROM sc GROUP BY 1
+"""
+
+
+@register("ece_calibration_audit", _ECE_SQL)
+def ece_calibration_audit(sf_dir: str):
+    """Calibration audit of a [0,100]-scaled confidence against the
+    binary label (reliability-diagram bins; the Expected Calibration
+    Error numerator per bin, exact integers — ECE itself is
+    Σ gap / (100·N), left rational). The check a filtering pipeline
+    runs before trusting classifier thresholds: a well-calibrated
+    bin's positive count tracks its summed confidence. One stateless
+    vectorized pass + a bins-bounded groupby. Oracle: native SQL."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = t.column("text").to_pylist()
+        conf = np.minimum(
+            np.array([s.count(" ") for s in txt], dtype=np.int64), 100)
+        label = np.array([1 if "spark" in s else 0 for s in txt],
+                         dtype=np.int64)
+        df = pd.DataFrame({"bin": conf // 10, "conf": conf, "label": label})
+        g = df.groupby("bin").agg(n_docs=("label", "size"),
+                                  sum_conf=("conf", "sum"),
+                                  n_pos=("label", "sum"))
+        return g.reset_index().astype("int64")
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["bin"],
+        lambda g: g.groupby("bin", as_index=False)[
+            ["n_docs", "sum_conf", "n_pos"]].sum(),
+    ).to_pandas()
+    out["gap"] = (100 * out["n_pos"] - out["sum_conf"]).abs()
+    return out.astype("int64")
+
+
+_KAPPA_SQL = """
+    WITH lab AS (SELECT
+        CASE WHEN POSITION('spark' IN text) > 0 THEN 1 ELSE 0 END AS a,
+        CASE WHEN POSITION('query' IN text) > 0 THEN 1 ELSE 0 END AS b
+      FROM documents),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a) AS BIGINT) AS a1,
+                 CAST(SUM(b) AS BIGINT) AS b1,
+                 CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+          FROM lab),
+    k AS (SELECT n, a1, b1, agree,
+                 n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS num,
+                 n * n - (a1 * b1 + (n - a1) * (n - b1)) AS den
+          FROM c)
+    SELECT n, a1, b1, agree, CAST(num AS BIGINT) AS num,
+           CAST(den AS BIGINT) AS den,
+           CAST(CASE WHEN den = 0 THEN 0
+                     ELSE 1000000 * num // den END AS BIGINT) AS kappa_ppm
+    FROM k
+"""
+
+
+@register("kappa_labeler_agreement", _KAPPA_SQL)
+def kappa_labeler_agreement(sf_dir: str):
+    """Cohen's kappa between two deterministic labelers (contains
+    'spark' vs contains 'query') — the inter-annotator-agreement
+    audit run before pooling weak labels into training data: observed
+    agreement corrected by the marginal-product chance rate, as the
+    exact rational N·agree − Σ marginals over N² − Σ marginals (ppm
+    by truncating division, matched to the SQL engine's `//`
+    toward-zero semantics). One pass of per-batch 2×2 cell partials
+    folded to a single driver row. Oracle: native SQL."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text").to_pylist()
+        a = np.array([1 if "spark" in s else 0 for s in txt], dtype=np.int64)
+        b = np.array([1 if "query" in s else 0 for s in txt], dtype=np.int64)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n": pa.array([len(a)], pa.int64()),
+            "a1": pa.array([int(a.sum())], pa.int64()),
+            "b1": pa.array([int(b.sum())], pa.int64()),
+            "agree": pa.array([int((a == b).sum())], pa.int64()),
+        })
+
+    s = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["g"],
+        lambda g: g.groupby("g", as_index=False)[
+            ["n", "a1", "b1", "agree"]].sum(),
+    ).to_pandas().iloc[0]
+    n, a1, b1, agree = (int(s["n"]), int(s["a1"]), int(s["b1"]),
+                        int(s["agree"]))
+    pe = a1 * b1 + (n - a1) * (n - b1)
+    num = n * agree - pe
+    den = n * n - pe
+    if den == 0:
+        kppm = 0
+    else:
+        kppm = (abs(num) * 1_000_000 // den) * (1 if num >= 0 else -1)
+    return pd.DataFrame({
+        "n": [n], "a1": [a1], "b1": [b1], "agree": [agree],
+        "num": [num], "den": [den], "kappa_ppm": [kppm],
+    }).astype("int64")
