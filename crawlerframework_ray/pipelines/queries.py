@@ -15954,3 +15954,84 @@ def kappa_labeler_agreement(sf_dir: str):
         "n": [n], "a1": [a1], "b1": [b1], "agree": [agree],
         "num": [num], "den": [den], "kappa_ppm": [kppm],
     }).astype("int64")
+
+
+# =====================================================================
+# Elias–Fano posting-list encoding audit (round-4 s10)
+# =====================================================================
+
+_EF_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents)),
+    per AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+                   CAST(MAX(doc_id) AS BIGINT) AS vmax
+            FROM pairs GROUP BY term),
+    sz AS (SELECT term, doc_freq, vmax,
+                  LENGTH(BIN((vmax + 1) // doc_freq)) - 1 AS low_bits
+           FROM per)
+    SELECT term, doc_freq,
+           CAST(low_bits AS BIGINT) AS low_bits,
+           CAST(doc_freq * low_bits + doc_freq + (vmax >> low_bits) + 1
+                AS BIGINT) AS ef_bits,
+           CAST((doc_freq * low_bits + doc_freq + (vmax >> low_bits) + 1 + 7)
+                // 8 AS BIGINT) AS ef_bytes,
+           CAST(doc_freq * LENGTH(BIN(vmax)) AS BIGINT) AS fixed_bits
+    FROM sz
+"""
+
+
+@register("elias_fano_postings_audit", _EF_SQL)
+def elias_fano_postings_audit(sf_dir: str):
+    """Elias–Fano posting-list compression audit (Vigna, WSDM 2013 —
+    the quasi-succinct layout production inverted indexes store
+    postings in): per term, ENCODE the real sorted doc-id list with
+    the bit-level codec (data/eliasfano.py — low-bits array + unary
+    high stream), measure the packed byte length, verify it equals
+    the closed-form m·l + m + (vmax≫l) + 1 bits (ValueError on
+    mismatch — load-bearing, not a strippable assert) AND that decode
+    round-trips the exact ids, then report size vs the fixed-width
+    baseline. Companion to compressed_adjacency_stats (varint) and
+    roaring_container_audit — three physical layouts over the same
+    postings machinery. Scale shape: same term-bucketed shuffle as
+    inverted_index_terms; encoding is per-term vectorized bit work
+    inside the grouped reduce; the driver sees O(vocab) size rows.
+    Oracle: SQL computes the identical closed form from (doc_freq,
+    max doc_id) per term — byte-exact because the codec's measured
+    size is asserted against the same formula in-pipeline."""
+    from ..data.eliasfano import ef_decode, ef_encode
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        terms, docs = [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            for term in set(txt.split(" ")):
+                terms.append(term)
+                docs.append(int(i))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for term, gg in g.groupby("term", sort=False):
+            ids = np.sort(gg["doc_id"].to_numpy().astype(np.int64))
+            packed, l = ef_encode(ids)
+            if not np.array_equal(ef_decode(packed, len(ids), l), ids):
+                raise ValueError(f"EF round-trip failed for term {term!r}")
+            vmax = int(ids[-1])
+            ef_bits = len(ids) * l + len(ids) + (vmax >> l) + 1
+            out.append((term, len(ids), l, ef_bits, len(packed),
+                        len(ids) * vmax.bit_length() if vmax else len(ids)))
+        return pd.DataFrame(out, columns=[
+            "term", "doc_freq", "low_bits", "ef_bits", "ef_bytes",
+            "fixed_bits"]).astype({c: "int64" for c in [
+                "doc_freq", "low_bits", "ef_bits", "ef_bytes",
+                "fixed_bits"]})
+
+    return bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
+        ["term"], build)
