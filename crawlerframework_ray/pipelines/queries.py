@@ -16035,3 +16035,263 @@ def elias_fano_postings_audit(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
         ["term"], build)
+
+
+# =====================================================================
+# TPC-H shape completions: Q2 / Q16 / Q22 analogues (round-4 s10)
+# =====================================================================
+
+_Q2_SQL = """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(FLOOR(100.0 * l_extendedprice / l_quantity + 0.5)
+                 AS BIGINT)) AS unit_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey,
+             MIN(unit_cents) AS min_unit_cents
+      FROM unit GROUP BY l_partkey),
+    win AS (
+      SELECT u.l_partkey, MIN(u.l_suppkey) AS s_suppkey, b.min_unit_cents
+      FROM unit u JOIN best b
+        ON b.l_partkey = u.l_partkey AND u.unit_cents = b.min_unit_cents
+      GROUP BY u.l_partkey, b.min_unit_cents)
+    SELECT CAST(w.l_partkey AS BIGINT) AS p_partkey, p.p_name,
+           CAST(w.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name,
+           CAST(w.min_unit_cents AS BIGINT) AS min_unit_cents
+    FROM win w
+    JOIN part p ON p.p_partkey = w.l_partkey
+    JOIN supplier s ON s.s_suppkey = w.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+@register("min_cost_supplier_per_part", _Q2_SQL)
+def min_cost_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier with a correlated min):
+    per part, the supplier whose best observed unit price (exact
+    cents, the house per-row integerization) is the global part
+    minimum, smallest suppkey on ties, decorated with supplier +
+    nation names. Scale shape: per-batch (part, supp) → min-unit
+    partials (the combiner: the shuffle moves one row per distinct
+    pair per batch), ONE part-bucketed groupby resolves the
+    correlated min AND the argmin tie-break in the same reduce, and
+    the name attach is a broadcast lookup (supplier/nation are the
+    small dimension side — ray.put once, not a shuffle join).
+    Oracle: native SQL."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_partkey": t.column("l_partkey").to_numpy(),
+            "l_suppkey": t.column("l_suppkey").to_numpy(),
+            "unit_cents": np.floor(
+                100.0 * t.column("l_extendedprice").to_numpy()
+                / t.column("l_quantity").to_numpy() + 0.5).astype(np.int64),
+        })
+        return (df.groupby(["l_partkey", "l_suppkey"], as_index=False)
+                ["unit_cents"].min())
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "unit_cents"].min()
+        best = g.groupby("l_partkey")["unit_cents"].transform("min")
+        w = g[g["unit_cents"] == best]
+        return (w.groupby(["l_partkey", "unit_cents"], as_index=False)
+                ["l_suppkey"].min())
+
+    win = bucketed_group_agg(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["l_partkey"], resolve)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    supp = supp.merge(nation, left_on="s_nationkey",
+                      right_on="n_nationkey")[["s_suppkey", "s_name",
+                                               "n_name"]]
+
+    out = broadcast_join(
+        win.map_batches(
+            lambda t: t.rename_columns(
+                ["p_partkey", "min_unit_cents", "s_suppkey"]),
+            batch_format="pyarrow"),
+        part, key="p_partkey", add_columns=["p_name"])
+    out = broadcast_join(out, supp, key="s_suppkey",
+                         add_columns=["s_name", "n_name"])
+    df = out.to_pandas()
+    return df[["p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+               "min_unit_cents"]].astype(
+        {"p_partkey": "int64", "s_suppkey": "int64",
+         "min_unit_cents": "int64"})
+
+
+_Q16_SQL = """
+    WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100),
+    pairs AS (
+      SELECT DISTINCT p.p_brand, p.p_size, l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excl))
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+    FROM pairs GROUP BY p_brand, p_size
+"""
+
+
+@register("supplier_count_by_part_attrs", _Q16_SQL)
+def supplier_count_by_part_attrs(sf_dir: str):
+    """TPC-H Q16 shape (distinct-count with a NOT IN exclusion):
+    suppliers per (brand, size), excluding low-balance suppliers (the
+    complaints analogue). Scale shape: the exclusion set is a small
+    filtered dimension — broadcast once and applied per batch, never
+    a shuffle; part attrs attach by broadcast (part is the dimension
+    side); the distinct (brand, size, supp) triple dedups per batch
+    first (each batch ships only its distinct triples), then ONE
+    bucketed groupby dedups globally and counts. Oracle: native
+    SQL."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    excl = set(supp.loc[supp["s_acctbal"] < 100, "s_suppkey"].astype(int))
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    ref = ray.put((pk[order],
+                   part["p_brand"].to_numpy()[order],
+                   part["p_size"].to_numpy().astype(np.int64)[order],
+                   excl))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def triples(t: pa.Table) -> pd.DataFrame:
+        pks, brands, sizes, ex = ray.get(ref)
+        lp = t.column("l_partkey").to_numpy().astype(np.int64)
+        ls = t.column("l_suppkey").to_numpy().astype(np.int64)
+        keep = ~np.isin(ls, np.fromiter(ex, dtype=np.int64))
+        lp, ls = lp[keep], ls[keep]
+        idx = np.searchsorted(pks, lp)
+        df = pd.DataFrame({"p_brand": brands[idx], "p_size": sizes[idx],
+                           "l_suppkey": ls})
+        return df.drop_duplicates(ignore_index=True)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["p_brand", "p_size", "l_suppkey"])
+        return (g.groupby(["p_brand", "p_size"], as_index=False)
+                .agg(supplier_cnt=("l_suppkey", "size")))
+
+    return bucketed_group_agg(
+        li.map_batches(triples, batch_format="pyarrow", batch_size=65536),
+        ["p_brand", "p_size"], count,
+    ).to_pandas().astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+
+_Q22_SQL = """
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+             CAST(FLOOR(100.0 * c_acctbal + 0.5) AS BIGINT) AS bal_cents
+      FROM customer),
+    pos AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(bal_cents) AS BIGINT) AS s
+            FROM cents WHERE bal_cents > 0),
+    idle AS (
+      SELECT c.cntrycode, c.bal_cents
+      FROM cents c, pos
+      WHERE c.cntrycode IN (0, 2, 3)
+        AND c.bal_cents * pos.n > pos.s
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= DATE '2000-01-01'))
+    SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM idle GROUP BY cntrycode
+"""
+
+
+@register("idle_customers_by_country", _Q22_SQL)
+def idle_customers_by_country(sf_dir: str):
+    """TPC-H Q22 shape (global-aggregate filter + NOT EXISTS):
+    customers in selected country codes whose balance beats the
+    positive-balance average AND who placed no order since 2000
+    (every synth customer HAS some order, so the idle predicate is
+    date-scoped to keep the result non-trivial — same convention as
+    customers_without_urgent_orders), rolled up per code. The
+    average comparison is CROSS-MULTIPLIED to integers
+    (bal·n > Σ — no division on either side); the anti-join reuses
+    stages/joins.anti_join (one bucketed shuffle, build side ships
+    per-batch distinct keys); the global (n, Σ) pair is one tiny
+    all-reduce broadcast to the filter pass. Oracle: native SQL with
+    the identical integerization."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.joins import anti_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        bal = np.floor(
+            100.0 * t.column("c_acctbal").to_numpy() + 0.5).astype(np.int64)
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "cntrycode": pa.array(
+                t.column("c_nationkey").to_numpy().astype(np.int64) % 5,
+                pa.int64()),
+            "bal_cents": pa.array(bal, pa.int64()),
+        })
+
+    cents = cust.map_batches(to_cents, batch_format="pyarrow").materialize()
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        b = t.column("bal_cents").to_numpy()
+        b = b[b > 0]
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "n": pa.array([len(b)], pa.int64()),
+                         "s": pa.array([int(b.sum())], pa.int64())})
+
+    pos = bucketed_group_agg(
+        cents.map_batches(pos_partial, batch_format="pyarrow"), ["g"],
+        lambda g: g.groupby("g", as_index=False)[["n", "s"]].sum(),
+    ).to_pandas().iloc[0]
+    n, s = int(pos["n"]), int(pos["s"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        code = t.column("cntrycode").to_numpy()
+        bal = t.column("bal_cents").to_numpy()
+        keep = np.isin(code, (0, 2, 3)) & (bal * n > s)
+        return t.filter(pa.array(keep))
+
+    candidates = cents.map_batches(rich, batch_format="pyarrow")
+    cutoff_us = int(pd.Timestamp("2000-01-01").value // 1000)
+
+    def recent(t: pa.Table) -> pa.Table:
+        keep = (t.column("o_orderdate").to_numpy()
+                .astype("datetime64[us]").astype(np.int64) >= cutoff_us)
+        return pa.table({"c_custkey": t.column("o_custkey").filter(
+            pa.array(keep))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate"]).map_batches(
+        recent, batch_format="pyarrow")
+    idle = anti_join(candidates, orders, key="c_custkey",
+                     left_cols=["cntrycode", "bal_cents"])
+
+    out = bucketed_group_agg(
+        idle, ["cntrycode"],
+        lambda g: g.groupby("cntrycode", as_index=False).agg(
+            numcust=("bal_cents", "size"),
+            totacctbal_cents=("bal_cents", "sum")),
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["cntrycode", "numcust",
+                                    "totacctbal_cents"])
+    return out.astype("int64")
