@@ -16295,3 +16295,127 @@ def idle_customers_by_country(sf_dir: str):
         out = pd.DataFrame(columns=["cntrycode", "numcust",
                                     "totacctbal_cents"])
     return out.astype("int64")
+
+
+# =====================================================================
+# Unigram-LM Viterbi subword segmentation (round-4 s10)
+# =====================================================================
+
+# (piece, integer cost) — multi-char pieces priced below the sum of
+# their letters so the DP is non-trivial; single letters guarantee
+# full coverage. Shared verbatim by the Ray DP and the SQL oracle.
+_UNIGRAM_VOCAB = tuple(
+    [(chr(c), 100) for c in range(ord("a"), ord("z") + 1)]
+    + [("ba", 150), ("tch", 230), ("ch", 160), ("join", 310),
+       ("or", 150), ("der", 220), ("ta", 150), ("ble", 230),
+       ("qu", 150), ("ery", 220), ("sc", 160), ("an", 140),
+       ("st", 150), ("re", 140), ("am", 150), ("er", 130),
+       ("in", 140), ("win", 220), ("dow", 230), ("val", 240),
+       ("ue", 160), ("row", 240), ("key", 250), ("the", 240),
+       ("fast", 330), ("sort", 330), ("part", 330), ("mer", 220),
+       ("ge", 150), ("co", 150), ("lumn", 320), ("cus", 240),
+       ("tom", 240), ("fil", 230), ("ter", 220), ("gr", 160),
+       ("oup", 230), ("ha", 150), ("sh", 150), ("li", 150),
+       ("ne", 150), ("sl", 160), ("ow", 150), ("sm", 160),
+       ("all", 220), ("sp", 150), ("ark", 230), ("eam", 220),
+       ("vec", 240), ("agg", 240), ("up", 150), ("big", 240)]
+)
+
+
+def _unigram_sql() -> str:
+    vals = ", ".join(f"('{p}', {c})" for p, c in _UNIGRAM_VOCAB)
+    return f"""
+    WITH RECURSIVE words AS (
+      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term),
+    vocab(piece, cost) AS (SELECT * FROM (VALUES {vals})),
+    dp AS (
+      SELECT word, 0 AS pos, 0 AS cost, 0 AS n_pieces FROM words
+      UNION ALL
+      SELECT dp.word, dp.pos + LENGTH(v.piece), dp.cost + v.cost,
+             dp.n_pieces + 1
+      FROM dp JOIN vocab v
+        ON substr(dp.word, dp.pos + 1, LENGTH(v.piece)) = v.piece
+      WHERE dp.pos < LENGTH(dp.word)),
+    done AS (SELECT word, cost, n_pieces FROM dp
+             WHERE pos = LENGTH(word)),
+    best AS (SELECT word, MIN(cost) AS min_cost FROM done GROUP BY word),
+    bestp AS (SELECT d.word, b.min_cost,
+                     MIN(d.n_pieces) AS min_pieces
+              FROM done d JOIN best b
+                ON b.word = d.word AND d.cost = b.min_cost
+              GROUP BY d.word, b.min_cost)
+    SELECT w.word, w.n_occ, CAST(bp.min_cost AS BIGINT) AS min_cost,
+           CAST(bp.min_pieces AS BIGINT) AS min_pieces,
+           CAST(w.n_occ * bp.min_cost AS BIGINT) AS corpus_cost
+    FROM words w JOIN bestp bp ON bp.word = w.word
+"""
+
+
+@register("unigram_viterbi_segments", _unigram_sql())
+def unigram_viterbi_segments(sf_dir: str):
+    """Unigram-LM subword segmentation by Viterbi DP (Kudo, ACL 2018
+    — the SentencePiece decoding step, deterministic integer-cost
+    form): per corpus word, the minimum total piece cost over all
+    segmentations and, among min-cost paths, the minimum piece count
+    (lexicographic (cost, pieces) DP), weighted by corpus frequency.
+    The tokenizer-family completion next to BPE train/encode: BPE is
+    greedy-merge, unigram is global-optimum. Scale shape: the corpus
+    folds ONCE to a word-frequency table (the BPE family's
+    convention — the DP runs per DISTINCT word, Zipf-bounded, not
+    per token); the vocab is a broadcast constant; per-word DP is
+    O(len·vocab) inside the grouped reduce. Oracle: recursive-CTE
+    EXHAUSTIVE path enumeration — the SQL enumerates every
+    segmentation and takes the min, sharing no DP code with the Ray
+    side."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+    vocab = dict(_UNIGRAM_VOCAB)
+
+    def word_partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(txt.split(" "))
+        return pd.DataFrame(
+            {"word": list(c.keys()), "n_occ": list(c.values())}
+        ).astype({"n_occ": "int64"})
+
+    def viterbi(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("word", as_index=False)["n_occ"].sum()
+        costs, pieces = [], []
+        for w in g["word"]:
+            n = len(w)
+            INF = (1 << 60, 1 << 60)
+            dp = [INF] * (n + 1)
+            dp[0] = (0, 0)
+            for i in range(n):
+                if dp[i] == INF:
+                    continue
+                ci, pi = dp[i]
+                for ln in range(1, n - i + 1):
+                    c = vocab.get(w[i:i + ln])
+                    if c is None:
+                        continue
+                    cand = (ci + c, pi + 1)
+                    if cand < dp[i + ln]:
+                        dp[i + ln] = cand
+            if dp[n] == INF:
+                raise ValueError(f"uncovered word {w!r}")
+            costs.append(dp[n][0])
+            pieces.append(dp[n][1])
+        g["min_cost"] = np.asarray(costs, dtype=np.int64)
+        g["min_pieces"] = np.asarray(pieces, dtype=np.int64)
+        g["corpus_cost"] = g["n_occ"] * g["min_cost"]
+        return g
+
+    return bucketed_group_agg(
+        ds.map_batches(word_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["word"], viterbi,
+    ).to_pandas().astype({c: "int64" for c in
+                          ["n_occ", "min_cost", "min_pieces",
+                           "corpus_cost"]})
