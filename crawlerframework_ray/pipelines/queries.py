@@ -16419,3 +16419,606 @@ def unigram_viterbi_segments(sf_dir: str):
     ).to_pandas().astype({c: "int64" for c in
                           ["n_occ", "min_cost", "min_pieces",
                            "corpus_cost"]})
+
+
+# =====================================================================
+# Priority sampling + degree assortativity (round-4 s10)
+# =====================================================================
+
+_PRISAMPLE_K = 64
+_PRISAMPLE_SQL = f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT) AS weight_cents,
+             CAST(((CAST(o_orderkey AS HUGEINT) + 1) * {_REBALANCE_M}
+                   % 18446744073709551616) % 9007199254740992 + 1
+                  AS BIGINT) AS m
+      FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, weight_cents, m
+    FROM w
+    ORDER BY CAST(weight_cents AS DOUBLE) / CAST(m AS DOUBLE) DESC,
+             o_orderkey
+    LIMIT {_PRISAMPLE_K}
+"""
+
+
+@register("priority_sample_orders", _PRISAMPLE_SQL)
+def priority_sample_orders(sf_dir: str):
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007 — the
+    weighted without-replacement scheme whose inclusion priorities
+    w/u admit unbiased subset-sum estimators): top-k orders by
+    priority w/u with u the (0,1] hash-uniform derived from the
+    orderkey via the house splitmix multiplier — RNG-free, so a
+    retried task regenerates the identical sample (the at-least-once
+    discipline all sampling entries follow). The priority is the
+    float64 division of two exact integers — the IDENTICAL IEEE
+    expression on both sides (house exactness discipline), orderkey
+    tie-break. Scale shape: per-batch vectorized (weight, m) +
+    per-batch partial top-k; the driver folds k·n_batches candidate
+    rows, never the dataset. Oracle: native SQL ORDER BY the same
+    expression."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    k = _PRISAMPLE_K
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        keys = t.column("o_orderkey").to_numpy().astype(np.int64)
+        w = np.floor(
+            100.0 * t.column("o_totalprice").to_numpy() + 0.5
+        ).astype(np.int64)
+        h = (keys.astype(np.uint64) + 1) * np.uint64(_REBALANCE_M)
+        m = (h % np.uint64(1 << 53)).astype(np.int64) + 1
+        pri = w.astype(np.float64) / m.astype(np.float64)
+        order = np.lexsort((keys, -pri))[:k]
+        return pd.DataFrame({
+            "o_orderkey": keys[order], "weight_cents": w[order],
+            "m": m[order], "pri": pri[order]})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    cand = cand.sort_values(["pri", "o_orderkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+    return (cand[["o_orderkey", "weight_cents", "m"]]
+            .reset_index(drop=True).astype("int64"))
+
+
+_ASSORT_SQL = """
+    WITH dedges AS ({EDGES}),
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM dedges),
+    deg AS (SELECT host, COUNT(*) AS deg FROM
+              (SELECT a AS host FROM u UNION ALL SELECT b FROM u)
+            GROUP BY host),
+    ends AS (SELECT da.deg AS x, db.deg AS y
+             FROM u JOIN deg da ON da.host = u.a
+                    JOIN deg db ON db.host = u.b
+             UNION ALL
+             SELECT db.deg, da.deg
+             FROM u JOIN deg da ON da.host = u.a
+                    JOIN deg db ON db.host = u.b),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                 CAST(SUM(x) AS BIGINT) AS sum_x,
+                 CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                 CAST(SUM(x * y) AS BIGINT) AS sum_xy
+          FROM ends)
+    SELECT m2, sum_x, sum_xx, sum_xy,
+           CAST(m2 * sum_xy - sum_x * sum_x AS BIGINT) AS num,
+           CAST(m2 * sum_xx - sum_x * sum_x AS BIGINT) AS den,
+           CAST(CASE WHEN m2 * sum_xx - sum_x * sum_x = 0 THEN 0
+                ELSE 1000000 * (m2 * sum_xy - sum_x * sum_x)
+                     // (m2 * sum_xx - sum_x * sum_x) END AS BIGINT)
+             AS r_ppm
+    FROM s
+"""
+
+
+@register("degree_assortativity_hosts",
+          _ASSORT_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def degree_assortativity_hosts(sf_dir: str):
+    """Degree assortativity of the undirected host graph (Newman,
+    PRL 2002): the Pearson correlation of endpoint degrees over the
+    edge multiset with both orientations (making Sx = Sy and
+    Sxx = Syy by symmetry), kept as EXACT integer moment sums with
+    the cross-multiplied numerator/denominator and truncating-ppm
+    matched to SQL `//`. Positive r = hubs link hubs (navigational
+    cores); negative = hub-and-spoke (typical web graphs) — the
+    companion scalar to rich_club_hosts. Scale shape: degree vector
+    broadcast once (hash-join attach above the graph switch, as the
+    family documents); per-batch moment partials over the canonical
+    edge set fold to ONE driver row. Oracle: SQL over the same
+    derived edge set."""
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import host_edges
+
+    edges = host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    canon = bucketed_group_agg(
+        edges.map_batches(to_ab, batch_format="pyarrow"), ["a", "b"],
+        lambda g: g.drop_duplicates(ignore_index=True),
+    ).materialize()
+
+    def endpoint_partial(t: pa.Table) -> pa.Table:
+        hosts = np.concatenate([t.column("a").to_numpy(),
+                                t.column("b").to_numpy()])
+        u, c = np.unique(hosts, return_counts=True)
+        return pa.table({"host": pa.array(u, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
+    deg_df = bucketed_group_agg(
+        canon.map_batches(endpoint_partial, batch_format="pyarrow"),
+        ["host"], lambda g: g.groupby("host", as_index=False)["deg"].sum(),
+    ).to_pandas()
+    nodes = deg_df["host"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, degv = nodes[order], deg_df["deg"].to_numpy().astype(
+        np.int64)[order]
+    ref = ray.put((nodes, degv))
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        nds, dv = ray.get(ref)
+        x = dv[np.searchsorted(nds, t.column("a").to_numpy())]
+        y = dv[np.searchsorted(nds, t.column("b").to_numpy())]
+        # both orientations: (x,y) and (y,x)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "m2": pa.array([2 * len(x)], pa.int64()),
+            "sum_x": pa.array([int(x.sum() + y.sum())], pa.int64()),
+            "sum_xx": pa.array([int((x * x).sum() + (y * y).sum())],
+                               pa.int64()),
+            "sum_xy": pa.array([int(2 * (x * y).sum())], pa.int64()),
+        })
+
+    s = bucketed_group_agg(
+        canon.map_batches(moment_partial, batch_format="pyarrow"), ["g"],
+        lambda g: g.groupby("g", as_index=False)[
+            ["m2", "sum_x", "sum_xx", "sum_xy"]].sum(),
+    ).to_pandas().iloc[0]
+    m2, sx, sxx, sxy = (int(s["m2"]), int(s["sum_x"]), int(s["sum_xx"]),
+                        int(s["sum_xy"]))
+    num = m2 * sxy - sx * sx
+    den = m2 * sxx - sx * sx
+    if den == 0:
+        rppm = 0
+    else:
+        rppm = (abs(num) * 1_000_000 // den) * (1 if num >= 0 else -1)
+    return pd.DataFrame({
+        "m2": [m2], "sum_x": [sx], "sum_xx": [sxx], "sum_xy": [sxy],
+        "num": [num], "den": [den], "r_ppm": [rppm],
+    }).astype("int64")
+
+
+# =====================================================================
+# HOG-lite gradient-orientation census (round-4 s10)
+# =====================================================================
+
+def _plant_gradient(img: np.ndarray, d: int) -> np.ndarray:
+    """Deterministic orientation plants (shared with the golden BY
+    DESIGN — the measure is what the golden restates longhand):
+    doc_id % 4 → horizontal stripes (vertical-gradient heavy) /
+    vertical stripes / diagonal ramp (gx == gy) / untouched noise."""
+    hh, ww = img.shape[0], img.shape[1]
+    yy, xx = np.meshgrid(np.arange(hh), np.arange(ww), indexing="ij")
+    if d % 4 == 0:
+        v = np.where((yy // 2) % 2 == 0, 200 + d % 40, 60 + d % 20)
+    elif d % 4 == 1:
+        v = np.where((xx // 2) % 2 == 0, 190 + d % 50, 50 + d % 30)
+    elif d % 4 == 2:
+        v = ((xx + yy) * (5 + d % 7)) % 256
+    else:
+        return img
+    return np.broadcast_to(
+        v.astype(np.uint8)[..., None], img.shape).copy()
+
+
+@register("image_gradient_orientation", _golden_sql("gradient_census"))
+def image_gradient_orientation(sf_dir: str):
+    """HOG-lite gradient-orientation census over the image corpus
+    (stages/multimodal.GradientOrientationStage — the integer core of
+    Dalal & Triggs 2005 without float block normalization): per
+    image, L1 gradient magnitudes split into an exact 4-way
+    horizontal/vertical/diagonal/antidiagonal census plus the flat
+    count — the texture-direction feature an image-curation pipeline
+    uses to separate scanned text, letterboxed frames and noise.
+    Orientation is decided by INTEGER comparisons (|gx| vs |gy|,
+    sign of gx·gy), never atan2, so results are bit-identical at any
+    partitioning. Plants (doc_id % 4: horizontal stripes / vertical
+    stripes / diagonal ramp / raw noise) make each census branch
+    load-bearing. Actor pool, decoders in __init__, fully vectorized
+    census. Golden: independent longhand per-pixel loop with literal
+    if/elif orientation rules (tools/make_goldens.gradient_census).
+
+    Reference analogue: the T6 payload-scorer slot
+    (crawler/connectors/baseconnector.py:1140-1251) in its
+    pixel-statistics form."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import GradientOrientationStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        blobs: list[bytes] = []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _plant_gradient(
+                _codecs.decode(rec["bytes"], rec["fmt"]), d)
+            ids.append(rec["image_id"])
+            blobs.append(_codecs.encode_raw(img))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["raw"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow",
+                          batch_size=256).map_batches(
+        GradientOrientationStage, batch_format="pyarrow", batch_size=128,
+        concurrency=2, num_cpus=0.5)
+
+
+# =====================================================================
+# Kendall pair census: in-degree vs out-degree rank concordance
+# =====================================================================
+
+_KENDALL_SQL = """
+    WITH dedges AS ({EDGES}),
+    od AS (SELECT src AS host, COUNT(*) AS odeg FROM dedges GROUP BY src),
+    idg AS (SELECT dst AS host, COUNT(*) AS ideg FROM dedges GROUP BY dst),
+    hosts AS (SELECT COALESCE(od.host, idg.host) AS host,
+                     COALESCE(od.odeg, 0) AS x, COALESCE(idg.ideg, 0) AS y
+              FROM od FULL OUTER JOIN idg ON od.host = idg.host),
+    pairs AS (
+      SELECT CASE WHEN (h1.x - h2.x) * (h1.y - h2.y) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (h1.x - h2.x) * (h1.y - h2.y) < 0 THEN 1 ELSE 0 END
+               AS disc,
+             CASE WHEN h1.x = h2.x AND h1.y != h2.y THEN 1 ELSE 0 END
+               AS tie_x,
+             CASE WHEN h1.y = h2.y AND h1.x != h2.x THEN 1 ELSE 0 END
+               AS tie_y,
+             CASE WHEN h1.x = h2.x AND h1.y = h2.y THEN 1 ELSE 0 END
+               AS tie_xy
+      FROM hosts h1 JOIN hosts h2 ON h1.host < h2.host)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant,
+           CAST(SUM(tie_x) AS BIGINT) AS ties_x_only,
+           CAST(SUM(tie_y) AS BIGINT) AS ties_y_only,
+           CAST(SUM(tie_xy) AS BIGINT) AS ties_both
+    FROM pairs
+"""
+
+
+@register("kendall_degree_concordance",
+          _KENDALL_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def kendall_degree_concordance(sf_dir: str):
+    """Kendall pair census between two host rankings — out-degree vs
+    in-degree on the directed host graph (Kendall 1938; the tau-b
+    numerator/denominator ingredients kept as EXACT pair counts:
+    concordant, discordant, x-only / y-only / both ties — tau-b
+    itself needs a square root, so the census IS the exact statistic).
+    The rank-agreement audit a crawl scheduler runs between two
+    priority signals before swapping one for the other (pairs with
+    pagerank/opic: do cheap degrees preserve the ordering?). Scale
+    shape: both degree vectors come from bounded groupby counts; the
+    census runs on the O(hosts) (x, y) table via the vectorized
+    all-pairs comparison (4k pairs at 64 hosts — at 10^8 hosts swap
+    to the sort + merge inversion count, same statistic). Oracle:
+    SQL self-join pair classification over the same derived edges."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).materialize()
+
+    def deg_partial(col: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t.column(col).to_numpy(), return_counts=True)
+            return pa.table({"host": pa.array(u, pa.int64()),
+                             out: pa.array(c, pa.int64())})
+        return fn
+
+    od = bucketed_group_agg(
+        edges.map_batches(deg_partial("src", "x"), batch_format="pyarrow"),
+        ["host"], lambda g: g.groupby("host", as_index=False)["x"].sum(),
+    ).to_pandas()
+    idg = bucketed_group_agg(
+        edges.map_batches(deg_partial("dst", "y"), batch_format="pyarrow"),
+        ["host"], lambda g: g.groupby("host", as_index=False)["y"].sum(),
+    ).to_pandas()
+    hosts = od.merge(idg, on="host", how="outer").fillna(0)
+    hosts = hosts.sort_values("host").reset_index(drop=True)
+    x = hosts["x"].to_numpy().astype(np.int64)
+    y = hosts["y"].to_numpy().astype(np.int64)
+    iu, ju = np.triu_indices(len(x), k=1)
+    dx = x[iu] - x[ju]
+    dy = y[iu] - y[ju]
+    prod = dx * dy
+    return pd.DataFrame({
+        "n_pairs": [len(iu)],
+        "concordant": [int((prod > 0).sum())],
+        "discordant": [int((prod < 0).sum())],
+        "ties_x_only": [int(((dx == 0) & (dy != 0)).sum())],
+        "ties_y_only": [int(((dy == 0) & (dx != 0)).sum())],
+        "ties_both": [int(((dx == 0) & (dy == 0)).sum())],
+    }).astype("int64")
+
+
+# =====================================================================
+# Distribution audits: chi-square census + Benford digits (round-4 s10)
+# =====================================================================
+
+_CHI2_SQL = """
+    WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+               FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS row_tot
+          FROM documents GROUP BY lang),
+    c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS col_tot
+          FROM documents GROUP BY source),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM documents)
+    SELECT o.lang, o.source, o.observed, r.row_tot, c.col_tot,
+           CAST((o.observed * n.tot - r.row_tot * c.col_tot)
+                * (o.observed * n.tot - r.row_tot * c.col_tot)
+                AS BIGINT) AS dev2
+    FROM o JOIN r ON r.lang = o.lang
+           JOIN c ON c.source = o.source
+           CROSS JOIN n
+"""
+
+
+@register("chi2_independence_census", _CHI2_SQL)
+def chi2_independence_census(sf_dir: str):
+    """Chi-square independence census for the lang × source
+    contingency table — the mixture-construction audit (is language
+    independent of source? a skewed cell means one source dominates a
+    language and the sampling mixture needs reweighting): per
+    OBSERVED cell, the exact integer deviation (O·N − R·C)² next to
+    its marginals — the χ² statistic's per-cell numerator without the
+    float division (χ² = Σ dev2 / (N²·E), left rational). Scale
+    shape: three bounded groupbys (cells, row marginals, column
+    marginals — all ≤ |langs|·|sources| rows) + a broadcast attach;
+    nothing driver-side grows with the corpus. Oracle: native SQL."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def cell_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": t.column("lang").to_pylist(),
+                           "source": t.column("source").to_pylist()})
+        return (df.groupby(["lang", "source"], as_index=False)
+                .size().rename(columns={"size": "observed"}))
+
+    cells = bucketed_group_agg(
+        ds.map_batches(cell_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["lang", "source"],
+        lambda g: g.groupby(["lang", "source"], as_index=False)[
+            "observed"].sum(),
+    ).to_pandas()
+    row_tot = cells.groupby("lang")["observed"].sum()
+    col_tot = cells.groupby("source")["observed"].sum()
+    n = int(cells["observed"].sum())
+    cells["row_tot"] = cells["lang"].map(row_tot).astype("int64")
+    cells["col_tot"] = cells["source"].map(col_tot).astype("int64")
+    dev = (cells["observed"].astype(object) * n
+           - cells["row_tot"].astype(object) * cells["col_tot"])
+    cells["dev2"] = (dev * dev).astype("int64")
+    return cells.astype({"observed": "int64"})
+
+
+_BENFORD_SQL = """
+    WITH d AS (SELECT CAST(LEFT(CAST(CAST(FLOOR(100.0 * o_totalprice + 0.5)
+                                          AS BIGINT) AS VARCHAR), 1)
+                           AS BIGINT) AS digit
+               FROM orders
+               WHERE o_totalprice > 0)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM d GROUP BY digit
+"""
+
+
+@register("benford_first_digit_audit", _BENFORD_SQL)
+def benford_first_digit_audit(sf_dir: str):
+    """Benford first-significant-digit census over order totals
+    (Newcomb 1881 / Benford 1938) — the classic fabricated-data /
+    truncation-artifact screen a data-quality pipeline runs on any
+    monetary or count column before trusting it: genuine multiplicative
+    data leans on digit 1 (~30%), uniform synthetics don't — the CENSUS
+    is exact either way and the verdict is the reader's. Per-batch
+    vectorized digit extraction (repeated integer division by 10 — no
+    string round-trip in the hot path) + one 9-bounded groupby.
+    Oracle: native SQL via the string head of the same cents value."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digit_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            100.0 * t.column("o_totalprice").to_numpy() + 0.5
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        while (cents >= 10).any():
+            big = cents >= 10
+            cents[big] //= 10
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"digit": pa.array(u, pa.int64()),
+                         "n_orders": pa.array(c, pa.int64())})
+
+    return bucketed_group_agg(
+        ds.map_batches(digit_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["digit"],
+        lambda g: g.groupby("digit", as_index=False)["n_orders"].sum(),
+    ).to_pandas().astype("int64")
+
+
+# =====================================================================
+# Geo nearest-center assignment (round-4 s10)
+# =====================================================================
+
+_GEO_CENTERS = tuple(
+    (i, (i * 53077) % 360000 - 180000, (i * 24023) % 180000 - 90000)
+    for i in range(16)
+)
+
+_NEAREST_CENTER_SQL = f"""
+    WITH pts AS (SELECT doc_id,
+                        (doc_id * 9973) % 360000 - 180000 AS x,
+                        (doc_id * 6367) % 180000 - 90000 AS y
+                 FROM documents),
+    ctr AS (SELECT * FROM (VALUES {", ".join(f"({c}, {x}, {y})" for c, x, y in _GEO_CENTERS)})
+            c(cid, cx, cy)),
+    d AS (SELECT doc_id, cid,
+                 (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), cid)
+                   AS rn
+          FROM pts CROSS JOIN ctr)
+    SELECT CAST(cid AS BIGINT) AS center_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d2) AS BIGINT) AS sum_dist2
+    FROM d WHERE rn = 1 GROUP BY cid
+"""
+
+
+@register("geo_nearest_center_assignment", _NEAREST_CENTER_SQL)
+def geo_nearest_center_assignment(sf_dir: str):
+    """Nearest-center geo assignment — the spatial-partitioning step
+    of a geo-sharded crawl (route each document's deterministic
+    millidegree point to the closest of 16 PoP centers, exact integer
+    squared distance, smaller center id on ties) with per-center
+    load and total displacement — the k-means assignment step frozen
+    to fixed centers, which is exactly how a serving fleet routes
+    once centers are chosen. Scale shape: the center table is a
+    broadcast constant; per-batch argmin is one vectorized
+    (batch × 16) distance matrix; per-center partial (n, Σd²) rows
+    fold through a 16-bounded groupby. Oracle: SQL cross-join +
+    window argmin."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    cid = np.array([c[0] for c in _GEO_CENTERS], dtype=np.int64)
+    cx = np.array([c[1] for c in _GEO_CENTERS], dtype=np.int64)
+    cy = np.array([c[2] for c in _GEO_CENTERS], dtype=np.int64)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        x = (d * 9973) % 360000 - 180000
+        y = (d * 6367) % 180000 - 90000
+        d2 = ((x[:, None] - cx[None, :]) ** 2
+              + (y[:, None] - cy[None, :]) ** 2)
+        best = d2.argmin(axis=1)  # argmin takes FIRST min → smaller cid
+        bd = d2[np.arange(len(d)), best]
+        df = pd.DataFrame({"center_id": cid[best], "d2": bd})
+        return (df.groupby("center_id", as_index=False)
+                .agg(n_docs=("d2", "size"), sum_dist2=("d2", "sum")))
+
+    return bucketed_group_agg(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=65536),
+        ["center_id"],
+        lambda g: g.groupby("center_id", as_index=False)[
+            ["n_docs", "sum_dist2"]].sum(),
+    ).to_pandas().astype("int64")
+
+
+# =====================================================================
+# Golomb–Rice gap-coding parameter audit (round-4 s10)
+# =====================================================================
+
+_RICE_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents)),
+    gaps AS (
+      SELECT term,
+             doc_id - COALESCE(LAG(doc_id) OVER (
+               PARTITION BY term ORDER BY doc_id), 0) AS g
+      FROM pairs),
+    per_k AS (
+      SELECT term, k.k,
+             SUM(g >> k.k) + COUNT(*) * (k.k + 1) AS bits
+      FROM gaps CROSS JOIN
+           (SELECT unnest(generate_series(0, 20)) AS k) k
+      GROUP BY term, k.k),
+    best AS (
+      SELECT term, k, bits,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY bits, k) AS rn
+      FROM per_k)
+    SELECT term, CAST(k AS BIGINT) AS best_k,
+           CAST(bits AS BIGINT) AS rice_bits,
+           CAST((bits + 7) // 8 AS BIGINT) AS rice_bytes
+    FROM best WHERE rn = 1
+"""
+
+
+@register("rice_postings_parameter_audit", _RICE_SQL)
+def rice_postings_parameter_audit(sf_dir: str):
+    """Golomb–Rice d-gap coding parameter sweep over the term posting
+    lists (Golomb 1966 / Rice 1971 — the gap layout classic inverted
+    indexes store next to Elias–Fano): per term, the optimal Rice
+    parameter k* = argmin over k ∈ [0,20] of Σ(gap≫k) + m·(k+1)
+    (smallest k on ties), with the ENCODED size measured on the real
+    bitstream (data/rice.py) and verified in-pipeline against the
+    closed form plus a decode round-trip (ValueError on either
+    mismatch). Fourth physical layout in the postings family (varint
+    / roaring / Elias–Fano / Rice). Scale shape: same term-bucketed
+    shuffle as inverted_index_terms; the 21-point k sweep is
+    vectorized per term inside the grouped reduce. Oracle: SQL LAG
+    gaps + generate_series sweep + window argmin — shares no codec
+    code."""
+    from ..data.rice import (
+        rice_best_k,
+        rice_decode,
+        rice_encode,
+        rice_gaps,
+        rice_total_bits,
+    )
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        terms, docs = [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            for term in set(txt.split(" ")):
+                terms.append(term)
+                docs.append(int(i))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for term, gg in g.groupby("term", sort=False):
+            ids = np.sort(gg["doc_id"].to_numpy().astype(np.int64))
+            gaps = rice_gaps(ids)
+            k = rice_best_k(gaps)
+            bits = rice_total_bits(gaps, k)
+            packed = rice_encode(ids, k)
+            if len(packed) != (bits + 7) // 8:
+                raise ValueError(f"rice size mismatch for {term!r}")
+            if not np.array_equal(rice_decode(packed, len(ids), k), ids):
+                raise ValueError(f"rice round-trip failed for {term!r}")
+            out.append((term, k, bits, len(packed)))
+        return pd.DataFrame(out, columns=[
+            "term", "best_k", "rice_bits", "rice_bytes"]).astype(
+            {c: "int64" for c in ["best_k", "rice_bits", "rice_bytes"]})
+
+    return bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
+        ["term"], build)

@@ -1524,3 +1524,74 @@ class DihedralCanonStage:
                 "canon_hash": pa.array(out_canon, pa.int64()),
             }
         )
+
+
+class GradientOrientationStage:
+    """HOG-lite gradient-orientation census (the integer core of
+    Dalal & Triggs, CVPR 2005, without the float block
+    normalization): per image, forward-difference gradients on the
+    common interior (gx = g[y,x+1]−g[y,x], gy = g[y+1,x]−g[y,x] for
+    y<H−1, x<W−1, gray = channel-sum // 3), L1 magnitude |gx|+|gy|,
+    and an exact 4-way orientation census:
+
+      horizontal  |gx| >  |gy|          → sum_h += mag
+      vertical    |gy| >  |gx|          → sum_v += mag
+      diagonal    |gx| == |gy| ≠ 0, gx·gy > 0 → sum_d += mag
+      antidiag    |gx| == |gy| ≠ 0, gx·gy < 0 → sum_a += mag
+      flat        gx == gy == 0         → n_flat += 1
+
+    All integer — no atan2, no float bin edges — so the census is
+    bit-identical at any partitioning. The texture-direction signal
+    of an image-curation pipeline (scanned text is horizontal-heavy,
+    letterboxed frames vertical-heavy at the bars, noise is flat-poor
+    and direction-balanced). Decoders built once per actor; the
+    census is fully vectorized per image.
+
+    Output schema: image_id:string, sum_h/sum_v/sum_d/sum_a:int64,
+    n_flat:int64, edge_energy:int64 (= Σ mag over all interior
+    pixels).
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out: dict[str, list] = {k: [] for k in (
+            "image_id", "sum_h", "sum_v", "sum_d", "sum_a", "n_flat",
+            "edge_energy")}
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an "
+                        "image codec library"
+                    )
+                continue
+            g = dec(data).astype(np.int64).sum(axis=2) // 3
+            gx = g[:-1, 1:] - g[:-1, :-1]
+            gy = g[1:, :-1] - g[:-1, :-1]
+            ax, ay = np.abs(gx), np.abs(gy)
+            mag = ax + ay
+            h = ax > ay
+            v = ay > ax
+            eq = (ax == ay) & (mag > 0)
+            d = eq & (gx * gy > 0)
+            a = eq & (gx * gy < 0)
+            out["image_id"].append(i)
+            out["sum_h"].append(int(mag[h].sum()))
+            out["sum_v"].append(int(mag[v].sum()))
+            out["sum_d"].append(int(mag[d].sum()))
+            out["sum_a"].append(int(mag[a].sum()))
+            out["n_flat"].append(int((mag == 0).sum()))
+            out["edge_energy"].append(int(mag.sum()))
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            **{k: pa.array(out[k], pa.int64()) for k in (
+                "sum_h", "sum_v", "sum_d", "sum_a", "n_flat",
+                "edge_energy")},
+        })

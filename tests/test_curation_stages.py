@@ -268,3 +268,38 @@ def test_dihedral_canon_invariant_under_all_8_symmetries(ray_session):
     out = stage(batch)
     canons = set(out.column("canon_hash").to_pylist())
     assert len(canons) == 1  # all 8 symmetries share one canon key
+
+
+def test_gradient_orientation_census_tiny():
+    """Hand-computed census on a 3x3 gray ramp: g = [[0,1,2],[0,1,2],
+    [0,1,2]] → every interior pixel has gx=1, gy=0 → all horizontal,
+    no flat, edge_energy = 4."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.stages.multimodal import (
+        GradientOrientationStage,
+    )
+
+    ramp = np.broadcast_to(
+        np.array([[0, 1, 2]] * 3, dtype=np.uint8)[..., None], (3, 3, 3)
+    ).copy()
+    diag = np.broadcast_to(
+        (np.add.outer(np.arange(3), np.arange(3)) * 3).astype(np.uint8)[
+            ..., None], (3, 3, 3)).copy()
+    flat = np.full((3, 3, 3), 9, dtype=np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["ramp", "diag", "flat"], pa.string()),
+        "bytes": pa.array([codecs.encode_raw(x) for x in
+                           (ramp, diag, flat)], pa.binary()),
+        "fmt": pa.array(["raw"] * 3, pa.string()),
+    })
+    out = GradientOrientationStage()(batch).to_pydict()
+    assert out["sum_h"] == [4, 0, 0]
+    assert out["sum_v"] == [0, 0, 0]
+    # diag ramp: gx = gy = 3 at each of 4 interior pixels, mag 6
+    assert out["sum_d"] == [0, 24, 0]
+    assert out["sum_a"] == [0, 0, 0]
+    assert out["n_flat"] == [0, 0, 4]
+    assert out["edge_energy"] == [4, 24, 0]

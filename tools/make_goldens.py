@@ -2381,3 +2381,55 @@ def main() -> None:
 if __name__ == "__main__":
     main()
 
+
+
+def gradient_census(sf_dir: str) -> None:
+    """Longhand mirror of image_gradient_orientation: the PLANT
+    (doc_id % 4 stripes/ramp/noise) is shared with the query by
+    design, but the MEASURE — gray conversion, forward differences,
+    L1 magnitude, and the 4-way orientation rules — is restated with
+    explicit per-pixel loops and literal if/elif branches, so a
+    stage-side vectorization or rule drift fails the gate."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+    from crawlerframework_ray.pipelines.queries import _plant_gradient
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = _plant_gradient(codecs.decode(rec["bytes"], rec["fmt"]), d)
+        hh, ww = img.shape[0], img.shape[1]
+        g = [[(int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2])) // 3
+              for x in range(ww)] for y in range(hh)]
+        sh = sv = sd = sa = nf = tot = 0
+        for y in range(hh - 1):
+            for x in range(ww - 1):
+                gx = g[y][x + 1] - g[y][x]
+                gy = g[y + 1][x] - g[y][x]
+                mag = abs(gx) + abs(gy)
+                tot += mag
+                if gx == 0 and gy == 0:
+                    nf += 1
+                elif abs(gx) > abs(gy):
+                    sh += mag
+                elif abs(gy) > abs(gx):
+                    sv += mag
+                elif gx * gy > 0:
+                    sd += mag
+                else:
+                    sa += mag
+        rows.append((rec["image_id"], sh, sv, sd, sa, nf, tot))
+    _write(
+        "gradient_census", sf_dir,
+        pd.DataFrame(rows, columns=[
+            "image_id", "sum_h", "sum_v", "sum_d", "sum_a", "n_flat",
+            "edge_energy"]).astype(
+            {c: "int64" for c in ["sum_h", "sum_v", "sum_d", "sum_a",
+                                  "n_flat", "edge_energy"]}),
+    )
+
+
+ALL.append(gradient_census)
