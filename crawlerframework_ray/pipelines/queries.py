@@ -17022,3 +17022,147 @@ def rice_postings_parameter_audit(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
         ["term"], build)
+
+
+# =====================================================================
+# Longest increasing subsequence per user stream (round-4 s10)
+# =====================================================================
+
+_LIS_SQL = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS idx,
+             CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) AS v
+      FROM events),
+    n AS (SELECT user_id, MAX(idx) AS n FROM seq GROUP BY user_id),
+    dp AS (
+      SELECT user_id, 0 AS i, CAST([] AS BIGINT[]) AS lens,
+             CAST([] AS BIGINT[]) AS vals
+      FROM n
+      UNION ALL
+      SELECT d.user_id, d.i + 1,
+             list_append(d.lens,
+               1 + COALESCE(list_max(
+                 list_transform(
+                   list_filter(list_zip(d.lens, d.vals),
+                               x -> x[2] < s.v),
+                   x -> x[1])), 0)),
+             list_append(d.vals, s.v)
+      FROM dp d JOIN seq s ON s.user_id = d.user_id AND s.idx = d.i + 1),
+    fin AS (SELECT d.user_id, d.lens
+            FROM dp d JOIN n ON n.user_id = d.user_id AND d.i = n.n)
+    SELECT user_id, CAST(len(lens) AS BIGINT) AS n_events,
+           CAST(list_max(lens) AS BIGINT) AS lis_len
+    FROM fin
+"""
+
+
+@register("lis_user_value_trend", _LIS_SQL)
+def lis_user_value_trend(sf_dir: str):
+    """Longest strictly-increasing subsequence of each user's event
+    values (ts, event_id order; exact-cents values) — the
+    monotone-trend audit of a behavioral stream (a long LIS says the
+    user's spend trends up through the noise; LIS ≈ √n is what an
+    exchangeable-order null predicts, so the gap IS the signal). Ray
+    side runs PATIENCE SORTING per co-located stream (O(n log n)
+    pile-top binary search — Mallows/Hammersley lineage); the oracle
+    is the O(n²) DP as a recursive CTE carrying (lens, vals) list
+    state — a genuinely different algorithm for the same spec, so an
+    off-by-one in either side fails the gate. Scale shape: ONE
+    user-keyed bounded shuffle; streams fold in parallel across
+    users; per-user state is the pile-top vector (≤ LIS length).
+    Oracle: recursive-CTE DP."""
+    from bisect import bisect_left
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            v = np.floor(100.0 * gg["value"].to_numpy() + 0.5).astype(
+                np.int64)
+            tops: list[int] = []
+            for x in v.tolist():
+                i = bisect_left(tops, x)
+                if i == len(tops):
+                    tops.append(x)
+                else:
+                    tops[i] = x
+            rows.append((int(uid), len(v), len(tops)))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "lis_len"]).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+# =====================================================================
+# Haar wavelet subband energy census (round-4 s10)
+# =====================================================================
+
+def _plant_haar(img: np.ndarray, d: int) -> np.ndarray:
+    """Deterministic frequency plants (shared with the golden BY
+    DESIGN): doc_id % 4 → smooth ramp (LL-dominant) / 1-px
+    checkerboard (HH1-heavy) / 2-px horizontal stripes (LH-heavy) /
+    untouched noise."""
+    hh, ww = img.shape[0], img.shape[1]
+    yy, xx = np.meshgrid(np.arange(hh), np.arange(ww), indexing="ij")
+    if d % 4 == 0:
+        v = (yy * 4 + xx * 2 + d) % 200
+    elif d % 4 == 1:
+        v = np.where((yy + xx) % 2 == 0, 220 + d % 30, 30 + d % 20)
+    elif d % 4 == 2:
+        v = np.where((yy // 2) % 2 == 0, 210 + d % 40, 40 + d % 25)
+    else:
+        return img
+    return np.broadcast_to(
+        v.astype(np.uint8)[..., None], img.shape).copy()
+
+
+@register("haar_subband_energy", _golden_sql("haar_energy"))
+def haar_subband_energy(sf_dir: str):
+    """Two-level integer Haar subband energy census over the image
+    corpus (stages/multimodal.HaarSubbandStage — unnormalized 2×2
+    butterflies, no divisions, so energies are bit-identical at any
+    partitioning): the frequency-split curation feature separating
+    smooth gradients (LL), stripe/text textures (LH/HL) and
+    checkerboard noise (HH) — the integer skeleton of wavelet
+    compressibility scoring. Plants (doc_id % 4: ramp / 1-px
+    checkerboard / 2-px stripes / raw noise) make each subband the
+    dominant answer for some slice. Actor pool, decoders in
+    __init__, vectorized butterflies. Golden: independent longhand
+    per-block loop with literal butterfly formulas
+    (tools/make_goldens.haar_energy).
+
+    Reference analogue: the T6 payload-scorer slot
+    (crawler/connectors/baseconnector.py:1140-1251) in its
+    pixel-statistics form."""
+    from ..data import codecs as _codecs
+    from ..data.synth import SynthWebConfig, make_url, page_record
+    from ..stages.multimodal import HaarSubbandStage
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(512)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        blobs: list[bytes] = []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            rec = page_record(make_url(d % 8, d), cfg)
+            img = _plant_haar(_codecs.decode(rec["bytes"], rec["fmt"]), d)
+            ids.append(rec["image_id"])
+            blobs.append(_codecs.encode_raw(img))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["raw"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow",
+                          batch_size=256).map_batches(
+        HaarSubbandStage, batch_format="pyarrow", batch_size=128,
+        concurrency=2, num_cpus=0.5)

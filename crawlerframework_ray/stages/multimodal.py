@@ -1595,3 +1595,75 @@ class GradientOrientationStage:
                 "sum_h", "sum_v", "sum_d", "sum_a", "n_flat",
                 "edge_energy")},
         })
+
+
+class HaarSubbandStage:
+    """Two-level integer Haar wavelet subband energy census (Haar
+    1910; the Mallat 1989 pyramid kept integer — the unnormalized
+    4-point butterfly per 2×2 block: LL = a+b+c+d, LH = (a+b)−(c+d),
+    HL = (a−b)+(c−d), HH = (a−b)−(c−d), level 2 applied to the raw
+    level-1 LL with the same formulas, no divisions anywhere). Per
+    image: the squared-coefficient energy of each detail subband and
+    the final LL — the frequency-split an image-curation pipeline
+    uses to separate smooth gradients (LL-dominant), stripe/text
+    textures (LH/HL-heavy) and checkerboard noise (HH-heavy), and
+    the integer skeleton of every wavelet compressibility score.
+    Requires even dims at both levels (the corpus dims are powers of
+    two ≥ 8 per the fixture spec — ValueError otherwise, fail-loud).
+    Decoders built once per actor; butterflies fully vectorized.
+
+    Output schema: image_id:string, e_ll2/e_lh1/e_hl1/e_hh1/
+    e_lh2/e_hl2/e_hh2:int64.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.decoders = dict(codecs._DECODERS)
+
+    @staticmethod
+    def _level(g: np.ndarray):
+        a = g[0::2, 0::2].astype(np.int64)
+        b = g[0::2, 1::2].astype(np.int64)
+        c = g[1::2, 0::2].astype(np.int64)
+        d = g[1::2, 1::2].astype(np.int64)
+        return (a + b + c + d, (a + b) - (c + d),
+                (a - b) + (c - d), (a - b) - (c - d))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        cols: dict[str, list] = {k: [] for k in (
+            "image_id", "e_ll2", "e_lh1", "e_hl1", "e_hh1", "e_lh2",
+            "e_hl2", "e_hh2")}
+        for i, fmt, data in zip(ids, fmts, datas):
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for external format {fmt!r} requires an "
+                        "image codec library"
+                    )
+                continue
+            g = dec(data).astype(np.int64).sum(axis=2) // 3
+            if g.shape[0] % 4 or g.shape[1] % 4:
+                raise ValueError(
+                    f"HaarSubbandStage needs dims divisible by 4, got "
+                    f"{g.shape}"
+                )
+            ll1, lh1, hl1, hh1 = self._level(g)
+            ll2, lh2, hl2, hh2 = self._level(ll1)
+            cols["image_id"].append(i)
+            cols["e_ll2"].append(int((ll2 * ll2).sum()))
+            cols["e_lh1"].append(int((lh1 * lh1).sum()))
+            cols["e_hl1"].append(int((hl1 * hl1).sum()))
+            cols["e_hh1"].append(int((hh1 * hh1).sum()))
+            cols["e_lh2"].append(int((lh2 * lh2).sum()))
+            cols["e_hl2"].append(int((hl2 * hl2).sum()))
+            cols["e_hh2"].append(int((hh2 * hh2).sum()))
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            **{k: pa.array(cols[k], pa.int64()) for k in (
+                "e_ll2", "e_lh1", "e_hl1", "e_hh1", "e_lh2", "e_hl2",
+                "e_hh2")},
+        })

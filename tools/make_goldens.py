@@ -2433,3 +2433,61 @@ def gradient_census(sf_dir: str) -> None:
 
 
 ALL.append(gradient_census)
+
+
+def haar_energy(sf_dir: str) -> None:
+    """Longhand mirror of haar_subband_energy: the PLANT (doc_id % 4
+    ramp/checkerboard/stripes/noise) is shared by design; the MEASURE
+    — gray conversion, the two 2×2 butterfly levels and the squared
+    energies — is restated with explicit per-block loops and literal
+    formulas, so a stage-side butterfly or indexing drift fails the
+    gate."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+    from crawlerframework_ray.pipelines.queries import _plant_haar
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+
+    def level(g):
+        hh, ww = len(g), len(g[0])
+        ll = [[0] * (ww // 2) for _ in range(hh // 2)]
+        lh = [[0] * (ww // 2) for _ in range(hh // 2)]
+        hl = [[0] * (ww // 2) for _ in range(hh // 2)]
+        hhb = [[0] * (ww // 2) for _ in range(hh // 2)]
+        for y in range(0, hh, 2):
+            for x in range(0, ww, 2):
+                a, b = g[y][x], g[y][x + 1]
+                c, d = g[y + 1][x], g[y + 1][x + 1]
+                ll[y // 2][x // 2] = a + b + c + d
+                lh[y // 2][x // 2] = (a + b) - (c + d)
+                hl[y // 2][x // 2] = (a - b) + (c - d)
+                hhb[y // 2][x // 2] = (a - b) - (c - d)
+        return ll, lh, hl, hhb
+
+    def energy(m):
+        return sum(v * v for row in m for v in row)
+
+    rows = []
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = _plant_haar(codecs.decode(rec["bytes"], rec["fmt"]), d)
+        hh, ww = img.shape[0], img.shape[1]
+        g = [[(int(img[y, x, 0]) + int(img[y, x, 1]) + int(img[y, x, 2])) // 3
+              for x in range(ww)] for y in range(hh)]
+        ll1, lh1, hl1, hh1 = level(g)
+        ll2, lh2, hl2, hh2 = level(ll1)
+        rows.append((rec["image_id"], energy(ll2), energy(lh1), energy(hl1),
+                     energy(hh1), energy(lh2), energy(hl2), energy(hh2)))
+    _write(
+        "haar_energy", sf_dir,
+        pd.DataFrame(rows, columns=[
+            "image_id", "e_ll2", "e_lh1", "e_hl1", "e_hh1", "e_lh2",
+            "e_hl2", "e_hh2"]).astype(
+            {c: "int64" for c in ["e_ll2", "e_lh1", "e_hl1", "e_hh1",
+                                  "e_lh2", "e_hl2", "e_hh2"]}),
+    )
+
+
+ALL.append(haar_energy)
