@@ -17166,3 +17166,288 @@ def haar_subband_energy(sf_dir: str):
                           batch_size=256).map_batches(
         HaarSubbandStage, batch_format="pyarrow", batch_size=128,
         concurrency=2, num_cpus=0.5)
+
+
+# =====================================================================
+# Maximum non-overlapping sessions (interval scheduling, round-4 s10)
+# =====================================================================
+
+_ACTSEL_DUR = "(3600 + CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) % 604800)"
+
+_ACTSEL_SQL = f"""
+    WITH RECURSIVE iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_ACTSEL_DUR} * 1000000 AS e
+      FROM events),
+    seq AS (
+      SELECT user_id, s, e,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY e, s) AS idx
+      FROM iv),
+    n AS (SELECT user_id, MAX(idx) AS n FROM seq GROUP BY user_id),
+    dp AS (
+      SELECT user_id, 0 AS i, CAST([] AS BIGINT[]) AS ends,
+             CAST([] AS BIGINT[]) AS dps
+      FROM n
+      UNION ALL
+      SELECT d.user_id, d.i + 1,
+             list_append(d.ends, q.e),
+             list_append(d.dps,
+               greatest(
+                 COALESCE(d.dps[len(d.dps)], 0),
+                 1 + COALESCE(list_max(
+                   list_transform(
+                     list_filter(list_zip(d.ends, d.dps),
+                                 x -> x[1] <= q.s),
+                     x -> x[2])), 0)))
+      FROM dp d JOIN seq q ON q.user_id = d.user_id AND q.idx = d.i + 1),
+    fin AS (SELECT d.user_id, d.dps
+            FROM dp d JOIN n ON n.user_id = d.user_id AND d.i = n.n)
+    SELECT user_id, CAST(len(dps) AS BIGINT) AS n_events,
+           CAST(COALESCE(dps[len(dps)], 0) AS BIGINT) AS max_sessions
+    FROM fin
+"""
+
+
+@register("max_nonoverlap_sessions", _ACTSEL_SQL)
+def max_nonoverlap_sessions(sf_dir: str):
+    """Maximum set of pairwise non-overlapping sessions per user
+    (activity selection — the exchange-argument classic): each event
+    opens an interval of deterministic value-keyed length (1 h – 1
+    week, so overlap is heavy and the answer is far from n); touching
+    endpoints compatible. Ray side runs the GREEDY earliest-end scan
+    per co-located stream (provably optimal); the oracle is the
+    weighted-interval-scheduling DP dp_i = max(dp_{{i-1}},
+    1 + max{{dp_j : end_j ≤ start_i}}) as a list-state recursive CTE
+    — algorithmically disjoint from the greedy, so the gate re-proves
+    the exchange argument on every corpus. Scale shape: ONE
+    user-keyed bounded shuffle, per-user state is O(1) for the
+    greedy. Oracle: recursive-CTE DP."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(100.0 * g["value"].to_numpy() + 0.5).astype(
+            np.int64)
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = s + (3600 + cents % 604800) * 1_000_000
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "s": s, "e": e})
+        rows = []
+        for uid, gg in df.groupby("user_id", sort=False):
+            gg = gg.sort_values(["e", "s"], kind="mergesort")
+            cnt, cur = 0, -(1 << 62)
+            for st, en in zip(gg["s"].to_numpy(), gg["e"].to_numpy()):
+                if st >= cur:
+                    cnt += 1
+                    cur = en
+            rows.append((int(uid), len(gg), cnt))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "max_sessions"]).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+# =====================================================================
+# Crawl-budget 0/1 knapsack (round-4 s10)
+# =====================================================================
+
+_KNAPSACK_SQL = """
+    WITH RECURSIVE items AS (
+      SELECT doc_id % 64 AS host, CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(1 + (doc_id % 64 * 7919) % 97 AS BIGINT) AS w
+      FROM documents GROUP BY doc_id % 64),
+    seq AS (SELECT host, v, w,
+                   ROW_NUMBER() OVER (ORDER BY host) AS idx FROM items),
+    n AS (SELECT MAX(idx) AS n FROM seq),
+    dp AS (
+      SELECT 0 AS i,
+             list_transform(generate_series(0, 1500),
+                            x -> CAST(0 AS BIGINT)) AS dps
+      UNION ALL
+      SELECT d.i + 1,
+             list_transform(generate_series(1, 1501), b ->
+               CASE WHEN b - 1 >= s.w AND d.dps[b - s.w] + s.v > d.dps[b]
+                    THEN d.dps[b - s.w] + s.v ELSE d.dps[b] END)
+      FROM dp d JOIN seq s ON s.idx = d.i + 1)
+    SELECT CAST(b.budget AS BIGINT) AS budget,
+           CAST(f.dps[b.budget + 1] AS BIGINT) AS best_value
+    FROM (SELECT dps FROM dp, n WHERE i = n.n) f,
+         (SELECT unnest([250, 500, 1000, 1500]) AS budget) b
+"""
+
+
+@register("crawl_budget_knapsack", _KNAPSACK_SQL)
+def crawl_budget_knapsack(sf_dir: str):
+    """Crawl-budget 0/1 knapsack: choose the host subset maximizing
+    total page yield under a transfer budget (host value = its
+    corpus document count — DATA-derived, not planted; host cost =
+    a deterministic per-host byte weight), reported as the optimal
+    frontier at four budget checkpoints. The discrete-optimum
+    counterpart of fair_budget_waterfill (water-filling splits a
+    budget fractionally; knapsack decides hosts atomically — the
+    real choice when a host is crawled wholly or not at all). Scale
+    shape: host yields come from one bounded groupby; the DP is a
+    vectorized O(hosts × budget) numpy roll on the driver over the
+    O(hosts) item table (the graph family's host-level convention —
+    at 10^8 items switch to the FPTAS value-scaling form). Oracle:
+    recursive-CTE DP carrying the dp array as list state —
+    exercises a completely different evaluator (SQL lambdas) over
+    the same recurrence."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        h = t.column("doc_id").to_numpy().astype(np.int64) % 64
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"host": pa.array(u, pa.int64()),
+                         "v": pa.array(c, pa.int64())})
+
+    items = bucketed_group_agg(
+        ds.map_batches(host_partial, batch_format="pyarrow"),
+        ["host"], lambda g: g.groupby("host", as_index=False)["v"].sum(),
+    ).to_pandas().sort_values("host").reset_index(drop=True)
+
+    B = 1500
+    dp = np.zeros(B + 1, dtype=np.int64)
+    for host, v in zip(items["host"].astype(int), items["v"].astype(int)):
+        w = 1 + (host * 7919) % 97
+        nd = dp.copy()
+        nd[w:] = np.maximum(dp[w:], dp[:-w] + v)
+        dp = nd
+    budgets = np.array([250, 500, 1000, 1500], dtype=np.int64)
+    return pd.DataFrame({"budget": budgets,
+                         "best_value": dp[budgets]}).astype("int64")
+
+
+# =====================================================================
+# Fagin threshold-algorithm top-k (round-4 s10)
+# =====================================================================
+
+_TA_SQL = """
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey),
+    j AS (
+      SELECT c.c_custkey,
+             CAST(FLOOR(100.0 * c.c_acctbal + 0.5) AS BIGINT) AS bal_cents,
+             COALESCE(s.spend_cents, 0) AS spend_cents
+      FROM customer c LEFT JOIN spend s ON s.c_custkey = c.c_custkey)
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, bal_cents,
+           CAST(spend_cents AS BIGINT) AS spend_cents,
+           CAST(bal_cents + spend_cents AS BIGINT) AS score
+    FROM j
+    ORDER BY bal_cents + spend_cents DESC, c_custkey
+    LIMIT 10
+"""
+
+
+@register("threshold_algorithm_topk", _TA_SQL)
+def threshold_algorithm_topk(sf_dir: str):
+    """Fagin's Threshold Algorithm (Fagin, Lotem & Naor, JCSS 2003 —
+    the middleware classic for top-k over independently-ranked
+    lists): top-10 customers by balance + lifetime spend, found by
+    alternating SORTED access over the two descending score streams
+    and stopping the moment the k-th candidate beats the sum of the
+    current stream bounds — the early-termination property is
+    ASSERTED in-pipeline (ValueError if the instance-optimal stop
+    condition never fires before exhaustion). Ray-native shape: the
+    two rankings are Dataset sorts consumed lazily via iter_batches
+    — streaming's early-exit is exactly what TA monetizes (blocks
+    past the stop point are never pulled); random access is a
+    broadcast score map (a KV actor shard at 10^9 keys, as the
+    affinity store documents). Oracle: native SQL full-scan top-k —
+    TA must agree with the exhaustive answer by theorem, and the
+    gate re-proves it per corpus."""
+    from ..stages.agg import bucketed_group_agg
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def cust_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "bal_cents": pa.array(np.floor(
+                100.0 * t.column("c_acctbal").to_numpy() + 0.5
+            ).astype(np.int64), pa.int64()),
+        })
+
+    bal = cust.map_batches(cust_cents, batch_format="pyarrow").materialize()
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c_custkey": t.column("o_custkey").to_numpy(),
+            "spend_cents": np.floor(
+                100.0 * t.column("o_totalprice").to_numpy() + 0.5
+            ).astype(np.int64)})
+        return df.groupby("c_custkey", as_index=False)["spend_cents"].sum()
+
+    spend = bucketed_group_agg(
+        orders.map_batches(spend_partial, batch_format="pyarrow",
+                           batch_size=65536),
+        ["c_custkey"],
+        lambda g: g.groupby("c_custkey", as_index=False)[
+            "spend_cents"].sum()).materialize()
+
+    # random-access side: broadcast score maps (KV actor shard at scale)
+    bal_df = bal.to_pandas().sort_values("c_custkey")
+    sp_df = spend.to_pandas().sort_values("c_custkey")
+    bkeys = bal_df["c_custkey"].to_numpy().astype(np.int64)
+    bvals = bal_df["bal_cents"].to_numpy().astype(np.int64)
+    skeys = sp_df["c_custkey"].to_numpy().astype(np.int64)
+    svals = sp_df["spend_cents"].to_numpy().astype(np.int64)
+
+    def lookup(keys, vals, k):
+        i = np.searchsorted(keys, k)
+        if i < len(keys) and keys[i] == k:
+            return int(vals[i])
+        return 0
+
+    K = 10
+    s1 = bal.sort("bal_cents", descending=True)
+    s2 = spend.sort("spend_cents", descending=True)
+    it1 = iter(s1.iter_batches(batch_size=32, batch_format="pyarrow"))
+    it2 = iter(s2.iter_batches(batch_size=32, batch_format="pyarrow"))
+    seen: dict[int, tuple] = {}
+    b1 = b2 = None
+    stopped = False
+    accessed = 0
+    while True:
+        progressed = False
+        for it, keycol, valcol, which in (
+                (it1, "c_custkey", "bal_cents", 1),
+                (it2, "c_custkey", "spend_cents", 2)):
+            batch = next(it, None)
+            if batch is None or len(batch) == 0:
+                continue
+            progressed = True
+            accessed += len(batch)
+            ks = batch.column(keycol).to_numpy().astype(np.int64)
+            vs = batch.column(valcol).to_numpy().astype(np.int64)
+            for k_, v_ in zip(ks.tolist(), vs.tolist()):
+                if k_ not in seen:
+                    bc = lookup(bkeys, bvals, k_)
+                    sc = lookup(skeys, svals, k_)
+                    seen[k_] = (bc + sc, k_, bc, sc)
+            if which == 1:
+                b1 = int(vs[-1])
+            else:
+                b2 = int(vs[-1])
+        if not progressed:
+            break
+        if b1 is not None and b2 is not None and len(seen) >= K:
+            top = sorted(seen.values(), key=lambda r: (-r[0], r[1]))[:K]
+            if top[-1][0] >= b1 + b2:
+                stopped = True
+                break
+    if not stopped:
+        raise ValueError("threshold algorithm never hit its stop bound")
+    top = sorted(seen.values(), key=lambda r: (-r[0], r[1]))[:K]
+    return pd.DataFrame(
+        [(k_, bc, sc, s_) for (s_, k_, bc, sc) in top],
+        columns=["c_custkey", "bal_cents", "spend_cents", "score"],
+    ).astype("int64")
