@@ -17451,3 +17451,171 @@ def threshold_algorithm_topk(sf_dir: str):
         [(k_, bc, sc, s_) for (s_, k_, bc, sc) in top],
         columns=["c_custkey", "bal_cents", "spend_cents", "score"],
     ).astype("int64")
+
+
+# =====================================================================
+# Sliding-window max + rank/select bitvector (round-4 s10)
+# =====================================================================
+
+_WINMAX_SQL = """
+    WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                      CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id,
+           CAST(MAX(cents) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS win_max_cents
+    FROM c
+"""
+
+
+@register("sliding_window_max_value", _WINMAX_SQL)
+def sliding_window_max_value(sf_dir: str):
+    """Trailing-1-day maximum of each user's event value at every
+    event — the per-host "recent peak" a rate governor tracks (peak
+    request cost in the last day decides the next politeness budget).
+    Ray side runs the MONOTONIC DEQUE (the O(n) sliding-max classic:
+    amortized one push/pop per element), processing ts-ties as one
+    group so RANGE-frame tie semantics hold exactly; the oracle is
+    the SQL RANGE window frame — a declarative restatement sharing
+    no algorithm. Scale shape: ONE user-keyed bounded shuffle;
+    per-user state is the deque (≤ window cardinality); streams fold
+    in parallel across users. Oracle: native SQL window."""
+    from collections import deque
+
+    from ..stages.agg import bucketed_group_agg
+
+    WIN = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out_uid, out_eid, out_max = [], [], []
+        for uid, gg in g.groupby("user_id", sort=False):
+            us = gg["ts"].to_numpy().astype("datetime64[us]").astype(
+                np.int64)
+            eid = gg["event_id"].to_numpy().astype(np.int64)
+            cents = np.floor(
+                100.0 * gg["value"].to_numpy() + 0.5).astype(np.int64)
+            dq: deque = deque()  # (us, cents), cents non-increasing
+            i = 0
+            n = len(us)
+            while i < n:
+                j = i
+                while j < n and us[j] == us[i]:
+                    j += 1
+                for k in range(i, j):  # admit the whole ts-tie group
+                    while dq and dq[-1][1] <= cents[k]:
+                        dq.pop()
+                    dq.append((int(us[k]), int(cents[k])))
+                while dq and dq[0][0] < us[i] - WIN:
+                    dq.popleft()
+                m = max(v for _, v in dq)
+                for k in range(i, j):
+                    out_uid.append(int(uid))
+                    out_eid.append(int(eid[k]))
+                    out_max.append(m)
+                i = j
+        return pd.DataFrame({"user_id": out_uid, "event_id": out_eid,
+                             "win_max_cents": out_max}).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+_RANKSEL_SQL = """
+    WITH bits AS (SELECT doc_id,
+                         CASE WHEN POSITION('spark' IN text) > 0
+                              THEN 1 ELSE 0 END AS b
+                  FROM documents),
+    n AS (SELECT MAX(doc_id) + 1 AS n FROM bits),
+    ranks AS (
+      SELECT 'rank' AS kind, p.p AS idx,
+             CAST((SELECT COUNT(*) FROM bits
+                   WHERE doc_id < p.p AND b = 1) AS BIGINT) AS answer
+      FROM (SELECT unnest(generate_series(0, (SELECT n FROM n), 97)) AS p)
+           p),
+    sel AS (
+      SELECT 'select' AS kind, CAST(rn AS BIGINT) AS idx,
+             CAST(doc_id AS BIGINT) AS answer
+      FROM (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+            FROM bits WHERE b = 1)
+      WHERE rn % 7 = 1)
+    SELECT * FROM ranks UNION ALL SELECT * FROM sel
+"""
+
+
+@register("rank_select_bitvector_audit", _RANKSEL_SQL)
+def rank_select_bitvector_audit(sf_dir: str):
+    """Succinct rank/select bitvector audit (Jacobson 1989): pack the
+    per-document predicate bits ('contains spark', doc_id order) into
+    uint64 words with a per-block popcount directory, then answer
+    rank₁(p) probes (every 97th position) from directory + one masked
+    popcount, and select₁(j) samples (every 7th set bit) by directory
+    binary search + in-word bit walk — the structure posting-list
+    skip pointers, roaring containers and succinct trees all stand
+    on. The REAL packed structure is built and queried (no recount
+    per probe — a recount would defeat the point and is exactly what
+    the oracle does instead). Scale shape: per-batch bit packing is
+    vectorized; block directories are prefix sums over O(n/64)
+    words; probes are O(1)/O(log) against the directory. Oracle: SQL
+    recounts every probe exhaustively."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bit_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        b = np.array([1 if "spark" in s else 0
+                      for s in t.column("text").to_pylist()],
+                     dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    bits_df = bucketed_group_agg(
+        ds.map_batches(bit_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["doc_id"], lambda g: g.drop_duplicates(ignore_index=True),
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = int(bits_df["doc_id"].max()) + 1
+    bv = np.zeros(n, dtype=np.uint8)
+    bv[bits_df["doc_id"].to_numpy()] = bits_df["b"].to_numpy().astype(
+        np.uint8)
+    # pack into uint64 words + block-rank directory (cum popcount)
+    n_words = (n + 63) // 64
+    padded = np.zeros(n_words * 64, dtype=np.uint8)
+    padded[:n] = bv
+    words = np.zeros(n_words, dtype=np.uint64)
+    for bit in range(64):
+        words |= padded[bit::64].astype(np.uint64) << np.uint64(bit)
+    pop = np.array([int(w).bit_count() for w in words], dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(pop)])  # cum[w] = rank before word w
+
+    def rank1(p: int) -> int:
+        w, r = divmod(p, 64)
+        base = int(cum[w])
+        if r == 0:
+            return base
+        mask = (1 << r) - 1
+        return base + (int(words[w]) & mask).bit_count()
+
+    def select1(j: int) -> int:  # 1-indexed j-th set bit position
+        w = int(np.searchsorted(cum, j, side="left")) - 1
+        rem = j - int(cum[w])
+        word = int(words[w])
+        pos = -1
+        for _ in range(rem):
+            pos = (word & -word).bit_length() - 1
+            word &= word - 1
+        return w * 64 + pos
+
+    rows = []
+    for p in range(0, n + 1, 97):
+        rows.append(("rank", p, rank1(p)))
+    total = int(cum[-1])
+    for j in range(1, total + 1):
+        if j % 7 == 1:
+            rows.append(("select", j, select1(j)))
+    return pd.DataFrame(rows, columns=["kind", "idx", "answer"]).astype(
+        {"idx": "int64", "answer": "int64"})
