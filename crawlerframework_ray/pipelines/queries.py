@@ -17619,3 +17619,216 @@ def rank_select_bitvector_audit(sf_dir: str):
             rows.append(("select", j, select1(j)))
     return pd.DataFrame(rows, columns=["kind", "idx", "answer"]).astype(
         {"idx": "int64", "answer": "int64"})
+
+
+# =====================================================================
+# Walker–Vose alias table audit (round-4 s10)
+# =====================================================================
+
+_ALIAS_SQL = """
+    WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY event_type),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sym FROM c)
+    SELECT c.event_type, c.n_events,
+           CAST(c.n_events * k.n_sym AS BIGINT) AS rebuilt_scaled
+    FROM c CROSS JOIN k
+"""
+
+
+@register("alias_table_sampling_audit", _ALIAS_SQL)
+def alias_table_sampling_audit(sf_dir: str):
+    """Walker–Vose alias table audit (Walker 1977; Vose 1991 — the
+    O(1)-per-draw weighted sampler every mixture-sampling stage
+    wants at 10^9 draws): build the REAL n-bucket alias structure
+    over the event-type frequency distribution with exact integer
+    arithmetic (weights scaled by n so every bucket holds exactly
+    T units — no float probabilities anywhere), then RECONSTRUCT
+    each symbol's scaled weight by summing its primary and alias
+    shares across buckets. The partition-of-unity invariant
+    (reconstruction ≡ n·count, every bucket exactly full) is
+    asserted in-pipeline (ValueError on drift) and the reconstructed
+    column is what the gate hashes — so the oracle independently
+    recomputes the distribution the table must encode. Scale shape:
+    frequencies from one bounded groupby; the table is O(symbols)
+    and the construction uses deterministic FIFO small/large queues
+    (retry-identical). Oracle: native SQL frequency recount."""
+    from collections import deque
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def cnt_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist()})
+        return (df.groupby("event_type", as_index=False)
+                .size().rename(columns={"size": "n_events"}))
+
+    counts = bucketed_group_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["event_type"],
+        lambda g: g.groupby("event_type", as_index=False)[
+            "n_events"].sum(),
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+
+    syms = counts["event_type"].tolist()
+    c = counts["n_events"].to_numpy().astype(np.int64)
+    n = len(syms)
+    T = int(c.sum())
+    scaled = (c * n).tolist()  # bucket capacity is T units each
+    small = deque(i for i in range(n) if scaled[i] < T)
+    large = deque(i for i in range(n) if scaled[i] >= T)
+    rebuilt = [0] * n
+    buckets = 0
+    remaining = list(scaled)
+    while small:
+        s = small.popleft()
+        g = large[0]
+        # bucket: s keeps its remainder, alias g tops up to T
+        rebuilt[s] += remaining[s]
+        rebuilt[g] += T - remaining[s]
+        remaining[g] -= T - remaining[s]
+        remaining[s] = 0
+        buckets += 1
+        if remaining[g] < T:
+            large.popleft()
+            if remaining[g] > 0:
+                small.append(g)
+            elif remaining[g] == 0 and buckets < n and not small and not large:
+                raise ValueError("alias construction exhausted early")
+    while large:
+        g = large.popleft()
+        # exact-arithmetic Vose invariant: once smalls are exhausted
+        # every surviving large holds a whole number of full buckets
+        if remaining[g] % T != 0:
+            raise ValueError(
+                f"drain remainder {remaining[g]} not a multiple of {T}")
+        while remaining[g] > 0:
+            rebuilt[g] += T
+            remaining[g] -= T
+            buckets += 1
+    if buckets != n:
+        raise ValueError(f"alias table has {buckets} buckets, want {n}")
+    if rebuilt != scaled:
+        raise ValueError("alias reconstruction drifted from the input")
+    return pd.DataFrame({
+        "event_type": syms,
+        "n_events": c,
+        "rebuilt_scaled": np.asarray(rebuilt, dtype=np.int64),
+    }).astype({"n_events": "int64", "rebuilt_scaled": "int64"})
+
+
+# =====================================================================
+# Selinger join-order DP vs exhaustive plan enumeration (round-4 s10)
+# =====================================================================
+
+_SELINGER_SQL = """
+    WITH RECURSIVE bases AS (
+      SELECT (SELECT COUNT(*) FROM region) AS r,
+             (SELECT COUNT(*) FROM nation) AS n,
+             (SELECT COUNT(*) FROM customer) AS c,
+             (SELECT COUNT(*) FROM orders) AS o),
+    plans AS (
+      SELECT CAST([t.t] AS VARCHAR[]) AS placed,
+             CASE t.t WHEN 'R' THEN (SELECT r FROM bases)
+                      WHEN 'N' THEN (SELECT n FROM bases)
+                      WHEN 'C' THEN (SELECT c FROM bases)
+                      ELSE (SELECT o FROM bases) END AS card,
+             CAST(0 AS BIGINT) AS cost
+      FROM (SELECT unnest(['R','N','C','O']) AS t) t
+      UNION ALL
+      SELECT list_append(p.placed, t.t),
+             p.card
+               * (CASE t.t WHEN 'R' THEN (SELECT r FROM bases)
+                           WHEN 'N' THEN (SELECT n FROM bases)
+                           WHEN 'C' THEN (SELECT c FROM bases)
+                           ELSE (SELECT o FROM bases) END)
+               // (CASE WHEN (t.t = 'R' AND list_contains(p.placed, 'N'))
+                          OR (t.t = 'N' AND list_contains(p.placed, 'R'))
+                        THEN (SELECT r FROM bases) ELSE 1 END)
+               // (CASE WHEN (t.t = 'N' AND list_contains(p.placed, 'C'))
+                          OR (t.t = 'C' AND list_contains(p.placed, 'N'))
+                        THEN (SELECT n FROM bases) ELSE 1 END)
+               // (CASE WHEN (t.t = 'C' AND list_contains(p.placed, 'O'))
+                          OR (t.t = 'O' AND list_contains(p.placed, 'C'))
+                        THEN (SELECT c FROM bases) ELSE 1 END),
+             p.cost + p.card
+               * (CASE t.t WHEN 'R' THEN (SELECT r FROM bases)
+                           WHEN 'N' THEN (SELECT n FROM bases)
+                           WHEN 'C' THEN (SELECT c FROM bases)
+                           ELSE (SELECT o FROM bases) END)
+               // (CASE WHEN (t.t = 'R' AND list_contains(p.placed, 'N'))
+                          OR (t.t = 'N' AND list_contains(p.placed, 'R'))
+                        THEN (SELECT r FROM bases) ELSE 1 END)
+               // (CASE WHEN (t.t = 'N' AND list_contains(p.placed, 'C'))
+                          OR (t.t = 'C' AND list_contains(p.placed, 'N'))
+                        THEN (SELECT n FROM bases) ELSE 1 END)
+               // (CASE WHEN (t.t = 'C' AND list_contains(p.placed, 'O'))
+                          OR (t.t = 'O' AND list_contains(p.placed, 'C'))
+                        THEN (SELECT c FROM bases) ELSE 1 END)
+      FROM plans p JOIN (SELECT unnest(['R','N','C','O']) AS t) t
+        ON NOT list_contains(p.placed, t.t))
+    SELECT array_to_string(placed, ',') AS best_order,
+           CAST(cost AS BIGINT) AS best_cost
+    FROM plans WHERE len(placed) = 4
+    ORDER BY cost, best_order LIMIT 1
+"""
+
+_SELINGER_EDGES = {frozenset("RN"): "R", frozenset("NC"): "N",
+                   frozenset("CO"): "C"}
+
+
+@register("join_order_selinger_audit", _SELINGER_SQL)
+def join_order_selinger_audit(sf_dir: str):
+    """Selinger left-deep join-order optimization (Selinger et al.,
+    SIGMOD 1979) over the region–nation–customer–orders FK chain:
+    base cardinalities are DATA-derived distributed counts, FK edge
+    selectivities 1/|parent| make every intermediate estimate an
+    exact integer, cost = Cout (sum of intermediate sizes), ties
+    broken by lexicographically smallest plan string. Ray side runs
+    the SUBSET DP over 2^4 states carrying (cost, smallest prefix)
+    — the prefix tie-break is exchange-safe because suffix costs
+    depend only on the set; the oracle enumerates ALL 24
+    permutations via a recursive CTE and takes the minimum — the
+    exhaustive search the DP claims to equal. Companion to
+    join_cardinality_estimate_audit (q-error measures the estimates;
+    this measures what the optimizer does with them)."""
+    from itertools import combinations
+
+    tables = {"R": "region", "N": "nation", "C": "customer",
+              "O": "orders"}
+    base = {}
+    for sym, tname in tables.items():
+        base[sym] = _read(sf_dir, tname).count()
+
+    def extend_card(card: int, placed: tuple, t: str) -> int:
+        num = card * base[t]
+        for p in placed:
+            denom_parent = _SELINGER_EDGES.get(frozenset((p, t)))
+            if denom_parent is not None:
+                num //= base[denom_parent]
+        return num
+
+    dp: dict = {}
+    for sym in tables:
+        dp[frozenset((sym,))] = (0, (sym,), base[sym])
+    syms = sorted(tables)
+    for size in range(2, 5):
+        for combo in combinations(syms, size):
+            s = frozenset(combo)
+            best = None
+            for t in combo:
+                prev = dp.get(s - {t})
+                if prev is None:
+                    continue
+                cost0, order0, card0 = prev
+                new_card = extend_card(card0, order0, t)
+                cand = (cost0 + new_card, order0 + (t,), new_card)
+                if best is None or (cand[0], ",".join(cand[1])) < (
+                        best[0], ",".join(best[1])):
+                    best = cand
+            dp[s] = best
+    cost, order, _ = dp[frozenset(syms)]
+    return pd.DataFrame({"best_order": [",".join(order)],
+                         "best_cost": [cost]}).astype(
+        {"best_cost": "int64"})
