@@ -17832,3 +17832,141 @@ def join_order_selinger_audit(sf_dir: str):
     return pd.DataFrame({"best_order": [",".join(order)],
                          "best_cost": [cost]}).astype(
         {"best_cost": "int64"})
+
+
+# =====================================================================
+# Token-bucket politeness + quadtree occupancy (round-4 s10)
+# =====================================================================
+
+_TB_CAP = 2 * 86_400_000_000   # two tokens of capacity, in refill-µs
+_TB_COST = 86_400_000_000      # one token refills in a day of wall time
+
+_TOKEN_BUCKET_SQL = f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS idx
+      FROM events),
+    n AS (SELECT user_id, MAX(idx) AS n FROM seq GROUP BY user_id),
+    sim AS (
+      SELECT s.user_id, 1 AS i, s.us AS prev_us,
+             CAST({_TB_CAP} - {_TB_COST} AS BIGINT) AS level, 1 AS adm
+      FROM seq s WHERE s.idx = 1
+      UNION ALL
+      SELECT m.user_id, m.i + 1, s.us,
+             CASE WHEN least({_TB_CAP}, m.level + (s.us - m.prev_us))
+                       >= {_TB_COST}
+                  THEN least({_TB_CAP}, m.level + (s.us - m.prev_us))
+                       - {_TB_COST}
+                  ELSE least({_TB_CAP}, m.level + (s.us - m.prev_us)) END,
+             m.adm + CASE WHEN least({_TB_CAP},
+                                     m.level + (s.us - m.prev_us))
+                               >= {_TB_COST} THEN 1 ELSE 0 END
+      FROM sim m JOIN seq s ON s.user_id = m.user_id AND s.idx = m.i + 1)
+    SELECT f.user_id, CAST(n.n AS BIGINT) AS n_events,
+           CAST(f.adm AS BIGINT) AS n_admitted,
+           CAST(n.n - f.adm AS BIGINT) AS n_rejected,
+           CAST(f.level AS BIGINT) AS final_level
+    FROM sim f JOIN n ON n.user_id = f.user_id AND f.i = n.n
+"""
+
+
+@register("token_bucket_admission", _TOKEN_BUCKET_SQL)
+def token_bucket_admission(sf_dir: str):
+    """Token-bucket admission control replayed over each user's
+    request stream — THE politeness primitive (the engine's AIMD
+    budgets bound requests per wave; a token bucket is the
+    continuous-time form every fetch gateway runs): bucket capacity
+    2 tokens, one token per day of refill, all in exact refill-µs
+    integers (level' = min(CAP, level + Δt); admit iff level' ≥
+    COST), starting full. Per user: admitted/rejected counts and
+    the exact final level. Scale shape: ONE user-keyed bounded
+    shuffle; each co-located stream folds sequentially with O(1)
+    state (the order-defined structure, as the DGIM entry documents)
+    while streams fold in parallel. Oracle: recursive-CTE replay of
+    the same recurrence — the declarative restatement."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            us = gg["ts"].to_numpy().astype("datetime64[us]").astype(
+                np.int64)
+            level = _TB_CAP
+            adm = 0
+            prev = None
+            for t in us.tolist():
+                if prev is not None:
+                    level = min(_TB_CAP, level + (t - prev))
+                if level >= _TB_COST:
+                    level -= _TB_COST
+                    adm += 1
+                prev = t
+            rows.append((int(uid), len(us), adm, len(us) - adm, level))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "n_admitted", "n_rejected",
+            "final_level"]).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+_QUADTREE_SQL = """
+    WITH pts AS (SELECT (doc_id * 9973) % 360000 AS x,
+                        (doc_id * 6367) % 180000 AS y
+                 FROM documents),
+    lv AS (SELECT unnest([2, 4, 6, 8]) AS depth),
+    cells AS (
+      SELECT lv.depth, x >> (19 - lv.depth) AS cx,
+             y >> (19 - lv.depth) AS cy, COUNT(*) AS cnt
+      FROM pts CROSS JOIN lv GROUP BY 1, 2, 3)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(cnt) AS BIGINT) AS max_cell_count
+    FROM cells GROUP BY depth
+"""
+
+
+@register("quadtree_occupancy_census", _QUADTREE_SQL)
+def quadtree_occupancy_census(sf_dir: str):
+    """Quadtree occupancy census (Finkel & Bentley 1974) over the
+    deterministic document point set: non-empty cell counts and the
+    hottest-cell population at depths 2/4/6/8 — the split-decision
+    audit a spatial partitioner runs before choosing index depth
+    (n_cells says how the space fills; max_cell_count says where a
+    finer split is still needed — the skew signal). Cells are pure
+    bit shifts of the integer coordinates, so the census is exact at
+    any partitioning. Scale shape: per-batch (depth, cell) partial
+    counts through one bounded groupby (cells ≤ 4^depth), then a
+    depth-bounded fold; companion to geo_nearest_center_assignment
+    (fixed-center routing) and zorder_layout_events (linearization).
+    Oracle: native SQL."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    depths = (2, 4, 6, 8)
+
+    def cell_partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        x = (d * 9973) % 360000
+        y = (d * 6367) % 180000
+        frames = []
+        for dep in depths:
+            s = 19 - dep
+            df = pd.DataFrame({"depth": dep, "cx": x >> s, "cy": y >> s})
+            frames.append(df.groupby(["depth", "cx", "cy"], as_index=False)
+                          .size().rename(columns={"size": "cnt"}))
+        return pd.concat(frames, ignore_index=True)
+
+    cells = bucketed_group_agg(
+        ds.map_batches(cell_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["depth", "cx", "cy"],
+        lambda g: g.groupby(["depth", "cx", "cy"], as_index=False)[
+            "cnt"].sum(),
+    ).to_pandas()
+    out = cells.groupby("depth", as_index=False).agg(
+        n_cells=("cnt", "size"), max_cell_count=("cnt", "max"))
+    return out.astype("int64")
