@@ -17970,3 +17970,175 @@ def quadtree_occupancy_census(sf_dir: str):
     out = cells.groupby("depth", as_index=False).agg(
         n_cells=("cnt", "size"), max_cell_count=("cnt", "max"))
     return out.astype("int64")
+
+
+# =====================================================================
+# Boyer–Moore majority + Myers diff (round-4 s10)
+# =====================================================================
+
+_BM_MAJORITY_SQL = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+               FROM events GROUP BY user_id, event_type),
+    n AS (SELECT user_id, SUM(cnt) AS n FROM c GROUP BY user_id),
+    m AS (SELECT c.user_id, c.event_type, c.cnt, n.n,
+                 ROW_NUMBER() OVER (PARTITION BY c.user_id
+                                    ORDER BY c.cnt DESC, c.event_type)
+                   AS rn
+          FROM c JOIN n ON n.user_id = c.user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CASE WHEN cnt * 2 > n THEN event_type ELSE '' END
+             AS majority_type,
+           CAST(CASE WHEN cnt * 2 > n THEN cnt ELSE 0 END AS BIGINT)
+             AS majority_count
+    FROM m WHERE rn = 1
+"""
+
+
+@register("majority_vote_user_events", _BM_MAJORITY_SQL)
+def majority_vote_user_events(sf_dir: str):
+    """Boyer–Moore majority vote per user stream (Boyer & Moore 1981
+    — the O(1)-state streaming-majority classic; Misra–Gries'
+    k=2 special case with the pairing argument): fold each
+    co-located stream through the cancel-counter, then a second
+    verification scan confirms the surviving candidate truly
+    exceeds half — users with no majority report ('', 0), making
+    the output independent of cancellation order (the candidate
+    without verification is order-dependent BY DESIGN; the verify
+    pass is what production majority detection ships). Scale shape:
+    ONE user-keyed bounded shuffle; O(1) fold state + one counted
+    rescan per stream. Oracle: SQL exact per-type counts with the
+    strict >half test."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            types = gg["event_type"].tolist()
+            cand, cnt = None, 0
+            for t in types:
+                if cnt == 0:
+                    cand, cnt = t, 1
+                elif t == cand:
+                    cnt += 1
+                else:
+                    cnt -= 1
+            true_count = sum(1 for t in types if t == cand)
+            if 2 * true_count > len(types):
+                rows.append((int(uid), len(types), cand, true_count))
+            else:
+                rows.append((int(uid), len(types), "", 0))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "majority_type",
+            "majority_count"]).astype(
+            {"user_id": "int64", "n_events": "int64",
+             "majority_count": "int64"})
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+_MYERS_SQL = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS old_w FROM documents),
+    muts AS (
+      SELECT doc_id, old_w,
+             flatten(list_transform(generate_series(1, len(old_w)), i ->
+               CASE WHEN (i - 1) % 7 = 3 THEN
+                 CASE WHEN (i - 1) % 11 = 5 THEN ['xdiff'] ELSE [] END
+               ELSE
+                 CASE WHEN (i - 1) % 11 = 5 THEN [old_w[i], 'xdiff']
+                      ELSE [old_w[i]] END
+               END)) AS new_w
+      FROM toks),
+    dp AS (
+      SELECT doc_id, old_w, new_w, 0 AS j,
+             list_transform(generate_series(0, len(old_w)),
+                            x -> CAST(0 AS BIGINT)) AS row
+      FROM muts
+      UNION ALL
+      SELECT d.doc_id, d.old_w, d.new_w, d.j + 1,
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(d.old_w)), i ->
+                 greatest(d.row[i + 1],
+                   list_max(list_slice(
+                     list_transform(generate_series(1, len(d.old_w)),
+                                    k -> d.row[k]
+                       + CASE WHEN d.old_w[k] = d.new_w[d.j + 1]
+                              THEN 1 ELSE 0 END),
+                     1, i)))))
+      FROM dp d WHERE d.j < len(d.new_w))
+    SELECT d.doc_id, CAST(len(d.old_w) AS BIGINT) AS n_old,
+           CAST(len(d.new_w) AS BIGINT) AS n_new,
+           CAST(len(d.old_w) + len(d.new_w)
+                - 2 * d.row[len(d.old_w) + 1] AS BIGINT) AS edit_ops
+    FROM dp d WHERE d.j = len(d.new_w)
+"""
+
+
+def _mutate_words(w: list) -> list:
+    out = []
+    for i, x in enumerate(w):
+        if i % 7 == 3:
+            if i % 11 == 5:
+                out.append("xdiff")
+            continue
+        out.append(x)
+        if i % 11 == 5:
+            out.append("xdiff")
+    return out
+
+
+def _myers_ses(a: list, b: list) -> int:
+    """Myers O(ND) shortest-edit-script length (Myers, Algorithmica
+    1986): greedy furthest-reaching diagonals."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return n + m
+    v = {1: 0}
+    for d in range(0, n + m + 1):
+        for k in range(-d, d + 1, 2):
+            if k == -d or (k != d and v.get(k - 1, -(1 << 30))
+                           < v.get(k + 1, -(1 << 30))):
+                x = v[k + 1]
+            else:
+                x = v[k - 1] + 1
+            y = x - k
+            while x < n and y < m and a[x] == b[y]:
+                x += 1
+                y += 1
+            v[k] = x
+            if x >= n and y >= m:
+                return d
+    raise ValueError("Myers diff failed to terminate")
+
+
+@register("myers_diff_revision_audit", _MYERS_SQL)
+def myers_diff_revision_audit(sf_dir: str):
+    """Revision diff audit: shortest edit script between each
+    document and its deterministic mutation (every 7th word dropped,
+    a marker inserted after every 11th — the re-crawl change shape
+    content-diff pipelines see). Ray side runs MYERS O(ND) greedy
+    furthest-reaching diagonals (Myers, Algorithmica 1986 — the
+    algorithm inside git diff); the oracle computes LCS by the
+    classic DP as a recursive CTE (prefix-max row reformulation:
+    row_j[i] = max(row_{j-1}[i], max_{k≤i} t_k) — valid because DP
+    rows are monotone) and converts via D = n + m − 2·LCS. Two
+    UNRELATED algorithms whose agreement is a theorem, re-proven per
+    corpus. One stateless vectorized-per-doc map_batches pass, no
+    shuffle. Oracle: recursive-CTE LCS."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def diff(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            a = txt.split(" ")
+            b = _mutate_words(a)
+            rows.append((int(d), len(a), len(b), _myers_ses(a, b)))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_old", "n_new", "edit_ops"]).astype("int64")
+
+    return ds.map_batches(diff, batch_format="pyarrow", batch_size=4096)
