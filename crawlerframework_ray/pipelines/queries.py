@@ -18142,3 +18142,181 @@ def myers_diff_revision_audit(sf_dir: str):
             "doc_id", "n_old", "n_new", "edit_ops"]).astype("int64")
 
     return ds.map_batches(diff, batch_format="pyarrow", batch_size=4096)
+
+
+# =====================================================================
+# Interval stabbing + CUSUM change detection (round-4 s10)
+# =====================================================================
+
+_STAB_DUR = "(600 + CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) % 86400)"
+
+_STAB_SQL = f"""
+    WITH iv AS (SELECT epoch_us(ts) AS s,
+                       epoch_us(ts) + {_STAB_DUR} * 1000000 AS e
+                FROM events),
+    probes AS (SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                      + p.p * 43200000000 AS t
+               FROM (SELECT unnest(generate_series(0, 59)) AS p) p)
+    SELECT CAST(t AS BIGINT) AS probe_us,
+           CAST((SELECT COUNT(*) FROM iv
+                 WHERE iv.s <= probes.t AND probes.t < iv.e) AS BIGINT)
+             AS n_active
+    FROM probes
+"""
+
+
+@register("interval_stabbing_audit", _STAB_SQL)
+def interval_stabbing_audit(sf_dir: str):
+    """Interval stabbing census: how many sessions are active at each
+    of 60 half-day probe instants (event intervals with value-keyed
+    lengths; [s, e) convention) — the concurrent-load audit behind
+    capacity planning and the sweep-line sibling of
+    max_concurrent_events. Ray side answers every probe from the
+    SORTED-ENDPOINT structure (Bentley's sweep identity:
+    active(t) = |starts ≤ t| − |ends ≤ t|, two binary searches per
+    probe — no interval rescanned), with endpoint ranks folded from
+    per-batch partial histograms. Oracle: SQL recounts every probe
+    EXHAUSTIVELY (the O(n) scan the structure replaces). Scale
+    shape: endpoint ranks per probe are per-batch searchsorted
+    partials summed through a probe-keyed bounded groupby — the
+    dataset is never co-located."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    anchor = int(pd.Timestamp("2024-01-01 00:00:00").value // 1000)
+    probes = np.array([anchor + p * 43_200_000_000 for p in range(60)],
+                      dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        cents = np.floor(
+            100.0 * t.column("value").to_numpy() + 0.5).astype(np.int64)
+        e = s + (600 + cents % 86400) * 1_000_000
+        ss = np.sort(s)
+        es = np.sort(e)
+        n_start = np.searchsorted(ss, probes, side="right")
+        n_end = np.searchsorted(es, probes, side="right")
+        return pa.table({
+            "probe_us": pa.array(probes, pa.int64()),
+            "n_active": pa.array((n_start - n_end).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["probe_us"],
+        lambda g: g.groupby("probe_us", as_index=False)["n_active"].sum(),
+    ).to_pandas().astype("int64")
+
+
+_CUSUM_K = 2
+_CUSUM_H = 8
+
+_CUSUM_SQL = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS source,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, d.d AS day, COALESCE(daily.cnt, 0) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY s.source ORDER BY d.d) AS idx
+      FROM (SELECT DISTINCT source FROM daily) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS d) d
+      LEFT JOIN daily ON daily.source = s.source AND daily.day = d.d),
+    mu AS (SELECT source, CAST(SUM(cnt) // 30 AS BIGINT) AS mean_cnt
+           FROM grid GROUP BY source),
+    sim AS (
+      SELECT g.source, 1 AS i,
+             greatest(CAST(0 AS BIGINT),
+                      g.cnt - m.mean_cnt - {_CUSUM_K}) AS pos,
+             greatest(CAST(0 AS BIGINT),
+                      m.mean_cnt - g.cnt - {_CUSUM_K}) AS neg,
+             CASE WHEN greatest(CAST(0 AS BIGINT),
+                                g.cnt - m.mean_cnt - {_CUSUM_K})
+                       > {_CUSUM_H}
+                    OR greatest(CAST(0 AS BIGINT),
+                                m.mean_cnt - g.cnt - {_CUSUM_K})
+                       > {_CUSUM_H}
+                  THEN 1 ELSE 0 END AS n_alarms
+      FROM grid g JOIN mu m ON m.source = g.source WHERE g.idx = 1
+      UNION ALL
+      SELECT s.source, s.i + 1,
+             greatest(CAST(0 AS BIGINT),
+                      s.pos + g.cnt - m.mean_cnt - {_CUSUM_K}),
+             greatest(CAST(0 AS BIGINT),
+                      s.neg + m.mean_cnt - g.cnt - {_CUSUM_K}),
+             s.n_alarms
+               + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                    s.pos + g.cnt - m.mean_cnt
+                                    - {_CUSUM_K}) > {_CUSUM_H}
+                        OR greatest(CAST(0 AS BIGINT),
+                                    s.neg + m.mean_cnt - g.cnt
+                                    - {_CUSUM_K}) > {_CUSUM_H}
+                      THEN 1 ELSE 0 END
+      FROM sim s
+      JOIN grid g ON g.source = s.source AND g.idx = s.i + 1
+      JOIN mu m ON m.source = s.source)
+    SELECT s.source, CAST(m.mean_cnt AS BIGINT) AS mean_cnt,
+           CAST(s.pos AS BIGINT) AS final_pos,
+           CAST(s.neg AS BIGINT) AS final_neg,
+           CAST(s.n_alarms AS BIGINT) AS n_alarm_days
+    FROM sim s JOIN mu m ON m.source = s.source WHERE s.i = 30
+"""
+
+
+@register("cusum_change_detection", _CUSUM_SQL)
+def cusum_change_detection(sf_dir: str):
+    """CUSUM change-point detection (Page, Biometrika 1954) over each
+    event type's daily volume: two-sided cumulative-sum drift
+    statistics with integer slack K and threshold H against the
+    30-day integer mean — the volume-shift alarm a crawl-health
+    monitor runs per source (EWMA flags spikes; CUSUM accumulates
+    small sustained drifts that spike detectors miss). All integer;
+    day grid zero-filled so silent days count as drift. Scale shape:
+    daily counts from one bounded groupby; each source's 30-day fold
+    is O(1)-state sequential inside the grouped reduce, sources in
+    parallel. Oracle: recursive-CTE replay of the same recurrence."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t.column("event_type").to_pylist(),
+            "day": ((t.column("ts").to_numpy().astype("datetime64[D]")
+                     - np.datetime64("2024-01-01"))
+                    .astype(np.int64)),
+        })
+        return (df.groupby(["source", "day"], as_index=False)
+                .size().rename(columns={"size": "cnt"}))
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["source", "day"], as_index=False)["cnt"].sum()
+        rows = []
+        for src, gg in g.groupby("source", sort=False):
+            grid = np.zeros(30, dtype=np.int64)
+            for d, c in zip(gg["day"], gg["cnt"]):
+                if 0 <= d < 30:
+                    grid[int(d)] += int(c)
+            mean = int(grid.sum()) // 30
+            pos = neg = alarms = 0
+            for c in grid.tolist():
+                pos = max(0, pos + c - mean - _CUSUM_K)
+                neg = max(0, neg + mean - c - _CUSUM_K)
+                if pos > _CUSUM_H or neg > _CUSUM_H:
+                    alarms += 1
+            rows.append((src, mean, pos, neg, alarms))
+        return pd.DataFrame(rows, columns=[
+            "source", "mean_cnt", "final_pos", "final_neg",
+            "n_alarm_days"]).astype(
+            {c: "int64" for c in ["mean_cnt", "final_pos", "final_neg",
+                                  "n_alarm_days"]})
+
+    return bucketed_group_agg(
+        ds.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"], per_source,
+    ).to_pandas()
