@@ -18320,3 +18320,169 @@ def cusum_change_detection(sf_dir: str):
                        batch_size=65536),
         ["source"], per_source,
     ).to_pandas()
+
+
+# =====================================================================
+# 2-SAT via implication-graph SCC (round-4 s10)
+# =====================================================================
+
+_TWOSAT_SQL = """
+    WITH cl AS (SELECT DISTINCT doc_id % 10 AS v1, (doc_id >> 1) & 1 AS p1,
+                                (doc_id // 10) % 10 AS v2,
+                                (doc_id >> 2) & 1 AS p2
+                FROM documents WHERE doc_id % 47 = 0),
+    asg AS (SELECT unnest(generate_series(0, 1023)) AS a),
+    ok AS (SELECT a FROM asg WHERE NOT EXISTS (
+      SELECT 1 FROM cl
+      WHERE ((a >> (9 - v1)) & 1) != p1 AND ((a >> (9 - v2)) & 1) != p2))
+    SELECT CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clauses,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM ok) THEN 1 ELSE 0 END
+                AS BIGINT) AS satisfiable,
+           CAST(COALESCE((SELECT MIN(a) FROM ok), -1) AS BIGINT)
+             AS lexmin_key,
+           CAST((SELECT COUNT(*) FROM ok) AS BIGINT) AS n_solutions
+"""
+
+
+@register("twosat_implication_scc", _TWOSAT_SQL)
+def twosat_implication_scc(sf_dir: str):
+    """2-SAT decided by strongly connected components of the
+    implication graph (Aspvall, Plass & Tarjan, IPL 1979: clause
+    (a ∨ b) contributes ¬a⇒b and ¬b⇒a; satisfiable iff no variable
+    shares an SCC with its negation), over data-derived clauses —
+    the constraint form of crawl policy composition ("fetch tier A
+    or defer tier B" rules compiled to implications). Satisfiability
+    runs through THE DISTRIBUTED SCC KERNEL (stages/graph.
+    scc_fb_trim — trim + forward-color + backward, the same engine
+    the bow-tie decomposition uses; at 10^6 rule variables the
+    implication graph is just another edge Dataset). The
+    lexicographically smallest satisfying assignment then comes from
+    the unit-forcing loop (force x_i = 0, re-check, else fix 1 —
+    each check an SCC run on the +unit graph; driver-side Kosaraju
+    on the O(vars) condensation here, the kernel again at scale),
+    plus the solution COUNT by exhaustive driver enumeration over
+    2^10 (vars bounded by the rule alphabet, never the corpus).
+    Oracle: SQL enumerates ALL 1024 assignments against the same
+    clause derivation — satisfiability, lex-min and count are each
+    independently re-proven."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import scc_fb_trim
+
+    NV = 10
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def clause_partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        d = d[d % 47 == 0]
+        df = pd.DataFrame({
+            "v1": d % 10, "p1": (d >> 1) & 1,
+            "v2": (d // 10) % 10, "p2": (d >> 2) & 1,
+        })
+        return df.drop_duplicates(ignore_index=True)
+
+    clauses = bucketed_group_agg(
+        ds.map_batches(clause_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["v1", "p1", "v2", "p2"],
+        lambda g: g.drop_duplicates(ignore_index=True),
+    ).to_pandas().astype("int64")
+    n_clauses = len(clauses)
+
+    # implication edges: node id = 2v + p  (p = asserted value of x_v)
+    def impl_edges(cl: pd.DataFrame) -> np.ndarray:
+        v1 = cl["v1"].to_numpy()
+        p1 = cl["p1"].to_numpy()
+        v2 = cl["v2"].to_numpy()
+        p2 = cl["p2"].to_numpy()
+        src = np.concatenate([2 * v1 + (1 - p1), 2 * v2 + (1 - p2)])
+        dst = np.concatenate([2 * v2 + p2, 2 * v1 + p1])
+        return np.stack([src, dst], axis=1)
+
+    import ray.data as rd
+
+    e = impl_edges(clauses)
+    edges_ds = rd.from_pandas(pd.DataFrame(
+        {"src": e[:, 0], "dst": e[:, 1]}).astype("int64"))
+    scc = scc_fb_trim(edges_ds)
+    comp = {int(r["host"]): int(r["scc_id"]) for _, r in scc.iterrows()}
+
+    def sat_under(extra_units: list) -> bool:
+        # driver Kosaraju on <= 2*NV nodes, implication graph + units
+        adj = [[] for _ in range(2 * NV)]
+        radj = [[] for _ in range(2 * NV)]
+        ee = e.tolist() + [[2 * v + (1 - val), 2 * v + val]
+                           for v, val in extra_units]
+        for s, d in ee:
+            adj[s].append(d)
+            radj[d].append(s)
+        order = []
+        seen = [False] * (2 * NV)
+
+        def dfs1(u):
+            stack = [(u, 0)]
+            seen[u] = True
+            while stack:
+                x, i = stack.pop()
+                if i < len(adj[x]):
+                    stack.append((x, i + 1))
+                    y = adj[x][i]
+                    if not seen[y]:
+                        seen[y] = True
+                        stack.append((y, 0))
+                else:
+                    order.append(x)
+
+        for u in range(2 * NV):
+            if not seen[u]:
+                dfs1(u)
+        comp2 = [-1] * (2 * NV)
+        c = 0
+        for u in reversed(order):
+            if comp2[u] == -1:
+                stack = [u]
+                comp2[u] = c
+                while stack:
+                    x = stack.pop()
+                    for y in radj[x]:
+                        if comp2[y] == -1:
+                            comp2[y] = c
+                            stack.append(y)
+                c += 1
+        return all(comp2[2 * v] != comp2[2 * v + 1] for v in range(NV))
+
+    satisfiable = all(
+        comp.get(2 * v, 2 * v) != comp.get(2 * v + 1, 2 * v + 1)
+        for v in range(NV))
+    if satisfiable != sat_under([]):
+        raise ValueError("distributed SCC and serial Kosaraju disagree")
+
+    if not satisfiable:
+        lexmin_key = -1
+        n_solutions = 0
+    else:
+        fixed: list = []
+        for v in range(NV):
+            if sat_under(fixed + [(v, 0)]):
+                fixed.append((v, 0))
+            else:
+                fixed.append((v, 1))
+        lexmin_key = 0
+        for v, val in fixed:
+            lexmin_key |= val << (NV - 1 - v)
+        # exact solution count over the bounded rule alphabet
+        viol = clauses.to_numpy()
+        a = np.arange(1 << NV, dtype=np.int64)
+        ok = np.ones(1 << NV, dtype=bool)
+        for v1, p1, v2, p2 in viol:
+            l1 = ((a >> (NV - 1 - v1)) & 1) == p1
+            l2 = ((a >> (NV - 1 - v2)) & 1) == p2
+            ok &= l1 | l2
+        n_solutions = int(ok.sum())
+        if not ok[lexmin_key]:
+            raise ValueError("lex-min assignment fails a clause")
+        if int(np.flatnonzero(ok)[0]) != lexmin_key:
+            raise ValueError("unit-forcing lex-min is not the true min")
+    return pd.DataFrame({
+        "n_clauses": [n_clauses], "satisfiable": [int(satisfiable)],
+        "lexmin_key": [lexmin_key], "n_solutions": [n_solutions],
+    }).astype("int64")
