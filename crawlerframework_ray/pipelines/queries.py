@@ -18486,3 +18486,234 @@ def twosat_implication_scc(sf_dir: str):
         "n_clauses": [n_clauses], "satisfiable": [int(satisfiable)],
         "lexmin_key": [lexmin_key], "n_solutions": [n_solutions],
     }).astype("int64")
+
+
+# =====================================================================
+# Histogram partition DP vs exhaustive cut enumeration (round-4 s10)
+# =====================================================================
+
+_VOPT_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    grid AS (SELECT d.d AS day, COALESCE(daily.cnt, 0) AS cnt
+             FROM (SELECT unnest(generate_series(0, 29)) AS d) d
+             LEFT JOIN daily ON daily.day = d.d),
+    pre AS (SELECT list(cnt ORDER BY day) AS xs FROM grid),
+    ps AS (SELECT list_transform(generate_series(0, 30), i ->
+                  CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(list_sum(xs[1:i]) AS BIGINT) END) AS s,
+                  list_transform(generate_series(0, 30), i ->
+                  CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(list_sum(list_transform(
+                              xs[1:i], x -> x * x)) AS BIGINT) END) AS s2
+           FROM pre),
+    cuts AS (
+      SELECT c1.c AS c1, c2.c AS c2, c3.c AS c3
+      FROM (SELECT unnest(generate_series(1, 27)) AS c) c1,
+           (SELECT unnest(generate_series(2, 28)) AS c) c2,
+           (SELECT unnest(generate_series(3, 29)) AS c) c3
+      WHERE c1.c < c2.c AND c2.c < c3.c),
+    cost AS (
+      SELECT c1, c2, c3,
+        (c1 - 0) * (ps.s2[c1+1] - ps.s2[1])
+          - (ps.s[c1+1] - ps.s[1]) * (ps.s[c1+1] - ps.s[1])
+        + (c2 - c1) * (ps.s2[c2+1] - ps.s2[c1+1])
+          - (ps.s[c2+1] - ps.s[c1+1]) * (ps.s[c2+1] - ps.s[c1+1])
+        + (c3 - c2) * (ps.s2[c3+1] - ps.s2[c2+1])
+          - (ps.s[c3+1] - ps.s[c2+1]) * (ps.s[c3+1] - ps.s[c2+1])
+        + (30 - c3) * (ps.s2[31] - ps.s2[c3+1])
+          - (ps.s[31] - ps.s[c3+1]) * (ps.s[31] - ps.s[c3+1])
+        AS total
+      FROM cuts, ps)
+    SELECT CAST(c1 AS BIGINT) AS cut1, CAST(c2 AS BIGINT) AS cut2,
+           CAST(c3 AS BIGINT) AS cut3, CAST(total AS BIGINT) AS best_cost
+    FROM cost ORDER BY total, c1, c2, c3 LIMIT 1
+"""
+
+
+@register("voptimal_histogram_partition", _VOPT_SQL)
+def voptimal_histogram_partition(sf_dir: str):
+    """V-optimal-style histogram partitioning (Jagadish et al., VLDB
+    1998) of the 30-day event-volume series into 4 contiguous
+    buckets minimizing the INTEGER length-weighted SSE
+    Σ_b (len_b·Σx² − (Σx)²) — the bucket-boundary choice a
+    zone-map / equi-cost layout planner makes (pairs with
+    equi_depth_doc_buckets: equi-depth balances mass, v-optimal
+    balances variance), ties to the lexicographically smallest cut
+    vector. Ray side runs the O(n²·B) DP over day-grid prefix sums
+    (lex-smallest cut prefix per state — exchange-safe as the
+    Selinger entry argues); the oracle enumerates ALL C(29,3) = 3654
+    cut vectors. Daily counts fold from one bounded groupby; the DP
+    runs on the O(days) grid. Oracle: exhaustive enumeration."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = ((t.column("ts").to_numpy().astype("datetime64[D]")
+                - np.datetime64("2024-01-01")).astype(np.int64))
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    daily = bucketed_group_agg(
+        ds.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["day"], lambda g: g.groupby("day", as_index=False)["cnt"].sum(),
+    ).to_pandas()
+    grid = np.zeros(30, dtype=np.int64)
+    for d, c in zip(daily["day"], daily["cnt"]):
+        if 0 <= int(d) < 30:
+            grid[int(d)] += int(c)
+    s = np.concatenate([[0], np.cumsum(grid)])
+    s2 = np.concatenate([[0], np.cumsum(grid * grid)])
+
+    def seg(i: int, j: int) -> int:  # cost of days [i, j)
+        return int((j - i) * (s2[j] - s2[i]) - (s[j] - s[i]) ** 2)
+
+    N, B = 30, 4
+    INF = (1 << 62, ())
+    dp = [[INF] * (B + 1) for _ in range(N + 1)]
+    dp[0][0] = (0, ())
+    for j in range(1, N + 1):
+        for b in range(1, B + 1):
+            best = INF
+            for i in range(b - 1, j):
+                prev = dp[i][b - 1]
+                if prev[0] >= INF[0]:
+                    continue
+                cand = (prev[0] + seg(i, j),
+                        prev[1] + ((i,) if b > 1 else ()))
+                if (cand[0], cand[1]) < (best[0], best[1]):
+                    best = cand
+            dp[j][b] = best
+    cost, cuts = dp[N][B]
+    return pd.DataFrame({
+        "cut1": [cuts[0]], "cut2": [cuts[1]], "cut3": [cuts[2]],
+        "best_cost": [cost],
+    }).astype("int64")
+
+
+# =====================================================================
+# Belady OPT vs LRU cache replay (round-4 s10)
+# =====================================================================
+
+_BELADY_SQL = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS idx,
+             CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) % 16 AS page
+      FROM events),
+    streams AS (SELECT user_id, list(page ORDER BY idx) AS pages
+                FROM seq GROUP BY user_id),
+    sim AS (
+      SELECT user_id, pages, 0 AS i,
+             CAST([] AS BIGINT[]) AS opt_cache, 0 AS opt_hits,
+             CAST([] AS BIGINT[]) AS lru_cache, 0 AS lru_hits
+      FROM streams
+      UNION ALL
+      SELECT s.user_id, s.pages, s.i + 1,
+             CASE WHEN list_contains(s.opt_cache, s.pages[s.i + 1])
+                  THEN s.opt_cache
+                  WHEN len(s.opt_cache) < 3
+                  THEN list_append(s.opt_cache, s.pages[s.i + 1])
+                  ELSE list_append(
+                    list_filter(s.opt_cache, p -> p !=
+                      list_max(list_transform(s.opt_cache, q ->
+                        COALESCE(NULLIF(list_position(
+                          s.pages[s.i + 2:], q), 0), 1000000)
+                          * 100 + q)) % 100),
+                    s.pages[s.i + 1])
+                  END,
+             s.opt_hits + CASE WHEN list_contains(s.opt_cache,
+                                                  s.pages[s.i + 1])
+                               THEN 1 ELSE 0 END,
+             CASE WHEN list_contains(s.lru_cache, s.pages[s.i + 1])
+                  THEN list_append(list_filter(
+                    s.lru_cache, p -> p != s.pages[s.i + 1]),
+                    s.pages[s.i + 1])
+                  WHEN len(s.lru_cache) < 3
+                  THEN list_append(s.lru_cache, s.pages[s.i + 1])
+                  ELSE list_append(s.lru_cache[2:], s.pages[s.i + 1])
+                  END,
+             s.lru_hits + CASE WHEN list_contains(s.lru_cache,
+                                                  s.pages[s.i + 1])
+                               THEN 1 ELSE 0 END
+      FROM sim s WHERE s.i < len(s.pages))
+    SELECT user_id, CAST(len(pages) AS BIGINT) AS n_refs,
+           CAST(opt_hits AS BIGINT) AS opt_hits,
+           CAST(lru_hits AS BIGINT) AS lru_hits
+    FROM sim WHERE i = len(pages)
+"""
+
+
+@register("belady_opt_vs_lru_cache", _BELADY_SQL)
+def belady_opt_vs_lru_cache(sf_dir: str):
+    """Belady OPT vs LRU cache replay per user page stream (Belady,
+    IBM Sys J 1966 — the clairvoyant optimum every cache policy is
+    measured against; pairs with lru2_cache_hit_audit): 3-slot
+    cache, value-keyed page ids, OPT evicting the cached page with
+    the FURTHEST next use (ties → larger page id), LRU alongside —
+    the OPT−LRU hit gap is the headroom a smarter admission policy
+    could claim. Ray side precomputes per-page occurrence lists and
+    walks them with cursors (the O(n·C) standard implementation);
+    the oracle replays both policies as a recursive CTE whose OPT
+    victim comes from naive future-slice search — different
+    lookahead machinery, same spec. ONE user-keyed bounded shuffle;
+    per-stream state is the cache + cursors. Oracle: recursive-CTE
+    replay."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    C = 3
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            pages = (np.floor(100.0 * gg["value"].to_numpy() + 0.5)
+                     .astype(np.int64) % 16).tolist()
+            # occurrence lists + per-page cursor (standard OPT form)
+            occ: dict = {}
+            for i, p in enumerate(pages):
+                occ.setdefault(p, []).append(i)
+            cursor = {p: 0 for p in occ}
+            cache: set = set()
+            opt_hits = 0
+            for i, p in enumerate(pages):
+                cursor[p] += 1
+                if p in cache:
+                    opt_hits += 1
+                    continue
+                if len(cache) >= C:
+                    def next_use(q):
+                        lst = occ[q]
+                        c = cursor[q]
+                        return (lst[c] - i) if c < len(lst) else 1_000_000
+                    victim = max(cache, key=lambda q: (next_use(q), q))
+                    cache.discard(victim)
+                cache.add(p)
+            lru: list = []
+            lru_hits = 0
+            for p in pages:
+                if p in lru:
+                    lru_hits += 1
+                    lru.remove(p)
+                    lru.append(p)
+                    continue
+                if len(lru) >= C:
+                    lru.pop(0)
+                lru.append(p)
+            if opt_hits < lru_hits:
+                raise ValueError(
+                    f"OPT ({opt_hits}) below LRU ({lru_hits}) for user "
+                    f"{uid} — eviction rule drifted")
+            rows.append((int(uid), len(pages), opt_hits, lru_hits))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_refs", "opt_hits", "lru_hits"]).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
