@@ -18717,3 +18717,86 @@ def belady_opt_vs_lru_cache(sf_dir: str):
             "user_id", "n_refs", "opt_hits", "lru_hits"]).astype("int64")
 
     return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+# =====================================================================
+# Min-cost shard-to-node assignment (round-4 s10)
+# =====================================================================
+
+_ASSIGN_SQL = """
+    WITH RECURSIVE six AS (
+      SELECT source, CAST(SUM(n_chars) // 100 AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS i
+      FROM documents GROUP BY source ORDER BY source LIMIT 6),
+    perm AS (
+      SELECT CAST([] AS BIGINT[]) AS nodes, CAST(0 AS BIGINT) AS cost,
+             0 AS k
+      UNION ALL
+      SELECT list_append(p.nodes, j.j),
+             p.cost + s.cnt * (1 + (j.j * 7919) % 13)
+                    + (s.i * 31 + j.j * 17) % 23,
+             p.k + 1
+      FROM perm p
+      JOIN (SELECT unnest(generate_series(0, 5)) AS j) j
+        ON NOT list_contains(p.nodes, j.j)
+      JOIN six s ON s.i = p.k)
+    SELECT array_to_string(nodes, ',') AS assignment,
+           CAST(cost AS BIGINT) AS best_cost
+    FROM perm WHERE k = 6 ORDER BY cost, assignment LIMIT 1
+"""
+
+
+@register("min_cost_shard_assignment", _ASSIGN_SQL)
+def min_cost_shard_assignment(sf_dir: str):
+    """Minimum-cost shard→node assignment (the linear assignment
+    problem a placement planner solves when shards have sizes and
+    nodes have speeds): 6 sources (byte-weighted from the corpus) ×
+    6 nodes with deterministic integer rates + affinity jitter,
+    minimized over all perfect assignments, lexicographically
+    smallest assignment vector on ties. Ray side runs the
+    Held–Karp-style SUBSET DP over 2⁶ node masks (the O(n²·2ⁿ)
+    assignment recurrence, lex-smallest prefix per state — at real
+    fleet sizes swap in the O(n³) Hungarian method, same spec); the
+    oracle enumerates ALL 720 permutations via a recursive CTE.
+    Source weights fold from one bounded groupby. Oracle: exhaustive
+    permutation enumeration."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "n_chars": t.column("n_chars").to_numpy()})
+        return df.groupby("source", as_index=False)["n_chars"].sum()
+
+    weights = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)["n_chars"].sum(),
+    ).to_pandas().sort_values("source").reset_index(drop=True).head(6)
+    cnt = (weights["n_chars"].to_numpy().astype(np.int64) // 100)
+    N = 6
+
+    def cost(i: int, j: int) -> int:
+        return int(cnt[i]) * (1 + (j * 7919) % 13) + (i * 31 + j * 17) % 23
+
+    INF = (1 << 62, ())
+    dp = {0: (0, ())}
+    for i in range(N):
+        nxt: dict = {}
+        for mask, (c0, order0) in dp.items():
+            for j in range(N):
+                if mask & (1 << j):
+                    continue
+                cand = (c0 + cost(i, j), order0 + (j,))
+                key = mask | (1 << j)
+                cur = nxt.get(key, INF)
+                if (cand[0], cand[1]) < (cur[0], cur[1]):
+                    nxt[key] = cand
+        dp = nxt
+    best_cost, order = dp[(1 << N) - 1]
+    return pd.DataFrame({
+        "assignment": [",".join(str(x) for x in order)],
+        "best_cost": [best_cost],
+    }).astype({"best_cost": "int64"})
