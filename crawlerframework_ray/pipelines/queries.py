@@ -18800,3 +18800,238 @@ def min_cost_shard_assignment(sf_dir: str):
         "assignment": [",".join(str(x) for x in order)],
         "best_cost": [best_cost],
     }).astype({"best_cost": "int64"})
+
+
+# =====================================================================
+# Gale–Shapley stable matching (round-4 s10)
+# =====================================================================
+
+_STABLE_SQL = """
+    WITH RECURSIVE six AS (
+      SELECT source, CAST(SUM(n_chars) // 100 AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS i
+      FROM documents GROUP BY source ORDER BY source LIMIT 6),
+    perm AS (
+      SELECT CAST([] AS BIGINT[]) AS nodes, 0 AS k
+      UNION ALL
+      SELECT list_append(p.nodes, j.j), p.k + 1
+      FROM perm p JOIN (SELECT unnest(generate_series(0, 5)) AS j) j
+        ON NOT list_contains(p.nodes, j.j)
+      WHERE p.k < 6),
+    full_m AS (SELECT nodes FROM perm WHERE k = 6),
+    costs AS (SELECT s.i, j.j,
+                     s.cnt * (1 + (j.j * 7919) % 13)
+                       + (s.i * 31 + j.j * 17) % 23 AS c
+              FROM six s CROSS JOIN
+                   (SELECT unnest(generate_series(0, 5)) AS j) j),
+    stable AS (
+      SELECT m.nodes FROM full_m m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM costs x
+        WHERE x.c < (SELECT c FROM costs
+                     WHERE i = x.i AND j = m.nodes[x.i + 1])
+          AND ((x.i * 13 + x.j * 7) % 29) * 10 + x.i
+              < ((CAST(list_position(m.nodes, x.j) - 1 AS BIGINT) * 13
+                  + x.j * 7) % 29) * 10
+                + (list_position(m.nodes, x.j) - 1))),
+    opt AS (
+      SELECT s.i, st.nodes[s.i + 1] AS node,
+             (SELECT c FROM costs
+              WHERE i = s.i AND j = st.nodes[s.i + 1]) AS c,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.i
+               ORDER BY (SELECT c FROM costs
+                         WHERE i = s.i AND j = st.nodes[s.i + 1])) AS rn
+      FROM six s, stable st)
+    SELECT CAST(i AS BIGINT) AS proposer,
+           CAST(node AS BIGINT) AS node,
+           CAST(c AS BIGINT) AS match_cost
+    FROM opt WHERE rn = 1
+"""
+
+
+@register("stable_matching_shards", _STABLE_SQL)
+def stable_matching_shards(sf_dir: str):
+    """Gale–Shapley stable matching (Gale & Shapley, AMM 1962) of 6
+    byte-weighted shards to 6 nodes — placement where BOTH sides
+    have preferences (shards want cheap nodes — the assignment cost
+    matrix; nodes want affine-preferred shards) and the output must
+    admit no blocking pair, else two parties defect and the layout
+    churns. Ray side runs deferred acceptance (proposer-optimal by
+    theorem); the oracle enumerates ALL 720 matchings, filters the
+    stable ones by the blocking-pair predicate, and takes each
+    proposer's best stable partner — which the lattice theorem says
+    IS the Gale–Shapley matching, so the theorem is re-proven per
+    corpus. Shard weights fold from one bounded groupby. Oracle:
+    exhaustive stability enumeration."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "n_chars": t.column("n_chars").to_numpy()})
+        return df.groupby("source", as_index=False)["n_chars"].sum()
+
+    weights = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)["n_chars"].sum(),
+    ).to_pandas().sort_values("source").reset_index(drop=True).head(6)
+    cnt = weights["n_chars"].to_numpy().astype(np.int64) // 100
+    N = 6
+
+    def cost(i: int, j: int) -> int:
+        return int(cnt[i]) * (1 + (j * 7919) % 13) + (i * 31 + j * 17) % 23
+
+    def node_key(j: int, i: int) -> int:
+        return ((i * 13 + j * 7) % 29) * 10 + i
+
+    pref = {i: sorted(range(N), key=lambda j: (cost(i, j), j))
+            for i in range(N)}
+    nxt = [0] * N
+    match_of_node: dict = {}
+    free = list(range(N - 1, -1, -1))
+    while free:
+        i = free.pop()
+        j = pref[i][nxt[i]]
+        nxt[i] += 1
+        cur = match_of_node.get(j)
+        if cur is None:
+            match_of_node[j] = i
+        elif node_key(j, i) < node_key(j, cur):
+            match_of_node[j] = i
+            free.append(cur)
+        else:
+            free.append(i)
+    rows = sorted((i, j, cost(i, j)) for j, i in match_of_node.items())
+    return pd.DataFrame(rows, columns=[
+        "proposer", "node", "match_cost"]).astype("int64")
+
+
+# =====================================================================
+# Borůvka MST vs Prim replay (round-4 s10)
+# =====================================================================
+
+_MST_SQL = """
+    WITH RECURSIVE dedges AS ({EDGES}),
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM dedges),
+    enc AS (SELECT list(((a * 64 + b) * 2654435761) % 4294967296 * 4096
+                        + a * 64 + b) AS edges FROM u),
+    prim AS (
+      SELECT CAST([0] AS BIGINT[]) AS visited, CAST(0 AS BIGINT) AS total,
+             0 AS k, enc.edges AS edges
+      FROM enc
+      UNION ALL
+      SELECT list_append(p.visited,
+               CASE WHEN list_contains(p.visited, (best % 4096) // 64)
+                    THEN best % 64 ELSE (best % 4096) // 64 END),
+             p.total + best // 4096, p.k + 1, p.edges
+      FROM (
+        SELECT p.*, list_min(list_filter(p.edges, e ->
+                 list_contains(p.visited, (e % 4096) // 64)
+                 != list_contains(p.visited, e % 64))) AS best
+        FROM prim p) p
+      WHERE p.k < 63 AND best IS NOT NULL)
+    SELECT CAST(len(visited) AS BIGINT) AS n_nodes,
+           CAST(k AS BIGINT) AS n_mst_edges,
+           CAST(total AS BIGINT) AS mst_weight
+    FROM prim ORDER BY k DESC LIMIT 1
+"""
+
+
+@register("boruvka_mst_hosts",
+          _MST_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def boruvka_mst_hosts(sf_dir: str):
+    """Minimum spanning tree of the weighted host graph by BORŮVKA
+    (1926 — THE distributed MST algorithm: every component picks its
+    min outgoing edge simultaneously, components merge, O(log V)
+    rounds; edge weights are a bijective odd-multiplier scramble of
+    the edge key, so weights are DISTINCT and the MST unique). The
+    overlay-topology step of cluster networking (which host pairs
+    form the cheapest connected backbone). Ray side runs Borůvka
+    rounds over the edge arrays (per-component argmin = one grouped
+    min per round — the distributed form is one bounded groupby per
+    round over the edge Dataset, per the graph family's broadcast
+    convention at 64 hosts); the oracle replays PRIM 1957 as a
+    recursive CTE growing a single cut — two classic algorithms
+    whose agreement (on a unique-MST instance) is a theorem, plus a
+    Kruskal union-find cross-check asserted in-pipeline. Oracle:
+    recursive-CTE Prim."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import host_edges
+
+    edges = host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    canon = bucketed_group_agg(
+        edges.map_batches(to_ab, batch_format="pyarrow"), ["a", "b"],
+        lambda g: g.drop_duplicates(ignore_index=True),
+    ).to_pandas()
+    a = canon["a"].to_numpy().astype(np.int64)
+    b = canon["b"].to_numpy().astype(np.int64)
+    key = a * 64 + b
+    w = (key * 2654435761) % 4294967296
+
+    nodes = np.unique(np.concatenate([a, b]))
+    label = {int(n): int(n) for n in nodes}
+
+    def root(x: int) -> int:
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    mst_w = 0
+    mst_e = 0
+    while True:
+        ra = np.array([root(int(x)) for x in a])
+        rb = np.array([root(int(x)) for x in b])
+        cross = ra != rb
+        if not cross.any():
+            break
+        # per-component minimum outgoing edge (both endpoints offer)
+        comp = np.concatenate([ra[cross], rb[cross]])
+        ww = np.concatenate([w[cross], w[cross]])
+        ei = np.concatenate([np.flatnonzero(cross)] * 2)
+        order = np.lexsort((ei, ww, comp))
+        comp_s = comp[order]
+        first = np.concatenate([[True], comp_s[1:] != comp_s[:-1]])
+        chosen = np.unique(ei[order][first])
+        for e in chosen.tolist():
+            x, y = root(int(a[e])), root(int(b[e]))
+            if x != y:
+                label[max(x, y)] = min(x, y)
+                mst_w += int(w[e])
+                mst_e += 1
+    # Kruskal cross-check (in-pipeline, third algorithm)
+    par = {int(n): int(n) for n in nodes}
+
+    def kfind(x: int) -> int:
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    kw = kc = 0
+    for wi, ai, bi in sorted(zip(w.tolist(), a.tolist(), b.tolist())):
+        rx, ry = kfind(int(ai)), kfind(int(bi))
+        if rx != ry:
+            par[rx] = ry
+            kw += int(wi)
+            kc += 1
+    if (kw, kc) != (mst_w, mst_e):
+        raise ValueError(
+            f"Borůvka ({mst_e}, {mst_w}) and Kruskal ({kc}, {kw}) "
+            "disagree")
+    return pd.DataFrame({
+        "n_nodes": [len(nodes)], "n_mst_edges": [mst_e],
+        "mst_weight": [mst_w],
+    }).astype("int64")
