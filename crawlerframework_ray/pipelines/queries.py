@@ -19035,3 +19035,163 @@ def boruvka_mst_hosts(sf_dir: str):
         "n_nodes": [len(nodes)], "n_mst_edges": [mst_e],
         "mst_weight": [mst_w],
     }).astype("int64")
+
+
+# =====================================================================
+# Computational geometry: convex hull + closest pair (round-4 s10)
+# =====================================================================
+
+_GEOM_PTS_SQL = """
+    WITH hs AS (SELECT doc_id % 64 AS h, CAST(SUM(doc_id) AS BIGINT) AS sd
+                FROM documents GROUP BY 1),
+    pts AS (SELECT h, (sd * 48271 + h) % 10000 AS x,
+                   (sd * 69621 + h * h) % 10000 AS y FROM hs)
+"""
+
+_HULL_SQL = _GEOM_PTS_SQL + """
+    , tri AS (
+      SELECT DISTINCT p.h
+      FROM pts p, pts a, pts b, pts c
+      WHERE a.h < b.h AND b.h < c.h AND p.h NOT IN (a.h, b.h, c.h)
+        AND sign((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x))
+            = sign((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x))
+        AND sign((c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x))
+            = sign((c.x-b.x)*(a.y-b.y) - (c.y-b.y)*(a.x-b.x))
+        AND sign((a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x))
+            = sign((a.x-c.x)*(b.y-c.y) - (a.y-c.y)*(b.x-c.x))
+        AND (b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) != 0
+        AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) != 0
+        AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) != 0)
+    SELECT CAST(h AS BIGINT) AS host, CAST(x AS BIGINT) AS x,
+           CAST(y AS BIGINT) AS y
+    FROM pts WHERE h NOT IN (SELECT h FROM tri)
+"""
+
+
+@register("convex_hull_hosts", _HULL_SQL)
+def convex_hull_hosts(sf_dir: str):
+    """Convex hull of the data-derived host point cloud (per-host
+    doc-id-sum scrambled to integer coordinates) — the geometry of a
+    geo-placement boundary (which PoPs are extremal; everything else
+    is interior and can be served by a hull mixture). Spec: ALL
+    boundary points (collinear edge points included — lattice
+    scrambles produce collinear triples, so the spec must decide).
+    Ray side runs ANDREW'S MONOTONE CHAIN (1979; strict-turn pops
+    keep boundary-collinear points) over exact integer cross
+    products; the oracle applies the CARATHÉODORY characterization —
+    a point is interior iff STRICTLY inside some triangle of three
+    other points — by exhaustive triangle enumeration.
+    Construction vs characterization: two unrelated formulations
+    whose agreement is the hull theorem, re-proven per corpus.
+    Host sums fold from one bounded groupby. Oracle: exhaustive
+    Carathéodory test."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def h_partial(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        h = d % 64
+        u = np.unique(h)
+        sums = np.array([int(d[h == x].sum()) for x in u], dtype=np.int64)
+        return pa.table({"h": pa.array(u, pa.int64()),
+                         "sd": pa.array(sums, pa.int64())})
+
+    hs = bucketed_group_agg(
+        ds.map_batches(h_partial, batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["sd"].sum(),
+    ).to_pandas().sort_values("h").reset_index(drop=True)
+    h = hs["h"].to_numpy().astype(np.int64)
+    sd = hs["sd"].to_numpy().astype(np.int64)
+    x = (sd * 48271 + h) % 10000
+    y = (sd * 69621 + h * h) % 10000
+    pts = sorted(zip(x.tolist(), y.tolist(), h.tolist()))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def chain(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and cross(out[-2], out[-1], p) < 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = chain(pts)
+    upper = chain(list(reversed(pts)))
+    members = sorted({p[2] for p in lower} | {p[2] for p in upper})
+    lut = {int(hh): (int(xx), int(yy))
+           for hh, xx, yy in zip(h, x, y)}
+    return pd.DataFrame(
+        [(m, lut[m][0], lut[m][1]) for m in members],
+        columns=["host", "x", "y"]).astype("int64")
+
+
+_CLOSEST_SQL = _GEOM_PTS_SQL + """
+    SELECT CAST(pa.h AS BIGINT) AS host_a, CAST(pb.h AS BIGINT) AS host_b,
+           CAST((pa.x-pb.x)*(pa.x-pb.x) + (pa.y-pb.y)*(pa.y-pb.y)
+                AS BIGINT) AS min_d2
+    FROM pts pa JOIN pts pb ON pa.h < pb.h
+    ORDER BY min_d2, host_a, host_b LIMIT 1
+"""
+
+
+@register("closest_pair_hosts", _CLOSEST_SQL)
+def closest_pair_hosts(sf_dir: str):
+    """Closest pair in the host point cloud by the PLANE SWEEP
+    (Hinrichs/Nievergelt/Schorn form of Shamos–Hoey: sort by x,
+    maintain the active strip ordered by y, compare each point only
+    against strip neighbors within the current best — O(n log n)
+    instead of O(n²)) — the near-duplicate-location primitive of
+    spatial dedup (two PoPs too close = redundant placement). Exact
+    integer squared distances, ties to the smallest (host_a,
+    host_b). Oracle: SQL enumerates ALL pairs exhaustively — the
+    quadratic scan the sweep replaces. Same data-derived point set
+    as convex_hull_hosts."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def h_partial(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        h = d % 64
+        u = np.unique(h)
+        sums = np.array([int(d[h == x].sum()) for x in u], dtype=np.int64)
+        return pa.table({"h": pa.array(u, pa.int64()),
+                         "sd": pa.array(sums, pa.int64())})
+
+    hs = bucketed_group_agg(
+        ds.map_batches(h_partial, batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["sd"].sum(),
+    ).to_pandas().sort_values("h").reset_index(drop=True)
+    h = hs["h"].to_numpy().astype(np.int64)
+    sd = hs["sd"].to_numpy().astype(np.int64)
+    x = ((sd * 48271 + h) % 10000).tolist()
+    y = ((sd * 69621 + h * h) % 10000).tolist()
+    pts = sorted(zip(x, y, h.tolist()))
+
+    best = (1 << 62, -1, -1)
+    active: list = []  # (y, x, h) sorted by y
+    import bisect
+
+    left = 0
+    for px, py, ph in pts:
+        d2b = best[0]
+        while left < len(pts) and (px - pts[left][0]) ** 2 >= d2b:
+            item = (pts[left][1], pts[left][0], pts[left][2])
+            idx = bisect.bisect_left(active, item)
+            active.pop(idx)
+            left += 1
+        lo = bisect.bisect_left(active, (py - int(d2b ** 0.5) - 1, -1, -1))
+        hi = bisect.bisect_right(active, (py + int(d2b ** 0.5) + 1,
+                                          1 << 62, 1 << 62))
+        for ay, ax, ah in active[lo:hi]:
+            d2 = (px - ax) ** 2 + (py - ay) ** 2
+            pair = (min(ph, ah), max(ph, ah))
+            if (d2, pair) < (best[0], (best[1], best[2])):
+                best = (d2, pair[0], pair[1])
+        bisect.insort(active, (py, px, ph))
+    return pd.DataFrame({
+        "host_a": [best[1]], "host_b": [best[2]], "min_d2": [best[0]],
+    }).astype("int64")
