@@ -19195,3 +19195,145 @@ def closest_pair_hosts(sf_dir: str):
     return pd.DataFrame({
         "host_a": [best[1]], "host_b": [best[2]], "min_d2": [best[0]],
     }).astype("int64")
+
+
+# =====================================================================
+# Bloom-filter FPR k-sweep (round-4 s10)
+# =====================================================================
+
+_BLOOM_SWEEP_SQL = """
+    WITH ins AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    neg AS (SELECT doc_id FROM documents WHERE doc_id % 5 != 0),
+    ks AS (SELECT unnest(generate_series(1, 6)) AS k),
+    hh AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 512 AS BIGINT) AS h1,
+                  CAST(1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           9, 8))::BIGINT % 511
+                       AS BIGINT) AS h2
+           FROM documents),
+    setbits AS (
+      SELECT DISTINCT ks.k, (h.h1 + i.i * h.h2) % 512 AS b
+      FROM ins JOIN hh h ON h.doc_id = ins.doc_id
+      CROSS JOIN ks
+      JOIN (SELECT unnest(generate_series(0, 5)) AS i) i ON i.i < ks.k),
+    fp AS (
+      SELECT ks.k, n.doc_id
+      FROM neg n JOIN hh h ON h.doc_id = n.doc_id CROSS JOIN ks
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT unnest(generate_series(0, 5)) AS i) i
+        WHERE i.i < ks.k AND NOT EXISTS (
+          SELECT 1 FROM setbits sb
+          WHERE sb.k = ks.k AND sb.b = (h.h1 + i.i * h.h2) % 512)))
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS n_inserted,
+           CAST((SELECT COUNT(*) FROM neg) AS BIGINT) AS n_probes,
+           CAST((SELECT COUNT(*) FROM setbits sb WHERE sb.k = ks.k)
+                AS BIGINT) AS bits_set,
+           CAST((SELECT COUNT(*) FROM fp WHERE fp.k = ks.k) AS BIGINT)
+             AS n_false_pos
+    FROM ks
+"""
+
+
+@register("bloom_fpr_k_sweep", _BLOOM_SWEEP_SQL)
+def bloom_fpr_k_sweep(sf_dir: str):
+    """Bloom-filter hash-count parameter sweep (Bloom, CACM 1970):
+    for k ∈ 1..6, build the REAL 512-bit filter over the inserted
+    key set (md5 double hashing, Kirsch–Mitzenmacher h1 + i·h2) and
+    measure the EXACT false-positive count on the disjoint probe
+    set — the measured U-curve whose minimum lands at the textbook
+    k* = (m/n)·ln 2 (the LSH band sweep's membership-filter sibling:
+    lsh_band_sweep tunes recall/precision, this tunes the FPR/space
+    knee). Ray side is a vectorized numpy bit table per k with
+    per-batch probe partials; the oracle RECONSTRUCTS the filter
+    set-bit relation from scratch in SQL (EXISTS over inserted
+    positions) and recounts every probe — no filter state shared.
+    Oracle: native SQL."""
+    import hashlib
+
+    import ray
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).materialize()
+
+    def hashes(ids: np.ndarray):
+        h1 = np.empty(len(ids), dtype=np.int64)
+        h2 = np.empty(len(ids), dtype=np.int64)
+        for i, x in enumerate(ids.tolist()):
+            hx = hashlib.md5(str(int(x)).encode()).hexdigest()
+            h1[i] = int(hx[:8], 16) % 512
+            h2[i] = 1 + int(hx[8:16], 16) % 511
+        return h1, h2
+
+    # pass 1: per-batch per-k bit-array partials, bitwise-OR folded
+    # through one bounded (k, word) groupby — the sketch-family shape
+    def bit_partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        ids = ids[ids % 5 == 0]
+        h1, h2 = hashes(ids)
+        out = []
+        for k in range(1, 7):
+            bits = np.zeros(512, dtype=bool)
+            for j in range(k):
+                bits[(h1 + j * h2) % 512] = True
+            words = np.packbits(bits).reshape(8, 8)
+            for w in range(8):
+                out.append((k, w,
+                            int.from_bytes(words[w].tobytes(), "big",
+                                           signed=True)))
+        return pd.DataFrame(out, columns=["k", "w", "bits"]).astype(
+            "int64")
+
+    def or_fold(g: pd.DataFrame) -> pd.DataFrame:
+        def orr(col: pd.Series) -> int:
+            r = int(np.bitwise_or.reduce(
+                col.to_numpy().astype(np.int64).view(np.uint64)))
+            return r - (1 << 64) if r >= (1 << 63) else r
+
+        return (g.groupby(["k", "w"], as_index=False)["bits"].agg(orr))
+
+    folded = bucketed_group_agg(
+        ds.map_batches(bit_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["k", "w"], or_fold,
+    ).to_pandas()
+    tables = {}
+    for k in range(1, 7):
+        words = folded[folded["k"] == k].sort_values("w")[
+            "bits"].to_numpy().astype(np.int64)
+        packed = b"".join(int(x).to_bytes(8, "big", signed=True)
+                          for x in words)
+        tables[k] = np.unpackbits(np.frombuffer(packed, np.uint8)
+                                  ).astype(bool)
+    ref = ray.put(tables)
+
+    # pass 2: per-batch probe counts against the broadcast bit tables
+    def probe_partial(t: pa.Table) -> pd.DataFrame:
+        tabs = ray.get(ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        n_ins = int((ids % 5 == 0).sum())
+        ids = ids[ids % 5 != 0]
+        h1, h2 = hashes(ids)
+        out = []
+        for k in range(1, 7):
+            bits = tabs[k]
+            hit = np.ones(len(ids), dtype=bool)
+            for j in range(k):
+                hit &= bits[(h1 + j * h2) % 512]
+            out.append((k, n_ins, len(ids), int(hit.sum())))
+        return pd.DataFrame(out, columns=[
+            "k", "n_inserted", "n_probes", "n_false_pos"]).astype("int64")
+
+    counts = bucketed_group_agg(
+        ds.map_batches(probe_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["k"],
+        lambda g: g.groupby("k", as_index=False)[
+            ["n_inserted", "n_probes", "n_false_pos"]].sum(),
+    ).to_pandas()
+    counts["bits_set"] = counts["k"].map(
+        {k: int(v.sum()) for k, v in tables.items()})
+    return counts[["k", "n_inserted", "n_probes", "bits_set",
+                   "n_false_pos"]].astype("int64")
