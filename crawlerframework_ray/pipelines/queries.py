@@ -19337,3 +19337,165 @@ def bloom_fpr_k_sweep(sf_dir: str):
         {k: int(v.sum()) for k, v in tables.items()})
     return counts[["k", "n_inserted", "n_probes", "bits_set",
                    "n_false_pos"]].astype("int64")
+
+
+# =====================================================================
+# NTT convolution + Burrows–Wheeler round-trip (round-4 s10)
+# =====================================================================
+
+_NTT_SQL = """
+    WITH dedges AS ({EDGES}),
+    od AS (SELECT src AS h, COUNT(*) AS d FROM dedges GROUP BY src),
+    idg AS (SELECT dst AS h, COUNT(*) AS d FROM dedges GROUP BY dst),
+    c1 AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM od GROUP BY d),
+    c2 AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM idg GROUP BY d)
+    SELECT CAST(c1.d + c2.d AS BIGINT) AS s,
+           CAST(SUM(c1.n * c2.n) AS BIGINT) AS n_pairs
+    FROM c1 CROSS JOIN c2 GROUP BY 1
+"""
+
+_NTT_P = 998244353
+_NTT_G = 3
+
+
+def _ntt(a: list, invert: bool) -> list:
+    n = len(a)
+    a = a[:]
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    ln = 2
+    while ln <= n:
+        w = pow(_NTT_G, (_NTT_P - 1) // ln, _NTT_P)
+        if invert:
+            w = pow(w, _NTT_P - 2, _NTT_P)
+        for i in range(0, n, ln):
+            wn = 1
+            for k in range(i, i + ln // 2):
+                u, v = a[k], a[k + ln // 2] * wn % _NTT_P
+                a[k] = (u + v) % _NTT_P
+                a[k + ln // 2] = (u - v) % _NTT_P
+                wn = wn * w % _NTT_P
+        ln <<= 1
+    if invert:
+        ninv = pow(n, _NTT_P - 2, _NTT_P)
+        a = [x * ninv % _NTT_P for x in a]
+    return a
+
+
+@register("ntt_degree_convolution",
+          _NTT_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def ntt_degree_convolution(sf_dir: str):
+    """Polynomial convolution by number-theoretic transform (the
+    integer-exact FFT over Z/998244353, Cooley–Tukey butterflies
+    with bit-reversal): convolve the host OUT-degree histogram with
+    the IN-degree histogram, yielding for every sum s the exact
+    count of host pairs (u, v) with outdeg(u) + indeg(v) = s — the
+    degree-sum profile a null-model graph generator (configuration
+    model) needs, and the primitive behind large-scale exact
+    correlation/auto-join counting. All counts stay below the
+    modulus, so modular results ARE the integers. Ray side: O(n log
+    n) NTT on the 128-padded histograms (histograms from two
+    bounded groupbys); oracle: the O(n²) schoolbook cross-join the
+    transform replaces. Oracle: native SQL convolution."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).materialize()
+
+    def hist(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t.column(col).to_numpy(), return_counts=True)
+            return pa.table({"h": pa.array(u, pa.int64()),
+                             "deg": pa.array(c, pa.int64())})
+        deg = bucketed_group_agg(
+            edges.map_batches(fn, batch_format="pyarrow"),
+            ["h"], lambda g: g.groupby("h", as_index=False)["deg"].sum(),
+        ).to_pandas()
+        u, c = np.unique(deg["deg"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        out = np.zeros(64, dtype=np.int64)
+        out[u] = c
+        return out
+
+    c1 = hist("src")
+    c2 = hist("dst")
+    n = 128
+    a = _ntt(c1.tolist() + [0] * (n - 64), False)
+    b = _ntt(c2.tolist() + [0] * (n - 64), False)
+    conv = _ntt([x * y % _NTT_P for x, y in zip(a, b)], True)
+    s = np.flatnonzero(np.array(conv[:127], dtype=np.int64))
+    return pd.DataFrame({
+        "s": s.astype(np.int64),
+        "n_pairs": np.array([conv[i] for i in s], dtype=np.int64),
+    }).astype("int64")
+
+
+_BWT_SQL = """
+    WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+    sw AS (SELECT w, w || '$' AS ws FROM words),
+    rot AS (SELECT w, i.i, substr(ws, i.i + 1) || substr(ws, 1, i.i) AS r
+            FROM sw, LATERAL (SELECT unnest(generate_series(
+              0, LENGTH(ws) - 1)) AS i) i)
+    SELECT w AS word,
+           string_agg(substr(r, LENGTH(r), 1), '' ORDER BY r) AS bwt
+    FROM rot GROUP BY w
+"""
+
+
+@register("bwt_roundtrip_audit", _BWT_SQL)
+def bwt_roundtrip_audit(sf_dir: str):
+    """Burrows–Wheeler transform of every corpus word (Burrows &
+    Wheeler, DEC SRC 1994 — the reversible permutation bzip2 and
+    FM-indexes stand on; run-clustering is why it compresses).
+    Ray side constructs BWT from the SUFFIX ARRAY of w+'$' (BWT[i] =
+    character preceding the i-th smallest suffix) and asserts the
+    LF-mapping INVERSE transform reproduces the word in-pipeline
+    (ValueError on drift — the reversibility that makes BWT an
+    index, not a hash); the oracle materializes ALL rotations and
+    sorts them — the definitional form, sharing no construction.
+    Corpus→distinct-word fold is one bounded groupby (Zipf-bounded
+    vocab, the tokenizer family's convention). Oracle: SQL
+    sort-of-rotations."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def word_partial(t: pa.Table) -> pd.DataFrame:
+        vocab = set()
+        for txt in t.column("text").to_pylist():
+            vocab.update(txt.split(" "))
+        return pd.DataFrame({"w": sorted(vocab)})
+
+    def per_word(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("w")
+        rows = []
+        for w in g["w"]:
+            ws = w + "$"
+            sa = sorted(range(len(ws)), key=lambda i: ws[i:])
+            bwt = "".join(ws[i - 1] for i in sa)
+            # inverse via LF mapping: stable-sort positions of bwt
+            order = sorted(range(len(bwt)), key=lambda i: (bwt[i], i))
+            out = []
+            pos = bwt.index("$")
+            for _ in range(len(bwt) - 1):
+                pos = order[pos]
+                out.append(bwt[pos])
+            if "".join(out) != w:
+                raise ValueError(f"BWT inverse failed for {w!r}")
+            rows.append((w, bwt))
+        return pd.DataFrame(rows, columns=["word", "bwt"])
+
+    return bucketed_group_agg(
+        ds.map_batches(word_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["w"], per_word)
