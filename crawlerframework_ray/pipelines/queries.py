@@ -19646,3 +19646,95 @@ def functional_graph_rho(sf_dir: str):
         rows.append((s, mu, lam))
     return pd.DataFrame(rows, columns=["seed", "mu", "lam"]).astype(
         "int64")
+
+
+# =====================================================================
+# Dominance counting via Fenwick tree (round-4 s10)
+# =====================================================================
+
+_DOMINANCE_SQL = """
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT)
+                        AS c,
+                      epoch_us(o_orderdate) AS d,
+                      date_trunc('month', o_orderdate) AS m
+               FROM orders)
+    SELECT CAST(a.k AS BIGINT) AS o_orderkey,
+           CAST(COUNT(b.k) AS BIGINT) AS dom_count
+    FROM o a LEFT JOIN o b ON a.m = b.m AND b.c < a.c AND b.d < a.d
+    GROUP BY a.k
+"""
+
+
+@register("dominance_count_orders", _DOMINANCE_SQL)
+def dominance_count_orders(sf_dir: str):
+    """2-D dominance counting per order within its month: how many
+    same-month orders are STRICTLY earlier AND strictly cheaper —
+    the per-point generalization of the skyline (skyline_orders
+    keeps dominance-count-0 points; this reports every point's
+    count, the "how deep in the Pareto interior" feature a pricing
+    audit ranks by). Ray side: per co-located month, sort by date
+    and sweep a FENWICK TREE over compressed price ranks (Fenwick
+    1994 — O(n log n) replacing the quadratic pair scan; date ties
+    batched so strictness holds on both axes). ONE month-keyed
+    bounded shuffle; months sweep in parallel. Oracle: SQL
+    self-join — the O(n²) form the tree replaces."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        d = t.column("o_orderdate").to_numpy().astype("datetime64[M]")
+        return pd.DataFrame({
+            "month": d.astype(str),
+            "k": t.column("o_orderkey").to_numpy().astype(np.int64),
+            "c": np.floor(100.0 * t.column("o_totalprice").to_numpy()
+                          + 0.5).astype(np.int64),
+            "dus": t.column("o_orderdate").to_numpy()
+                    .astype("datetime64[us]").astype(np.int64),
+        })
+
+    def per_month(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_n = [], []
+        for _, gg in g.groupby("month", sort=False):
+            gg = gg.sort_values(["dus", "k"], kind="mergesort")
+            prices = gg["c"].to_numpy()
+            ranks = np.searchsorted(np.unique(prices), prices)
+            n_ranks = int(ranks.max()) + 1
+            tree = np.zeros(n_ranks + 1, dtype=np.int64)
+
+            def update(i: int) -> None:
+                i += 1
+                while i <= n_ranks:
+                    tree[i] += 1
+                    i += i & (-i)
+
+            def query(i: int) -> int:  # count of ranks < i
+                s = 0
+                while i > 0:
+                    s += tree[i]
+                    i -= i & (-i)
+                return int(s)
+
+            dus = gg["dus"].to_numpy()
+            ks = gg["k"].to_numpy()
+            i = 0
+            n = len(gg)
+            while i < n:
+                j = i
+                while j < n and dus[j] == dus[i]:
+                    j += 1
+                for t_ in range(i, j):  # query before admitting ties
+                    out_k.append(int(ks[t_]))
+                    out_n.append(query(int(ranks[t_])))
+                for t_ in range(i, j):
+                    update(int(ranks[t_]))
+                i = j
+        return pd.DataFrame({"o_orderkey": out_k,
+                             "dom_count": out_n}).astype("int64")
+
+    return bucketed_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["month"], per_month,
+    ).to_pandas()[["o_orderkey", "dom_count"]]
