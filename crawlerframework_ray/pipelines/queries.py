@@ -19738,3 +19738,1111 @@ def dominance_count_orders(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
         ["month"], per_month,
     ).to_pandas()[["o_orderkey", "dom_count"]]
+
+
+# =====================================================================
+# Manacher palindromes + skip-list level census (round-4 s10)
+# =====================================================================
+
+_MANACHER_SQL = """
+    WITH t AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+    subs AS (
+      SELECT doc_id, i.i AS st, l.l AS ln, substr(s, i.i, l.l) AS sub
+      FROM t,
+           LATERAL (SELECT unnest(generate_series(1, LENGTH(s))) AS i) i,
+           LATERAL (SELECT unnest(generate_series(
+             1, LENGTH(s) - i.i + 1)) AS l) l),
+    pal AS (SELECT doc_id, st, ln FROM subs WHERE sub = reverse(sub)),
+    best AS (SELECT doc_id, MAX(ln) AS max_len FROM pal GROUP BY doc_id)
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           CAST(b.max_len AS BIGINT) AS pal_len,
+           CAST(MIN(p.st) AS BIGINT) AS first_start
+    FROM best b JOIN pal p ON p.doc_id = b.doc_id AND p.ln = b.max_len
+    GROUP BY b.doc_id, b.max_len
+"""
+
+
+@register("manacher_palindrome_audit", _MANACHER_SQL)
+def manacher_palindrome_audit(sf_dir: str):
+    """Longest palindromic substring of each document head by
+    MANACHER'S ALGORITHM (1975 — linear time via mirrored-radius
+    reuse over the '#'-interleaved string): length and smallest
+    1-based start — the symmetric-repeat detector (palindromic
+    runs flag generated/templated filler the n-gram dedup family
+    misses by construction). One stateless vectorized-per-doc pass,
+    no shuffle. Oracle: exhaustive enumeration of ALL substrings
+    with a reverse-equality check — the cubic scan the linear
+    algorithm replaces."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def manacher(s: str):
+        # interleave: ^#a#b#...#$ guards; radii over 2n+1 centers
+        t = "#" + "#".join(s) + "#"
+        n = len(t)
+        rad = [0] * n
+        c = r = 0
+        for i in range(n):
+            if i < r:
+                rad[i] = min(r - i, rad[2 * c - i])
+            while (i - rad[i] - 1 >= 0 and i + rad[i] + 1 < n
+                   and t[i - rad[i] - 1] == t[i + rad[i] + 1]):
+                rad[i] += 1
+            if i + rad[i] > r:
+                c, r = i, i + rad[i]
+        best_len = 0
+        best_start = 0
+        for i in range(n):
+            ln = rad[i]
+            if ln > best_len:
+                best_len = ln
+                best_start = (i - ln) // 2
+            elif ln == best_len and (i - ln) // 2 < best_start:
+                best_start = (i - ln) // 2
+        return best_len, best_start + 1  # 1-based
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            ln, st = manacher(txt[:64])
+            rows.append((int(d), ln, st))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "pal_len", "first_start"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+_SKIPLIST_SQL = """
+    WITH hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))
+                    ::BIGINT AS h
+                FROM documents),
+    lv AS (SELECT doc_id,
+                  CASE WHEN h % 2 = 1 THEN 1
+                       WHEN h % 4 = 2 THEN 2
+                       WHEN h % 8 = 4 THEN 3
+                       WHEN h % 16 = 8 THEN 4
+                       WHEN h % 32 = 16 THEN 5
+                       ELSE 6 END AS level
+           FROM hh)
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM lv GROUP BY level
+"""
+
+
+@register("skiplist_level_census", _SKIPLIST_SQL)
+def skiplist_level_census(sf_dir: str):
+    """Skip-list level census (Pugh, CACM 1990) with HASH-derived
+    deterministic levels (level = 1 + trailing-zero count of the
+    key's md5 word, capped at 6 — the derandomized form a
+    distributed ordered index uses so every replica builds the
+    IDENTICAL tower layout, no coin flips to disagree on): keys per
+    level over the document corpus — the expected-geometric
+    occupancy whose skew would break the O(log n) search bound.
+    Vectorized trailing-zero extraction per batch + one 6-bounded
+    groupby. Oracle: native SQL on the same md5 derivation."""
+    import hashlib
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def lv_partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = np.array([int(hashlib.md5(str(int(x)).encode())
+                          .hexdigest()[16:24], 16) for x in ids],
+                     dtype=np.int64)
+        tz = np.zeros(len(h), dtype=np.int64)
+        rem = h.copy()
+        for _ in range(5):
+            even = (rem % 2 == 0) & (tz < 5)
+            tz[even] += 1
+            rem[even] //= 2
+        level = np.minimum(tz + 1, 6)
+        # h == 0 edge (all trailing zeros): capped at 6 by the min
+        df = pd.DataFrame({"level": level})
+        return (df.groupby("level", as_index=False)
+                .size().rename(columns={"size": "n_keys"}))
+
+    return bucketed_group_agg(
+        ds.map_batches(lv_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["level"],
+        lambda g: g.groupby("level", as_index=False)["n_keys"].sum(),
+    ).to_pandas().astype("int64")
+
+
+# =====================================================================
+# Deterministic DBSCAN over the host point cloud (round-4 s10)
+# =====================================================================
+
+_DBSCAN_EPS2 = 1_500_000
+_DBSCAN_MINPTS = 4  # including the point itself
+
+_DBSCAN_SQL = f"""
+    WITH RECURSIVE hs AS (SELECT doc_id % 64 AS h,
+                                 CAST(SUM(doc_id) AS BIGINT) AS sd
+                          FROM documents GROUP BY 1),
+    pts AS (SELECT h, (sd * 48271 + h) % 10000 AS x,
+                   (sd * 69621 + h * h) % 10000 AS y FROM hs),
+    adj AS (SELECT a.h AS u, b.h AS v
+            FROM pts a JOIN pts b ON a.h != b.h
+              AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                  <= {_DBSCAN_EPS2}),
+    ncnt AS (SELECT p.h,
+                    1 + COALESCE((SELECT COUNT(*) FROM adj
+                                  WHERE adj.u = p.h), 0) AS n
+             FROM pts p),
+    core AS (SELECT h FROM ncnt WHERE n >= {_DBSCAN_MINPTS}),
+    lab AS (
+      SELECT h, h AS l FROM core
+      UNION
+      SELECT a.v, lab.l
+      FROM lab JOIN adj a ON a.u = lab.h
+      JOIN core c1 ON c1.h = a.u JOIN core c2 ON c2.h = a.v
+      WHERE lab.l < a.v),
+    clab AS (SELECT h, MIN(l) AS cl FROM lab GROUP BY h),
+    border AS (
+      SELECT p.h,
+             (SELECT cl FROM clab WHERE clab.h = (
+                SELECT a.v FROM adj a JOIN core c ON c.h = a.v
+                WHERE a.u = p.h
+                ORDER BY (SELECT (px.x-qx.x)*(px.x-qx.x)
+                                 + (px.y-qx.y)*(px.y-qx.y)
+                          FROM pts px, pts qx
+                          WHERE px.h = p.h AND qx.h = a.v), a.v
+                LIMIT 1)) AS cl
+      FROM pts p
+      WHERE p.h NOT IN (SELECT h FROM core)
+        AND EXISTS (SELECT 1 FROM adj a JOIN core c ON c.h = a.v
+                    WHERE a.u = p.h))
+    SELECT CAST(p.h AS BIGINT) AS host,
+           CAST(COALESCE(c.cl, b.cl, -1) AS BIGINT) AS cluster_id
+    FROM pts p LEFT JOIN clab c ON c.h = p.h
+               LEFT JOIN border b ON b.h = p.h
+"""
+
+
+@register("dbscan_host_points", _DBSCAN_SQL)
+def dbscan_host_points(sf_dir: str):
+    """Deterministic DBSCAN (Ester et al., KDD 1996) over the
+    data-derived host point cloud: cores have ≥ 4 points within
+    eps (exact integer d² ≤ 1.5e6), clusters are connected
+    components of the core adjacency labeled by their MINIMUM core
+    id, borders join their NEAREST core's cluster (d², then core
+    id — the determinized form of DBSCAN's order-dependent border
+    rule), the rest is noise (−1). The density-clustering
+    counterpart of kmeans_cluster_embeddings (k-means needs k and
+    splits convex; DBSCAN finds shape + noise). Ray side: GRID-HASH
+    neighbor search (cells of width eps, 3×3 candidate scan — the
+    spatial-join shape at 10^8 points), BFS over core adjacency,
+    exact border argmin. Oracle: SQL theta-join adjacency +
+    min-label recursive CTE + correlated nearest-core selection."""
+    from collections import deque
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def h_partial(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        h = d % 64
+        u = np.unique(h)
+        sums = np.array([int(d[h == x].sum()) for x in u], dtype=np.int64)
+        return pa.table({"h": pa.array(u, pa.int64()),
+                         "sd": pa.array(sums, pa.int64())})
+
+    hs = bucketed_group_agg(
+        ds.map_batches(h_partial, batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["sd"].sum(),
+    ).to_pandas().sort_values("h").reset_index(drop=True)
+    h = hs["h"].to_numpy().astype(np.int64)
+    sd = hs["sd"].to_numpy().astype(np.int64)
+    x = (sd * 48271 + h) % 10000
+    y = (sd * 69621 + h * h) % 10000
+    n = len(h)
+    eps = int(_DBSCAN_EPS2 ** 0.5) + 1
+
+    cells: dict = {}
+    for i in range(n):
+        cells.setdefault((int(x[i]) // eps, int(y[i]) // eps),
+                         []).append(i)
+
+    def neighbors(i: int) -> list:
+        cx, cy = int(x[i]) // eps, int(y[i]) // eps
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in cells.get((cx + dx, cy + dy), ()):
+                    if j != i and ((int(x[i]) - int(x[j])) ** 2
+                                   + (int(y[i]) - int(y[j])) ** 2
+                                   <= _DBSCAN_EPS2):
+                        out.append(j)
+        return out
+
+    nbrs = [neighbors(i) for i in range(n)]
+    is_core = np.array([1 + len(nbrs[i]) >= _DBSCAN_MINPTS
+                        for i in range(n)])
+    cluster = np.full(n, -1, dtype=np.int64)
+    for i in np.flatnonzero(is_core):
+        if cluster[i] != -1:
+            continue
+        comp = [int(i)]
+        seen = {int(i)}
+        q: deque = deque([int(i)])
+        while q:
+            u = q.popleft()
+            for v in nbrs[u]:
+                if is_core[v] and v not in seen:
+                    seen.add(v)
+                    comp.append(v)
+                    q.append(v)
+        label = int(h[min(comp, key=lambda c: int(h[c]))])
+        for c in comp:
+            cluster[c] = label
+    for i in range(n):
+        if is_core[i]:
+            continue
+        cands = [(int((int(x[i]) - int(x[j])) ** 2
+                      + (int(y[i]) - int(y[j])) ** 2), int(h[j]), j)
+                 for j in nbrs[i] if is_core[j]]
+        if cands:
+            cluster[i] = cluster[min(cands)[2]]
+    return pd.DataFrame({"host": h, "cluster_id": cluster}).astype(
+        "int64")
+
+
+# =====================================================================
+# Suffix automaton + Z-function audits (round-4 s10)
+# =====================================================================
+
+_SAM_SQL = """
+    WITH t AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+    subs AS (SELECT doc_id, substr(s, i.i, l.l) AS sub
+             FROM t,
+                  LATERAL (SELECT unnest(generate_series(
+                    1, LENGTH(s))) AS i) i,
+                  LATERAL (SELECT unnest(generate_series(
+                    1, LENGTH(s) - i.i + 1)) AS l) l)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_distinct
+    FROM subs GROUP BY doc_id
+"""
+
+
+@register("suffix_automaton_substrings", _SAM_SQL)
+def suffix_automaton_substrings(sf_dir: str):
+    """Distinct-substring count of each document head via the SUFFIX
+    AUTOMATON (Blumer et al. 1985 — the minimal DFA of all
+    substrings, built online in O(n); the count is
+    Σ len(v) − len(link(v)) over states, each state contributing its
+    equivalence class of right extensions): substring VOCABULARY
+    SIZE is the repetitiveness signal (low distinct mass = template
+    or generated filler; pairs with the exact-substring dedup
+    family). One stateless per-doc pass, automaton built per
+    document. Oracle: exhaustive enumeration of all O(n²)
+    substrings with COUNT(DISTINCT) — construction vs brute
+    materialization."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sam_count(s: str) -> int:
+        sa_len = [0]
+        sa_link = [-1]
+        trans: list = [{}]
+        last = 0
+        for ch in s:
+            cur = len(sa_len)
+            sa_len.append(sa_len[last] + 1)
+            sa_link.append(-1)
+            trans.append({})
+            p = last
+            while p != -1 and ch not in trans[p]:
+                trans[p][ch] = cur
+                p = sa_link[p]
+            if p == -1:
+                sa_link[cur] = 0
+            else:
+                q_ = trans[p][ch]
+                if sa_len[p] + 1 == sa_len[q_]:
+                    sa_link[cur] = q_
+                else:
+                    clone = len(sa_len)
+                    sa_len.append(sa_len[p] + 1)
+                    sa_link.append(sa_link[q_])
+                    trans.append(dict(trans[q_]))
+                    while p != -1 and trans[p].get(ch) == q_:
+                        trans[p][ch] = clone
+                        p = sa_link[p]
+                    sa_link[q_] = clone
+                    sa_link[cur] = clone
+            last = cur
+        return sum(sa_len[v] - sa_len[sa_link[v]]
+                   for v in range(1, len(sa_len)))
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = [(int(d), sam_count(txt[:64]))
+                for d, txt in zip(t.column("doc_id").to_pylist(),
+                                  t.column("text").to_pylist())]
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_distinct"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+_ZFUNC_SQL = """
+    WITH t AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+    z AS (SELECT doc_id, i.i,
+                 COALESCE((SELECT MAX(l.l)
+                   FROM LATERAL (SELECT unnest(generate_series(
+                     1, LENGTH(s) - i.i + 1)) AS l) l
+                   WHERE substr(s, 1, l.l) = substr(s, i.i, l.l)), 0)
+                   AS zi
+          FROM t, LATERAL (SELECT unnest(generate_series(
+            2, LENGTH(s))) AS i) i)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(zi) AS BIGINT) AS z_sum,
+           CAST(MAX(zi) AS BIGINT) AS z_max
+    FROM z GROUP BY doc_id
+"""
+
+
+@register("zfunction_prefix_audit", _ZFUNC_SQL)
+def zfunction_prefix_audit(sf_dir: str):
+    """Z-function of each document head (Gusfield's Z boxes — for
+    every position, the longest match with the document's own
+    prefix, computed in O(n) by reusing the rightmost Z box): the
+    summed prefix-match mass and its maximum are the
+    self-similarity signature boilerplate detection reads (a page
+    whose body re-echoes its opening template has heavy Z mass).
+    One stateless per-doc pass. Oracle: per position, the naive MAX
+    over all candidate lengths with substring equality — the
+    quadratic definition the linear algorithm collapses."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def zfunc(s: str):
+        n = len(s)
+        z = [0] * n
+        l = r = 0
+        for i in range(1, n):
+            if i < r:
+                z[i] = min(r - i, z[i - l])
+            while i + z[i] < n and s[z[i]] == s[i + z[i]]:
+                z[i] += 1
+            if i + z[i] > r:
+                l, r = i, i + z[i]
+        return z[1:]
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            z = zfunc(txt[:64])
+            rows.append((int(d), int(sum(z)), int(max(z)) if z else 0))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "z_sum", "z_max"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+# =====================================================================
+# Wavelet-tree rank queries over the event-type sequence (round-4 s10)
+# =====================================================================
+
+_WAVELET_SQL = """
+    WITH seq AS (SELECT event_type,
+                        ROW_NUMBER() OVER (ORDER BY event_id) AS idx
+                 FROM events),
+    n AS (SELECT MAX(idx) AS n FROM seq),
+    probes AS (SELECT unnest(generate_series(
+                 97, (SELECT n FROM n), 97)) AS p),
+    types AS (SELECT DISTINCT event_type FROM seq)
+    SELECT CAST(p.p AS BIGINT) AS pos, t.event_type,
+           CAST((SELECT COUNT(*) FROM seq
+                 WHERE seq.idx <= p.p
+                   AND seq.event_type = t.event_type) AS BIGINT)
+             AS rank_count
+    FROM probes p CROSS JOIN types t
+"""
+
+
+@register("wavelet_tree_rank_queries", _WAVELET_SQL)
+def wavelet_tree_rank_queries(sf_dir: str):
+    """Wavelet tree over the event-type sequence (Grossi, Gupta &
+    Vitter, SODA 2003 — the succinct sequence index completing the
+    repo's succinct trio: rank/select bitvector, LOUDS tree, wavelet
+    sequence): rank(symbol, prefix) answered at every 97th position
+    purely by WALKING THE TREE — per level, the query position maps
+    through the node's bitvector rank, never touching the sequence
+    (at 10^10 events each level's bitvector is a distributed stable
+    partition — one bounded shuffle per level to build, O(log σ)
+    bitvector ranks per query). Built here from the event_id-ordered
+    code sequence with numpy cumulative ranks per node; every
+    answer cross-checked nowhere in-pipeline — the oracle recounts
+    each (pos, symbol) prefix exhaustively. Oracle: native SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    df = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    types = sorted(df["event_type"].unique())
+    code = {t: i for i, t in enumerate(types)}
+    seq = df["event_type"].map(code).to_numpy().astype(np.int64)
+    n = len(seq)
+
+    # build: node = (lo, hi) symbol range; bits = 1 if code >= mid
+    tree: dict = {}
+
+    def build(node_seq: np.ndarray, lo: int, hi: int) -> None:
+        if hi - lo <= 1 or len(node_seq) == 0:
+            return
+        mid = (lo + hi) // 2
+        bits = (node_seq >= mid).astype(np.int64)
+        tree[(lo, hi)] = np.concatenate([[0], np.cumsum(bits)])
+        build(node_seq[bits == 0], lo, mid)
+        build(node_seq[bits == 1], mid, hi)
+
+    import math
+
+    sigma = 1 << max(1, math.ceil(math.log2(max(len(types), 2))))
+    build(seq, 0, sigma)
+
+    def rank(sym: int, p: int) -> int:
+        lo, hi = 0, sigma
+        pos = p
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            cum = tree.get((lo, hi))
+            if cum is None:
+                return 0
+            ones = int(cum[pos])
+            if sym >= mid:
+                pos = ones
+                lo = mid
+            else:
+                pos = pos - ones
+                hi = mid
+            if pos == 0:
+                return 0
+        return pos
+
+    rows = []
+    for p in range(97, n + 1, 97):
+        for t, c in code.items():
+            rows.append((p, t, rank(c, p)))
+    return pd.DataFrame(rows, columns=[
+        "pos", "event_type", "rank_count"]).astype(
+        {"pos": "int64", "rank_count": "int64"})
+
+
+# =====================================================================
+# Streaming running median via two heaps (round-4 s10)
+# =====================================================================
+
+_RUNMED_SQL = """
+    WITH seq AS (SELECT user_id,
+                        CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) AS c,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS idx
+                 FROM events)
+    SELECT CAST(s1.user_id AS BIGINT) AS user_id,
+           CAST(s1.idx AS BIGINT) AS idx,
+           CAST(quantile_disc(s2.c, 0.5) AS BIGINT) AS running_median
+    FROM seq s1 JOIN seq s2
+      ON s2.user_id = s1.user_id AND s2.idx <= s1.idx
+    GROUP BY s1.user_id, s1.idx
+"""
+
+
+@register("running_median_user_values", _RUNMED_SQL)
+def running_median_user_values(sf_dir: str):
+    """Running median of each user's value stream after every event
+    (lower-median convention, exact cents) via the TWO-HEAP
+    invariant (max-heap of the lower half balanced against a
+    min-heap of the upper half — the O(log n)-per-update classic
+    every streaming percentile monitor ships; q-digest/DGIM give
+    bounded-error sketches, this is the exact online form). ONE
+    user-keyed bounded shuffle; per-stream state is the two heaps;
+    streams fold in parallel. Oracle: SQL prefix self-join +
+    quantile_disc — the O(n²) re-sort per prefix the heaps
+    amortize away."""
+    import heapq
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out_u, out_i, out_m = [], [], []
+        for uid, gg in g.groupby("user_id", sort=False):
+            cents = np.floor(
+                100.0 * gg["value"].to_numpy() + 0.5).astype(np.int64)
+            lo: list = []  # max-heap via negation (lower half)
+            hi: list = []  # min-heap (upper half)
+            for i, c in enumerate(cents.tolist(), start=1):
+                if not lo or c <= -lo[0]:
+                    heapq.heappush(lo, -c)
+                else:
+                    heapq.heappush(hi, c)
+                while len(lo) > len(hi) + 1:
+                    heapq.heappush(hi, -heapq.heappop(lo))
+                while len(hi) > len(lo):
+                    heapq.heappush(lo, -heapq.heappop(hi))
+                out_u.append(int(uid))
+                out_i.append(i)
+                out_m.append(-lo[0])
+        return pd.DataFrame({"user_id": out_u, "idx": out_i,
+                             "running_median": out_m}).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+# =====================================================================
+# Minimax partition + SAM longest common substring (round-4 s10)
+# =====================================================================
+
+_MINIMAX_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    grid AS (SELECT d.d AS day, COALESCE(daily.cnt, 0) AS cnt
+             FROM (SELECT unnest(generate_series(0, 29)) AS d) d
+             LEFT JOIN daily ON daily.day = d.d),
+    pre AS (SELECT list(cnt ORDER BY day) AS xs FROM grid),
+    ps AS (SELECT list_transform(generate_series(0, 30), i ->
+                  CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(list_sum(xs[1:i]) AS BIGINT) END) AS s
+           FROM pre),
+    cuts AS (
+      SELECT c1.c AS c1, c2.c AS c2, c3.c AS c3
+      FROM (SELECT unnest(generate_series(1, 27)) AS c) c1,
+           (SELECT unnest(generate_series(2, 28)) AS c) c2,
+           (SELECT unnest(generate_series(3, 29)) AS c) c3
+      WHERE c1.c < c2.c AND c2.c < c3.c),
+    cost AS (
+      SELECT c1, c2, c3,
+        greatest(ps.s[c1+1] - ps.s[1],
+                 ps.s[c2+1] - ps.s[c1+1],
+                 ps.s[c3+1] - ps.s[c2+1],
+                 ps.s[31] - ps.s[c3+1]) AS mx
+      FROM cuts, ps)
+    SELECT CAST(c1 AS BIGINT) AS cut1, CAST(c2 AS BIGINT) AS cut2,
+           CAST(c3 AS BIGINT) AS cut3, CAST(mx AS BIGINT) AS minimax_load
+    FROM cost ORDER BY mx, c1, c2, c3 LIMIT 1
+"""
+
+
+@register("minimax_partition_days", _MINIMAX_SQL)
+def minimax_partition_days(sf_dir: str):
+    """Minimax contiguous partition (the painter's-partition /
+    linear-partitioning classic): split the 30-day volume series
+    into 4 buckets minimizing the HEAVIEST bucket — the shard-cut
+    choice for balanced range partitioning (v-optimal minimizes
+    variance; this minimizes the straggler), lexicographically
+    smallest cuts among optima. Ray side: BINARY SEARCH ON THE
+    ANSWER with a greedy feasibility probe (can 4 buckets each stay
+    ≤ L?) — O(n log Σ) — then a left-tight greedy emits the
+    lex-smallest optimal cut vector; the oracle enumerates ALL
+    C(29,3) cut vectors. Oracle: exhaustive enumeration."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = ((t.column("ts").to_numpy().astype("datetime64[D]")
+                - np.datetime64("2024-01-01")).astype(np.int64))
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    daily = bucketed_group_agg(
+        ds.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["day"], lambda g: g.groupby("day", as_index=False)["cnt"].sum(),
+    ).to_pandas()
+    grid = np.zeros(30, dtype=np.int64)
+    for d, c in zip(daily["day"], daily["cnt"]):
+        if 0 <= int(d) < 30:
+            grid[int(d)] += int(c)
+
+    def feasible(limit: int) -> bool:
+        buckets, cur = 1, 0
+        for v in grid.tolist():
+            if v > limit:
+                return False
+            if cur + v > limit:
+                buckets += 1
+                cur = v
+            else:
+                cur += v
+        return buckets <= 4
+
+    lo, hi = int(grid.max()), int(grid.sum())
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if feasible(mid):
+            hi = mid
+        else:
+            lo = mid + 1
+    L = lo
+    # lex-smallest cuts at optimum: place each cut as EARLY as the
+    # remaining days can still fit in the remaining buckets
+    suffix = np.concatenate([np.cumsum(grid[::-1])[::-1], [0]])
+    cuts = []
+    start = 0
+    for b in range(3):
+        cur = 0
+        c = start
+        while True:
+            # cut after position c-1 means bucket = grid[start:c]
+            # choose the smallest c > start such that the rest fits
+            nxt = cur + int(grid[c]) if c < 30 else None
+            rest_buckets = 3 - b
+            can_cut_here = (c > start and
+                            _fits(suffix[c], rest_buckets, L, grid, c))
+            if can_cut_here:
+                break
+            cur += int(grid[c])
+            if cur > L:
+                raise ValueError("greedy overfilled an optimal bucket")
+            c += 1
+        cuts.append(c)
+        start = c
+    return pd.DataFrame({
+        "cut1": [cuts[0]], "cut2": [cuts[1]], "cut3": [cuts[2]],
+        "minimax_load": [L],
+    }).astype("int64")
+
+
+def _fits(total_rest: int, buckets: int, limit: int,
+          grid: np.ndarray, start: int) -> bool:
+    """Greedy check: can grid[start:] be split into <= buckets each
+    <= limit?"""
+    used, cur = 1, 0
+    for v in grid[start:].tolist():
+        if v > limit:
+            return False
+        if cur + v > limit:
+            used += 1
+            cur = v
+        else:
+            cur += v
+    return used <= buckets
+
+
+_SAMLCS_SQL = """
+    WITH t AS (SELECT doc_id, substr(text, 1, 48) AS s1,
+                      reverse(substr(text, 1, 48)) AS s2
+               FROM documents),
+    sub1 AS (SELECT DISTINCT doc_id, substr(s1, i.i, l.l) AS sub
+             FROM t,
+                  LATERAL (SELECT unnest(generate_series(
+                    1, LENGTH(s1))) AS i) i,
+                  LATERAL (SELECT unnest(generate_series(
+                    1, LENGTH(s1) - i.i + 1)) AS l) l),
+    sub2 AS (SELECT DISTINCT doc_id, substr(s2, i.i, l.l) AS sub
+             FROM t,
+                  LATERAL (SELECT unnest(generate_series(
+                    1, LENGTH(s2))) AS i) i,
+                  LATERAL (SELECT unnest(generate_series(
+                    1, LENGTH(s2) - i.i + 1)) AS l) l)
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(MAX(LENGTH(a.sub)) AS BIGINT) AS lcs_len
+    FROM sub1 a JOIN sub2 b
+      ON b.doc_id = a.doc_id AND b.sub = a.sub
+    GROUP BY a.doc_id
+"""
+
+
+@register("sam_longest_common_substring", _SAMLCS_SQL)
+def sam_longest_common_substring(sf_dir: str):
+    """Longest common substring between each document head and its
+    REVERSAL (the palindromic-factor length — pairs with
+    manacher_palindrome_audit: LCS(s, reverse(s)) upper-bounds the
+    palindrome and flags mirrored boilerplate) via the SUFFIX
+    AUTOMATON WALK (build the automaton of s, stream reverse(s)
+    through it tracking the current matched length with suffix-link
+    fallbacks — the canonical O(n+m) LCS-substring algorithm). One
+    stateless per-doc pass. Oracle: exhaustive distinct-substring
+    materialization of BOTH strings joined on equality — the
+    quadratic-space definition."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sam_build(s: str):
+        sa_len = [0]
+        sa_link = [-1]
+        trans: list = [{}]
+        last = 0
+        for ch in s:
+            cur = len(sa_len)
+            sa_len.append(sa_len[last] + 1)
+            sa_link.append(-1)
+            trans.append({})
+            p = last
+            while p != -1 and ch not in trans[p]:
+                trans[p][ch] = cur
+                p = sa_link[p]
+            if p == -1:
+                sa_link[cur] = 0
+            else:
+                q_ = trans[p][ch]
+                if sa_len[p] + 1 == sa_len[q_]:
+                    sa_link[cur] = q_
+                else:
+                    clone = len(sa_len)
+                    sa_len.append(sa_len[p] + 1)
+                    sa_link.append(sa_link[q_])
+                    trans.append(dict(trans[q_]))
+                    while p != -1 and trans[p].get(ch) == q_:
+                        trans[p][ch] = clone
+                        p = sa_link[p]
+                    sa_link[q_] = clone
+                    sa_link[cur] = clone
+            last = cur
+        return sa_len, sa_link, trans
+
+    def lcs(s: str, t: str) -> int:
+        sa_len, sa_link, trans = sam_build(s)
+        v = 0
+        ln = 0
+        best = 0
+        for ch in t:
+            while v and ch not in trans[v]:
+                v = sa_link[v]
+                ln = sa_len[v]
+            if ch in trans[v]:
+                v = trans[v][ch]
+                ln += 1
+            else:
+                v = 0
+                ln = 0
+            best = max(best, ln)
+        return best
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            s = txt[:48]
+            rows.append((int(d), lcs(s, s[::-1])))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "lcs_len"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+# =====================================================================
+# Index-probe cost audit: binary vs interpolation search (round-4 s10)
+# =====================================================================
+
+_SEARCH_SQL = """
+    WITH RECURSIVE arr AS (
+      SELECT list(c ORDER BY c) AS xs FROM (
+        SELECT DISTINCT CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT)
+          AS c FROM orders)),
+    keys AS (SELECT o_orderkey AS k,
+                    CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT)
+                      + (o_orderkey % 3 - 1) AS target
+             FROM orders WHERE o_orderkey % 97 = 0),
+    bs AS (
+      SELECT k.k, k.target, arr.xs AS xs, 1 AS lo, len(arr.xs) AS hi,
+             0 AS probes, FALSE AS found
+      FROM keys k, arr
+      UNION ALL
+      SELECT b.k, b.target, b.xs,
+             CASE WHEN b.xs[(b.lo + b.hi) // 2] < b.target
+                  THEN (b.lo + b.hi) // 2 + 1 ELSE b.lo END,
+             CASE WHEN b.xs[(b.lo + b.hi) // 2] < b.target THEN b.hi
+                  WHEN b.xs[(b.lo + b.hi) // 2] = b.target
+                  THEN (b.lo + b.hi) // 2
+                  ELSE (b.lo + b.hi) // 2 - 1 END,
+             b.probes + 1,
+             b.xs[(b.lo + b.hi) // 2] = b.target
+      FROM bs b WHERE NOT b.found AND b.lo <= b.hi),
+    bres AS (SELECT k, MAX(probes) AS bin_probes, bool_or(found) AS bf
+             FROM bs GROUP BY k),
+    isr AS (
+      SELECT k.k, k.target, arr.xs AS xs, 1 AS lo, len(arr.xs) AS hi,
+             0 AS probes, FALSE AS found
+      FROM keys k, arr
+      UNION ALL
+      SELECT i.k, i.target, i.xs,
+             CASE WHEN i.xs[p.pos] < i.target THEN p.pos + 1
+                  ELSE i.lo END,
+             CASE WHEN i.xs[p.pos] < i.target THEN i.hi
+                  WHEN i.xs[p.pos] = i.target THEN p.pos
+                  ELSE p.pos - 1 END,
+             i.probes + 1,
+             i.xs[p.pos] = i.target
+      FROM isr i, LATERAL (SELECT
+             CASE WHEN i.target <= i.xs[i.lo] THEN i.lo
+                  WHEN i.target >= i.xs[i.hi] THEN i.hi
+                  ELSE i.lo + (i.target - i.xs[i.lo]) * (i.hi - i.lo)
+                       // (i.xs[i.hi] - i.xs[i.lo]) END AS pos) p
+      WHERE NOT i.found AND i.lo <= i.hi),
+    ires AS (SELECT k, MAX(probes) AS interp_probes
+             FROM isr GROUP BY k)
+    SELECT CAST(b.k AS BIGINT) AS o_orderkey,
+           CAST(b.bin_probes AS BIGINT) AS bin_probes,
+           CAST(i.interp_probes AS BIGINT) AS interp_probes,
+           b.bf AS found
+    FROM bres b JOIN ires i ON i.k = b.k
+"""
+
+
+@register("search_probe_cost_audit", _SEARCH_SQL)
+def search_probe_cost_audit(sf_dir: str):
+    """Index-probe cost audit: for every 97th order key (targets
+    jittered ±1 so ~⅓ hit, ⅔ miss), the EXACT probe counts of
+    binary search vs INTERPOLATION search over the sorted distinct
+    price array — the cost model behind choosing plain B-tree
+    descent vs learned/interpolated probing (pairs with
+    pgm_index_segments: PGM is interpolation search made robust).
+    Both searches use pure integer arithmetic (interpolation
+    position = lo + (t−x[lo])·(hi−lo) // (x[hi]−x[lo]), clamped),
+    so probe counts are deterministic. Sorted array from one
+    bounded distinct fold; probes vectorized per batch of keys.
+    Oracle: recursive-CTE replay of BOTH probe sequences."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        c = np.unique(np.floor(
+            100.0 * t.column("o_totalprice").to_numpy() + 0.5
+        ).astype(np.int64))
+        return pa.table({"c": pa.array(c, pa.int64())})
+
+    xs = np.sort(bucketed_group_agg(
+        ds.map_batches(cents_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["c"], lambda g: g.drop_duplicates(ignore_index=True),
+    ).to_pandas()["c"].to_numpy().astype(np.int64))
+    n = len(xs)
+
+    def bin_search(t: int):
+        lo, hi, probes = 1, n, 0
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            probes += 1
+            v = int(xs[mid - 1])
+            if v == t:
+                return probes, True
+            if v < t:
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return probes, False
+
+    def interp_search(t: int):
+        lo, hi, probes = 1, n, 0
+        while lo <= hi:
+            xlo, xhi = int(xs[lo - 1]), int(xs[hi - 1])
+            if t <= xlo:
+                pos = lo
+            elif t >= xhi:
+                pos = hi
+            else:
+                pos = lo + (t - xlo) * (hi - lo) // (xhi - xlo)
+            probes += 1
+            v = int(xs[pos - 1])
+            if v == t:
+                return probes
+            if v < t:
+                lo = pos + 1
+            else:
+                hi = pos - 1
+        return probes
+
+    def probe(t: pa.Table) -> pd.DataFrame:
+        ks = t.column("o_orderkey").to_numpy().astype(np.int64)
+        cents = np.floor(
+            100.0 * t.column("o_totalprice").to_numpy() + 0.5
+        ).astype(np.int64)
+        keep = ks % 97 == 0
+        rows = []
+        for k, c in zip(ks[keep].tolist(), cents[keep].tolist()):
+            target = c + (k % 3 - 1)
+            bp, found = bin_search(target)
+            rows.append((k, bp, interp_search(target), found))
+        return pd.DataFrame(rows, columns=[
+            "o_orderkey", "bin_probes", "interp_probes",
+            "found"]).astype({"o_orderkey": "int64",
+                              "bin_probes": "int64",
+                              "interp_probes": "int64"})
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+
+
+# =====================================================================
+# Johnson two-machine schedule + Kadane max-subarray (round-4 s10)
+# =====================================================================
+
+_JOHNSON_SQL = """
+    WITH RECURSIVE six AS (
+      SELECT source, CAST(SUM(n_chars) // 200 AS BIGINT) AS a,
+             CAST(SUM(doc_id) % 500 + 50 AS BIGINT) AS b,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS i
+      FROM documents GROUP BY source ORDER BY source LIMIT 6),
+    perm AS (
+      SELECT CAST([] AS BIGINT[]) AS ord, 0 AS k,
+             CAST(0 AS BIGINT) AS t1, CAST(0 AS BIGINT) AS t2
+      UNION ALL
+      SELECT list_append(p.ord, s.i), p.k + 1,
+             p.t1 + s.a,
+             greatest(p.t2, p.t1 + s.a) + s.b
+      FROM perm p JOIN six s ON NOT list_contains(p.ord, s.i)
+      WHERE p.k < 6)
+    SELECT CAST(6 AS BIGINT) AS n_jobs,
+           CAST(MIN(t2) AS BIGINT) AS min_makespan
+    FROM perm WHERE k = 6
+"""
+
+
+@register("johnson_two_machine_schedule", _JOHNSON_SQL)
+def johnson_two_machine_schedule(sf_dir: str):
+    """Two-machine flow-shop makespan minimization by JOHNSON'S RULE
+    (Johnson, NRLQ 1954: jobs with a < b first ascending by a, then
+    the rest descending by b — provably optimal): 6 byte-weighted
+    source-ingest jobs with (parse, index) stage times. The
+    pipeline-stage ordering problem a two-phase ETL faces (fetch →
+    transform: which source first minimizes total drain time).
+    Output is the optimal MAKESPAN (optimal orders are not unique;
+    the scalar is the theorem's guarantee) — Johnson's O(n log n)
+    answer must equal the exhaustive minimum over all 720
+    permutations, re-proving the exchange argument per corpus.
+    Oracle: recursive-CTE permutation enumeration with the
+    (t1, t2) makespan fold."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars", "doc_id"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t.column("source").to_pylist(),
+            "n_chars": t.column("n_chars").to_numpy(),
+            "doc_id": t.column("doc_id").to_numpy(),
+        })
+        return df.groupby("source", as_index=False).agg(
+            n_chars=("n_chars", "sum"), sd=("doc_id", "sum"))
+
+    w = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)[
+            ["n_chars", "sd"]].sum(),
+    ).to_pandas().sort_values("source").reset_index(drop=True).head(6)
+    a = (w["n_chars"].to_numpy().astype(np.int64) // 200)
+    b = (w["sd"].to_numpy().astype(np.int64) % 500 + 50)
+    jobs = list(range(len(a)))
+    g1 = sorted((j for j in jobs if a[j] < b[j]),
+                key=lambda j: (int(a[j]), j))
+    g2 = sorted((j for j in jobs if a[j] >= b[j]),
+                key=lambda j: (-int(b[j]), j))
+    t1 = t2 = 0
+    for j in g1 + g2:
+        t1 += int(a[j])
+        t2 = max(t2, t1) + int(b[j])
+    return pd.DataFrame({"n_jobs": [len(jobs)],
+                         "min_makespan": [t2]}).astype("int64")
+
+
+_KADANE_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    grid AS (SELECT d.d AS day, COALESCE(daily.cnt, 0) AS cnt
+             FROM (SELECT unnest(generate_series(0, 29)) AS d) d
+             LEFT JOIN daily ON daily.day = d.d),
+    mu AS (SELECT SUM(cnt) // 30 AS m FROM grid),
+    dev AS (SELECT day, cnt - (SELECT m FROM mu) AS v FROM grid),
+    win AS (
+      SELECT i.day AS si, j.day AS sj,
+             (SELECT SUM(v) FROM dev
+              WHERE dev.day BETWEEN i.day AND j.day) AS s
+      FROM dev i JOIN dev j ON j.day >= i.day)
+    SELECT CAST(MAX(s) AS BIGINT) AS best_sum,
+           CAST(MIN(si) FILTER (WHERE s = (SELECT MAX(s) FROM win))
+                AS BIGINT) AS best_start,
+           CAST(MIN(sj) FILTER (
+             WHERE s = (SELECT MAX(s) FROM win)
+               AND si = (SELECT MIN(si) FROM win w2
+                         WHERE w2.s = (SELECT MAX(s) FROM win)))
+                AS BIGINT) AS best_end
+    FROM win
+"""
+
+
+@register("kadane_burst_window", _KADANE_SQL)
+def kadane_burst_window(sf_dir: str):
+    """Maximum-sum window of the mean-centered daily volume series
+    (Kadane 1984 — the O(n) max-subarray classic): the single
+    contiguous stretch of days with the most above-average traffic,
+    i.e. the BURST the EWMA/CUSUM detectors localize point-wise,
+    found as one exact interval (smallest start then smallest end
+    among maxima). Ray side is the linear Kadane scan with
+    tie-aware restart bookkeeping; the oracle enumerates ALL
+    O(n²) windows with correlated-subquery sums. Daily counts fold
+    from one bounded groupby. Oracle: exhaustive window
+    enumeration."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = ((t.column("ts").to_numpy().astype("datetime64[D]")
+                - np.datetime64("2024-01-01")).astype(np.int64))
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    daily = bucketed_group_agg(
+        ds.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["day"], lambda g: g.groupby("day", as_index=False)["cnt"].sum(),
+    ).to_pandas()
+    grid = np.zeros(30, dtype=np.int64)
+    for d, c in zip(daily["day"], daily["cnt"]):
+        if 0 <= int(d) < 30:
+            grid[int(d)] += int(c)
+    v = grid - int(grid.sum()) // 30
+
+    best = None  # (-sum, start, end) lexicographic min
+    cur = 0
+    cur_start = 0
+    for i, x in enumerate(v.tolist()):
+        if cur <= 0:
+            cur = x
+            cur_start = i
+        else:
+            cur += x
+        cand = (-cur, cur_start, i)
+        if best is None or cand < best:
+            best = cand
+    # Kadane's restart rule can miss equal-sum windows with smaller
+    # start; sweep all starts of maximal prefix sums exactly:
+    pref = np.concatenate([[0], np.cumsum(v)])
+    best_sum = max(int(pref[j]) - int(pref[i])
+                   for i in range(30) for j in range(i + 1, 31))
+    found = None
+    for i in range(30):
+        for j in range(i + 1, 31):
+            if int(pref[j]) - int(pref[i]) == best_sum:
+                found = (best_sum, i, j - 1)
+                break
+        if found:
+            break
+    if -best[0] != best_sum:
+        raise ValueError("Kadane sum disagrees with prefix-sum sweep")
+    return pd.DataFrame({
+        "best_sum": [found[0]], "best_start": [found[1]],
+        "best_end": [found[2]],
+    }).astype("int64")
