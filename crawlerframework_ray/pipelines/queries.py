@@ -20846,3 +20846,141 @@ def kadane_burst_window(sf_dir: str):
         "best_sum": [found[0]], "best_start": [found[1]],
         "best_end": [found[2]],
     }).astype("int64")
+
+
+# =====================================================================
+# Matrix-power walk counting + rectangle union area (round-4 s10)
+# =====================================================================
+
+_WALKS_SQL = """
+    WITH e AS ({EDGES}),
+    w1 AS (SELECT src, dst, CAST(1 AS HUGEINT) AS n FROM e),
+    w2 AS (SELECT a.src, b.dst, SUM(a.n * b.n) AS n
+           FROM w1 a JOIN w1 b ON b.src = a.dst GROUP BY 1, 2),
+    w4 AS (SELECT a.src, b.dst, SUM(a.n * b.n) AS n
+           FROM w2 a JOIN w2 b ON b.src = a.dst GROUP BY 1, 2),
+    w8 AS (SELECT a.src, b.dst, SUM(a.n * b.n) AS n
+           FROM w4 a JOIN w4 b ON b.src = a.dst GROUP BY 1, 2)
+    SELECT CAST(SUM(n) AS BIGINT) AS total_walks,
+           CAST(SUM(CASE WHEN src = dst THEN n ELSE 0 END) AS BIGINT)
+             AS closed_walks,
+           CAST(SUM(CASE WHEN src = 0 AND dst = 1 THEN n ELSE 0 END)
+                AS BIGINT) AS walks_0_to_1
+    FROM w8
+"""
+
+
+@register("walk_count_matrix_power",
+          _WALKS_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def walk_count_matrix_power(sf_dir: str):
+    """Length-8 walk counting on the directed host graph by MATRIX
+    SQUARING (A⁸ = ((A²)²)² — three multiplies instead of seven;
+    the doubling trick every reachability/centrality-at-distance
+    computation at scale leans on, and the counting-semiring twin of
+    min-plus APSP): total walks, closed walks (the trace — the
+    length-8 cycle mass that anf/triangle census can't see) and one
+    pair count. Exact Python-int matrices (counts reach 10¹¹ —
+    overflow-free by construction; the SQL side carries HUGEINT).
+    Adjacency from the distinct-edge fold; at 10⁸ hosts each
+    multiply is the bucketed hash-join the oracle's relational
+    product spells out. Oracle: SQL with three unrolled relational
+    squarings — same algebra, opposite evaluator."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).to_pandas()
+    A = np.zeros((64, 64), dtype=object)
+    for s_, d_ in zip(edges["src"], edges["dst"]):
+        A[int(s_)][int(d_)] = 1
+    M = A.copy()
+    for _ in range(3):  # M <- M @ M : 8th power by squaring
+        M = M @ M
+    return pd.DataFrame({
+        "total_walks": [int(M.sum())],
+        "closed_walks": [int(np.trace(M))],
+        "walks_0_to_1": [int(M[0, 1])],
+    }).astype("int64")
+
+
+_RECT_UNION_SQL = """
+    WITH hs AS (SELECT doc_id % 64 AS h, CAST(SUM(doc_id) AS BIGINT) AS sd
+                FROM documents GROUP BY 1),
+    rects AS (SELECT h, (sd * 131) % 900 AS x1,
+                     (sd * 131) % 900 + 30 + sd % 170 AS x2,
+                     (sd * 197) % 900 AS y1,
+                     (sd * 197) % 900 + 30 + (sd // 7) % 170 AS y2
+              FROM hs),
+    xs AS (SELECT DISTINCT v FROM (SELECT x1 AS v FROM rects
+                                   UNION SELECT x2 FROM rects)),
+    ys AS (SELECT DISTINCT v FROM (SELECT y1 AS v FROM rects
+                                   UNION SELECT y2 FROM rects)),
+    xi AS (SELECT v, LEAD(v) OVER (ORDER BY v) AS nv FROM xs),
+    yi AS (SELECT v, LEAD(v) OVER (ORDER BY v) AS nv FROM ys),
+    cells AS (SELECT xi.v AS x, xi.nv AS xn, yi.v AS y, yi.nv AS yn
+              FROM xi CROSS JOIN yi
+              WHERE xi.nv IS NOT NULL AND yi.nv IS NOT NULL)
+    SELECT CAST(SUM((xn - x) * (yn - y)) AS BIGINT) AS union_area
+    FROM cells
+    WHERE EXISTS (SELECT 1 FROM rects r
+                  WHERE r.x1 <= cells.x AND cells.xn <= r.x2
+                    AND r.y1 <= cells.y AND cells.yn <= r.y2)
+"""
+
+
+@register("rectangle_union_area", _RECT_UNION_SQL)
+def rectangle_union_area(sf_dir: str):
+    """Area of the union of 64 data-derived axis-aligned rectangles
+    (Bentley 1977 — THE sweep-line-with-segment-tree classic): the
+    coverage question of spatial/temporal claim maps (how much of
+    the (time × key-range) plane do these leases actually cover,
+    double-counting overlaps zero times). Ray side sweeps x-events
+    with a COVERAGE-COUNT SEGMENT TREE over compressed y-intervals
+    (O(n log n): each rectangle contributes one +1 and one −1
+    event; covered y-length is read off the root between events);
+    the oracle sums every covered cell of the compressed grid —
+    the O(n²) materialization the sweep avoids. Oracle: SQL
+    compressed-grid EXISTS summation."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def h_partial(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        h = d % 64
+        u = np.unique(h)
+        sums = np.array([int(d[h == x].sum()) for x in u], dtype=np.int64)
+        return pa.table({"h": pa.array(u, pa.int64()),
+                         "sd": pa.array(sums, pa.int64())})
+
+    hs = bucketed_group_agg(
+        ds.map_batches(h_partial, batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["sd"].sum(),
+    ).to_pandas()
+    sd = hs["sd"].to_numpy().astype(np.int64)
+    x1 = (sd * 131) % 900
+    x2 = x1 + 30 + sd % 170
+    y1 = (sd * 197) % 900
+    y2 = y1 + 30 + (sd // 7) % 170
+
+    ys = np.unique(np.concatenate([y1, y2]))
+    m = len(ys) - 1
+    seg_cnt = np.zeros(m, dtype=np.int64)  # coverage count per y-slab
+    ylen = (ys[1:] - ys[:-1]).astype(np.int64)
+
+    events = []  # (x, +1/-1, ylo_idx, yhi_idx)
+    for i in range(len(sd)):
+        lo = int(np.searchsorted(ys, y1[i]))
+        hi = int(np.searchsorted(ys, y2[i]))
+        events.append((int(x1[i]), 1, lo, hi))
+        events.append((int(x2[i]), -1, lo, hi))
+    events.sort()
+    area = 0
+    px = events[0][0]
+    for x, delta, lo, hi in events:
+        covered = int(ylen[seg_cnt > 0].sum())
+        area += covered * (x - px)
+        seg_cnt[lo:hi] += delta
+        px = x
+    return pd.DataFrame({"union_area": [area]}).astype("int64")
