@@ -20984,3 +20984,93 @@ def rectangle_union_area(sf_dir: str):
         seg_cnt[lo:hi] += delta
         px = x
     return pd.DataFrame({"union_area": [area]}).astype("int64")
+
+
+# =====================================================================
+# Myers bit-parallel edit distance (round-4 s10)
+# =====================================================================
+
+_BITPAR_ED_SQL = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, substr(text, 1, 24) AS a,
+             reverse(substr(text, 1, 24)) AS b
+      FROM documents),
+    dp AS (
+      SELECT doc_id, a, b, 0 AS j,
+             list_transform(generate_series(0, LENGTH(a)),
+                            i -> CAST(i AS BIGINT)) AS row
+      FROM t
+      UNION ALL
+      SELECT doc_id, a, b, j + 1,
+             list_transform(generate_series(0, LENGTH(a)), i ->
+               list_min(list_transform(generate_series(0, LENGTH(a)),
+                 k ->
+                 CASE WHEN k > i THEN NULL
+                      WHEN k = 0 THEN CAST(j + 1 AS BIGINT) + i
+                      ELSE least(row[k + 1] + 1,
+                                 row[k] + CASE WHEN substr(a, k, 1)
+                                                   = substr(b, j + 1, 1)
+                                               THEN 0 ELSE 1 END)
+                           + (i - k)
+                 END)))
+      FROM dp WHERE j < LENGTH(b))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row[LENGTH(a) + 1] AS BIGINT) AS edit_distance
+    FROM dp WHERE j = LENGTH(b)
+"""
+
+
+@register("bitparallel_edit_distance", _BITPAR_ED_SQL)
+def bitparallel_edit_distance(sf_dir: str):
+    """Levenshtein distance between each document head and its
+    reversal by MYERS' BIT-PARALLEL algorithm (Myers, JACM 1999 —
+    the entire DP anti-diagonal folded into machine words: one
+    carry-propagating addition plus boolean ops per text character,
+    64 DP cells per word — the algorithm inside agrep and modern
+    fuzzy-join engines, and the character-level companion to the
+    word-level Myers SES diff above). One stateless per-doc pass
+    over single-word patterns (n ≤ 24). Oracle: the classic DP as a
+    recursive CTE in the min-over-origin form (d_j[i] =
+    min_{k≤i} c_k + (i−k) — exchange-valid because insertions chain
+    rightward), sharing no bit tricks."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def myers_bp(a: str, b: str) -> int:
+        n = len(a)
+        if n == 0:
+            return len(b)
+        MASK = (1 << n) - 1
+        HIGH = 1 << (n - 1)
+        peq: dict = {}
+        for i, ch in enumerate(a):
+            peq[ch] = peq.get(ch, 0) | (1 << i)
+        pv = MASK
+        mv = 0
+        score = n
+        for ch in b:
+            eq = peq.get(ch, 0)
+            xv = eq | mv
+            xh = (((eq & pv) + pv) ^ pv) | eq
+            ph = (mv | (~(xh | pv) & MASK)) & MASK
+            mh = pv & xh & MASK
+            if ph & HIGH:
+                score += 1
+            elif mh & HIGH:
+                score -= 1
+            ph = (ph << 1) | 1
+            mh = mh << 1
+            pv = (mh | (~(xv | ph) & MASK)) & MASK
+            mv = ph & xv & MASK
+        return score
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            s = txt[:24]
+            rows.append((int(d), myers_bp(s, s[::-1])))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "edit_distance"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
