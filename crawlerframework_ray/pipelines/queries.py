@@ -21074,3 +21074,148 @@ def bitparallel_edit_distance(sf_dir: str):
 
     return ds.map_batches(per_doc, batch_format="pyarrow",
                           batch_size=4096)
+
+
+# =====================================================================
+# Cartesian-tree shape + two-pointer pair sums (round-4 s10)
+# =====================================================================
+
+_TREAP_SQL = """
+    WITH RECURSIVE hs AS (SELECT doc_id % 64 AS h,
+                                 CAST(SUM(doc_id) AS BIGINT) AS sd
+                          FROM documents GROUP BY 1),
+    pri AS (SELECT h, (sd * 2654435761) % 4294967296 AS p FROM hs),
+    agg AS (SELECT list(p ORDER BY h) AS ps FROM pri),
+    split AS (
+      SELECT 1 AS lo, 64 AS hi, 0 AS depth, agg.ps AS ps FROM agg
+      UNION ALL
+      SELECT s.nlo, s.nhi, s.depth + 1, s.ps
+      FROM (
+        SELECT u.side,
+               CASE WHEN u.side = 0 THEN sp.lo ELSE sp.r + 1 END AS nlo,
+               CASE WHEN u.side = 0 THEN sp.r - 1 ELSE sp.hi END AS nhi,
+               sp.depth, sp.ps
+        FROM (
+          SELECT s2.lo, s2.hi, s2.depth, s2.ps,
+                 s2.lo - 1 + list_position(
+                   list_slice(s2.ps, s2.lo, s2.hi),
+                   list_min(list_slice(s2.ps, s2.lo, s2.hi))) AS r
+          FROM split s2) sp
+        CROSS JOIN (SELECT unnest([0, 1]) AS side) u) s
+      WHERE s.nlo <= s.nhi)
+    SELECT CAST(SUM(depth) AS BIGINT) AS total_depth,
+           CAST(MAX(depth) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM split
+"""
+
+
+@register("cartesian_tree_shape", _TREAP_SQL)
+def cartesian_tree_shape(sf_dir: str):
+    """Shape of the treap / Cartesian tree over the 64 host keys
+    with hash-derived priorities (Vuillemin 1980; Seidel–Aragon
+    treaps derandomized the replica-consistent way — same determinism
+    argument as the skip-list census: every node builds the
+    IDENTICAL tree): total node depth, height, node count — the
+    balance audit for a hash-prioritized ordered index. Ray side
+    runs the O(n) STACK-BASED all-nearest-smaller-values
+    construction (each key pushed/popped once); the oracle applies
+    the DEFINITION — recursive range splitting at the minimum
+    priority — as a recursive CTE. Construction vs definition.
+    Host sums fold from one bounded groupby. Oracle: recursive-CTE
+    range splitting."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def h_partial(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        h = d % 64
+        u = np.unique(h)
+        sums = np.array([int(d[h == x].sum()) for x in u], dtype=np.int64)
+        return pa.table({"h": pa.array(u, pa.int64()),
+                         "sd": pa.array(sums, pa.int64())})
+
+    hs = bucketed_group_agg(
+        ds.map_batches(h_partial, batch_format="pyarrow"),
+        ["h"], lambda g: g.groupby("h", as_index=False)["sd"].sum(),
+    ).to_pandas().sort_values("h").reset_index(drop=True)
+    ps = ((hs["sd"].to_numpy().astype(np.int64) * 2654435761)
+          % 4294967296).tolist()
+    n = len(ps)
+    parent = [-1] * n
+    stack: list = []
+    for i in range(n):
+        last = -1
+        while stack and ps[stack[-1]] > ps[i]:
+            last = stack.pop()
+        if last != -1:
+            parent[last] = i
+        if stack:
+            parent[i] = stack[-1]
+        stack.append(i)
+    depths = []
+    for i in range(n):
+        d = 0
+        j = i
+        while parent[j] != -1:
+            j = parent[j]
+            d += 1
+        depths.append(d)
+    return pd.DataFrame({
+        "total_depth": [sum(depths)], "height": [max(depths)],
+        "n_nodes": [n],
+    }).astype("int64")
+
+
+_PAIRSUM_SQL = """
+    WITH c AS (SELECT o_orderkey AS k,
+                      CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT)
+                        AS v
+               FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_in_band
+    FROM c a JOIN c b ON a.k < b.k
+    WHERE a.v + b.v BETWEEN 5000000 AND 7000000
+"""
+
+
+@register("pairsum_band_count", _PAIRSUM_SQL)
+def pairsum_band_count(sf_dir: str):
+    """Count of order pairs whose price sum lands in a fixed band —
+    the bundle-pricing / co-budget query — by the TWO-POINTER scan
+    (sort once, band count = count(sum ≤ U) − count(sum < L), each
+    an O(n) opposing-pointer walk): the canonical quadratic-to-
+    linear pairing argument. Sorted cents from one bounded distinct-
+    free fold (duplicates kept — pair semantics need multiplicity).
+    Oracle: the O(n²) self-join the pointers replace."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        v = np.floor(
+            100.0 * t.column("o_totalprice").to_numpy() + 0.5
+        ).astype(np.int64)
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    vs = np.sort(ds.map_batches(
+        cents_partial, batch_format="pyarrow",
+        batch_size=65536).to_pandas()["v"].to_numpy().astype(np.int64))
+    n = len(vs)
+
+    def count_le(T: int) -> int:
+        # pairs i<j with vs[i]+vs[j] <= T via opposing pointers
+        cnt = 0
+        j = n - 1
+        for i in range(n):
+            if j <= i:
+                break
+            while j > i and int(vs[i]) + int(vs[j]) > T:
+                j -= 1
+            if j <= i:
+                break
+            cnt += j - i
+        return cnt
+
+    total = count_le(7_000_000) - count_le(5_000_000 - 1)
+    return pd.DataFrame({"n_pairs_in_band": [total]}).astype("int64")
