@@ -21219,3 +21219,205 @@ def pairsum_band_count(sf_dir: str):
 
     total = count_le(7_000_000) - count_le(5_000_000 - 1)
     return pd.DataFrame({"n_pairs_in_band": [total]}).astype("int64")
+
+
+# =====================================================================
+# CRT reconstruction + Hopcroft–Karp matching (round-4 s10)
+# =====================================================================
+
+_CRT_SQL = """
+    WITH src AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) % 1001
+                   AS true_val
+                 FROM documents GROUP BY source),
+    res AS (SELECT source, true_val,
+                   true_val % 7 AS r7, true_val % 11 AS r11,
+                   true_val % 13 AS r13
+            FROM src),
+    cand AS (SELECT x.x FROM (SELECT unnest(generate_series(0, 1000))
+                              AS x) x)
+    SELECT res.source,
+           CAST(res.true_val AS BIGINT) AS true_val,
+           CAST((SELECT MIN(c.x) FROM cand c
+                 WHERE c.x % 7 = res.r7 AND c.x % 11 = res.r11
+                   AND c.x % 13 = res.r13) AS BIGINT) AS reconstructed
+    FROM res
+"""
+
+
+@register("crt_reconstruction_audit", _CRT_SQL)
+def crt_reconstruction_audit(sf_dir: str):
+    """Chinese-remainder reconstruction of per-source byte counts
+    (mod 1001 = 7·11·13) from their residue triples — the
+    split-and-recombine arithmetic behind residue-number-system
+    aggregation (ship three tiny residues, reconstruct exactly; the
+    overflow-free trick for huge distributed sums). Ray side runs
+    GARNER'S algorithm with EXTENDED-EUCLID modular inverses
+    (constructive); the oracle brute-forces the unique x in
+    [0, 1001) satisfying all three congruences — existence +
+    uniqueness re-proving CRT per row. The reconstruction must
+    equal the true value (also emitted, so the gate checks both).
+    Oracle: exhaustive residue search."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "n_chars": t.column("n_chars").to_numpy()})
+        return df.groupby("source", as_index=False)["n_chars"].sum()
+
+    w = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)["n_chars"].sum(),
+    ).to_pandas()
+
+    def inv(a: int, m: int) -> int:
+        # extended Euclid
+        g, x, _ = _egcd(a % m, m)
+        if g != 1:
+            raise ValueError("not coprime")
+        return x % m
+
+    mods = (7, 11, 13)
+    rows = []
+    for src, total in zip(w["source"], w["n_chars"]):
+        true_val = int(total) % 1001
+        rs = [true_val % m for m in mods]
+        # Garner: build up x modulo products
+        x = rs[0]
+        prod = mods[0]
+        for r, m in zip(rs[1:], mods[1:]):
+            t_ = ((r - x) * inv(prod, m)) % m
+            x = x + prod * t_
+            prod *= m
+        if x != true_val:
+            raise ValueError(f"CRT reconstruction drifted for {src}")
+        rows.append((src, true_val, x))
+    return pd.DataFrame(rows, columns=[
+        "source", "true_val", "reconstructed"]).astype(
+        {"true_val": "int64", "reconstructed": "int64"})
+
+
+def _egcd(a: int, b: int):
+    old_r, r = a, b
+    old_s, s = 1, 0
+    old_t, t = 0, 1
+    while r:
+        q = old_r // r
+        old_r, r = r, old_r - q * r
+        old_s, s = s, old_s - q * s
+        old_t, t = t, old_t - q * t
+    return old_r, old_s, old_t
+
+
+_HK_SQL = """
+    WITH RECURSIVE six AS (
+      SELECT source, CAST(SUM(n_chars) // 100 AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS i
+      FROM documents GROUP BY source ORDER BY source LIMIT 6),
+    edges AS (
+      SELECT s.i, j.j
+      FROM six s CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) j
+      WHERE (s.cnt * (1 + (j.j * 7919) % 13)
+             + (s.i * 31 + j.j * 17) % 23) % 5 < 2),
+    perm AS (
+      SELECT CAST([] AS BIGINT[]) AS nodes, 0 AS k, 0 AS hits
+      UNION ALL
+      SELECT list_append(p.nodes, j.j), p.k + 1,
+             p.hits + CASE WHEN EXISTS (
+               SELECT 1 FROM edges e
+               WHERE e.i = p.k AND e.j = j.j) THEN 1 ELSE 0 END
+      FROM perm p
+      JOIN (SELECT unnest(generate_series(0, 5)) AS j) j
+        ON NOT list_contains(p.nodes, j.j)
+      WHERE p.k < 6)
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(MAX(hits) AS BIGINT) AS max_matching
+    FROM perm WHERE k = 6
+"""
+
+
+@register("hopcroft_karp_matching", _HK_SQL)
+def hopcroft_karp_matching(sf_dir: str):
+    """Maximum bipartite matching between 6 sources and 6 nodes on a
+    data-derived sparse affinity graph (the feasibility core of
+    constrained placement: how many shards can get SOME acceptable
+    node at all — König/Hall territory; pairs with the cost-optimal
+    min_cost_shard_assignment) by HOPCROFT–KARP (SICOMP 1973: BFS
+    level graph + DFS augmenting phases, O(E√V)). The oracle takes
+    the maximum edge-hit count over ALL 720 permutations — valid
+    because every matching extends to a permutation — re-proving
+    optimality exhaustively. Oracle: recursive-CTE permutation
+    fold."""
+    from collections import deque
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "n_chars": t.column("n_chars").to_numpy()})
+        return df.groupby("source", as_index=False)["n_chars"].sum()
+
+    w = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)["n_chars"].sum(),
+    ).to_pandas().sort_values("source").reset_index(drop=True).head(6)
+    cnt = w["n_chars"].to_numpy().astype(np.int64) // 100
+    N = 6
+    adj = [[j for j in range(N)
+            if (int(cnt[i]) * (1 + (j * 7919) % 13)
+                + (i * 31 + j * 17) % 23) % 5 < 2]
+           for i in range(N)]
+    n_edges = sum(len(a) for a in adj)
+
+    INF = 1 << 30
+    match_l = [-1] * N
+    match_r = [-1] * N
+
+    def bfs() -> bool:
+        dist = [0] * N
+        q: deque = deque()
+        for i in range(N):
+            if match_l[i] == -1:
+                dist[i] = 0
+                q.append(i)
+            else:
+                dist[i] = INF
+        found = False
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                w_ = match_r[v]
+                if w_ == -1:
+                    found = True
+                elif dist[w_] == INF:
+                    dist[w_] = dist[u] + 1
+                    q.append(w_)
+        self_dist[:] = dist
+        return found
+
+    self_dist = [0] * N
+
+    def dfs(u: int) -> bool:
+        for v in adj[u]:
+            w_ = match_r[v]
+            if w_ == -1 or (self_dist[w_] == self_dist[u] + 1 and dfs(w_)):
+                match_l[u] = v
+                match_r[v] = u
+                return True
+        self_dist[u] = INF
+        return False
+
+    matching = 0
+    while bfs():
+        for i in range(N):
+            if match_l[i] == -1 and dfs(i):
+                matching += 1
+    return pd.DataFrame({"n_edges": [n_edges],
+                         "max_matching": [matching]}).astype("int64")
