@@ -21421,3 +21421,115 @@ def hopcroft_karp_matching(sf_dir: str):
                 matching += 1
     return pd.DataFrame({"n_edges": [n_edges],
                          "max_matching": [matching]}).astype("int64")
+
+
+# =====================================================================
+# Dinic max-flow vs exhaustive min-cut (round-4 s10)
+# =====================================================================
+
+_MAXFLOW_SQL = """
+    WITH g AS (SELECT (doc_id % 64) // 16 AS grp, COUNT(*) AS cnt
+               FROM documents GROUP BY 1),
+    edges AS (
+      SELECT 0 AS u, grp + 1 AS v, CAST(cnt AS BIGINT) AS cap FROM g
+      UNION ALL
+      SELECT i.i + 1, j.j + 5,
+             CAST(((i.i * 4 + j.j) * 37) % 29 + 1 AS BIGINT)
+      FROM (SELECT unnest(generate_series(0, 3)) AS i) i,
+           (SELECT unnest(generate_series(0, 3)) AS j) j
+      WHERE (i.i + j.j) % 2 = 0
+      UNION ALL
+      SELECT j.j + 5, 9, CAST(150 + j.j * 13 AS BIGINT)
+      FROM (SELECT unnest(generate_series(0, 3)) AS j) j),
+    cuts AS (SELECT unnest(generate_series(0, 255)) AS m),
+    cutcap AS (
+      SELECT c.m, SUM(e.cap) AS cap
+      FROM cuts c JOIN edges e ON
+        (CASE WHEN e.u = 0 THEN TRUE WHEN e.u = 9 THEN FALSE
+              ELSE ((c.m >> (e.u - 1)) & 1) = 1 END)
+        AND NOT (CASE WHEN e.v = 0 THEN TRUE WHEN e.v = 9 THEN FALSE
+                      ELSE ((c.m >> (e.v - 1)) & 1) = 1 END)
+      GROUP BY c.m)
+    SELECT CAST(MIN(cap) AS BIGINT) AS max_flow
+    FROM cutcap
+"""
+
+
+@register("dinic_maxflow_mincut", _MAXFLOW_SQL)
+def dinic_maxflow_mincut(sf_dir: str):
+    """Maximum flow through the two-tier ingest network (source →
+    4 host-group intake caps from the CORPUS → sparse tier links →
+    4 sink drains) by DINIC'S algorithm (1970: BFS level graph +
+    blocking-flow DFS, O(V²E)) — the sustained-throughput bound of
+    a staged pipeline with capacity constraints (what the politeness
+    budgets + handler pools jointly admit). The oracle computes the
+    MINIMUM CUT by enumerating ALL 2⁸ source-side subsets — so
+    every run re-proves max-flow = min-cut (Ford–Fulkerson duality)
+    on live data. Intake caps fold from one bounded groupby.
+    Oracle: exhaustive cut enumeration."""
+    from collections import deque
+
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def grp_partial(t: pa.Table) -> pa.Table:
+        g = (t.column("doc_id").to_numpy().astype(np.int64) % 64) // 16
+        u, c = np.unique(g, return_counts=True)
+        return pa.table({"grp": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    g = bucketed_group_agg(
+        ds.map_batches(grp_partial, batch_format="pyarrow"),
+        ["grp"], lambda gg: gg.groupby("grp", as_index=False)["cnt"].sum(),
+    ).to_pandas().sort_values("grp")
+
+    edges = [(0, int(grp) + 1, int(cnt))
+             for grp, cnt in zip(g["grp"], g["cnt"])]
+    for i in range(4):
+        for j in range(4):
+            if (i + j) % 2 == 0:
+                edges.append((i + 1, j + 5, ((i * 4 + j) * 37) % 29 + 1))
+    for j in range(4):
+        edges.append((j + 5, 9, 150 + j * 13))
+
+    n, s, t = 10, 0, 9
+    graph: list = [[] for _ in range(n)]
+    for u, v, c in edges:
+        graph[u].append([v, c, len(graph[v])])
+        graph[v].append([u, 0, len(graph[u]) - 1])
+    flow = 0
+    while True:
+        level = [-1] * n
+        level[s] = 0
+        q: deque = deque([s])
+        while q:
+            u = q.popleft()
+            for e in graph[u]:
+                if e[1] > 0 and level[e[0]] == -1:
+                    level[e[0]] = level[u] + 1
+                    q.append(e[0])
+        if level[t] == -1:
+            break
+        it = [0] * n
+
+        def dfs(u: int, f: int) -> int:
+            if u == t:
+                return f
+            while it[u] < len(graph[u]):
+                e = graph[u][it[u]]
+                if e[1] > 0 and level[e[0]] == level[u] + 1:
+                    d = dfs(e[0], min(f, e[1]))
+                    if d > 0:
+                        e[1] -= d
+                        graph[e[0]][e[2]][1] += d
+                        return d
+                it[u] += 1
+            return 0
+
+        while True:
+            f = dfs(s, 1 << 60)
+            if f == 0:
+                break
+            flow += f
+    return pd.DataFrame({"max_flow": [flow]}).astype("int64")
