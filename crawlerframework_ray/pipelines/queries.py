@@ -21533,3 +21533,119 @@ def dinic_maxflow_mincut(sf_dir: str):
                 break
             flow += f
     return pd.DataFrame({"max_flow": [flow]}).astype("int64")
+
+
+# =====================================================================
+# Tropical path power + string period audit (round-4 s10)
+# =====================================================================
+
+_TROPICAL_SQL = """
+    WITH e AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM ({EDGES}) WHERE src != dst),
+    w1 AS (SELECT u, v, CAST((u * 7 + v * 11) % 50 + 1 AS BIGINT) AS w
+           FROM e),
+    w2 AS (SELECT a.u, b.v, MAX(a.w + b.w) AS w
+           FROM w1 a JOIN w1 b ON b.u = a.v GROUP BY 1, 2),
+    w4 AS (SELECT a.u, b.v, MAX(a.w + b.w) AS w
+           FROM w2 a JOIN w2 b ON b.u = a.v GROUP BY 1, 2),
+    w8 AS (SELECT a.u, b.v, MAX(a.w + b.w) AS w
+           FROM w4 a JOIN w4 b ON b.u = a.v GROUP BY 1, 2)
+    SELECT CAST(MAX(w) AS BIGINT) AS heaviest_8hop,
+           CAST(COUNT(*) AS BIGINT) AS n_connected_pairs
+    FROM w8
+"""
+
+
+@register("tropical_path_matrix_power",
+          _TROPICAL_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def tropical_path_matrix_power(sf_dir: str):
+    """Heaviest exactly-8-hop path on the DAG orientation of the
+    host graph by MAX-PLUS (tropical) matrix squaring — the same
+    doubling as walk_count_matrix_power with (max, +) replacing
+    (+, ×): the critical-path/bottleneck algebra of scheduling and
+    the shortest-path algebra's mirror, showing the engine's
+    relational product is SEMIRING-GENERIC. Low→high orientation
+    makes walks simple paths. Ray side: three vectorized max-plus
+    squarings with −∞ padding; oracle: three unrolled relational
+    MAX-joins. Oracle: SQL tropical product."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).to_pandas()
+    NEG = -(1 << 40)
+    A = np.full((64, 64), NEG, dtype=np.int64)
+    for s_, d_ in zip(edges["src"], edges["dst"]):
+        u, v = sorted((int(s_), int(d_)))
+        A[u, v] = (u * 7 + v * 11) % 50 + 1
+
+    def mp_sq(M: np.ndarray) -> np.ndarray:
+        R = np.full((64, 64), NEG, dtype=np.int64)
+        for k in range(64):
+            cand = M[:, k][:, None] + M[k, :][None, :]
+            np.maximum(R, cand, out=R)
+        return R
+
+    M = A.copy()
+    for _ in range(3):
+        M = mp_sq(M)
+    valid = M > NEG // 2
+    return pd.DataFrame({
+        "heaviest_8hop": [int(M[valid].max())],
+        "n_connected_pairs": [int(valid.sum())],
+    }).astype("int64")
+
+
+_PERIOD_SQL = """
+    WITH t AS (SELECT doc_id, substr(text, 1, 48) AS s FROM documents),
+    pp AS (SELECT doc_id, LENGTH(s) AS n,
+                  (SELECT MIN(p.p)
+                   FROM LATERAL (SELECT unnest(generate_series(
+                     1, LENGTH(s))) AS p) p
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM LATERAL (SELECT unnest(
+                       generate_series(1, LENGTH(s) - p.p)) AS i) i
+                     WHERE substr(s, i.i, 1) != substr(s, i.i + p.p, 1)))
+                    AS period
+           FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n,
+           CAST(period AS BIGINT) AS period
+    FROM pp
+"""
+
+
+@register("string_period_audit", _PERIOD_SQL)
+def string_period_audit(sf_dir: str):
+    """Smallest period of each document head (p is a period iff
+    s[i] = s[i+p] for all i — the repetition wavelength; a period
+    ≪ n is the machine-generated-template signal the repetition
+    filter quantifies by other means, pinned here to its exact
+    combinatorial object). Ray side reads the period off the KMP
+    FAILURE FUNCTION (period = n − fail[n], the classic border
+    identity from Fine–Wilf territory); the oracle tests every
+    candidate p directly against the definition. One stateless
+    per-doc pass. Oracle: exhaustive period check."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            s = txt[:48]
+            n = len(s)
+            fail = [0] * (n + 1)
+            k = 0
+            for i in range(1, n):
+                while k and s[i] != s[k]:
+                    k = fail[k]
+                if s[i] == s[k]:
+                    k += 1
+                fail[i + 1] = k
+            rows.append((int(d), n, n - fail[n]))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n", "period"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
