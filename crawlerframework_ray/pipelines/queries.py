@@ -21649,3 +21649,135 @@ def string_period_audit(sf_dir: str):
 
     return ds.map_batches(per_doc, batch_format="pyarrow",
                           batch_size=4096)
+
+
+# =====================================================================
+# Suffix array by prefix doubling + inversion counting (round-4 s10)
+# =====================================================================
+
+_SA_SQL = """
+    WITH t AS (SELECT doc_id, substr(text, 1, 48) AS s FROM documents),
+    sa AS (SELECT doc_id, i.i AS pos, substr(s, i.i) AS suf
+           FROM t, LATERAL (SELECT unnest(generate_series(
+             1, LENGTH(s))) AS i) i)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           string_agg(CAST(pos - 1 AS VARCHAR), ','
+                      ORDER BY suf, pos) AS suffix_array
+    FROM sa GROUP BY doc_id
+"""
+
+
+@register("suffix_array_prefix_doubling", _SA_SQL)
+def suffix_array_prefix_doubling(sf_dir: str):
+    """Suffix array of each document head by PREFIX DOUBLING
+    (Manber & Myers, SICOMP 1993: sort by 2k-prefix using ranks of
+    k-prefixes, log n rounds — the suffix-sorting form that scales
+    as log n DISTRIBUTED SORTS, which is why terabyte suffix arrays
+    are built exactly this way while DC3's recursion is not
+    shuffle-shaped). The index underneath exact-substring dedup and
+    FM-search. One stateless per-doc pass here; the oracle sorts the
+    materialized suffixes directly — O(n² log n) character work vs
+    doubling's O(n log n) ranks. Oracle: SQL direct suffix sort."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sa_doubling(s: str) -> list:
+        n = len(s)
+        rank = [ord(c) for c in s]
+        sa = list(range(n))
+        k = 1
+        while True:
+            def key(i: int):
+                return (rank[i], rank[i + k] if i + k < n else -1)
+            sa.sort(key=key)
+            new = [0] * n
+            for t_ in range(1, n):
+                new[sa[t_]] = new[sa[t_ - 1]] + (
+                    1 if key(sa[t_]) != key(sa[t_ - 1]) else 0)
+            rank = new
+            if rank[sa[-1]] == n - 1:
+                break
+            k *= 2
+            if k >= n:
+                break
+        return sa
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            sa = sa_doubling(txt[:48])
+            rows.append((int(d), ",".join(str(x) for x in sa)))
+        return pd.DataFrame(rows, columns=["doc_id", "suffix_array"]
+                            ).astype({"doc_id": "int64"})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+_INVERSION_SQL = """
+    WITH seq AS (SELECT user_id,
+                        CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) AS c,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS idx
+                 FROM events)
+    SELECT CAST(a.user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) FILTER (WHERE b.idx > a.idx AND b.c < a.c)
+                AS BIGINT) AS n_inversions,
+           CAST(MAX(a.idx) AS BIGINT) AS n_events
+    FROM seq a JOIN seq b ON b.user_id = a.user_id
+    GROUP BY a.user_id
+"""
+
+
+@register("inversion_count_user_streams", _INVERSION_SQL)
+def inversion_count_user_streams(sf_dir: str):
+    """Inversion count of each user's value stream (pairs out of
+    sorted order — the exact disorder metric: 0 = monotone rise,
+    n(n−1)/2 = monotone fall; the Kendall-distance companion to
+    lis_user_value_trend) by MERGE-SORT COUNTING (each merge step
+    adds the number of left-side survivors when the right side
+    wins — O(n log n), and the shape of a distributed sample-sort
+    inversion count). ONE user-keyed bounded shuffle. Oracle: the
+    O(n²) self-join pair classification."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def count_inv(a: list) -> int:
+        if len(a) <= 1:
+            return 0
+
+        def rec(lo: int, hi: int) -> tuple:
+            if hi - lo <= 1:
+                return a[lo:hi], 0
+            mid = (lo + hi) // 2
+            left, cl = rec(lo, mid)
+            right, cr = rec(mid, hi)
+            merged = []
+            inv = cl + cr
+            i = j = 0
+            while i < len(left) and j < len(right):
+                if left[i] <= right[j]:
+                    merged.append(left[i])
+                    i += 1
+                else:
+                    merged.append(right[j])
+                    j += 1
+                    inv += len(left) - i
+            merged.extend(left[i:])
+            merged.extend(right[j:])
+            return merged, inv
+
+        return rec(0, len(a))[1]
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            c = np.floor(
+                100.0 * gg["value"].to_numpy() + 0.5).astype(np.int64)
+            rows.append((int(uid), count_inv(c.tolist()), len(c)))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_inversions", "n_events"]).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
