@@ -21781,3 +21781,78 @@ def inversion_count_user_streams(sf_dir: str):
             "user_id", "n_inversions", "n_events"]).astype("int64")
 
     return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+# =====================================================================
+# Bounded minimum-mean cycle via min-plus powers (round-4 s10)
+# =====================================================================
+
+_MINMEAN_SQL = """
+    WITH e AS ({EDGES}),
+    w1 AS (SELECT src AS u, dst AS v,
+                  CAST((src * 13 + dst * 7) % 40 + 1 AS BIGINT) AS w
+           FROM e),
+    w2 AS (SELECT a.u, b.v, MIN(a.w + b.w) AS w
+           FROM w1 a JOIN w1 b ON b.u = a.v GROUP BY 1, 2),
+    w3 AS (SELECT a.u, b.v, MIN(a.w + b.w) AS w
+           FROM w2 a JOIN w1 b ON b.u = a.v GROUP BY 1, 2),
+    w4 AS (SELECT a.u, b.v, MIN(a.w + b.w) AS w
+           FROM w3 a JOIN w1 b ON b.u = a.v GROUP BY 1, 2),
+    diag AS (
+      SELECT 1 AS k, MIN(w) AS cw FROM w1 WHERE u = v
+      UNION ALL SELECT 2, MIN(w) FROM w2 WHERE u = v
+      UNION ALL SELECT 3, MIN(w) FROM w3 WHERE u = v
+      UNION ALL SELECT 4, MIN(w) FROM w4 WHERE u = v)
+    SELECT CAST(k AS BIGINT) AS best_k, CAST(cw AS BIGINT) AS cycle_weight
+    FROM diag WHERE cw IS NOT NULL
+    ORDER BY CAST(cw AS DOUBLE) / k, k LIMIT 1
+"""
+
+
+@register("bounded_min_mean_cycle",
+          _MINMEAN_SQL.replace("{EDGES}", _PAGERANK_EDGES_SQL))
+def bounded_min_mean_cycle(sf_dir: str):
+    """Minimum-mean cycle among cycles of length ≤ 4 on the weighted
+    host digraph (the bounded form of Karp 1978 — the cheapest
+    self-sustaining loop, i.e. the crawl-trap / mutual-citation ring
+    with the lowest per-hop cost; pairs with crawl_trap_hosts and
+    link_farm_hosts which detect such rings by other signals):
+    min-plus (tropical shortest-path) powers A¹..A⁴, cycle weight =
+    the diagonal minimum of each power, mean compared as the exact
+    rational cw/k (cross-multiplied; the SQL's float division is
+    exact at these magnitudes), smaller k on ties. Ray side:
+    vectorized min-plus products with +∞ padding; oracle: unrolled
+    relational MIN-joins + the diagonal fold. Oracle: SQL tropical
+    product."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import distinct_edges, host_edges
+
+    edges = distinct_edges(
+        host_edges(_read(sf_dir, "documents", ["doc_id"]), n_hosts=64)
+    ).to_pandas()
+    INF = 1 << 40
+    A = np.full((64, 64), INF, dtype=np.int64)
+    for s_, d_ in zip(edges["src"], edges["dst"]):
+        u, v = int(s_), int(d_)
+        A[u, v] = (u * 13 + v * 7) % 40 + 1
+
+    def mp(M: np.ndarray, N: np.ndarray) -> np.ndarray:
+        R = np.full((64, 64), INF, dtype=np.int64)
+        for k in range(64):
+            np.minimum(R, M[:, k][:, None] + N[k, :][None, :], out=R)
+        return R
+
+    P = A.copy()
+    best = None  # (k, cw)
+    for k in range(1, 5):
+        if k > 1:
+            P = mp(P, A)
+        cw = int(np.diag(P).min())
+        if cw < INF // 2:
+            if (best is None or cw * best[0] < best[1] * k
+                    or (cw * best[0] == best[1] * k and k < best[0])):
+                best = (k, cw)
+    if best is None:
+        raise ValueError("no cycle of length <= 4 found")
+    return pd.DataFrame({"best_k": [best[0]],
+                         "cycle_weight": [best[1]]}).astype("int64")
