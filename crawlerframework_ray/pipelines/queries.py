@@ -21856,3 +21856,132 @@ def bounded_min_mean_cycle(sf_dir: str):
         raise ValueError("no cycle of length <= 4 found")
     return pd.DataFrame({"best_k": [best[0]],
                          "cycle_weight": [best[1]]}).astype("int64")
+
+
+# =====================================================================
+# Simpson's paradox audit + disk-arm scheduling (round-4 s10)
+# =====================================================================
+
+_SIMPSON_SQL = """
+    WITH d AS (SELECT event_type,
+                      CAST(date_part('hour', ts) AS BIGINT) AS x,
+                      CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) AS y
+               FROM events),
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy
+          FROM d GROUP BY event_type),
+    p AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy FROM d)
+    SELECT g.event_type,
+           CAST(sign(g.n * g.sxy - g.sx * g.sy) AS BIGINT)
+             AS group_cov_sign,
+           CAST(sign(p.n * p.sxy - p.sx * p.sy) AS BIGINT)
+             AS pooled_cov_sign,
+           CAST(CASE WHEN sign(g.n * g.sxy - g.sx * g.sy)
+                          != sign(p.n * p.sxy - p.sx * p.sy)
+                     THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
+    FROM g CROSS JOIN p
+"""
+
+
+@register("simpsons_paradox_audit", _SIMPSON_SQL)
+def simpsons_paradox_audit(sf_dir: str):
+    """Simpson's-paradox screen (Simpson 1951): for each event type,
+    the EXACT integer covariance sign of (hour-of-day, spend) inside
+    the group vs the pooled sign (cov ∝ n·Σxy − Σx·Σy — no means,
+    no division, so the sign is unarguable), flagging groups whose
+    within-trend CONTRADICTS the aggregate trend — the aggregation
+    trap every per-slice metric rollup must check before a pooled
+    number is quoted. Per-batch (n, Σx, Σy, Σxy) partials fold
+    through one type-keyed bounded groupby; the pooled row is the
+    same fold's grand total. Oracle: native SQL."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        hour = pd.to_datetime(
+            t.column("ts").to_numpy()).hour.to_numpy().astype(np.int64)
+        y = np.floor(
+            100.0 * t.column("value").to_numpy() + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(),
+                           "n": 1, "sx": hour, "sy": y, "sxy": hour * y})
+        return df.groupby("event_type", as_index=False)[
+            ["n", "sx", "sy", "sxy"]].sum()
+
+    g = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"],
+        lambda gg: gg.groupby("event_type", as_index=False)[
+            ["n", "sx", "sy", "sxy"]].sum(),
+    ).to_pandas()
+    pn = int(g["n"].sum())
+    psx = int(g["sx"].sum())
+    psy = int(g["sy"].sum())
+    psxy = int(g["sxy"].sum())
+    pooled = int(np.sign(pn * psxy - psx * psy))
+    gc = np.sign(g["n"].astype(object) * g["sxy"].astype(object)
+                 - g["sx"].astype(object) * g["sy"].astype(object)
+                 ).astype(np.int64)
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "group_cov_sign": gc,
+        "pooled_cov_sign": pooled,
+        "sign_flip": (gc != pooled).astype(np.int64),
+    }).astype({"group_cov_sign": "int64", "pooled_cov_sign": "int64",
+               "sign_flip": "int64"})
+
+
+_DISKARM_SQL = """
+    WITH seq AS (SELECT user_id,
+                        CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) % 200
+                          AS track,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS idx
+                 FROM events),
+    lagd AS (SELECT user_id, track,
+                    LAG(track) OVER (PARTITION BY user_id
+                                     ORDER BY idx) AS prev
+             FROM seq),
+    f AS (SELECT user_id,
+                 CAST(SUM(ABS(track - prev)) AS BIGINT) AS fcfs
+          FROM lagd WHERE prev IS NOT NULL GROUP BY user_id),
+    l AS (SELECT user_id, MIN(track) AS mn, MAX(track) AS mx,
+                 MIN(CASE WHEN idx = 1 THEN track END) AS h
+          FROM seq GROUP BY user_id)
+    SELECT CAST(l.user_id AS BIGINT) AS user_id,
+           CAST(COALESCE(f.fcfs, 0) AS BIGINT) AS fcfs_seek,
+           CAST((l.mx - l.h) + (l.mx - l.mn) AS BIGINT) AS look_seek
+    FROM l LEFT JOIN f ON f.user_id = l.user_id
+"""
+
+
+@register("disk_arm_scheduling_audit", _DISKARM_SQL)
+def disk_arm_scheduling_audit(sf_dir: str):
+    """Disk-arm scheduling replay (the OS classic, alive again in
+    zoned storage and tape robots): per user request stream
+    (value-keyed tracks, arm starting at the FIRST request), total
+    seek distance under FCFS (serve in arrival order — Σ|Δtrack|)
+    vs LOOK (sweep up to the maximum, reverse once to the minimum:
+    (max−h) + (max−min), the elevator bound) — the ordered-vs-
+    arrival access-pattern gap that motivates every LSM/SSTable
+    compaction. ONE user-keyed bounded shuffle, O(1) fold state.
+    Oracle: native SQL window replay."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            tr = (np.floor(100.0 * gg["value"].to_numpy() + 0.5)
+                  .astype(np.int64) % 200)
+            fcfs = int(np.abs(np.diff(tr)).sum())
+            h = int(tr[0])
+            look = (int(tr.max()) - h) + (int(tr.max()) - int(tr.min()))
+            rows.append((int(uid), fcfs, look))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "fcfs_seek", "look_seek"]).astype("int64")
+
+    return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
