@@ -21985,3 +21985,201 @@ def disk_arm_scheduling_audit(sf_dir: str):
             "user_id", "fcfs_seek", "look_seek"]).astype("int64")
 
     return bucketed_group_agg(ds, ["user_id"], per_user).to_pandas()
+
+
+# =====================================================================
+# Banker's safety + conflict serializability (round-4 s10)
+# =====================================================================
+
+_BANKERS_SQL = """
+    WITH RECURSIVE six AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS i
+      FROM documents GROUP BY source ORDER BY source LIMIT 6),
+    pr AS (SELECT i, w % 5 AS a1, (w // 7) % 4 AS a2,
+                  w % 4 + 1 AS n1, (w // 11) % 3 + 1 AS n2
+           FROM six),
+    perm AS (
+      SELECT CAST([] AS BIGINT[]) AS ord, 0 AS k,
+             CAST(2 AS BIGINT) AS f1, CAST(2 AS BIGINT) AS f2, TRUE AS ok
+      UNION ALL
+      SELECT list_append(p.ord, pr.i), p.k + 1,
+             p.f1 + pr.a1, p.f2 + pr.a2,
+             p.ok AND pr.n1 <= p.f1 AND pr.n2 <= p.f2
+      FROM perm p JOIN pr ON NOT list_contains(p.ord, pr.i)
+      WHERE p.k < 6 AND p.ok)
+    SELECT CAST(CASE WHEN EXISTS (SELECT 1 FROM perm WHERE k = 6 AND ok)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_safe,
+           COALESCE((SELECT array_to_string(ord, ',') FROM perm
+                     WHERE k = 6 AND ok
+                     ORDER BY array_to_string(ord, ',') LIMIT 1), '')
+             AS lexmin_safe_seq
+"""
+
+
+@register("bankers_safety_audit", _BANKERS_SQL)
+def bankers_safety_audit(sf_dir: str):
+    """Banker's-algorithm safety audit (Dijkstra 1965): six
+    byte-weighted ingest processes holding two resource types
+    (allocations and outstanding needs derived from the corpus,
+    free pool (2,2)) — is the state SAFE, and what is the
+    lexicographically smallest completion order? The deadlock-
+    avoidance question a resource-capped scheduler answers before
+    granting (the handler-pool/politeness budgets are this state's
+    live form). Ray side: Banker's greedy for safety PLUS a lex-
+    order DFS for the smallest safe sequence, with the greedy and
+    DFS verdicts cross-asserted (Banker's theorem: greedy succeeds
+    iff any order exists); the oracle enumerates ALL 720 orders.
+    At sf0.001 the corpus yields the identity order; at sf0.01 a
+    genuinely constrained one — the audit is data-live. Oracle:
+    recursive-CTE order enumeration."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "n_chars": t.column("n_chars").to_numpy()})
+        return df.groupby("source", as_index=False)["n_chars"].sum()
+
+    w = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)["n_chars"].sum(),
+    ).to_pandas().sort_values("source").reset_index(drop=True).head(6)
+    wv = w["n_chars"].to_numpy().astype(np.int64)
+    alloc = [(int(x % 5), int((x // 7) % 4)) for x in wv]
+    need = [(int(x % 4 + 1), int((x // 11) % 3 + 1)) for x in wv]
+    N = 6
+
+    def greedy_safe() -> bool:
+        free = [2, 2]
+        done = [False] * N
+        for _ in range(N):
+            progressed = False
+            for i in range(N):
+                if not done[i] and need[i][0] <= free[0] \
+                        and need[i][1] <= free[1]:
+                    free[0] += alloc[i][0]
+                    free[1] += alloc[i][1]
+                    done[i] = True
+                    progressed = True
+            if not progressed:
+                break
+        return all(done)
+
+    def lexmin_dfs() -> list | None:
+        best: list = []
+
+        def rec(order, free, done):
+            if len(order) == N:
+                return list(order)
+            for i in range(N):
+                if not done[i] and need[i][0] <= free[0] \
+                        and need[i][1] <= free[1]:
+                    done[i] = True
+                    r = rec(order + [i],
+                            [free[0] + alloc[i][0],
+                             free[1] + alloc[i][1]], done)
+                    done[i] = False
+                    if r is not None:
+                        return r
+            return None
+
+        return rec([], [2, 2], [False] * N)
+
+    seq = lexmin_dfs()
+    safe = greedy_safe()
+    if safe != (seq is not None):
+        raise ValueError("Banker's greedy and DFS safety disagree")
+    return pd.DataFrame({
+        "is_safe": [1 if safe else 0],
+        "lexmin_safe_seq": [",".join(map(str, seq)) if seq else ""],
+    }).astype({"is_safe": "int64"})
+
+
+_SERIALIZABLE_SQL = """
+    WITH RECURSIVE sched AS (
+      SELECT event_id, user_id AS txn,
+             CAST(FLOOR(100.0 * value + 0.5) AS BIGINT) % 8 AS item,
+             CASE WHEN event_id % 2 = 0 THEN 'r' ELSE 'w' END AS op
+      FROM events WHERE event_id < 40),
+    conf AS (
+      SELECT DISTINCT a.txn AS u, b.txn AS v
+      FROM sched a JOIN sched b
+        ON a.item = b.item AND a.txn != b.txn
+           AND a.event_id < b.event_id
+           AND (a.op = 'w' OR b.op = 'w')),
+    reach AS (
+      SELECT u, v FROM conf
+      UNION
+      SELECT r.u, c.v FROM reach r JOIN conf c ON c.u = r.v)
+    SELECT CAST((SELECT COUNT(DISTINCT txn) FROM sched) AS BIGINT)
+             AS n_txns,
+           CAST((SELECT COUNT(*) FROM conf) AS BIGINT)
+             AS n_conflict_edges,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM reach WHERE u = v)
+                     THEN 0 ELSE 1 END AS BIGINT) AS serializable
+"""
+
+
+@register("conflict_serializability_audit", _SERIALIZABLE_SQL)
+def conflict_serializability_audit(sf_dir: str):
+    """Conflict-serializability of the first-40-event interleaved
+    schedule (txn = user, item = value-keyed key, read/write by
+    event parity) — the precedence-graph test (Eswaran et al. 1976):
+    the schedule is equivalent to SOME serial order iff the conflict
+    graph is ACYCLIC. The isolation-checker shape every transactional
+    log audit runs. Ray side: vectorized conflict-pair derivation +
+    Kahn topological elimination for the acyclicity verdict; oracle:
+    SQL derives the same conflict edges and detects cycles by
+    transitive-closure reachability (u reaches u). Oracle:
+    recursive-CTE closure."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def audit(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        keep = eid < 40
+        eid = eid[keep]
+        txn = t.column("user_id").to_numpy().astype(np.int64)[keep]
+        item = (np.floor(100.0 * t.column("value").to_numpy() + 0.5)
+                .astype(np.int64)[keep]) % 8
+        op_w = eid % 2 == 1
+        order = np.argsort(eid)
+        eid, txn, item, op_w = (eid[order], txn[order], item[order],
+                                op_w[order])
+        edges = set()
+        n = len(eid)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (item[i] == item[j] and txn[i] != txn[j]
+                        and (op_w[i] or op_w[j])):
+                    edges.add((int(txn[i]), int(txn[j])))
+        nodes = sorted(set(txn.tolist()))
+        indeg = {x: 0 for x in nodes}
+        adj: dict = {x: [] for x in nodes}
+        for u, v in edges:
+            adj[u].append(v)
+            indeg[v] += 1
+        from collections import deque
+
+        q = deque(x for x in nodes if indeg[x] == 0)
+        seen = 0
+        while q:
+            u = q.popleft()
+            seen += 1
+            for v in adj[u]:
+                indeg[v] -= 1
+                if indeg[v] == 0:
+                    q.append(v)
+        return pd.DataFrame({
+            "n_txns": [len(nodes)],
+            "n_conflict_edges": [len(edges)],
+            "serializable": [1 if seen == len(nodes) else 0],
+        }).astype("int64")
+
+    # the 40-event head lives in the first blocks; a single-batch map
+    # suffices at any scale because the filter bound is constant
+    return ds.map_batches(audit, batch_format="pyarrow",
+                          batch_size=1 << 20).limit(1).to_pandas()
