@@ -22183,3 +22183,79 @@ def conflict_serializability_audit(sf_dir: str):
     # suffices at any scale because the filter bound is constant
     return ds.map_batches(audit, batch_format="pyarrow",
                           batch_size=1 << 20).limit(1).to_pandas()
+
+
+# =====================================================================
+# Lamport logical clocks (round-4 s10)
+# =====================================================================
+
+_LAMPORT_SQL = """
+    WITH RECURSIVE ev AS (
+      SELECT event_id AS e, user_id % 4 AS p
+      FROM events WHERE event_id < 200),
+    base AS (SELECT list(p ORDER BY e) AS procs, MAX(e) AS mx FROM ev),
+    sim AS (
+      SELECT 0 AS i, CAST([] AS BIGINT[]) AS clocks, base.procs AS procs,
+             base.mx AS mx
+      FROM base
+      UNION ALL
+      SELECT s.i + 1,
+        list_append(s.clocks,
+          1 + greatest(
+            COALESCE(list_max(list_transform(
+              list_filter(list_zip(s.clocks, s.procs[1:len(s.clocks)]),
+                          x -> x[2] = s.procs[s.i + 1]),
+              x -> x[1])), 0),
+            COALESCE(CASE WHEN s.i >= 17
+                            AND s.procs[s.i - 17 + 1]
+                                != s.procs[s.i + 1]
+                          THEN s.clocks[s.i - 17 + 1] ELSE 0 END, 0))),
+        s.procs, s.mx
+      FROM sim s WHERE s.i <= s.mx)
+    SELECT CAST(ev.e AS BIGINT) AS event_id,
+           CAST(ev.p AS BIGINT) AS process,
+           CAST(f.clocks[ev.e + 1] AS BIGINT) AS lamport
+    FROM (SELECT clocks, mx FROM sim WHERE i = mx + 1) f, ev
+"""
+
+
+@register("lamport_clock_replay", _LAMPORT_SQL)
+def lamport_clock_replay(sf_dir: str):
+    """Lamport logical clocks (CACM 1978) over the 200-event head:
+    four processes (user-hashed), a fixed message lattice (event e
+    receives from e−17 when the sender is a different process),
+    clock = 1 + max(own-process predecessor, message source) — the
+    happened-before timestamps every distributed trace/lineage
+    system orders by, and the causal skeleton under the engine's
+    checkpoint epochs. The clocks must respect causality BY
+    CONSTRUCTION (each clock strictly exceeds both its causes —
+    asserted in-pipeline). Linear replay per stream head; oracle:
+    recursive-CTE replay carrying (clocks, procs) list state.
+    Oracle: declarative restatement."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def replay(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        keep = eid < 200
+        eid = eid[keep]
+        procs_all = (t.column("user_id").to_numpy().astype(np.int64)
+                     [keep]) % 4
+        order = np.argsort(eid)
+        eid, procs = eid[order], procs_all[order]
+        L: list = []
+        last_by_proc: dict = {}
+        for i, p in enumerate(procs.tolist()):
+            prev = last_by_proc.get(p, 0)
+            msg = L[i - 17] if (i >= 17 and procs[i - 17] != p) else 0
+            c = max(prev, msg) + 1
+            if c <= prev or (msg and c <= msg):
+                raise ValueError("Lamport clock violated causality")
+            L.append(c)
+            last_by_proc[p] = c
+        return pd.DataFrame({
+            "event_id": eid, "process": procs,
+            "lamport": np.asarray(L, dtype=np.int64),
+        }).astype("int64")
+
+    return ds.map_batches(replay, batch_format="pyarrow",
+                          batch_size=1 << 20).limit(200).to_pandas()
