@@ -22259,3 +22259,85 @@ def lamport_clock_replay(sf_dir: str):
 
     return ds.map_batches(replay, batch_format="pyarrow",
                           batch_size=1 << 20).limit(200).to_pandas()
+
+
+# =====================================================================
+# Vector clocks + concurrency census (round-4 s10)
+# =====================================================================
+
+_VECTOR_CLOCK_SQL = """
+    WITH RECURSIVE ev AS (SELECT event_id AS e, user_id % 4 AS p
+                          FROM events WHERE event_id < 60),
+    succ AS (
+      SELECT a.e AS u, (SELECT MIN(b.e) FROM ev b
+                        WHERE b.p = a.p AND b.e > a.e) AS v
+      FROM ev a),
+    edges AS (
+      SELECT u, v FROM succ WHERE v IS NOT NULL
+      UNION
+      SELECT a.e - 17, a.e FROM ev a JOIN ev b ON b.e = a.e - 17
+      WHERE a.e >= 17 AND b.p != a.p),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+    o AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+          FROM reach)
+    SELECT CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_events,
+           CAST((SELECT COUNT(*) FROM ev a JOIN ev b ON a.e < b.e)
+                AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_ordered_pairs,
+           CAST((SELECT COUNT(*) FROM ev a JOIN ev b ON a.e < b.e)
+                - (SELECT COUNT(*) FROM o) AS BIGINT)
+             AS n_concurrent_pairs
+"""
+
+
+@register("vector_clock_concurrency", _VECTOR_CLOCK_SQL)
+def vector_clock_concurrency(sf_dir: str):
+    """Vector-clock concurrency census (Fidge/Mattern 1988) over the
+    60-event head of the four-process message lattice shared with
+    lamport_clock_replay: how many event pairs are causally ORDERED
+    vs truly CONCURRENT — the parallelism-headroom number a
+    distributed replayer or race detector needs (Lamport clocks
+    order everything; vector clocks recover what is concurrent).
+    Ray side computes real per-event vector clocks (component-wise
+    max at receives, own slot increment) and classifies pairs by
+    component-wise comparison; the oracle counts reachable pairs in
+    the happened-before edge closure — and the FIDGE–MATTERN
+    THEOREM (VC order ≡ happened-before) is what makes the two
+    agree, re-proven per corpus. Oracle: recursive-CTE closure."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def census(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        keep = eid < 60
+        eid = eid[keep]
+        procs_all = (t.column("user_id").to_numpy().astype(np.int64)
+                     [keep]) % 4
+        order = np.argsort(eid)
+        procs = procs_all[order].tolist()
+        n = len(procs)
+        VC: list = []
+        last_by_proc: dict = {}
+        for i, p in enumerate(procs):
+            vc = list(VC[last_by_proc[p]]) if p in last_by_proc \
+                else [0, 0, 0, 0]
+            if i >= 17 and procs[i - 17] != p:
+                vc = [max(a, b) for a, b in zip(vc, VC[i - 17])]
+            vc[p] += 1
+            VC.append(vc)
+            last_by_proc[p] = i
+        arr = np.asarray(VC, dtype=np.int64)
+        le = (arr[:, None, :] <= arr[None, :, :]).all(axis=2)
+        ge = (arr[:, None, :] >= arr[None, :, :]).all(axis=2)
+        iu, ju = np.triu_indices(n, k=1)
+        ordered = int((le[iu, ju] | ge[iu, ju]).sum())
+        return pd.DataFrame({
+            "n_events": [n], "n_pairs": [n * (n - 1) // 2],
+            "n_ordered_pairs": [ordered],
+            "n_concurrent_pairs": [n * (n - 1) // 2 - ordered],
+        }).astype("int64")
+
+    return ds.map_batches(census, batch_format="pyarrow",
+                          batch_size=1 << 20).limit(1).to_pandas()
