@@ -22341,3 +22341,150 @@ def vector_clock_concurrency(sf_dir: str):
 
     return ds.map_batches(census, batch_format="pyarrow",
                           batch_size=1 << 20).limit(1).to_pandas()
+
+
+# =====================================================================
+# Stern–Brocot rational approximation + Luhn audit (round-4 s10)
+# =====================================================================
+
+_RATIONAL_SQL = """
+    WITH r AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS num, COUNT(*) AS den FROM documents),
+    cand AS (SELECT p.p, q.q
+             FROM (SELECT unnest(generate_series(0, 20)) AS p) p,
+                  (SELECT unnest(generate_series(1, 20)) AS q) q
+             WHERE p.p <= q.q),
+    scored AS (SELECT p, q, ABS(r.num * q - p * r.den) AS err_num,
+                      q AS err_den
+               FROM cand, r)
+    SELECT CAST(p AS BIGINT) AS best_p, CAST(q AS BIGINT) AS best_q,
+           CAST((SELECT num FROM r) AS BIGINT) AS num,
+           CAST((SELECT den FROM r) AS BIGINT) AS den
+    FROM scored
+    ORDER BY CAST(err_num AS DOUBLE) / err_den, q, p LIMIT 1
+"""
+
+
+@register("stern_brocot_rational_approx", _RATIONAL_SQL)
+def stern_brocot_rational_approx(sf_dir: str):
+    """Best rational approximation of the English-document fraction
+    with denominator ≤ 20, by the CONTINUED-FRACTION convergent /
+    semiconvergent walk (the Stern–Brocot descent — how a mixture
+    planner turns a measured ratio into a small sampling schedule
+    like "5 of every 13", and the theory under float→ratio
+    conversion everywhere): all comparisons exact cross-multiplied
+    integers, ties to smaller q then p. The best-approximation
+    theorem says the walk's candidate set (convergents +
+    semiconvergents) contains the optimum — the oracle re-proves it
+    by scoring ALL p/q with q ≤ 20. Oracle: exhaustive candidate
+    enumeration."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "num": pa.array([sum(1 for x in langs
+                                              if x == "en")], pa.int64()),
+                         "den": pa.array([len(langs)], pa.int64())})
+
+    s = bucketed_group_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["g"], lambda g: g.groupby("g", as_index=False)[
+            ["num", "den"]].sum(),
+    ).to_pandas().iloc[0]
+    num, den = int(s["num"]), int(s["den"])
+    QMAX = 20
+
+    # continued-fraction convergents + semiconvergents with q <= QMAX
+    cands = {(0, 1), (1, 1)}
+    a, b = num, den
+    h0, k0, h1, k1 = 0, 1, 1, 0  # p_{-2}/q_{-2}, p_{-1}/q_{-1}
+    while b:
+        q_ = a // b
+        a, b = b, a - q_ * b
+        # semiconvergents h0 + t*h1 / k0 + t*k1 for t = 1..q_
+        for t_ in range(1, q_ + 1):
+            p_, qd = h0 + t_ * h1, k0 + t_ * k1
+            if qd <= QMAX and p_ <= qd:
+                cands.add((p_, qd))
+        h0, k0, h1, k1 = h1, k1, h0 + q_ * h1, k0 + q_ * k1
+
+    def better(x, y):  # is x a better (err, q, p) candidate than y?
+        (px, qx), (py, qy) = x, y
+        ex = abs(num * qx - px * den)
+        ey = abs(num * qy - py * den)
+        if ex * qy != ey * qx:
+            return ex * qy < ey * qx
+        return (qx, px) < (qy, py)
+
+    best = None
+    for c in sorted(cands):
+        if best is None or better(c, best):
+            best = c
+    return pd.DataFrame({"best_p": [best[0]], "best_q": [best[1]],
+                         "num": [num], "den": [den]}).astype("int64")
+
+
+_LUHN_SQL = """
+    WITH keys AS (SELECT o_orderkey AS k,
+                         CAST(o_orderkey * 100 + 11 AS BIGINT) AS acct
+                  FROM orders WHERE o_orderkey % 37 = 0),
+    digits AS (
+      SELECT k, acct, d.d AS pos,
+             CAST(substr(reverse(CAST(acct AS VARCHAR)), d.d, 1)
+                  AS BIGINT) AS dig
+      FROM keys, LATERAL (SELECT unnest(generate_series(
+        1, LENGTH(CAST(acct AS VARCHAR)))) AS d) d),
+    weighted AS (
+      SELECT k, acct,
+             SUM(CASE WHEN pos % 2 = 0
+                      THEN CASE WHEN dig * 2 > 9 THEN dig * 2 - 9
+                                ELSE dig * 2 END
+                      ELSE dig END) AS s
+      FROM digits GROUP BY k, acct)
+    SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(acct AS BIGINT) AS acct,
+           CAST((10 - s % 10) % 10 AS BIGINT) AS check_digit
+    FROM weighted
+"""
+
+
+@register("luhn_check_digit_audit", _LUHN_SQL)
+def luhn_check_digit_audit(sf_dir: str):
+    """Luhn check digits (Luhn 1954 — the mod-10 double-every-other
+    checksum on every payment card and IMEI) for derived account
+    numbers on sampled orders: the data-validation primitive an
+    intake pipeline runs before trusting identifier columns (a
+    single-digit typo or adjacent transposition always breaks the
+    checksum — the property that made it THE standard). Ray side:
+    vectorized digit extraction by repeated integer division (no
+    string round-trip); oracle recomputes from the reversed decimal
+    string. Oracle: native SQL."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def luhn(t: pa.Table) -> pd.DataFrame:
+        ks = t.column("o_orderkey").to_numpy().astype(np.int64)
+        ks = ks[ks % 37 == 0]
+        acct = ks * 100 + 11
+        rows = []
+        for k, a in zip(ks.tolist(), acct.tolist()):
+            s = 0
+            pos = 1
+            x = a
+            while x > 0:
+                d = x % 10
+                if pos % 2 == 0:
+                    d *= 2
+                    if d > 9:
+                        d -= 9
+                s += d
+                x //= 10
+                pos += 1
+            rows.append((k, a, (10 - s % 10) % 10))
+        return pd.DataFrame(rows, columns=[
+            "o_orderkey", "acct", "check_digit"]).astype("int64")
+
+    return ds.map_batches(luhn, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
