@@ -22488,3 +22488,177 @@ def luhn_check_digit_audit(sf_dir: str):
 
     return ds.map_batches(luhn, batch_format="pyarrow",
                           batch_size=65536).to_pandas()
+
+
+# =====================================================================
+# RDP polyline simplification + Bresenham raster (round-4 s10)
+# =====================================================================
+
+_RDP_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    grid AS (SELECT d.d AS day, COALESCE(daily.cnt, 0) AS cnt
+             FROM (SELECT unnest(generate_series(0, 29)) AS d) d
+             LEFT JOIN daily ON daily.day = d.d),
+    pre AS (SELECT list(cnt ORDER BY day) AS ys FROM grid),
+    seg AS (
+      SELECT 0 AS lo, 29 AS hi, pre.ys AS ys FROM pre
+      UNION ALL
+      SELECT s.nlo, s.nhi, s.ys
+      FROM (
+        SELECT u.side,
+               CASE WHEN u.side = 0 THEN sp.lo ELSE sp.m END AS nlo,
+               CASE WHEN u.side = 0 THEN sp.m ELSE sp.hi END AS nhi,
+               sp.ys
+        FROM (
+          SELECT s2.lo, s2.hi, s2.ys,
+                 s2.lo + list_position(
+                   list_transform(generate_series(s2.lo + 1, s2.hi - 1),
+                     i -> ABS((s2.hi - s2.lo)
+                              * (s2.ys[i + 1] - s2.ys[s2.lo + 1])
+                              - (i - s2.lo)
+                              * (s2.ys[s2.hi + 1] - s2.ys[s2.lo + 1]))),
+                   list_max(
+                     list_transform(generate_series(s2.lo + 1,
+                                                    s2.hi - 1),
+                       i -> ABS((s2.hi - s2.lo)
+                                * (s2.ys[i + 1] - s2.ys[s2.lo + 1])
+                                - (i - s2.lo)
+                                * (s2.ys[s2.hi + 1]
+                                   - s2.ys[s2.lo + 1]))))) AS m,
+                 list_max(
+                   list_transform(generate_series(s2.lo + 1, s2.hi - 1),
+                     i -> ABS((s2.hi - s2.lo)
+                              * (s2.ys[i + 1] - s2.ys[s2.lo + 1])
+                              - (i - s2.lo)
+                              * (s2.ys[s2.hi + 1]
+                                 - s2.ys[s2.lo + 1])))) AS mx
+          FROM seg s2 WHERE s2.hi - s2.lo > 1) sp
+        CROSS JOIN (SELECT unnest([0, 1]) AS side) u
+        WHERE sp.mx * sp.mx
+              > 9 * ((sp.hi - sp.lo) * (sp.hi - sp.lo))) s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS kept_days
+    FROM (SELECT DISTINCT p FROM
+          (SELECT lo AS p FROM seg UNION ALL SELECT hi FROM seg))
+"""
+
+
+@register("rdp_polyline_simplify", _RDP_SQL)
+def rdp_polyline_simplify(sf_dir: str):
+    """Ramer–Douglas–Peucker simplification (1972/73) of the 30-day
+    volume polyline: keep the endpoints, recursively split at the
+    point of maximum segment deviation while the deviation exceeds
+    eps — with the perpendicular-distance test kept EXACT by
+    comparing cross² > eps²·len² (no sqrt, no float) — the
+    telemetry-downsampling classic (what a dashboard stores instead
+    of every tick). Smallest-index argmax ties. Ray side: the
+    standard recursive descent; oracle: the same spec replayed as a
+    segment-splitting recursive CTE over the day list. Daily counts
+    fold from one bounded groupby. Oracle: recursive-CTE replay."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = ((t.column("ts").to_numpy().astype("datetime64[D]")
+                - np.datetime64("2024-01-01")).astype(np.int64))
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    daily = bucketed_group_agg(
+        ds.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["day"], lambda g: g.groupby("day", as_index=False)["cnt"].sum(),
+    ).to_pandas()
+    ys = np.zeros(30, dtype=np.int64)
+    for d, c in zip(daily["day"], daily["cnt"]):
+        if 0 <= int(d) < 30:
+            ys[int(d)] += int(c)
+
+    kept: set = set()
+
+    def rdp(lo: int, hi: int) -> None:
+        kept.add(lo)
+        kept.add(hi)
+        if hi - lo <= 1:
+            return
+        best_cr = -1
+        best_i = -1
+        for i in range(lo + 1, hi):
+            cr = abs((hi - lo) * (int(ys[i]) - int(ys[lo]))
+                     - (i - lo) * (int(ys[hi]) - int(ys[lo])))
+            if cr > best_cr:
+                best_cr, best_i = cr, i
+        if best_cr * best_cr > 9 * ((hi - lo) * (hi - lo)):
+            rdp(lo, best_i)
+            rdp(best_i, hi)
+
+    rdp(0, 29)
+    ks = sorted(kept)
+    return pd.DataFrame({
+        "n_kept": [len(ks)],
+        "kept_days": [",".join(str(x) for x in ks)],
+    }).astype({"n_kept": "int64"})
+
+
+_BRESENHAM_SQL = """
+    WITH r AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS dy,
+                      CAST(COUNT(*) AS BIGINT) AS dx
+               FROM documents)
+    SELECT CAST(x.x AS BIGINT) AS x,
+           CAST((2 * x.x * r.dy + r.dx) // (2 * r.dx) AS BIGINT) AS y
+    FROM r, (SELECT unnest(generate_series(0, 63)) AS x) x
+"""
+
+
+@register("bresenham_line_raster", _BRESENHAM_SQL)
+def bresenham_line_raster(sf_dir: str):
+    """Bresenham line rasterization (IBM Sys J 1965) of the corpus
+    language-ratio slope (dy = English docs, dx = total) across a
+    64-pixel span — the error-accumulator integer DDA every raster
+    and every evenly-spread striping scheme (n-of-m sampling,
+    leaky-bucket pacing) is secretly running. Ray side runs the
+    REAL accumulator loop (err += 2dy; on overflow err -= 2dx,
+    y += 1); the oracle evaluates the closed form
+    y(x) = ⌊(2x·dy + dx) / 2dx⌋ — the round-half-up line the
+    accumulator provably traces. Oracle: native SQL closed form."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "dy": pa.array([sum(1 for x in langs
+                                             if x == "en")], pa.int64()),
+                         "dx": pa.array([len(langs)], pa.int64())})
+
+    s = bucketed_group_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["g"], lambda g: g.groupby("g", as_index=False)[
+            ["dy", "dx"]].sum(),
+    ).to_pandas().iloc[0]
+    dy, dx = int(s["dy"]), int(s["dx"])
+    xs = list(range(64))
+    ys_out = []
+    y = 0
+    err = dx  # start at +dx so the first rounding is half-up
+    for _ in xs:
+        ys_out.append(y)
+        err += 2 * dy
+        while err >= 2 * dx:
+            err -= 2 * dx
+            y += 1
+    # the accumulator emits y BEFORE stepping; closed form is
+    # y(x) = (2x·dy + dx) // (2dx) — verify the identity in-pipeline
+    for x in xs:
+        if ys_out[x] != (2 * x * dy + dx) // (2 * dx):
+            raise ValueError(f"Bresenham accumulator drifted at x={x}")
+    return pd.DataFrame({"x": xs, "y": ys_out}).astype("int64")
