@@ -22662,3 +22662,70 @@ def bresenham_line_raster(sf_dir: str):
         if ys_out[x] != (2 * x * dy + dx) // (2 * dx):
             raise ValueError(f"Bresenham accumulator drifted at x={x}")
     return pd.DataFrame({"x": xs, "y": ys_out}).astype("int64")
+
+
+# =====================================================================
+# Segmented sieve of Eratosthenes (round-4 s10)
+# =====================================================================
+
+_SIEVE_SQL = """
+    WITH r AS (SELECT CAST(900000 + (SUM(n_chars) % 100000) AS BIGINT)
+                 AS lo FROM documents),
+    cand AS (SELECT r.lo + c.c AS n
+             FROM r, (SELECT unnest(generate_series(0, 1999)) AS c) c),
+    primes AS (
+      SELECT n FROM cand
+      WHERE n > 1 AND NOT EXISTS (
+        SELECT 1 FROM (SELECT unnest(generate_series(2, 1000)) AS d) d
+        WHERE d.d * d.d <= cand.n AND cand.n % d.d = 0))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_primes,
+           CAST(SUM(n) AS BIGINT) AS prime_sum,
+           CAST(MIN(n) AS BIGINT) AS first_prime
+    FROM primes
+"""
+
+
+@register("segmented_sieve_primes", _SIEVE_SQL)
+def segmented_sieve_primes(sf_dir: str):
+    """Primes in a corpus-derived 2000-wide window near 10⁶ by the
+    SEGMENTED SIEVE of Eratosthenes (sieve the base primes to √hi
+    once, then strike their multiples inside the window — the
+    memory-bounded form, and exactly how primes are generated for
+    hash moduli / MinHash universes / Rabin fingerprint bases at
+    run time, which is this engine's actual use for them). Ray
+    side: vectorized numpy strike-off; oracle: TRIAL DIVISION of
+    every candidate — the O(n√n) definition the sieve amortizes
+    away. Oracle: exhaustive divisor search."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "s": pa.array([int(t.column("n_chars")
+                                            .to_numpy().sum())],
+                                       pa.int64())})
+
+    s = bucketed_group_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["g"], lambda g: g.groupby("g", as_index=False)["s"].sum(),
+    ).to_pandas().iloc[0]
+    lo = 900000 + int(s["s"]) % 100000
+    hi = lo + 2000
+    limit = int(hi ** 0.5) + 1
+    base = np.ones(limit + 1, dtype=bool)
+    base[:2] = False
+    for p in range(2, int(limit ** 0.5) + 1):
+        if base[p]:
+            base[p * p::p] = False
+    seg = np.ones(hi - lo, dtype=bool)
+    for p in np.flatnonzero(base).tolist():
+        start = max(p * p, ((lo + p - 1) // p) * p)
+        seg[start - lo::p] = False
+    primes = np.flatnonzero(seg) + lo
+    return pd.DataFrame({
+        "n_primes": [len(primes)],
+        "prime_sum": [int(primes.sum())],
+        "first_prime": [int(primes.min())],
+    }).astype("int64")
