@@ -22729,3 +22729,98 @@ def segmented_sieve_primes(sf_dir: str):
         "prime_sum": [int(primes.sum())],
         "first_prime": [int(primes.min())],
     }).astype("int64")
+
+
+# =====================================================================
+# Elias gamma gap coding (round-4 s10) — the 350th catalog entry
+# =====================================================================
+
+_GAMMA_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents)),
+    gaps AS (
+      SELECT term,
+             doc_id - COALESCE(LAG(doc_id) OVER (
+               PARTITION BY term ORDER BY doc_id), -1) AS g
+      FROM pairs),
+    per AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+                   CAST(SUM(2 * LENGTH(BIN(g)) - 1) AS BIGINT)
+                     AS gamma_bits
+            FROM gaps GROUP BY term)
+    SELECT term, doc_freq, gamma_bits,
+           CAST((gamma_bits + 7) // 8 AS BIGINT) AS gamma_bytes
+    FROM per
+"""
+
+
+@register("elias_gamma_postings_audit", _GAMMA_SQL)
+def elias_gamma_postings_audit(sf_dir: str):
+    """Elias gamma coding of the d-gap streams (Elias, IT-21 1975:
+    gap g ≥ 1 costs 2⌊log₂ g⌋+1 bits — unary length prefix + binary
+    remainder; the parameter-free layout completing the postings
+    family: varint, roaring, Elias–Fano, Rice, now gamma). Gaps are
+    doc_id deltas with g₀ = doc₀+1 so every gap is ≥ 1. The REAL
+    bitstream is encoded per term and round-trip DECODED in-pipeline
+    (ValueError on drift), with the measured length asserted equal
+    to the closed form — the oracle recomputes the closed form from
+    LAG gaps and BIN lengths, sharing no codec. Same term-bucketed
+    shuffle as the other four layouts. Oracle: SQL closed form."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        terms, docs = [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            for term in set(txt.split(" ")):
+                terms.append(term)
+                docs.append(int(i))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for term, gg in g.groupby("term", sort=False):
+            ids = np.sort(gg["doc_id"].to_numpy().astype(np.int64))
+            gaps = np.diff(ids, prepend=-1)  # every gap >= 1
+            bits: list = []
+            for gp in gaps.tolist():
+                nbits = int(gp).bit_length()
+                bits.extend([0] * (nbits - 1))          # unary prefix
+                for j in range(nbits - 1, -1, -1):      # binary value
+                    bits.append((gp >> j) & 1)
+            total_bits = len(bits)
+            closed = int(sum(2 * int(gp).bit_length() - 1
+                             for gp in gaps.tolist()))
+            if total_bits != closed:
+                raise ValueError(f"gamma size mismatch for {term!r}")
+            # decode round-trip
+            pos = 0
+            decoded = []
+            acc = -1
+            while pos < total_bits:
+                z = 0
+                while bits[pos] == 0:
+                    z += 1
+                    pos += 1
+                v = 0
+                for _ in range(z + 1):
+                    v = (v << 1) | bits[pos]
+                    pos += 1
+                acc += v
+                decoded.append(acc)
+            if decoded != ids.tolist():
+                raise ValueError(f"gamma round-trip failed for {term!r}")
+            out.append((term, len(ids), total_bits,
+                        (total_bits + 7) // 8))
+        return pd.DataFrame(out, columns=[
+            "term", "doc_freq", "gamma_bits", "gamma_bytes"]).astype(
+            {c: "int64" for c in ["doc_freq", "gamma_bits",
+                                  "gamma_bytes"]})
+
+    return bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
+        ["term"], build)
