@@ -22824,3 +22824,127 @@ def elias_gamma_postings_audit(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096),
         ["term"], build)
+
+
+# =====================================================================
+# Median-of-medians selection + LZ78 complexity (round-4 s10)
+# =====================================================================
+
+_MOM_SQL = """
+    WITH c AS (SELECT CAST(FLOOR(100.0 * o_totalprice + 0.5) AS BIGINT)
+                 AS v FROM orders),
+    n AS (SELECT COUNT(*) AS n FROM c),
+    ks AS (SELECT n // 4 AS k FROM n UNION ALL
+           SELECT n // 2 FROM n UNION ALL
+           SELECT 3 * n // 4 FROM n),
+    ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM c)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT v FROM ranked WHERE r = ks.k) AS BIGINT)
+             AS kth_value
+    FROM ks
+"""
+
+
+@register("median_of_medians_select", _MOM_SQL)
+def median_of_medians_select(sf_dir: str):
+    """Deterministic selection of the quartile order statistics by
+    MEDIAN-OF-MEDIANS quickselect (Blum–Floyd–Pratt–Rivest–Tarjan
+    1973 — the worst-case-O(n) pivot rule: medians of groups of 5,
+    recurse on their median): the guaranteed-linear k-th element
+    the quantile family's histogram path cannot give when the value
+    domain is unbounded. All comparisons on exact cents; duplicates
+    handled by three-way partition with rank arithmetic. Oracle:
+    SQL window ROW_NUMBER rank — the full sort the selection
+    avoids."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    vs = np.floor(
+        100.0 * ds.to_pandas()["o_totalprice"].to_numpy() + 0.5
+    ).astype(np.int64)
+    n = len(vs)
+
+    def select(arr: list, k: int) -> int:  # 1-based k-th smallest
+        while True:
+            if len(arr) <= 10:
+                return sorted(arr)[k - 1]
+            groups = [sorted(arr[i:i + 5])
+                      for i in range(0, len(arr), 5)]
+            medians = [g[len(g) // 2] for g in groups]
+            pivot = select(medians, (len(medians) + 1) // 2)
+            lo = [x for x in arr if x < pivot]
+            eq = [x for x in arr if x == pivot]
+            if k <= len(lo):
+                arr = lo
+            elif k <= len(lo) + len(eq):
+                return pivot
+            else:
+                k -= len(lo) + len(eq)
+                arr = [x for x in arr if x > pivot]
+
+    rows = []
+    for k in (n // 4, n // 2, 3 * n // 4):
+        rows.append((k, select(vs.tolist(), k)))
+    return pd.DataFrame(rows, columns=["k", "kth_value"]).astype("int64")
+
+
+_LZ78_SQL = """
+    WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 48) AS s
+                         FROM documents),
+    lz AS (
+      SELECT doc_id, s, 1 AS pos, '' AS cur,
+             CAST([] AS VARCHAR[]) AS dict
+      FROM t
+      UNION ALL
+      SELECT l.doc_id, l.s, l.pos + 1,
+             CASE WHEN list_contains(l.dict,
+                                     l.cur || substr(l.s, l.pos, 1))
+                  THEN l.cur || substr(l.s, l.pos, 1) ELSE '' END,
+             CASE WHEN list_contains(l.dict,
+                                     l.cur || substr(l.s, l.pos, 1))
+                  THEN l.dict
+                  ELSE list_append(l.dict,
+                                   l.cur || substr(l.s, l.pos, 1)) END
+      FROM lz l WHERE l.pos <= LENGTH(l.s))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(dict) + CASE WHEN cur != '' THEN 1 ELSE 0 END
+                AS BIGINT) AS lz78_phrases
+    FROM lz WHERE pos = LENGTH(s) + 1
+"""
+
+
+@register("lz78_complexity_audit", _LZ78_SQL)
+def lz78_complexity_audit(sf_dir: str):
+    """LZ78 phrase count of each document head (Ziv & Lempel, IT-24
+    1978: greedily extend the current phrase while it stays in the
+    dictionary, emit and restart on novelty) — the LZ COMPLEXITY
+    measure compression-based similarity and randomness testing
+    stand on: templated text plateaus early (few novel phrases),
+    diverse text keeps minting them (pairs with
+    suffix_automaton_substrings — dictionary growth vs substring
+    vocabulary). Ray side: dict-set replay per doc, trie-free at
+    these lengths; oracle: recursive-CTE replay carrying the
+    (cur, dict) state. Oracle: declarative restatement."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            s = txt[:48]
+            seen: set = set()
+            cur = ""
+            cnt = 0
+            for ch in s:
+                if cur + ch in seen:
+                    cur += ch
+                else:
+                    seen.add(cur + ch)
+                    cnt += 1
+                    cur = ""
+            if cur:
+                cnt += 1
+            rows.append((int(d), cnt))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "lz78_phrases"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
