@@ -22948,3 +22948,146 @@ def lz78_complexity_audit(sf_dir: str):
 
     return ds.map_batches(per_doc, batch_format="pyarrow",
                           batch_size=4096)
+
+
+# =====================================================================
+# CRC32 table-driven vs bitwise definition (round-4 s10)
+# =====================================================================
+
+_CRC32_SQL = """
+    WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 16) AS s
+                         FROM documents WHERE doc_id % 11 = 0),
+    crc AS (
+      SELECT doc_id, s, 0 AS i, CAST(4294967295 AS BIGINT) AS c FROM t
+      UNION ALL
+      SELECT doc_id, s, i + 1,
+        CASE WHEN xor(c, (ascii(substr(s, i // 8 + 1, 1))
+                          >> (i % 8)) & 1) % 2 = 1
+             THEN xor(c // 2, 3988292384) ELSE c // 2 END
+      FROM crc WHERE i < 8 * LENGTH(s))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(xor(c, 4294967295) AS BIGINT) AS crc32
+    FROM crc WHERE i = 8 * LENGTH(s)
+"""
+
+
+@register("crc32_checksum_audit", _CRC32_SQL)
+def crc32_checksum_audit(sf_dir: str):
+    """CRC32 (IEEE 802.3 reflected polynomial 0xEDB88320) of sampled
+    document heads — the storage checksum under every gzip member,
+    Parquet page and Ethernet frame this engine reads: Ray side runs
+    the TABLE-DRIVEN byte loop (the 256-entry table every production
+    implementation precomputes — built once here) AND cross-checks
+    zlib.crc32 in-pipeline (a third, C implementation — ValueError
+    on any disagreement); the oracle grinds out the BIT-SERIAL
+    definition (one shift-xor per input bit) as a recursive CTE.
+    Three independent implementations of one polynomial division,
+    agreeing per corpus. Oracle: SQL bitwise definition."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        table.append(c)
+
+    def crc_table(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for b in data:
+            c = (c >> 8) ^ table[(c ^ b) & 0xFF]
+        return c ^ 0xFFFFFFFF
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if int(d) % 11 != 0:
+                continue
+            data = txt[:16].encode()
+            c = crc_table(data)
+            if c != zlib.crc32(data):
+                raise ValueError(f"CRC table/zlib disagree at doc {d}")
+            rows.append((int(d), c))
+        return pd.DataFrame(rows, columns=["doc_id", "crc32"]).astype(
+            "int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+# =====================================================================
+# Square-and-multiply modular exponentiation (round-4 s10)
+# =====================================================================
+
+_MODPOW_SQL = """
+    WITH RECURSIVE m AS (SELECT source,
+                                CAST(SUM(n_chars) % 3232 + 1 AS BIGINT)
+                                  AS msg
+                         FROM documents GROUP BY source),
+    sq AS (
+      SELECT source, msg, 0 AS i, msg AS acc FROM m
+      UNION ALL
+      SELECT source, msg, i + 1, (acc * acc) % 3233
+      FROM sq WHERE i < 16)
+    SELECT m.source, m.msg,
+           CAST((s.acc * m.msg) % 3233 AS BIGINT) AS cipher
+    FROM m JOIN sq s ON s.source = m.source AND s.i = 16
+"""
+
+
+@register("modpow_square_multiply", _MODPOW_SQL)
+def modpow_square_multiply(sf_dir: str):
+    """Modular exponentiation m^65537 mod 3233 (the RSA-toy 61·53
+    modulus with the standard public exponent) of per-source
+    byte-count messages by SQUARE-AND-MULTIPLY bit scanning — the
+    O(log e) doubling that makes public-key crypto (and every
+    Miller–Rabin primality check a hash-parameter picker runs)
+    feasible. The RSA ROUND-TRIP is asserted in-pipeline: decrypting
+    with d = e⁻¹ mod φ(n) must return the message (Euler/CRT
+    theorem, re-proven per source; ValueError otherwise). Oracle:
+    the 2¹⁶+1 structure unrolled as a 16-step squaring chain in a
+    recursive CTE — exponent-specific chain vs generic bit scan.
+    Oracle: recursive-CTE squaring chain."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "n_chars": t.column("n_chars").to_numpy()})
+        return df.groupby("source", as_index=False)["n_chars"].sum()
+
+    w = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)["n_chars"].sum(),
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+
+    N_MOD, E = 3233, 65537
+    PHI = 60 * 52
+    D = pow(E, -1, PHI)
+
+    def modpow(base: int, exp: int, mod: int) -> int:
+        acc = 1
+        b = base % mod
+        e = exp
+        while e:
+            if e & 1:
+                acc = acc * b % mod
+            b = b * b % mod
+            e >>= 1
+        return acc
+
+    rows = []
+    for src, total in zip(w["source"], w["n_chars"]):
+        msg = int(total) % 3232 + 1
+        cipher = modpow(msg, E, N_MOD)
+        if modpow(cipher, D, N_MOD) != msg:
+            raise ValueError(f"RSA round-trip failed for {src}")
+        rows.append((src, msg, cipher))
+    return pd.DataFrame(rows, columns=["source", "msg", "cipher"]).astype(
+        {"msg": "int64", "cipher": "int64"})
