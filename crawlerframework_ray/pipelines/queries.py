@@ -23091,3 +23091,167 @@ def modpow_square_multiply(sf_dir: str):
         rows.append((src, msg, cipher))
     return pd.DataFrame(rows, columns=["source", "msg", "cipher"]).astype(
         {"msg": "int64", "cipher": "int64"})
+
+
+# =====================================================================
+# Shamir secret sharing + Life step census (round-4 s10)
+# =====================================================================
+
+_SHAMIR_P = 7919
+
+_SHAMIR_SQL = f"""
+    WITH m AS (SELECT source, CAST(SUM(n_chars) % {_SHAMIR_P} AS BIGINT)
+                 AS s
+               FROM documents GROUP BY source),
+    sh AS (SELECT source, s,
+                  (s + ((s*31+7) % {_SHAMIR_P}) * 1
+                     + ((s*17+3) % {_SHAMIR_P}) * 1) % {_SHAMIR_P} AS y1,
+                  (s + ((s*31+7) % {_SHAMIR_P}) * 2
+                     + ((s*17+3) % {_SHAMIR_P}) * 4) % {_SHAMIR_P} AS y2,
+                  (s + ((s*31+7) % {_SHAMIR_P}) * 3
+                     + ((s*17+3) % {_SHAMIR_P}) * 9) % {_SHAMIR_P} AS y3
+           FROM m)
+    SELECT source, s AS secret,
+           CAST(((3 * y1 - 3 * y2 + y3) % {_SHAMIR_P} + {_SHAMIR_P})
+                % {_SHAMIR_P} AS BIGINT) AS reconstructed
+    FROM sh
+"""
+
+
+@register("shamir_secret_sharing", _SHAMIR_SQL)
+def shamir_secret_sharing(sf_dir: str):
+    """Shamir 3-of-n secret sharing (CACM 1979) of per-source byte
+    counts over GF(7919): a degree-2 polynomial with deterministic
+    coefficients, shares at x = 1, 2, 3, reconstruction by LAGRANGE
+    INTERPOLATION AT ZERO — the key-escrow / quorum-recovery
+    primitive (any 3 shares rebuild, any 2 reveal nothing). Ray
+    side runs GENERIC Lagrange with Fermat-little-theorem modular
+    inverses (a^(p−2) by square-and-multiply); the oracle uses the
+    node-specific integer coefficients (3, −3, 1) the generic form
+    must collapse to — and both must return the ORIGINAL secret
+    (emitted alongside, so the gate checks the interpolation
+    identity per source). Oracle: native SQL closed form."""
+    from ..stages.agg import bucketed_group_agg
+
+    P = _SHAMIR_P
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def w_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "n_chars": t.column("n_chars").to_numpy()})
+        return df.groupby("source", as_index=False)["n_chars"].sum()
+
+    w = bucketed_group_agg(
+        ds.map_batches(w_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["source"],
+        lambda g: g.groupby("source", as_index=False)["n_chars"].sum(),
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+
+    def inv(a: int) -> int:
+        return pow(a % P, P - 2, P)
+
+    xs = (1, 2, 3)
+    rows = []
+    for src, total in zip(w["source"], w["n_chars"]):
+        s = int(total) % P
+        a1 = (s * 31 + 7) % P
+        a2 = (s * 17 + 3) % P
+        shares = [(x, (s + a1 * x + a2 * x * x) % P) for x in xs]
+        rec = 0
+        for xi, yi in shares:
+            li = 1
+            for xj, _ in shares:
+                if xj != xi:
+                    li = li * ((-xj) % P) % P * inv(xi - xj) % P
+            rec = (rec + yi * li) % P
+        if rec != s:
+            raise ValueError(f"Shamir reconstruction failed for {src}")
+        rows.append((src, s, rec))
+    return pd.DataFrame(rows, columns=[
+        "source", "secret", "reconstructed"]).astype(
+        {"secret": "int64", "reconstructed": "int64"})
+
+
+_LIFE_SQL = """
+    WITH cells AS (
+      SELECT doc_id % 24 AS x, (doc_id // 24) % 24 AS y
+      FROM documents
+      WHERE (doc_id * 2654435761) % 100 < 35
+      GROUP BY 1, 2),
+    grid AS (SELECT gx.x, gy.y,
+                    CASE WHEN EXISTS (SELECT 1 FROM cells c
+                                      WHERE c.x = gx.x AND c.y = gy.y)
+                         THEN 1 ELSE 0 END AS alive
+             FROM (SELECT unnest(generate_series(0, 23)) AS x) gx,
+                  (SELECT unnest(generate_series(0, 23)) AS y) gy),
+    nbr AS (
+      SELECT g.x, g.y, g.alive,
+             (SELECT COALESCE(SUM(h.alive), 0) FROM grid h
+              WHERE ABS(h.x - g.x) <= 1 AND ABS(h.y - g.y) <= 1
+                AND NOT (h.x = g.x AND h.y = g.y)) AS n
+      FROM grid g),
+    nxt AS (SELECT x, y, alive,
+                   CASE WHEN alive = 1 AND n IN (2, 3) THEN 1
+                        WHEN alive = 0 AND n = 3 THEN 1
+                        ELSE 0 END AS nxt
+            FROM nbr)
+    SELECT CAST(SUM(alive) AS BIGINT) AS pop_before,
+           CAST(SUM(nxt) AS BIGINT) AS pop_after,
+           CAST(SUM(CASE WHEN alive = 0 AND nxt = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS births,
+           CAST(SUM(CASE WHEN alive = 1 AND nxt = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS deaths
+    FROM nxt
+"""
+
+
+@register("life_step_census", _LIFE_SQL)
+def life_step_census(sf_dir: str):
+    """One Conway Life step (Gardner 1970) on a 24×24 corpus-derived
+    bit grid (bounded board, dead boundary): population before/after
+    plus births and deaths — the cellular-automaton stencil that is
+    the minimal instance of every neighborhood-update sweep this
+    engine runs (label propagation, k-core peeling, BFS frontiers
+    are Life's rules with different tables). Ray side computes
+    neighbor counts by VECTORIZED SHIFT-AND-ADD over the dense
+    array (the stencil convolution form); the oracle recounts every
+    cell's 8-neighborhood with a correlated subquery. Oracle:
+    native SQL stencil."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def cell_partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        d = d[(d * 2654435761) % 100 < 35]
+        df = pd.DataFrame({"x": d % 24, "y": (d // 24) % 24})
+        return df.drop_duplicates(ignore_index=True)
+
+    cells = bucketed_group_agg(
+        ds.map_batches(cell_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["x", "y"], lambda g: g.drop_duplicates(ignore_index=True),
+    ).to_pandas()
+    grid = np.zeros((24, 24), dtype=np.int64)
+    grid[cells["y"].to_numpy(), cells["x"].to_numpy()] = 1
+    n = np.zeros_like(grid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            sh = np.zeros_like(grid)
+            ys = slice(max(0, dy), 24 + min(0, dy))
+            xs_ = slice(max(0, dx), 24 + min(0, dx))
+            ys2 = slice(max(0, -dy), 24 + min(0, -dy))
+            xs2 = slice(max(0, -dx), 24 + min(0, -dx))
+            sh[ys, xs_] = grid[ys2, xs2]
+            n += sh
+    nxt = ((grid == 1) & ((n == 2) | (n == 3))) | ((grid == 0) & (n == 3))
+    nxt = nxt.astype(np.int64)
+    return pd.DataFrame({
+        "pop_before": [int(grid.sum())],
+        "pop_after": [int(nxt.sum())],
+        "births": [int(((grid == 0) & (nxt == 1)).sum())],
+        "deaths": [int(((grid == 1) & (nxt == 0)).sum())],
+    }).astype("int64")
