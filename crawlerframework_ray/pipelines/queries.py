@@ -23255,3 +23255,84 @@ def life_step_census(sf_dir: str):
         "births": [int(((grid == 0) & (nxt == 1)).sum())],
         "deaths": [int(((grid == 1) & (nxt == 0)).sum())],
     }).astype("int64")
+
+
+# =====================================================================
+# Smith–Waterman local alignment (round-4 s10)
+# =====================================================================
+
+_SW_SQL = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, substr(text, 1, 20) AS a,
+             reverse(substr(text, 21, 20)) AS b
+      FROM documents),
+    dp AS (
+      SELECT doc_id, a, b, 0 AS j, 0 AS best,
+             list_transform(generate_series(0, LENGTH(a)),
+                            i -> CAST(0 AS BIGINT)) AS row
+      FROM t
+      UNION ALL
+      SELECT d.doc_id, d.a, d.b, d.j + 1,
+             greatest(d.best, COALESCE(list_max(nr.r), 0)),
+             nr.r
+      FROM dp d, LATERAL (SELECT
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, LENGTH(d.a)), i ->
+            greatest(CAST(0 AS BIGINT),
+              list_max(list_transform(generate_series(1, LENGTH(d.a)),
+                k ->
+                CASE WHEN k > i THEN NULL
+                     ELSE greatest(CAST(0 AS BIGINT),
+                            d.row[k] + CASE WHEN substr(d.a, k, 1)
+                                                = substr(d.b,
+                                                         d.j + 1, 1)
+                                            THEN 2 ELSE -1 END,
+                            d.row[k + 1] - 1) - (i - k)
+                END))))) AS r) nr
+      WHERE d.j < LENGTH(d.b))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(best AS BIGINT) AS sw_score
+    FROM dp WHERE j = LENGTH(b)
+"""
+
+
+@register("smith_waterman_local_align", _SW_SQL)
+def smith_waterman_local_align(sf_dir: str):
+    """Smith–Waterman local alignment score (JMB 1981 — the
+    floor-at-zero DP that finds the best-matching SUBSTRING pair
+    where global alignment would drown it in mismatches; match +2,
+    mismatch −1, gap −1) between each document's first 20 chars and
+    its reversed next 20 — the partial-overlap detector quote/
+    boilerplate matching needs when fragments embed mid-document.
+    One stateless per-doc pass of the classic row DP; oracle: the
+    same recurrence as a recursive CTE in the max-over-origin chain
+    form (new[i] = max(0, max_k≤i base_k − (i−k)) — valid because
+    in-row gaps chain at −1 per step, the tropical analogue of the
+    edit-distance CTE). Oracle: recursive-CTE DP."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sw(a: str, b: str) -> int:
+        n = len(a)
+        row = [0] * (n + 1)
+        best = 0
+        for j in range(1, len(b) + 1):
+            new = [0] * (n + 1)
+            for i in range(1, n + 1):
+                s = 2 if a[i - 1] == b[j - 1] else -1
+                new[i] = max(0, row[i - 1] + s, row[i] - 1,
+                             new[i - 1] - 1)
+                if new[i] > best:
+                    best = new[i]
+            row = new
+        return best
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            rows.append((int(d), sw(txt[:20], txt[20:40][::-1])))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "sw_score"]).astype("int64")
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          batch_size=4096)
