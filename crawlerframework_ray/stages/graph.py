@@ -310,6 +310,7 @@ def pagerank_int(
     seeds: np.ndarray | None = None,
     node_state: str = "auto",
     driver_state_max: int = GRAPH_DRIVER_STATE_MAX,
+    return_trajectory: bool = False,
 ) -> pd.DataFrame:
     """Power iteration in exact integer arithmetic.
 
@@ -328,7 +329,12 @@ def pagerank_int(
     ``node_state``: "driver" (broadcast vectors), "dataset" (per-node
     state resident as a Dataset — the 10^7+-node path), or "auto"
     (dataset iff nodes > ``driver_state_max``). Both paths are
-    bit-identical (exact integer arithmetic; gated in tests)."""
+    bit-identical (exact integer arithmetic; gated in tests).
+
+    ``return_trajectory`` (driver path only): also return the full
+    per-iteration state — ``(df, nodes, od, [rank_0..rank_iters])`` —
+    the memoized base run incremental delta maintenance resumes from
+    (incremental_pagerank_delta)."""
     import ray
 
     edges = edges_ds.materialize()
@@ -349,6 +355,8 @@ def pagerank_int(
     nodes_ds = _nodes_dataset(edges)
     n = nodes_ds.count()
     if node_state == "dataset" or (node_state == "auto" and n > driver_state_max):
+        if return_trajectory:
+            raise ValueError("return_trajectory requires the driver state path")
         return _pagerank_state_ds(edges, nodes_ds, od_ds, n, scale, iters, seeds)
     od_df = od_ds.to_pandas()
     nodes = np.sort(nodes_ds.to_pandas()["h"].to_numpy().astype(np.int64))
@@ -369,6 +377,7 @@ def pagerank_int(
         base = np.where(is_seed, (15 * scale // 100) // len(seeds), 0).astype(np.int64)
         rank = np.where(is_seed, scale // len(seeds), 0).astype(np.int64)
 
+    trajectory = [rank.copy()]
     for _ in range(iters):
         state_ref = ray.put((nodes, rank, od))
 
@@ -394,8 +403,12 @@ def pagerank_int(
             "s"
         ].to_numpy()
         rank = base + DAMP_NUM * in_sum // DAMP_DEN
+        trajectory.append(rank.copy())
 
-    return pd.DataFrame({"host": nodes, "rank": rank.astype(np.int64)})
+    df = pd.DataFrame({"host": nodes, "rank": rank.astype(np.int64)})
+    if return_trajectory:
+        return df, nodes, od, trajectory
+    return df
 
 
 def _pagerank_state_ds(edges, nodes_ds, od_ds, n: int, scale: int, iters: int,
