@@ -2491,3 +2491,56 @@ def haar_energy(sf_dir: str) -> None:
 
 
 ALL.append(haar_energy)
+
+
+def recompress_drift(sf_dir: str) -> None:
+    """Longhand mirror of image_recompress_drift: the PLANT (the
+    synthetic page store's images) is shared by design; the MEASURE
+    restates the qds 6-bit quantize→reconstruct roundtrip with
+    explicit per-pixel integer loops (q = p // 4; r = 4q + 2 —
+    independent of codecs.encode_qds/decode_qds's vectorized
+    shift path), then hashes with the library average_hash (shared
+    measure, same tier as phash_sigs) and counts hamming drift via
+    bin() popcount."""
+    from crawlerframework_ray.data import codecs
+    from crawlerframework_ray.data.imageops import average_hash
+    from crawlerframework_ray.data.synth import SynthWebConfig, make_url, page_record
+
+    cfg = SynthWebConfig(seed=42, n_hosts=8, path_space=1 << 20)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()][:512]
+    agg: dict = {}
+    for d in ids:
+        rec = page_record(make_url(d % 8, d), cfg)
+        img = codecs.decode(rec["bytes"], rec["fmt"])
+        hh, ww = img.shape[0], img.shape[1]
+        recon = np.zeros_like(img)
+        for y in range(hh):
+            for x in range(ww):
+                for c in range(3):
+                    q = int(img[y, x, c]) // 4
+                    recon[y, x, c] = 4 * q + 2
+        h0 = average_hash(img)
+        h1 = average_hash(recon)
+        ham = bin((int(h0) ^ int(h1)) & 0xFFFFFFFFFFFFFFFF).count("1")
+        a = agg.setdefault(rec["fmt"], [0, 0, 0, 0, 0])
+        a[0] += 1
+        if ham == 0:
+            a[1] += 1
+        elif ham <= 2:
+            a[2] += 1
+        else:
+            a[3] += 1
+        a[4] += ham
+    rows = [(fmt, *vals) for fmt, vals in sorted(agg.items())]
+    _write(
+        "recompress_drift", sf_dir,
+        pd.DataFrame(rows, columns=[
+            "fmt", "n_images", "n_ham0", "n_ham_1_2", "n_ham_gt2",
+            "sum_hamming"]).astype(
+            {c: "int64" for c in ["n_images", "n_ham0", "n_ham_1_2",
+                                  "n_ham_gt2", "sum_hamming"]}),
+    )
+
+
+ALL.append(recompress_drift)
