@@ -377,7 +377,9 @@ def pagerank_int(
         base = np.where(is_seed, (15 * scale // 100) // len(seeds), 0).astype(np.int64)
         rank = np.where(is_seed, scale // len(seeds), 0).astype(np.int64)
 
-    trajectory = [rank.copy()]
+    # trajectory retention is opt-in: the unconditional copy would hold
+    # O(iters × n) extra driver memory on every plain pagerank call
+    trajectory = [rank.copy()] if return_trajectory else None
     for _ in range(iters):
         state_ref = ray.put((nodes, rank, od))
 
@@ -403,7 +405,8 @@ def pagerank_int(
             "s"
         ].to_numpy()
         rank = base + DAMP_NUM * in_sum // DAMP_DEN
-        trajectory.append(rank.copy())
+        if return_trajectory:
+            trajectory.append(rank.copy())
 
     df = pd.DataFrame({"host": nodes, "rank": rank.astype(np.int64)})
     if return_trajectory:

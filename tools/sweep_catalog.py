@@ -53,8 +53,14 @@ def main() -> None:
     failures = []
     t_all = time.monotonic()
     names = sorted(q.QUERIES)
+    no_oracle = [n for n in names if n not in q.ORACLE_SQL]
+    if no_oracle:
+        print(f"skipping {len(no_oracle)} entries with no oracle: {no_oracle}")
+        names = [n for n in names if n in q.ORACLE_SQL]
     if skip_goldens:
-        names = [n for n in names if "goldens" not in q.ORACLE_SQL.get(n, "")]
+        # explicit registry flag (register() marks oracles that read
+        # golden parquet by absolute path) — not SQL-text substring
+        names = [n for n in names if n not in q.GOLDEN_QUERIES]
         print(f"--skip-goldens: sweeping {len(names)} SQL-oracled queries")
     for name in names:
         t0 = time.monotonic()
