@@ -734,7 +734,14 @@ class BucketPool:
     def _handles(n_buckets: int) -> list:
         handles = _PROCESS_BUCKET_POOLS.get(n_buckets)
         if handles is None:
-            handles = [FrontierBucket.remote(i) for i in range(n_buckets)]
+            # SPREAD: num_cpus=0 actors would otherwise pack onto the
+            # driver's node — on a multi-node cluster the frontier's
+            # resident state must land across node RAM, not one heap
+            # (gated by tests/test_cluster_sim.py)
+            handles = [
+                FrontierBucket.options(scheduling_strategy="SPREAD").remote(i)
+                for i in range(n_buckets)
+            ]
             _PROCESS_BUCKET_POOLS[n_buckets] = handles
         return handles
 

@@ -142,7 +142,14 @@ class ShardedSeen:
     def _handles(n_shards: int) -> list:
         handles = _PROCESS_SHARD_POOLS.get(n_shards)
         if handles is None:
-            handles = [SeenShard.remote(i, 1024) for i in range(n_shards)]
+            # SPREAD: shards are memory-bound (≈95 MB each at 10^10
+            # urls / 256 shards) — they must land across node RAM, not
+            # pack onto the driver's node as num_cpus=0 actors would
+            # (gated by tests/test_cluster_sim.py)
+            handles = [
+                SeenShard.options(scheduling_strategy="SPREAD").remote(i, 1024)
+                for i in range(n_shards)
+            ]
             _PROCESS_SHARD_POOLS[n_shards] = handles
         return handles
 
