@@ -1,12 +1,17 @@
 """CLI entry point — the `ray job submit` surface.
 
+    python -m crawlerframework_ray crawl --config job.json [--resume]
     python -m crawlerframework_ray crawl --workdir /tmp/run1 --seeds 4096 \
         --epochs 3 --wave 4096 --hosts 256 [--resume] [--num-cpus 32]
 
-Owns its Ray session (guarded init + shutdown); the library itself
-never inits Ray. On a cluster, submit exactly this module via
-``ray job submit -- python -m crawlerframework_ray crawl ...`` and the
-per-epoch checkpoints make a killed job resumable with ``--resume``.
+``--config`` is the job-artifact form the north_rule words: one JSON
+file of CrawlConfig fields (web params nested under ``web``, optional
+``seeds``), so a cluster submission is exactly
+``ray job submit -- python -m crawlerframework_ray crawl --config job.json``
+and a killed job resumes bit-identically with ``--resume`` (per-epoch
+checkpoints + config fingerprint guard). Explicit CLI flags override
+config values. Owns its Ray session (guarded init + shutdown); the
+library itself never inits Ray. Gated in tests/test_cli.py.
 """
 
 from __future__ import annotations
@@ -21,26 +26,33 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("crawl", help="run (or resume) a crawl")
-    c.add_argument("--workdir", required=True)
-    c.add_argument("--seeds", type=int, default=1024)
-    c.add_argument("--epochs", type=int, default=3)
-    c.add_argument("--wave", type=int, default=4096)
-    c.add_argument("--hosts", type=int, default=64)
-    c.add_argument("--host-budget", type=int, default=64)
-    c.add_argument("--max-depth", type=int, default=2)
-    c.add_argument("--shards", type=int, default=8)
-    c.add_argument("--path-space", type=int, default=1 << 16)
-    c.add_argument("--seed", type=int, default=42)
-    c.add_argument("--size-shift", type=int, default=0)
+    c.add_argument(
+        "--config", default=None,
+        help="JSON file of CrawlConfig fields (synthetic-web params "
+             "nested under 'web'; optional 'seeds' for the seed count). "
+             "The ray-job-submit form: the whole job is one JSON "
+             "artifact. Explicit CLI flags override its values.",
+    )
+    c.add_argument("--workdir", default=None)
+    c.add_argument("--seeds", type=int, default=None)
+    c.add_argument("--epochs", type=int, default=None)
+    c.add_argument("--wave", type=int, default=None)
+    c.add_argument("--hosts", type=int, default=None)
+    c.add_argument("--host-budget", type=int, default=None)
+    c.add_argument("--max-depth", type=int, default=None)
+    c.add_argument("--shards", type=int, default=None)
+    c.add_argument("--path-space", type=int, default=None)
+    c.add_argument("--seed", type=int, default=None)
+    c.add_argument("--size-shift", type=int, default=None)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--verify-rows", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
     c.add_argument(
-        "--spill-max-resident", type=int, default=1 << 20,
+        "--spill-max-resident", type=int, default=None,
         help="frontier rows per bucket actor above which the cold tail "
              "spills to disk (memory policy only — trace/resume identical)",
     )
-    c.add_argument("--spill-slack", type=int, default=8)
+    c.add_argument("--spill-slack", type=int, default=None)
 
     g = sub.add_parser("gc", help="reclaim old epoch checkpoints (keeps resume bit-identical)")
     g.add_argument("--workdir", required=True)
@@ -102,29 +114,51 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from .config import CrawlConfig
-    from .data.synth import SynthWebConfig, seeds_table
+    from .data.synth import seeds_table
     from .pipelines.crawl import CrawlEngine
 
-    cfg = CrawlConfig(
-        web=SynthWebConfig(
-            seed=args.seed, n_hosts=args.hosts, path_space=args.path_space,
-            size_shift=args.size_shift,
-        ),
-        workdir=args.workdir,
-        max_depth=args.max_depth,
-        wave_size=args.wave,
-        host_budget=args.host_budget,
-        n_shards=args.shards,
-        max_epochs=args.epochs,
-        verify_rows=args.verify_rows,
-        spill_max_resident=args.spill_max_resident,
-        spill_slack=args.spill_slack,
-    )
+    # layered resolution: JSON config file (the job artifact) first,
+    # explicit CLI flags override, hard defaults last
+    conf: dict = {}
+    if args.config:
+        with open(args.config) as f:
+            conf = json.load(f)
+    n_seeds = conf.pop("seeds", 1024)
+    if args.seeds is not None:
+        n_seeds = args.seeds
+    web = conf.setdefault("web", {})
+    for cli_val, d, key, default in [
+        (args.seed, web, "seed", 42),
+        (args.hosts, web, "n_hosts", 64),
+        (args.path_space, web, "path_space", 1 << 16),
+        (args.size_shift, web, "size_shift", 0),
+        (args.workdir, conf, "workdir", None),
+        (args.max_depth, conf, "max_depth", 2),
+        (args.wave, conf, "wave_size", 4096),
+        (args.host_budget, conf, "host_budget", 64),
+        (args.shards, conf, "n_shards", 8),
+        (args.epochs, conf, "max_epochs", 3),
+        (args.spill_max_resident, conf, "spill_max_resident", 1 << 20),
+        (args.spill_slack, conf, "spill_slack", 8),
+    ]:
+        if cli_val is not None:
+            d[key] = cli_val
+        elif key not in d and default is not None:
+            d[key] = default
+    if args.verify_rows:
+        conf["verify_rows"] = True
+    if not conf.get("workdir"):
+        print("a workdir is required (--workdir or 'workdir' in --config)",
+              file=sys.stderr)
+        ray.shutdown()
+        return 2
+
+    cfg = CrawlConfig.from_dict(conf)
     engine = CrawlEngine(cfg)
     if args.resume:
         summary = engine.run(resume=True)
     else:
-        summary = engine.run(seeds=seeds_table(cfg.web, args.seeds))
+        summary = engine.run(seeds=seeds_table(cfg.web, n_seeds))
     print(
         json.dumps(
             {

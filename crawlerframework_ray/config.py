@@ -83,3 +83,22 @@ class CrawlConfig:
             "adaptive_politeness": self.adaptive_politeness,
         }
         return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CrawlConfig":
+        """Build from a plain JSON-shaped dict (the ``--config`` file of
+        ``python -m crawlerframework_ray crawl``): field names are the
+        dataclass's own, with the synthetic-web parameters nested under
+        ``web``. Unknown keys fail loudly — a typo'd knob must not
+        silently fall back to a default on a 10^10-URL job."""
+        d = dict(d)
+        web_d = d.pop("web", {})
+        unknown = set(web_d) - {f for f in SynthWebConfig.__dataclass_fields__}
+        if unknown:
+            raise ValueError(f"unknown web config keys: {sorted(unknown)}")
+        if "formats" in web_d:
+            web_d["formats"] = tuple(web_d["formats"])
+        unknown = set(d) - {f for f in cls.__dataclass_fields__} - {"web"}
+        if unknown:
+            raise ValueError(f"unknown crawl config keys: {sorted(unknown)}")
+        return cls(web=SynthWebConfig(**web_d), **d)
