@@ -23,8 +23,19 @@ def test_token_resources_detected_and_consumed(ray_session):
 
     names, handles = make_token_workers(2, "resalloc-test")  # auto-detects
     try:
-        # the workers hold their resource slice: cluster availability drops
-        avail = ray.available_resources()
+        # the workers hold their resource slice: cluster availability
+        # drops. available_resources() is heartbeat-sampled and lags
+        # actor scheduling by up to a few hundred ms — poll, don't
+        # single-sample (observed flaking once in ~20 suite runs)
+        import time
+
+        deadline = time.monotonic() + 15
+        while time.monotonic() < deadline:
+            avail = ray.available_resources()
+            if (avail.get("token_class_0", 0) < 4
+                    and avail.get("token_class_1", 0) < 4):
+                break
+            time.sleep(0.2)
         assert avail.get("token_class_0", 0) < 4
         assert avail.get("token_class_1", 0) < 4
 
