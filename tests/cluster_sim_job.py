@@ -11,7 +11,13 @@ labels the T3 affinity path (state/affinity.py) schedules onto
 (reference analogue: TaskMaster serving remote crawlnodes,
 crawler/taskmaster.py:130-155, crawler/crawlnode.py:102-138).
 
-Usage: python tests/cluster_sim_job.py OUT_JSON
+Usage: python tests/cluster_sim_job.py OUT_JSON [MODE [WORKDIR]]
+
+MODE (default ``full``): ``full`` = 4 epochs from seeds; ``half`` = 2
+epochs from seeds into WORKDIR (the job that gets "killed"); ``resume``
+= resume WORKDIR's checkpoint to 4 epochs in a FRESH virtual cluster —
+the north_rule's killed-``ray job submit``-resumes-bit-identically
+clause, at test scale.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ import tempfile
 import time
 
 
-def main(out_path: str) -> None:
+def main(out_path: str, mode: str = "full", workdir: str | None = None) -> None:
     from ray.cluster_utils import Cluster
 
     cluster = Cluster()
@@ -58,19 +64,21 @@ def main(out_path: str) -> None:
     # here proves single-node == 4-virtual-node bit-identity
     cfg = CrawlConfig(
         web=SynthWebConfig(seed=11, n_hosts=8, path_space=96, max_outlinks=5),
-        workdir=tempfile.mkdtemp(prefix="cfray-sim-"),
+        workdir=workdir or tempfile.mkdtemp(prefix="cfray-sim-"),
         max_depth=2,
         wave_size=48,
         host_budget=12,
         n_shards=4,
         shard_capacity=1 << 14,
-        max_epochs=4,
+        max_epochs=2 if mode == "half" else 4,
         fetch_concurrency=2,
         fetch_batch_size=64,
         record_trace=True,
     )
-    seeds = seeds_table(cfg.web, 40)
-    summary = CrawlEngine(cfg).run(seeds=seeds)
+    if mode == "resume":
+        summary = CrawlEngine(cfg).run(resume=True)
+    else:
+        summary = CrawlEngine(cfg).run(seeds=seeds_table(cfg.web, 40))
 
     # where did the state actors land? (GCS-backed actor table — the
     # dashboard API server is off in this sandbox)
@@ -132,4 +140,4 @@ def main(out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], *(sys.argv[2:4]))

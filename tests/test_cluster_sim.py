@@ -56,6 +56,33 @@ def sim(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def sim_resumed(tmp_path_factory):
+    """The killed-job clause: 2 epochs on one virtual cluster, then a
+    FRESH virtual cluster resumes the checkpoint to the full 4."""
+    root = tmp_path_factory.mktemp("simres")
+    workdir = str(root / "work")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("RAY_ADDRESS", None)
+    outs = {}
+    for mode in ("half", "resume"):
+        out = root / f"{mode}.json"
+        proc = subprocess.run(
+            [sys.executable, _JOB, str(out), mode, workdir],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        assert proc.returncode == 0, (
+            f"{mode} job failed\nstdout:\n{proc.stdout[-4000:]}"
+            f"\nstderr:\n{proc.stderr[-4000:]}"
+        )
+        outs[mode] = json.loads(out.read_text())
+    return outs
+
+
+@pytest.fixture(scope="module")
 def oracle():
     """Serial single-process oracle over the job's exact config —
     ray-free, computed in this process."""
@@ -101,6 +128,19 @@ def test_counters_match(sim, oracle):
     assert c["raw_outlinks"] == oracle["counters"]["raw_outlinks"]
     assert c["fresh_urls"] == oracle["counters"]["fresh_urls"]
     assert c["final_frontier"] == oracle["final_frontier"]
+
+
+def test_killed_job_resumes_bit_identical_on_fresh_cluster(sim_resumed, oracle):
+    half, resumed = sim_resumed["half"], sim_resumed["resume"]
+    assert half["counters"]["fetched_urls"] > 0
+    # resumed cumulative state == the uninterrupted oracle run
+    assert resumed["shard_digests"] == oracle["shard_digests"]
+    assert resumed["counters"]["fetched_urls"] == oracle["counters"]["fetched_urls"]
+    assert resumed["counters"]["fresh_urls"] == oracle["counters"]["fresh_urls"]
+    assert resumed["counters"]["final_frontier"] == oracle["final_frontier"]
+    # the resumed trace is the full run's tail (epochs 2..3)
+    tail = [t for t in oracle["trace"] if t[0] >= 2]
+    assert [tuple(t) for t in resumed["trace"]] == tail
 
 
 def test_state_actors_spread_across_nodes(sim):
