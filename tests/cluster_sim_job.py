@@ -17,7 +17,9 @@ MODE (default ``full``): ``full`` = 4 epochs from seeds; ``half`` = 2
 epochs from seeds into WORKDIR (the job that gets "killed"); ``resume``
 = resume WORKDIR's checkpoint to 4 epochs in a FRESH virtual cluster —
 the north_rule's killed-``ray job submit``-resumes-bit-identically
-clause, at test scale.
+clause, at test scale; ``rf`` = the robots+failures engine config
+(RFC 9309 admission + deterministic 4xx/5xx with retry requeue — the
+``entry()`` shape) on the virtual cluster, 5 epochs.
 """
 
 from __future__ import annotations
@@ -62,19 +64,38 @@ def main(out_path: str, mode: str = "full", workdir: str | None = None) -> None:
     # EXACTLY tests/test_crawl._cfg's geometry: the single-node
     # engine-vs-oracle gates run this config, so trace/digest equality
     # here proves single-node == 4-virtual-node bit-identity
-    cfg = CrawlConfig(
-        web=SynthWebConfig(seed=11, n_hosts=8, path_space=96, max_outlinks=5),
-        workdir=workdir or tempfile.mkdtemp(prefix="cfray-sim-"),
-        max_depth=2,
-        wave_size=48,
-        host_budget=12,
-        n_shards=4,
-        shard_capacity=1 << 14,
-        max_epochs=2 if mode == "half" else 4,
-        fetch_concurrency=2,
-        fetch_batch_size=64,
-        record_trace=True,
-    )
+    if mode == "rf":
+        # tests/test_failures._cfg's geometry: robots admission +
+        # deterministic failure model + retry requeue, on the cluster
+        cfg = CrawlConfig(
+            web=SynthWebConfig(seed=13, n_hosts=8, path_space=96, max_outlinks=5),
+            workdir=workdir or tempfile.mkdtemp(prefix="cfray-sim-rf-"),
+            max_depth=2,
+            wave_size=48,
+            host_budget=12,
+            n_shards=4,
+            shard_capacity=1 << 14,
+            max_epochs=5,
+            fetch_concurrency=2,
+            fetch_batch_size=64,
+            record_trace=True,
+            robots=True,
+            failures=True,
+        )
+    else:
+        cfg = CrawlConfig(
+            web=SynthWebConfig(seed=11, n_hosts=8, path_space=96, max_outlinks=5),
+            workdir=workdir or tempfile.mkdtemp(prefix="cfray-sim-"),
+            max_depth=2,
+            wave_size=48,
+            host_budget=12,
+            n_shards=4,
+            shard_capacity=1 << 14,
+            max_epochs=2 if mode == "half" else 4,
+            fetch_concurrency=2,
+            fetch_batch_size=64,
+            record_trace=True,
+        )
     if mode == "resume":
         summary = CrawlEngine(cfg).run(resume=True)
     else:
@@ -128,6 +149,8 @@ def main(out_path: str, mode: str = "full", workdir: str | None = None) -> None:
             "raw_outlinks": summary.raw_outlinks,
             "fresh_urls": summary.fresh_urls,
             "final_frontier": summary.final_frontier,
+            "failed_transient_urls": summary.failed_transient_urls,
+            "failed_permanent_urls": summary.failed_permanent_urls,
         },
         "actor_nodes": actor_nodes,
         "label_nodes": {str(k): v for k, v in label_nodes.items()},

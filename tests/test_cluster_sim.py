@@ -83,6 +83,28 @@ def sim_resumed(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def sim_rf(tmp_path_factory):
+    """robots+failures engine config (the entry() shape) on the
+    virtual cluster."""
+    out = tmp_path_factory.mktemp("simrf") / "result.json"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.run(
+        [sys.executable, _JOB, str(out), "rf"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"rf job failed\nstdout:\n{proc.stdout[-4000:]}"
+        f"\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    return json.loads(out.read_text())
+
+
+@pytest.fixture(scope="module")
 def oracle():
     """Serial single-process oracle over the job's exact config —
     ray-free, computed in this process."""
@@ -141,6 +163,44 @@ def test_killed_job_resumes_bit_identical_on_fresh_cluster(sim_resumed, oracle):
     # the resumed trace is the full run's tail (epochs 2..3)
     tail = [t for t in oracle["trace"] if t[0] >= 2]
     assert [tuple(t) for t in resumed["trace"]] == tail
+
+
+def test_robots_failures_config_bit_identical_on_cluster(sim_rf):
+    """The full production shape — RFC 9309 robots admission,
+    deterministic 4xx/5xx failure model, transient retry requeued past
+    the seen gate — replays bit-identically on the 4-node cluster vs
+    the serial oracle, with both failure classes actually occurring."""
+    import tempfile
+
+    from crawlerframework_ray.config import CrawlConfig
+    from crawlerframework_ray.data.synth import SynthWebConfig, seeds_table
+    from crawlerframework_ray.pipelines.oracle import oracle_crawl
+
+    cfg = CrawlConfig(
+        web=SynthWebConfig(seed=13, n_hosts=8, path_space=96, max_outlinks=5),
+        workdir=tempfile.mkdtemp(prefix="cfray-sim-rf-oracle-"),
+        max_depth=2,
+        wave_size=48,
+        host_budget=12,
+        n_shards=4,
+        shard_capacity=1 << 14,
+        max_epochs=5,
+        fetch_concurrency=2,
+        fetch_batch_size=64,
+        record_trace=True,
+        robots=True,
+        failures=True,
+    )
+    oracle = oracle_crawl(cfg, seeds_table(cfg.web, 40).to_pylist())
+    got = [tuple(t) for t in sim_rf["trace"]]
+    assert got == oracle["trace"]
+    assert sim_rf["shard_digests"] == oracle["shard_digests"]
+    c = sim_rf["counters"]
+    assert c["fetched_urls"] == oracle["counters"]["fetched_urls"]
+    assert c["failed_transient_urls"] == oracle["counters"]["failed_transient"]
+    assert c["failed_permanent_urls"] == oracle["counters"]["failed_permanent"]
+    assert c["failed_transient_urls"] > 0
+    assert c["failed_permanent_urls"] > 0
 
 
 def test_state_actors_spread_across_nodes(sim):
